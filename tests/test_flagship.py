@@ -1,0 +1,148 @@
+"""End-to-end flagship pipeline tests (FIXTURES.md F7): per-sink
+aggregate counts, routed-row equality, per-row token-array equality vs
+a single-process pyarrow oracle, and resume-from-manifest."""
+
+import collections
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from vector_ray.pipelines.flagship import (
+    LANES,
+    flagship_aggregate,
+    parse_enrich_route,
+    run_flagship,
+)
+from vector_ray.sources.synth import source_lookup_table, synth_parquet, synth_table
+
+N = 5000
+
+
+def oracle_routed(t: pa.Table) -> dict:
+    """Single-process oracle: lane → rows (python dicts, no Ray)."""
+    import re
+
+    lookup = {r["source"]: r for r in source_lookup_table().to_pylist()}
+    pat = re.compile(r"^(?P<app>\w+)-(?P<host>\w+)\.(?P<tld>\w+)-(?P<seq>(?:[+-]?(?:[0-9]+)))")
+    out = collections.defaultdict(list)
+    for row in t.to_pylist():
+        m = pat.match(row["doc_id"])
+        app = m.group("app") if m else None
+        seq = int(m.group("seq")) if m else None
+        enr = lookup.get(row["source"], {})
+        full = dict(row, app=app, seq=seq, region=enr.get("region"), tier=enr.get("tier"))
+        lanes = []
+        if full["tier"] == "hot":
+            lanes.append("hot")
+        if app == "web":
+            lanes.append("web")
+        if row["n_tok"] >= 1024:
+            lanes.append("long")
+        if not lanes:
+            lanes = ["rest"]
+        for lane in lanes:
+            out[lane].append(full)
+    return out
+
+
+@pytest.fixture(scope="module")
+def routed_rows():
+    t = synth_table(N)
+    ds = rd.from_arrow(t).repartition(4)
+    routed = parse_enrich_route(ds, enrich_concurrency=2)
+    rows = routed.take_all()
+    return t, rows
+
+
+class TestFlagshipStreaming:
+    def test_routed_row_equality(self, routed_rows):
+        t, rows = routed_rows
+        oracle = oracle_routed(t)
+        got = collections.defaultdict(list)
+        for r in rows:
+            got[r["lane"]].append(r)
+        assert set(got) == set(oracle)
+        for lane in oracle:
+            g = sorted(r["doc_id"] for r in got[lane])
+            o = sorted(r["doc_id"] for r in oracle[lane])
+            assert g == o, f"lane {lane}: {len(g)} vs {len(o)} rows"
+
+    def test_token_array_equality(self, routed_rows):
+        # BASELINE.json per-row invariant: tokens bit-identical through the pipeline
+        t, rows = routed_rows
+        tokens_by_doc = dict(zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()))
+        for r in rows[:500]:
+            assert list(r["tokens"]) == tokens_by_doc[r["doc_id"]], r["doc_id"]
+
+    def test_aggregate_counts(self, routed_rows):
+        t, rows = routed_rows
+        routed_tbl = pa.Table.from_pylist(
+            [{k: r[k] for k in ("lane", "source", "region", "doc_id", "n_tok", "seq")} for r in rows]
+        )
+        agg = flagship_aggregate(rd.from_arrow(routed_tbl).repartition(3)).take_all()
+        oracle = oracle_routed(t)
+        truth = collections.Counter()
+        tok = collections.Counter()
+        for lane, rws in oracle.items():
+            for r in rws:
+                truth[(lane, r["source"], r["region"])] += 1
+                tok[(lane, r["source"], r["region"])] += r["n_tok"]
+        got_n = {(r["lane"], r["source"], r["region"]): r["n_rows"] for r in agg}
+        got_tok = {(r["lane"], r["source"], r["region"]): r["tok_sum"] for r in agg}
+        assert got_n == dict(truth)
+        assert got_tok == dict(tok)
+
+
+class TestFlagshipResume:
+    def test_resume_skips_done_partitions(self, tmp_path):
+        src = synth_parquet(4000, seed=7, rows_per_file=1000, root=str(tmp_path / "in"))
+        out = str(tmp_path / "out")
+        res1 = run_flagship(src, out)
+        assert res1["skipped"] == 0
+        assert res1["partitions"] == 4
+        totals = res1["manifest"].totals()
+        assert totals["rows_in"] == 4000
+
+        # rerun: everything is skipped, aggregate identical
+        res2 = run_flagship(src, out)
+        assert res2["skipped"] == 4
+        a1 = sorted(map(tuple, (r.values() for r in res1["aggregate"].take_all())))
+        a2 = sorted(map(tuple, (r.values() for r in res2["aggregate"].take_all())))
+        assert a1 == a2
+
+    def test_partial_resume(self, tmp_path):
+        src = synth_parquet(3000, seed=9, rows_per_file=1000, root=str(tmp_path / "in"))
+        out = str(tmp_path / "out")
+        res1 = run_flagship(src, out)
+        # simulate a crash: delete one manifest entry + its output
+        m = res1["manifest"]
+        pid = sorted(m.done_partitions())[1]
+        os.remove(os.path.join(m.dir, f"{pid}.json"))
+        shutil.rmtree(os.path.join(out, f"routed/{pid}"))
+        res2 = run_flagship(src, out)
+        assert res2["skipped"] == 2
+        # all three partitions' outputs exist again
+        assert len(glob.glob(os.path.join(out, "routed/frag-*"))) == 3
+        totals = res2["manifest"].totals()
+        assert totals["rows_in"] == 3000
+
+    def test_routed_output_token_equality(self, tmp_path):
+        src = synth_parquet(2000, seed=11, rows_per_file=1000, root=str(tmp_path / "in"))
+        out = str(tmp_path / "out")
+        run_flagship(src, out)
+        files = glob.glob(os.path.join(out, "routed/*/_lane=*/*.parquet"))
+        routed = pa.concat_tables([pq.read_table(f, columns=["doc_id", "tokens"]) for f in files])
+        orig = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "tokens"]) for f in glob.glob(os.path.join(src, "*.parquet"))]
+        )
+        truth = dict(zip(orig["doc_id"].to_pylist(), orig["tokens"].to_pylist()))
+        got = dict(zip(routed["doc_id"].to_pylist(), routed["tokens"].to_pylist()))
+        assert set(got) == set(truth)
+        for k in list(got)[:300]:
+            assert got[k] == truth[k]

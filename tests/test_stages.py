@@ -1,0 +1,310 @@
+"""Stage tests over Ray Datasets — mirrors the reference's inline
+transform tests (remap.rs:189-230, route.rs:167-221, dedupe.rs:209+,
+aggregate.rs:146-200, reduce behavior corpus)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from vector_ray.expr import C, F
+from vector_ray.sources.synth import source_lookup_table, synth_table
+from vector_ray.stages import (
+    AddFields,
+    Aggregate,
+    Coercer,
+    Concat,
+    Dedupe,
+    Enrich,
+    EnrichmentTable,
+    Filter,
+    LogToMetric,
+    Reduce,
+    RemoveFields,
+    RenameFields,
+    Route,
+    Sample,
+    TagCardinalityLimit,
+    grouped_aggregate,
+)
+from vector_ray.stages.base import ChainStep, apply_chain
+from vector_ray.stages.remap import Remap
+
+
+def ds_of(tbl, blocks=2):
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+class TestRemap:
+    def test_keep_original_on_error(self):
+        # remap.rs:124-174: drop_on_error=false restores pre-transform row
+        t = pa.table({"v": ["1", "2", "bad"], "w": ["a", "b", "c"]})
+
+        def prog(tbl):
+            out = F.set_(tbl, "v", pc.cast(F.to_int(F.replace(tbl["v"], "bad", "x")), pa.string()))
+            out = F.set_(out, "doubled", pc.multiply(F.to_int(out["v"]), 2))
+            err = pc.is_null(F.to_int(tbl["v"]))
+            return out, err
+
+        # arrow cast of "bad" raises → emulate with safe kernel: use coalesce path
+        def prog2(tbl):
+            ints = pc.cast(tbl["v"], pa.int64(), safe=False) if False else None
+            parsed = pc.struct_field(pc.extract_regex(tbl["v"], r"^(?P<n>\d+)$"), "n")
+            err = pc.is_null(parsed)
+            out = F.set_(tbl, "doubled", pc.multiply(pc.cast(parsed, pa.int64()), 2))
+            out = F.set_(out, "w", pc.utf8_upper(out["w"]))
+            return out, err
+
+        out = Remap(prog2, drop_on_error=False, error_col="_err").transform(t)
+        assert out["doubled"].to_pylist() == [2, 4, None]
+        assert out["w"].to_pylist() == ["A", "B", "c"]  # error row keeps original
+        assert out["_err"].to_pylist() == [False, False, True]
+
+    def test_drop_on_error(self):
+        t = pa.table({"v": ["1", "bad"]})
+
+        def prog(tbl):
+            parsed = pc.struct_field(pc.extract_regex(tbl["v"], r"^(?P<n>\d+)$"), "n")
+            return F.set_(tbl, "n", pc.cast(parsed, pa.int64())), pc.is_null(parsed)
+
+        out = Remap(prog, drop_on_error=True).transform(t)
+        assert out["n"].to_pylist() == [1]
+
+
+class TestFieldOps:
+    def test_add_remove_rename_concat(self):
+        t = pa.table({"a": ["x"], "b": ["y"]})
+        steps = [
+            AddFields({"lit": 7, "tpl": "{{a}}-{{b}}"}),
+            Concat("joined", ["a", "b"], joiner="/"),
+            RenameFields({"b": "bb"}),
+            RemoveFields(["a"]),
+        ]
+        out = ChainStep(steps).transform(t)
+        assert out["lit"].to_pylist() == [7]
+        assert out["tpl"].to_pylist() == ["x-y"]
+        assert out["joined"].to_pylist() == ["x/y"]
+        assert "a" not in out.column_names and "bb" in out.column_names
+
+    def test_coercer_drop_unspecified(self):
+        t = pa.table({"n": ["5"], "junk": ["z"]})
+        out = Coercer({"n": "int"}, drop_unspecified=True).transform(t)
+        assert out.column_names == ["n"]
+        assert out["n"].to_pylist() == [5]
+
+    def test_add_fields_no_overwrite(self):
+        t = pa.table({"a": ["x"]})
+        out = AddFields({"a": "new"}, overwrite=False).transform(t)
+        assert out["a"].to_pylist() == ["x"]
+
+
+class TestFilterSample:
+    def test_filter_ds(self):
+        ds = ds_of(pa.table({"x": list(range(10))}))
+        out = Filter(C.ge("x", 5)).apply(ds)
+        assert sorted(r["x"] for r in out.take_all()) == [5, 6, 7, 8, 9]
+
+    def test_sample_deterministic(self):
+        t = synth_table(2000)
+        s = Sample(10, "doc_id")
+        a = s.transform(t)
+        b = s.transform(t)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert 100 < len(a) < 400
+        assert a["sample_rate"].to_pylist()[0] == 10
+
+    def test_sample_exclude(self):
+        t = synth_table(500)
+        s = Sample(1000000, "doc_id", exclude=C.eq("source", "syslog-00"))
+        out = s.transform(t)
+        # all hot-key rows bypass sampling
+        assert set(out["source"].to_pylist()) >= {"syslog-00"}
+
+
+class TestRoute:
+    def test_multi_match_copies(self):
+        # route.rs:101-120: event goes to EVERY matching lane
+        t = pa.table({"status": [200, 500, 503], "tier": ["hot", "hot", "cold"]})
+        route = Route(
+            {"errors": C.ge("status", 500), "hot": C.eq("tier", "hot")},
+            unmatched_lane="rest",
+        )
+        out = route._explode_batch(t)
+        lanes = sorted(zip(out["status"].to_pylist(), out["lane"].to_pylist()))
+        # row0: hot only; row1: errors+hot; row2: errors only
+        assert lanes == [(200, "hot"), (500, "errors"), (500, "hot"), (503, "errors")]
+
+    def test_views_and_mask(self):
+        t = pa.table({"x": [1, 2, 3]})
+        ds = ds_of(t)
+        route = Route({"big": C.ge("x", 2), "odd": C.expr(lambda t: pc.equal(F.mod(t["x"], 2), 1))})
+        views = route.views(ds)
+        assert sorted(r["x"] for r in views["big"].take_all()) == [2, 3]
+        assert sorted(r["x"] for r in views["odd"].take_all()) == [1, 3]
+        masked = route.mask(ds).take_all()
+        assert [r["_route_big"] for r in sorted(masked, key=lambda r: r["x"])] == [False, True, True]
+
+
+class TestEnrich:
+    def test_get_semantics(self):
+        t = synth_table(200)
+        ds = ds_of(t)
+        table = EnrichmentTable(source_lookup_table(), key=["source"])
+        out = Enrich(table, select=["region", "tier"], concurrency=2).apply(ds)
+        rows = out.take_all()
+        assert all(r["region"] is not None for r in rows)
+        assert all(r["_enrich_miss"] is False for r in rows)
+
+    def test_miss_produces_nulls(self):
+        t = pa.table({"source": ["syslog-00", "unknown-src"]})
+        table = EnrichmentTable(source_lookup_table(), key=["source"])
+        e = Enrich(table, select=["region"])
+        out = e.probe_batch(t)
+        assert out["region"].to_pylist()[0] is not None
+        assert out["region"].to_pylist()[1] is None
+        assert out["_enrich_miss"].to_pylist() == [False, True]
+
+    def test_get_duplicate_keys_rejected(self):
+        dup = pa.table({"k": ["a", "a"], "v": [1, 2]})
+        with pytest.raises(ValueError):
+            Enrich(EnrichmentTable(dup, key=["k"]))
+
+    def test_find_semantics_multi_row(self):
+        small = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+        t = pa.table({"k": ["a", "b", "c"], "other": ["x", "y", "z"]})
+        e = Enrich(EnrichmentTable(small, key=["k"]), mode="find", miss_col=None)
+        out = e.probe_batch(t)
+        assert len(out) == 4  # a matches twice, b once, c miss-null row
+        got = sorted(zip(out["k"].to_pylist(), out["v"].to_pylist()))
+        assert got == [("a", 1), ("a", 2), ("b", 3), ("c", None)]
+
+    def test_case_insensitive(self):
+        small = pa.table({"k": ["AbC"], "v": [1]})
+        t = pa.table({"k": ["abc", "ABC"]})
+        e = Enrich(EnrichmentTable(small, key=["k"], case_insensitive=True))
+        out = e.probe_batch(t)
+        assert out["v"].to_pylist() == [1, 1]
+
+    def test_between_dates(self):
+        small = pa.table({"k": ["a"], "v": [1], "lo": [10], "hi": [20]})
+        t = pa.table({"k": ["a", "a"], "ts": [15, 25]})
+        e = Enrich(EnrichmentTable(small, key=["k"]), between=("ts", "lo", "hi"))
+        out = e.probe_batch(t)
+        assert out["v"].to_pylist() == [1, None]
+
+
+class TestDedupe:
+    def test_exact_first_wins(self):
+        t = pa.table(
+            {"k": ["a", "b", "a", "c", "b"], "seq": [1, 2, 3, 4, 5], "v": ["p", "q", "r", "s", "t"]}
+        )
+        out = Dedupe(["k"], order_by="seq").apply(ds_of(t, blocks=3)).take_all()
+        got = {r["k"]: r["v"] for r in out}
+        assert got == {"a": "p", "b": "q", "c": "s"}
+
+    def test_type_distinction(self):
+        # dedupe.rs:131-143: "123" (string) and 123 (int) are distinct keys
+        t1 = pa.table({"k": pa.array(["123"]), "seq": [1]})
+        t2 = pa.table({"k": pa.array([123]), "seq": [2]})
+        d = Dedupe(["k"], order_by="seq")
+        k1 = d._key_batch(t1)["__dedupe_key"].to_pylist()
+        k2 = d._key_batch(t2)["__dedupe_key"].to_pylist()
+        assert k1 != k2
+
+
+class TestReduce:
+    def test_merge_strategies(self):
+        t = pa.table(
+            {
+                "request_id": ["r1", "r1", "r2", "r1"],
+                "seq": [1, 2, 1, 3],
+                "bytes": [10, 20, 5, 30],
+                "msg": ["a", "b", "x", "c"],
+                "tags": [["u"], ["v", "u"], ["w"], ["z"]],
+            }
+        )
+        r = Reduce(
+            ["request_id"],
+            merge_strategies={
+                "bytes": "sum",
+                "msg": "concat",
+                "tags": "flat_unique",
+                "seq": "max",
+            },
+            order_by="seq",
+        )
+        rows = {x["request_id"]: x for x in r.apply(ds_of(t, blocks=2)).take_all()}
+        assert rows["r1"]["bytes"] == 60
+        assert rows["r1"]["msg"] == "a b c"
+        assert sorted(rows["r1"]["tags"]) == ["u", "v", "z"]
+        assert rows["r1"]["seq"] == 3
+        assert rows["r1"]["n_rows"] == 3
+        assert rows["r2"]["bytes"] == 5
+
+    def test_ends_when_segments(self):
+        t = pa.table(
+            {
+                "k": ["a"] * 4,
+                "seq": [1, 2, 3, 4],
+                "done": [False, True, False, False],
+                "v": [1, 1, 1, 1],
+            }
+        )
+        r = Reduce(["k"], merge_strategies={"v": "sum"}, order_by="seq", ends_when=C.eq("done", True))
+        rows = r.apply(ds_of(t, blocks=1)).take_all()
+        sums = sorted(x["v"] for x in rows)
+        assert sums == [2, 2]  # rows 1-2 close a group; rows 3-4 flush at end
+
+
+class TestAggregate:
+    def test_two_phase_grouped(self):
+        t = synth_table(3000)
+        ds = ds_of(t, blocks=4)
+        out = grouped_aggregate(
+            ds,
+            ["source"],
+            {"n": ("count", "doc_id"), "tok": ("sum", "n_tok"), "mx": ("max", "n_tok"),
+             "apps": ("set", "doc_id")},
+        ).take_all()
+        import collections
+
+        truth_n = collections.Counter(t["source"].to_pylist())
+        got_n = {r["source"]: r["n"] for r in out}
+        assert got_n == dict(truth_n)
+        truth_tok = collections.defaultdict(int)
+        for s, n in zip(t["source"].to_pylist(), t["n_tok"].to_pylist()):
+            truth_tok[s] += n
+        assert {r["source"]: r["tok"] for r in out} == dict(truth_tok)
+
+    def test_log_to_metric_aggregate(self):
+        # aggregate.rs:146-200 semantics: incremental sums, absolute last
+        t = pa.table({"host": ["h1", "h1", "h2"], "bytes": [10, 20, 5]})
+        lm = LogToMetric(
+            [
+                {"type": "counter", "name": "requests", "tags": {"host": "{{host}}"}},
+                {"type": "counter", "name": "bytes_total", "field": "bytes",
+                 "increment_by_value": True, "tags": {"host": "{{host}}"}},
+                {"type": "set", "name": "hosts_seen", "field": "host"},
+            ]
+        )
+        ds = lm.apply(ds_of(t, blocks=2))
+        rows = Aggregate(tag_keys=["host"]).apply(ds).take_all()
+        by = {(r["name"], r.get("host")): r["value"] for r in rows}
+        assert by[("requests", "h1")] == 2.0
+        assert by[("requests", "h2")] == 1.0
+        assert by[("bytes_total", "h1")] == 30.0
+        assert by[("hosts_seen", None)] == 2.0  # distinct set size
+
+
+class TestTagCardinality:
+    def test_drop_tag(self):
+        t = pa.table({"tag": [f"v{i}" for i in range(10)], "x": list(range(10))})
+        out = TagCardinalityLimit(["tag"], value_limit=3).apply(ds_of(t, blocks=2)).take_all()
+        kept = [r["tag"] for r in out if r["tag"] is not None]
+        assert len(out) == 10
+        assert sorted(kept) == ["v0", "v1", "v2"]
+
+    def test_drop_event(self):
+        t = pa.table({"tag": [f"v{i}" for i in range(10)]})
+        out = TagCardinalityLimit(["tag"], value_limit=3, action="drop_event").apply(ds_of(t)).take_all()
+        assert len(out) == 3

@@ -1,0 +1,465 @@
+"""Vectorized column kernels — the VRL stdlib re-expressed over Arrow.
+
+Each function takes/returns ``pyarrow.Array`` / ``ChunkedArray`` (or a
+``pa.Table`` for the path ops) and is a thin composition of
+``pyarrow.compute`` kernels, so every remap program built from these
+stays vectorized inside ``map_batches(batch_format="pyarrow")``.
+
+Coverage map (reference ``lib/vrl/stdlib/src/`` function families →
+kernels here):
+
+- string:  ``downcase upcase contains starts_with ends_with replace
+  slice split join truncate strip_whitespace strip_ansi_escape_codes
+  find``
+- codec:   ``encode_base64 decode_base64 encode_json``
+- type:    ``to_int to_float to_bool to_string to_timestamp
+  is_null length`` + ``coerce`` (the ``Conversion`` table of
+  ``lib/shared/src/conversion.rs:90-114``)
+- math:    ``ceil floor round abs mod``
+- hash:    ``md5 sha1 sha2 fingerprint`` (stable 64-bit FNV-1a,
+  vectorized — the stand-in for seahash in sample/dedupe keys)
+- path:    ``get set del_ rename exists_col merge_struct flatten``
+- array:   ``array_length array_unique array_contains tally``
+- template: ``render`` ({{field}} templating of
+  ``src/template.rs:28-32``)
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hashlib
+import json as _json
+import re as _re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _arr(x):
+    """Normalize ChunkedArray → Array (combined) for kernels that need numpy."""
+    if isinstance(x, pa.ChunkedArray):
+        return x.combine_chunks()
+    return x
+
+
+# --------------------------------------------------------------------------
+# string family
+
+
+def downcase(a):
+    return pc.utf8_lower(a)
+
+
+def upcase(a):
+    return pc.utf8_upper(a)
+
+
+def contains(a, sub):
+    return pc.match_substring(a, sub)
+
+
+def starts_with(a, prefix):
+    return pc.starts_with(a, prefix)
+
+
+def ends_with(a, suffix):
+    return pc.ends_with(a, suffix)
+
+
+def replace(a, pattern, replacement, *, regex=False, max_replacements=None):
+    if regex:
+        return pc.replace_substring_regex(
+            a, pattern, replacement, max_replacements=max_replacements
+        )
+    return pc.replace_substring(a, pattern, replacement, max_replacements=max_replacements)
+
+
+def slice_(a, start, stop=None):
+    return pc.utf8_slice_codeunits(a, start, stop if stop is not None else 2**31 - 1)
+
+
+def split(a, sep, *, regex=False):
+    """String → list<string>. VRL `split` (lib/vrl/stdlib/src/split.rs)."""
+    if regex:
+        return pc.split_pattern_regex(a, sep)
+    return pc.split_pattern(a, sep)
+
+
+def split_whitespace(a):
+    return pc.utf8_split_whitespace(a)
+
+
+def join(list_arr, joiner):
+    return pc.binary_join(list_arr, joiner)
+
+
+def concat(joiner, *cols):
+    """VRL string concat / Vector `concat` transform (src/transforms/concat.rs)."""
+    return pc.binary_join_element_wise(*cols, joiner)
+
+
+def truncate(a, limit, *, ellipsis=False):
+    out = pc.utf8_slice_codeunits(a, 0, limit)
+    if ellipsis:
+        needs = pc.greater(pc.utf8_length(a), limit)
+        out = pc.if_else(needs, pc.binary_join_element_wise(out, "...", ""), out)
+    return out
+
+
+def strip_whitespace(a):
+    return pc.utf8_trim_whitespace(a)
+
+
+_ANSI_RE = r"\x1b\[[0-9;]*[A-Za-z]"
+
+
+def strip_ansi_escape_codes(a):
+    """src/transforms/ansi_stripper.rs semantics, vectorized."""
+    return pc.replace_substring_regex(a, _ANSI_RE, "")
+
+
+def find(a, sub):
+    return pc.find_substring(a, sub)
+
+
+def length(a):
+    """Bytes/chars for strings, list length for lists (VRL `length`)."""
+    t = a.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pc.list_value_length(a)
+    return pc.utf8_length(a)
+
+
+def extract_regex(a, pattern):
+    """Named-capture regex extract → struct column (null on non-match)."""
+    return pc.extract_regex(a, pattern)
+
+
+# --------------------------------------------------------------------------
+# codec family
+
+
+def encode_base64(a):
+    a = _arr(a)
+    return pa.array(
+        [None if v is None else _b64.b64encode(v.encode()).decode() for v in a.to_pylist()]
+    )
+
+
+def decode_base64(a):
+    a = _arr(a)
+    return pa.array(
+        [None if v is None else _b64.b64decode(v).decode() for v in a.to_pylist()]
+    )
+
+
+def encode_json(tbl_or_arr):
+    """Row → JSON string. Non-hot-path utility (metric_to_log etc.)."""
+    if isinstance(tbl_or_arr, pa.Table):
+        rows = tbl_or_arr.to_pylist()
+    else:
+        rows = _arr(tbl_or_arr).to_pylist()
+    return pa.array([_json.dumps(r, default=str, sort_keys=True) for r in rows])
+
+
+# --------------------------------------------------------------------------
+# type family  (Conversion table, lib/shared/src/conversion.rs:90-114)
+
+
+def to_int(a):
+    return pc.cast(a, pa.int64())
+
+
+def to_float(a):
+    return pc.cast(a, pa.float64())
+
+
+def to_string(a):
+    return pc.cast(a, pa.string())
+
+
+_TRUE = {"true", "t", "yes", "y", "1"}
+_FALSE = {"false", "f", "no", "n", "0"}
+
+
+def to_bool(a):
+    """String → bool with Vector's truthy table (conversion.rs:parse_bool)."""
+    t = _arr(a).type if not isinstance(a, pa.Table) else None
+    if pa.types.is_boolean(a.type):
+        return a
+    if pa.types.is_integer(a.type) or pa.types.is_floating(a.type):
+        return pc.not_equal(a, 0)
+    low = pc.utf8_lower(pc.utf8_trim_whitespace(a))
+    is_t = pc.is_in(low, value_set=pa.array(sorted(_TRUE)))
+    is_f = pc.is_in(low, value_set=pa.array(sorted(_FALSE)))
+    return pc.if_else(is_t, True, pc.if_else(is_f, False, pa.scalar(None, pa.bool_())))
+
+
+def to_timestamp(a, fmt="%Y-%m-%d %H:%M:%S", unit="us"):
+    return pc.strptime(a, format=fmt, unit=unit, error_is_null=True)
+
+
+def coerce(a, kind, fmt=None):
+    """The `types = {field = "int"}` option of every parser transform."""
+    if kind in ("string", "bytes"):
+        return to_string(a)
+    if kind == "int":
+        return to_int(a)
+    if kind == "float":
+        return to_float(a)
+    if kind == "bool":
+        return to_bool(a)
+    if kind == "timestamp":
+        return to_timestamp(a, fmt or "%Y-%m-%d %H:%M:%S")
+    if kind.startswith("timestamp|"):
+        return to_timestamp(a, kind.split("|", 1)[1])
+    raise ValueError(f"unknown coercion kind: {kind}")
+
+
+def is_null(a):
+    return pc.is_null(a)
+
+
+# --------------------------------------------------------------------------
+# math family
+
+
+def ceil(a):
+    return pc.ceil(a)
+
+
+def floor(a):
+    return pc.floor(a)
+
+
+def round_(a, ndigits=0):
+    return pc.round(a, ndigits=ndigits)
+
+
+def abs_(a):
+    return pc.abs(a)
+
+
+def mod(a, m):
+    # arrow has no modulo kernel for all types; emulate a - floor(a/m)*m
+    a64 = pc.cast(a, pa.int64())
+    return pc.subtract(a64, pc.multiply(pc.divide(a64, m), m))
+
+
+# --------------------------------------------------------------------------
+# hash family
+
+
+def md5(a):
+    return pa.array(
+        [None if v is None else hashlib.md5(v.encode()).hexdigest() for v in _arr(a).to_pylist()]
+    )
+
+
+def sha1(a):
+    return pa.array(
+        [None if v is None else hashlib.sha1(v.encode()).hexdigest() for v in _arr(a).to_pylist()]
+    )
+
+
+def sha2(a):
+    return pa.array(
+        [None if v is None else hashlib.sha256(v.encode()).hexdigest() for v in _arr(a).to_pylist()]
+    )
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fingerprint(a) -> pa.Array:
+    """Stable vectorized 64-bit FNV-1a over utf8 — the engine's seahash
+    stand-in for deterministic sampling / dedupe keys / salting
+    (reference uses seahash at src/transforms/sample.rs:123,
+    src/enrichment_tables/file.rs:301-326). Implemented with numpy over
+    the raw Arrow string buffers, no per-row Python.
+    """
+    arr = _arr(a)
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - combine_chunks covers
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    if len(arr) == 0:
+        return pa.array([], pa.uint64())
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    out = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    lengths = np.diff(offsets)
+    maxlen = int(lengths.max()) if len(lengths) else 0
+    # byte-position-at-a-time FNV: maxlen iterations of fully vectorized ops
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            active = lengths > i
+            idx = offsets[:-1][active] + i
+            out[active] = (out[active] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    if arr.null_count:
+        mask = np.asarray(arr.is_null())
+        return pa.array(out, pa.uint64(), mask=mask)
+    return pa.array(out, pa.uint64())
+
+
+def fingerprint_mod(a, rate: int):
+    """fingerprint(a) % rate — the `sample` transform's keep test."""
+    f = fingerprint(a)
+    return pc.if_else(
+        pc.is_valid(f),
+        pa.array(np.asarray(f.to_numpy(zero_copy_only=False), dtype=np.uint64) % np.uint64(rate), pa.uint64()),
+        pa.scalar(None, pa.uint64()),
+    )
+
+
+# --------------------------------------------------------------------------
+# path/table ops  (VRL get/set/del/exists; flat columns, dotted = struct field)
+
+
+def get(tbl: pa.Table, path: str):
+    """Column or dotted struct-field access: "a.b" → struct field b of a."""
+    if "." in path and path not in tbl.column_names:
+        head, rest = path.split(".", 1)
+        col = tbl[head]
+        for part in rest.split("."):
+            col = pc.struct_field(col, part)
+        return col
+    return tbl[path]
+
+
+def set_(tbl: pa.Table, name: str, values) -> pa.Table:
+    if isinstance(values, (int, float, str, bool)):
+        values = pa.array([values] * len(tbl))
+    if name in tbl.column_names:
+        i = tbl.column_names.index(name)
+        return tbl.set_column(i, name, values)
+    return tbl.append_column(name, values)
+
+
+def del_(tbl: pa.Table, *names: str) -> pa.Table:
+    keep = [n for n in tbl.column_names if n not in names]
+    return tbl.select(keep)
+
+
+def rename(tbl: pa.Table, mapping: dict) -> pa.Table:
+    return tbl.rename_columns([mapping.get(n, n) for n in tbl.column_names])
+
+
+def exists_col(tbl: pa.Table, name: str) -> bool:
+    return name in tbl.column_names
+
+
+def merge_struct(tbl: pa.Table, struct_col, *, prefix="", overwrite=True) -> pa.Table:
+    """Flatten a struct column's fields into top-level columns (VRL
+    `merge(., parsed)` / parser `target_field=None` semantics)."""
+    sc = _arr(struct_col)
+    for field in sc.type:
+        name = prefix + field.name
+        vals = pc.struct_field(sc, field.name)
+        if name in tbl.column_names and not overwrite:
+            continue
+        tbl = set_(tbl, name, vals)
+    return tbl
+
+
+def flatten(tbl: pa.Table, col: str, *, sep=".") -> pa.Table:
+    """VRL `flatten`: explode struct column `col` into `col.sub` columns."""
+    sc = _arr(tbl[col])
+    tbl = del_(tbl, col)
+    for field in sc.type:
+        tbl = set_(tbl, f"{col}{sep}{field.name}", pc.struct_field(sc, field.name))
+    return tbl
+
+
+# --------------------------------------------------------------------------
+# array family
+
+
+def array_length(a):
+    return pc.list_value_length(a)
+
+
+def array_unique(a):
+    """Per-row distinct of a list column (VRL `unique`)."""
+    arr = _arr(a)
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+        else:
+            seen, u = set(), []
+            for x in v:
+                if x not in seen:
+                    seen.add(x)
+                    u.append(x)
+            out.append(u)
+    return pa.array(out, type=arr.type)
+
+
+def array_contains(a, value):
+    """VRL `includes`: list contains value — vectorized via flatten+parent."""
+    arr = _arr(a)
+    flat_match = pc.equal(pc.list_flatten(arr), value)
+    # aggregate per parent row using list_parent_indices
+    parents = pc.list_parent_indices(arr)
+    out = np.zeros(len(arr), dtype=bool)
+    np_match = np.asarray(flat_match.to_numpy(zero_copy_only=False), dtype=bool)
+    np.logical_or.at(out, np.asarray(parents), np_match)
+    return pa.array(out)
+
+
+def tally(a):
+    """VRL `tally`: per-row value-counts of a list<string> → map-like
+    struct rows (returned as JSON strings for schema stability)."""
+    arr = _arr(a)
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+        else:
+            counts: dict = {}
+            for x in v:
+                counts[x] = counts.get(x, 0) + 1
+            out.append(_json.dumps(counts, sort_keys=True))
+    return pa.array(out, pa.string())
+
+
+# --------------------------------------------------------------------------
+# template rendering  (src/template.rs {{field}} substitution)
+
+_TMPL_RE = _re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def render(tbl: pa.Table, template: str):
+    """Vectorized `{{field}}` template → string column.
+
+    Splits the template into literal/field parts once, then one
+    binary_join_element_wise call. Mirrors src/template.rs:28-32.
+    """
+    parts = []
+    last = 0
+    for m in _TMPL_RE.finditer(template):
+        if m.start() > last:
+            parts.append(("lit", template[last : m.start()]))
+        parts.append(("field", m.group(1)))
+        last = m.end()
+    if last < len(template):
+        parts.append(("lit", template[last:]))
+    if not parts:
+        return pa.array([""] * len(tbl))
+    cols = []
+    for kind, val in parts:
+        if kind == "lit":
+            cols.append(pa.array([val] * len(tbl)))
+        else:
+            cols.append(pc.cast(tbl[val], pa.string()))
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, "")

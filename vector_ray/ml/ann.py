@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: exact cosine top-k — the query matrix is broadcast
+  ONCE via ``ray.put``; each batch does one numpy matmul + argpartition
+  and emits only its local top-k, so the driver-side merge sees
+  (num_blocks × k) candidate rows, never the data.
+- ``knn_ivf``: the scale path — coarse k-means centroids (trained on a
+  sample, driver-side), each batch assigns its vectors to centroids and
+  only batches owning a probed centroid do the matmul. At cluster
+  scale the assignment becomes a bucketed layout (write vectors
+  partitioned by centroid id; queries read only probed partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.FixedSizeListArray):
+        flat = np.asarray(arr.values, dtype=np.float32)
+        return flat.reshape(len(arr), arr.type.list_size)
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    return flat.reshape(len(arr), flat.size // max(len(arr), 1))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute(
+    ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k for each query row. Returns a pa.Table
+    (query_idx, vec_id, cosine, rank) of len n_queries × k."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(q)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(t[vec_col]))
+            ids = np.asarray(t[id_col])
+            sims = self.q @ m.T  # (nq, nb)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            nq = sims.shape[0]
+            qi = np.repeat(np.arange(nq), kk)
+            vi = idx.reshape(-1)
+            return pa.table(
+                {
+                    "query_idx": pa.array(qi, pa.int64()),
+                    id_col: pa.array(ids[vi]),
+                    "cosine": pa.array(sims[np.arange(nq)[:, None], idx].reshape(-1).astype(np.float64)),
+                }
+            )
+
+    local = ds.map_batches(TopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(len(g), dtype=np.int64)))
+
+    return local.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Tiny driver-side k-means (Lloyd) on a normalized sample."""
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 5,
+):
+    """IVF approximate top-k: centroids from a driver-side sample;
+    batches prune to vectors assigned to the probed centroids."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probed = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    state = ray.put((q, cent, probed))
+
+    class IvfTopK:
+        def __init__(self):
+            self.q, self.cent, self.probed = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(t[vec_col]))
+            ids = np.asarray(t[id_col])
+            assign = np.argmax(m @ self.cent.T, axis=1)
+            out = {"query_idx": [], id_col: [], "cosine": []}
+            for qi in range(len(self.q)):
+                mask = np.isin(assign, self.probed[qi])
+                if not mask.any():
+                    continue
+                sub = m[mask]
+                sims = sub @ self.q[qi]
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                out["query_idx"].extend([qi] * kk)
+                out[id_col].extend(ids[mask][idx].tolist())
+                out["cosine"].extend(sims[idx].astype(np.float64).tolist())
+            return pa.table(
+                {
+                    "query_idx": pa.array(out["query_idx"], pa.int64()),
+                    id_col: pa.array(out[id_col]),
+                    "cosine": pa.array(out["cosine"], pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(len(g), dtype=np.int64)))
+
+    return local.groupby("query_idx").map_groups(merge, batch_format="pyarrow")

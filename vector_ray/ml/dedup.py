@@ -1,0 +1,336 @@
+"""Deduplication operators for training-data pipelines.
+
+- ``exact_dedup``: content-hash partition → first-per-key (scale path
+  of the dedupe transform for document text).
+- ``minhash_lsh_dedup``: char-shingle → MinHash signature → banded LSH
+  buckets (groupby band) → candidate groups → exact Jaccard verify →
+  keep-first. The shuffle moves (band_hash, doc_id, signature) rows —
+  never the documents.
+- ``simhash``: 64-bit SimHash per doc (vectorized bit votes).
+- ``ngram_jaccard``: exact n-gram Jaccard between candidate pairs.
+- ``embedding_dup``: near-duplicate detection over an embedding column
+  via random-hyperplane LSH bucketing + within-bucket cosine.
+
+All signature computation is numpy-vectorized per batch; the only
+all-to-all exchanges are groupbys over narrow key/signature tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.expr import F
+from vector_ray.ml.text import doc_fingerprint
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, field: str = "text", *, id_col: str = "doc_id"):
+    """Keep the first (by id_col) row per exact normalized content."""
+    hashed = ds.map_batches(
+        lambda t: doc_fingerprint(t, field, "__fp"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def local_first(t: pa.Table) -> pa.Table:
+        t = t.sort_by(id_col)
+        dup = t["__fp"].to_pandas().duplicated().to_numpy()
+        return t.filter(pa.array(~dup)) if dup.any() else t
+
+    pre = hashed.map_batches(local_first, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first(g: pa.Table) -> pa.Table:
+        g = g.sort_by(id_col)
+        return g.slice(0, 1).drop_columns(["__fp"])
+
+    return pre.groupby("__fp").map_groups(first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# minhash
+
+
+def _shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes per doc → (flat uint64 hashes, offsets)."""
+    from vector_ray.expr.kernels import _splitmix64 as _sm  # type: ignore
+
+    # build shingle hash via rolling window over byte arrays
+    offs = [0]
+    hashes = []
+    for t in texts:
+        b = (t or "").lower().encode("utf-8", "ignore")
+        if len(b) < k:
+            import zlib
+
+            arr = np.array([zlib.crc32(b)], dtype=np.uint64)
+        else:
+            a = np.frombuffer(b, dtype=np.uint8)
+            # polynomial rolling hash over windows, vectorized via cumulative trick
+            win = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
+            mult = np.power(np.uint64(257), np.arange(k, dtype=np.uint64), dtype=np.uint64)
+            arr = (win * mult).sum(axis=1, dtype=np.uint64)
+            arr = np.unique(arr)
+        hashes.append(arr)
+        offs.append(offs[-1] + len(arr))
+    flat = np.concatenate(hashes) if hashes else np.empty(0, np.uint64)
+    return flat, np.array(offs, dtype=np.int64)
+
+
+def _sm64(x: np.ndarray) -> np.ndarray:
+    from vector_ray.sources.synth import _splitmix64
+
+    return _splitmix64(x)
+
+
+def minhash_signature(texts: list, *, num_hashes: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures, vectorized with
+    reduceat over the flat shingle-hash array."""
+    flat, offs = _shingle_hashes(texts, k)
+    n = len(texts)
+    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat) == 0:
+        return sig
+    starts = offs[:-1]
+    nonempty = offs[1:] > offs[:-1]
+    for i in range(num_hashes):
+        with np.errstate(over="ignore"):
+            perm = _sm64(flat ^ np.uint64(seed * 1_000_003 + i * 2_654_435_761))
+        mins = np.minimum.reduceat(perm, np.maximum(starts, 0))[: len(starts)]
+        sig[nonempty, i] = mins[nonempty]
+    return sig
+
+
+def minhash_lsh_dedup(
+    ds,
+    field: str = "text",
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.8,
+    return_pairs: bool = False,
+):
+    """MinHash+LSH near-dup. Emits either the deduped dataset (keep
+    lowest id per duplicate cluster) or the verified duplicate pairs.
+
+    Pipeline: signature map_batches → explode to (band, band_hash,
+    id, sig) → groupby(band, band_hash) → candidate pairs verified by
+    signature-estimated Jaccard → duplicate edges → min-label
+    components (driver-side union-find over the — small — edge set) →
+    filter.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+
+    def sigs(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        sig = minhash_signature(texts, num_hashes=num_hashes, k=k)
+        band_hashes = np.empty((len(texts), bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.zeros(len(texts), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(rows_per_band):
+                    acc = _sm64(acc ^ chunk[:, j])
+            band_hashes[:, b] = acc
+        n = len(texts)
+        ids = np.repeat(np.asarray(t[id_col]), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        bh = band_hashes.reshape(-1)
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.uint64()), num_hashes
+        )
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh, pa.uint64()),
+                id_col: pa.array(ids),
+                "sig": sig_list,
+            }
+        )
+
+    exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def candidates(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        ids = np.asarray(g[id_col])
+        sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        out_a, out_b, est = [], [], []
+        for i in range(len(ids)):
+            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
+            hit = np.nonzero(eq >= jaccard_threshold)[0]
+            for h in hit:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + h]))
+                est.append(float(eq[h]))
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "est_jaccard": pa.array(est, pa.float64())})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
+    if return_pairs:
+        # distinct pairs (same pair can surface from multiple bands)
+        return pairs.groupby(["a", "b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+
+    # small edge set → driver union-find; keep min-id representative
+    edge_rows = pairs.select_columns(["a", "b"]).take_all()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for e in edge_rows:
+        union(e["a"], e["b"])
+    drop = {x for x in parent if find(x) != x}
+    if not drop:
+        return ds
+    drop_arr = pa.array(sorted(drop), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=drop_arr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
+    """64-bit SimHash per doc over word tokens (vectorized bit votes)."""
+    import re
+
+    word_re = re.compile(r"\w+")
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = word_re.findall((t or "").lower())
+        if not words:
+            continue
+        import zlib
+
+        hs = _sm64(np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+                   ^ np.uint64(seed))
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes = bits.sum(axis=0) * 2 - len(hs)  # >0 → bit set
+        bitvec = (votes > 0).astype(np.uint8)
+        out[i] = np.packbits(bitvec, bitorder="little").view(np.uint64)[0]
+    return out
+
+
+class SimHash:
+    """map_batches body adding a `simhash:uint64` column."""
+
+    def __init__(self, field: str = "text", out: str = "simhash"):
+        self.field = field
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return F.set_(t, self.out, pa.array(simhash_batch(t[self.field].to_pylist()), pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    toks = (text or "").lower().split()
+    return {tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+
+def embedding_dup_pairs(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    cosine_threshold: float = 0.95,
+    seed: int = 3,
+):
+    """Near-dup pairs over an embedding column: random-hyperplane LSH
+    bucket (sign bits of `planes` projections) → within-bucket pairwise
+    cosine → pairs above threshold. Dimensions inferred per batch."""
+    rng = np.random.default_rng(seed)
+    plane_cache: dict = {}
+
+    def get_planes(dim: int) -> np.ndarray:
+        if dim not in plane_cache:
+            plane_cache[dim] = np.random.default_rng(seed).standard_normal((dim, planes))
+        return plane_cache[dim]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t[vec_col].combine_chunks().flatten(), dtype=np.float32)
+        n = len(t)
+        dim = vecs.size // max(n, 1)
+        m = vecs.reshape(n, dim)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.maximum(norms, 1e-12)
+        signs = (m @ get_planes(dim)) > 0
+        bucket_id = np.packbits(
+            np.pad(signs, ((0, 0), (0, (-planes) % 8)), constant_values=False),
+            axis=1, bitorder="little",
+        ).astype(np.uint64)
+        key = np.zeros(n, dtype=np.uint64)
+        for j in range(bucket_id.shape[1]):
+            key = key << np.uint64(8) | bucket_id[:, j]
+        return pa.table(
+            {
+                "bucket": pa.array(key, pa.uint64()),
+                id_col: t[id_col],
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1), pa.float32()), dim),
+            }
+        )
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(g) < 2:
+            return empty
+        ids = np.asarray(g[id_col])
+        flat = np.asarray(g["vec"].combine_chunks().flatten(), dtype=np.float32)
+        m = flat.reshape(len(g), flat.size // len(g))
+        sims = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        mask = sims[iu] >= cosine_threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(sims[iu][mask].astype(np.float64))})
+
+    all_pairs = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    return all_pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

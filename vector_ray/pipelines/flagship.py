@@ -1,0 +1,190 @@
+"""The flagship north-rule pipeline: parse → enrich → route → aggregate
+over the tokenized-log table (doc_id, tokens:list<int32>, n_tok,
+source) — the Ray-Data restatement of Vector's soak topology
+(soaks/syslog_regex_logs2metric_ddmetrics/terraform/vector.toml:10-31:
+syslog → remap parse_regex → log_to_metric → sink).
+
+Stage plan (SURVEY.md §7.3):
+  read_parquet (fragment-pruned on resume)
+  → [fused map_batches] grok-parse doc_id → app/host/tld/seq,
+    remap derived cols, route-explode into lanes (copy semantics)
+  → actor-pool enrichment probe (source → region/tier)
+  → per-lane grouped aggregates (two-phase partial→final)
+  → routed parquet sink partitioned by lane + per-fragment manifest.
+
+The ``tokens`` column is never read by any kernel — it rides through
+zero-copy, which is the BASELINE.json per-row invariant.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.expr import C, F
+from vector_ray.sources.synth import source_lookup_table
+from vector_ray.stages import (
+    Enrich,
+    EnrichmentTable,
+    GrokParser,
+    Remap,
+    Route,
+    grouped_aggregate,
+)
+from vector_ray.stages.base import ChainStep, FnStep
+from vector_ray.state import RunManifest
+
+#: route lanes (F4 semantics: copy to EVERY matching lane; catch-all lane
+#: `rest` collects rows matching none)
+LANES = {
+    "hot": C.eq("tier", "hot"),
+    "web": C.eq("app", "web"),
+    "long": C.ge("n_tok", 1024),
+}
+
+_GROK = r"%{WORD:app}-%{WORD:host}\.%{WORD:tld}-%{INT:seq}"
+
+
+def _build_steps():
+    parser = GrokParser("doc_id", _GROK, types={"seq": "int"}, matched_col="parse_ok")
+
+    def remap_prog(t: pa.Table) -> pa.Table:
+        t = F.set_(t, "fqdn", F.concat("", t["host"], pa.array(["."] * len(t)), t["tld"]))
+        t = F.set_(t, "seq_bucket", F.mod(pc.fill_null(t["seq"], -1), 10))
+        return t
+
+    return parser, Remap(remap_prog, name="derive")
+
+
+def parse_enrich_route(ds, *, lookup: Optional[pa.Table] = None, enrich_concurrency: int = 4):
+    """parse + remap fused into one map_batches; enrich as actor pool;
+    route explode (one pass, lane column)."""
+    parser, remap = _build_steps()
+    route = Route(LANES, unmatched_lane="rest")
+    fused = ChainStep([parser, remap])
+    ds = fused.apply(ds)
+    table = EnrichmentTable(lookup if lookup is not None else source_lookup_table(), key=["source"])
+    enrich = Enrich(table, select=["region", "tier"], concurrency=enrich_concurrency)
+    ds = enrich.apply(ds)
+    ds = route.explode(ds)
+    return ds
+
+
+def flagship_aggregate(routed_ds):
+    """Per-sink aggregate: one row per (lane, source, region) with row
+    count, token sum, and seq bounds — the log_to_metric+aggregate
+    composition, two-phase so the shuffle only moves partials."""
+    return grouped_aggregate(
+        routed_ds,
+        ["lane", "source", "region"],
+        {
+            "n_rows": ("count", "doc_id"),
+            "tok_sum": ("sum", "n_tok"),
+            "seq_min": ("min", "seq"),
+            "seq_max": ("max", "seq"),
+        },
+    )
+
+
+def flagship_dataset(input_path: str | Sequence[str], *, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(input_path)
+
+
+def run_streaming(input_path, *, lookup=None):
+    """One-shot lazy pipeline (bench mode): read → parse → enrich →
+    route → aggregate, consumed by the tiny final aggregate — nothing
+    materializes the full dataset."""
+    ds = flagship_dataset(input_path)
+    routed = parse_enrich_route(ds, lookup=lookup)
+    return flagship_aggregate(routed)
+
+
+def run_flagship(
+    input_path: str,
+    out_dir: str,
+    *,
+    lookup: Optional[pa.Table] = None,
+    resume: bool = True,
+    fragments_per_partition: int = 1,
+    write_routed: bool = True,
+    enrich_concurrency: int = 2,
+):
+    """Resumable run: per-fragment ETL checkpointed via RunManifest,
+    then a final aggregate over the routed output.
+
+    Partition unit = input fragment group. A rerun skips fragments whose
+    manifest entry exists (idempotent redo otherwise). Counters (rows
+    in/out per lane) are recorded per partition, mirroring Vector's
+    per-stage EventsReceived/EventsSent counters
+    (src/topology/builder.rs:229-246).
+    """
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) if os.path.isdir(input_path) else [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet fragments under {input_path}")
+    manifest = RunManifest(out_dir)
+
+    groups = [files[i : i + fragments_per_partition] for i in range(0, len(files), fragments_per_partition)]
+    skipped = 0
+    for gi, group in enumerate(groups):
+        # partition id is bound to the input fragment identity, not the
+        # ordinal — resume over a different input list must NOT skip
+        import hashlib
+
+        digest = hashlib.sha1("\n".join(group).encode()).hexdigest()[:8]
+        pid = f"frag-{gi:05d}-{digest}"
+        if resume and manifest.is_done(pid):
+            skipped += 1
+            continue
+        t0 = time.time()
+        frag_out = os.path.join(out_dir, f"routed/{pid}")
+        manifest.clear_partition_output(frag_out)
+        import pyarrow.parquet as pq
+
+        rows_in = sum(pq.read_metadata(f).num_rows for f in group)
+        ds = rd.read_parquet(group)
+        routed = parse_enrich_route(ds, lookup=lookup, enrich_concurrency=enrich_concurrency)
+        if write_routed:
+            # partition by a COPY of lane so the data files keep the lane
+            # column (hive partition columns are path-only) — the resume
+            # aggregate re-reads files directly.
+            routed = routed.map_batches(
+                lambda t: t.append_column("_lane", t["lane"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            routed.write_parquet(frag_out, partition_cols=["_lane"])
+            lane_dirs = glob.glob(os.path.join(frag_out, "_lane=*"))
+            counters = {"rows_in": rows_in}
+            for ld in lane_dirs:
+                lane = os.path.basename(ld).split("=", 1)[1]
+                import pyarrow.parquet as pq
+
+                nrows = sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(ld, "*.parquet")))
+                counters[f"rows_out_{lane}"] = nrows
+            outputs = [frag_out]
+        else:
+            counters = {"rows_in": rows_in, "rows_out": routed.count()}
+            outputs = []
+        manifest.mark_done(pid, inputs=group, outputs=outputs, counters=counters, seconds=time.time() - t0)
+
+    # final aggregate over all routed output (re-read: cheap columnar scan
+    # of only the agg columns; fragments completed in EARLIER runs are
+    # included without recomputation — that's the resume win)
+    agg = None
+    if write_routed:
+        routed_files = sorted(glob.glob(os.path.join(out_dir, "routed/*/_lane=*/*.parquet")))
+        if routed_files:
+            agg_ds = rd.read_parquet(
+                routed_files, columns=["lane", "source", "region", "doc_id", "n_tok", "seq"]
+            )
+            agg = flagship_aggregate(agg_ds)
+    return {"manifest": manifest, "skipped": skipped, "aggregate": agg, "partitions": len(groups)}
