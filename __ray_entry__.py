@@ -1,44 +1,567 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (and the training-data extensions), each running the REAL
+vector_ray stage over the driver's parquet tables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for everything SQL-expressible.
+Column names and types are matched to DuckDB defaults (BIGINT/DOUBLE/
+VARCHAR); float aggregates are rounded identically on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in vector_ray.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cast64(tbl: pa.Table) -> pa.Table:
+    """Promote int{8,16,32}/float32 to DuckDB-default widths so the
+    driver's schema compare lines up."""
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_integer(f.type) and f.type.bit_width < 64:
+            tbl = tbl.set_column(i, f.name, pc.cast(tbl[f.name], pa.int64()))
+        elif pa.types.is_floating(f.type) and f.type.bit_width < 64:
+            tbl = tbl.set_column(i, f.name, pc.cast(tbl[f.name], pa.float64()))
+    return tbl
+
+
+def _finish(ds):
+    return ds.map_batches(_cast64, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each exercises a vector_ray stage)
+
+
+def q_filter_events(sf_dir):
+    from vector_ray.expr import C
+    from vector_ray.stages import Filter
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    out = Filter(C.eq("event_type", "error") & C.gt("value", 100.0)).apply(ds)
+    return _finish(out.select_columns(["event_id", "user_id", "value"]))
+
+
+def q_route_events(sf_dir):
+    from vector_ray.expr import C
+    from vector_ray.stages import Route
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    route = Route(
+        {"high": C.ge("value", 150.0), "purchase": C.eq("event_type", "purchase")},
+        unmatched_lane="rest",
+    )
+    return _finish(route.explode(ds).select_columns(["lane", "event_id"]))
+
+
+def q_remap_fields(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.stages.remap import Remap
+
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+
+    def prog(t: pa.Table) -> pa.Table:
+        t = F.set_(t, "seg_key", F.render(t, "{{c_mktsegment}}-{{c_nationkey}}"))
+        t = F.set_(t, "name_upper", F.upcase(t["c_name"]))
+        return t.select(["c_custkey", "seg_key", "name_upper"])
+
+    return _finish(Remap(prog).apply(ds))
+
+
+def q_regex_parse_source(sf_dir):
+    from vector_ray.stages import RegexParser
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    p = RegexParser("source", [r"src(?P<src_num>\d+)"], types={"src_num": "int"}, drop_field=True)
+    return _finish(p.apply(ds))
+
+
+def q_grok_first_word(sf_dir):
+    from vector_ray.stages import GrokParser
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    p = GrokParser("text", "%{WORD:first_word}", drop_field=True)
+    return _finish(p.apply(ds))
+
+
+def q_json_parse_props(sf_dir):
+    from vector_ray.stages import JsonParser
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "props"])
+    out = JsonParser("props").apply(ds)
+    return _finish(out.select_columns(["event_id", "k"]))
+
+
+def q_kv_roundtrip(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.stages import KeyValueParser
+    from vector_ray.stages.base import ChainStep, FnStep
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def build_msg(t: pa.Table) -> pa.Table:
+        msg = F.render(t, "u={{user_id}} t={{event_type}}")
+        return pa.table({"event_id": t["event_id"], "message": msg})
+
+    parser = KeyValueParser("message", fields=["u", "t"], types={"u": "int"})
+    return _finish(ChainStep([FnStep(build_msg), parser]).apply(ds))
+
+
+def q_tokenize_docs(sf_dir):
+    from vector_ray.ml.text import TokenCount
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = TokenCount("text").apply(ds)
+    return _finish(out.select_columns(["doc_id", "n_words", "n_tokens_bpe"]))
+
+
+def q_text_counts(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.ml.text import STOPWORDS
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_punct": pc.count_substring_regex(t["text"], r"[\.,;:!\?]"),
+                "n_stop": pc.count_substring_regex(t["text"], stop_re),
+                "n_upper": pc.count_substring_regex(t["text"], r"[A-Z]"),
+            }
+        )
+
+    return _finish(ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_dedupe_docs(sf_dir):
+    from vector_ray.stages import Dedupe
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    out = Dedupe(["lang", "source"], order_by="doc_id").apply(ds)
+    return _finish(out.select_columns(["doc_id", "lang", "source"]))
+
+
+def q_agg_source_stats(sf_dir):
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+    out = grouped_aggregate(
+        ds,
+        ["source"],
+        {
+            "n_docs": ("count", "doc_id"),
+            "chars_sum": ("sum", "n_chars"),
+            "chars_max": ("max", "n_chars"),
+            "langs": ("nunique", "lang"),
+        },
+    )
+    return _finish(out)
+
+
+def q_reduce_events(sf_dir):
+    from vector_ray.stages import Reduce
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "value"])
+    red = Reduce(["user_id"], merge_strategies={"value": "sum"}, count_col="n_rows")
+    out = red.apply(ds)
+
+    def final(t: pa.Table) -> pa.Table:
+        # fixed-point cents: float sums are order-sensitive in the last
+        # ulp; integers hash identically on both sides
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "value_sum_c": cents,
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return _finish(out.map_batches(final, batch_format="pyarrow"))
+
+
+def q_q1_lineitem(sf_dir):
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "disc_price"),
+            "avg_disc": ("mean", "l_discount"),
+            "n": ("count", "l_quantity"),
+        },
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            cents = pc.cast(pc.round(pc.multiply(t[c], 100.0), ndigits=0), pa.int64())
+            t = t.set_column(t.column_names.index(c), f"{c}_c", cents)
+        micro = pc.cast(pc.round(pc.multiply(t["avg_disc"], 1e6), ndigits=0), pa.int64())
+        t = t.set_column(t.column_names.index("avg_disc"), "avg_disc_u", micro)
+        return t
+
+    return _finish(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_enrich_customer(sf_dir):
+    import pyarrow.parquet as pq
+
+    from vector_ray.stages import Enrich, EnrichmentTable
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    table = EnrichmentTable(nation, key=["n_nationkey"])
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    out = Enrich(table, key_map={"n_nationkey": "c_nationkey"}, miss_col=None, concurrency=2).apply(ds)
+    return _finish(out.select_columns(["c_custkey", "c_name", "n_name"]))
+
+
+def q_enrich_supplier_region(sf_dir):
+    import pyarrow.parquet as pq
+
+    from vector_ray.stages import Enrich, EnrichmentTable
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ds = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    e1 = Enrich(EnrichmentTable(nation, key=["n_nationkey"]), key_map={"n_nationkey": "s_nationkey"},
+                miss_col=None, concurrency=2)
+    e2 = Enrich(EnrichmentTable(region, key=["r_regionkey"]), key_map={"r_regionkey": "n_regionkey"},
+                miss_col=None, concurrency=2)
+    out = e2.apply(e1.apply(ds))
+    return _finish(out.select_columns(["s_suppkey", "n_name", "r_name"]))
+
+
+def q_window_events(sf_dir):
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hours = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table({"event_type": t["event_type"], "hour": hours, "value": t["value"]})
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_aggregate(
+        ds, ["event_type", "hour"], {"n": ("count", "value"), "value_sum": ("sum", "value")}
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value_sum"], 100.0), ndigits=0), pa.int64())
+        return t.set_column(t.column_names.index("value_sum"), "value_sum_c", cents)
+
+    return _finish(agg.map_batches(final, batch_format="pyarrow"))
+
+
+def q_cardinality_limit(sf_dir):
+    from vector_ray.stages import TagCardinalityLimit
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+    out = TagCardinalityLimit(["user_id"], value_limit=5, action="drop_event").apply(ds)
+    return _finish(out.select_columns(["event_id", "user_id"]))
+
+
+def q_exact_dedup_docs(sf_dir):
+    from vector_ray.ml.dedup import exact_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", id_col="doc_id")
+    return _finish(out.select_columns(["doc_id"]))
+
+
+def q_knn_embeddings(sf_dir):
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.ann import knn_brute
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = emb.filter(pc.less(emb["vec_id"], 3)).sort_by("vec_id")
+    queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, queries, k=10)
+    return _finish(out.select_columns(["query_idx", "vec_id", "rank"]))
+
+
+def q_sample_events(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.stages import Sample
+    from vector_ray.stages.base import ChainStep, FnStep
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return t.append_column("key", pc.cast(t["event_id"], pa.string()))
+
+    return _finish(ChainStep([FnStep(key), Sample(5, "key")]).apply(ds).select_columns(["event_id"]))
+
+
+def q_minhash_pairs(sf_dir):
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", id_col="doc_id", jaccard_threshold=0.7, return_pairs=True)
+
+
+def q_simhash_docs(sf_dir):
+    from vector_ray.ml.dedup import SimHash
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHash("text"), batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def final(t: pa.Table) -> pa.Table:
+        signed = np.asarray(t["simhash"].combine_chunks()).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(signed, pa.int64())})
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_embedding_dup_pairs(sf_dir):
+    from vector_ray.ml.dedup import embedding_dup_pairs
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, cosine_threshold=0.9)
+
+
+def q_ann_ivf(sf_dir):
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.ann import knn_ivf
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = emb.filter(pc.less(emb["vec_id"], 3)).sort_by("vec_id")
+    queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, queries, k=10, n_clusters=8, n_probe=3)
+
+
+def q_lang_id_docs(sf_dir):
+    from vector_ray.ml.text import LangId
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = LangId("text").apply(ds)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_quality_docs(sf_dir):
+    from vector_ray.ml.text import QualityScore
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = QualityScore("text").apply(ds)
+    return out.select_columns(["doc_id", "quality", "stop_ratio"])
+
+
+def q_media_features(sf_dir):
+    import ray.data as rd
+
+    from vector_ray.ml.multimodal import ImageDecode, decode_stage, synth_media_table
+
+    media = synth_media_table(200)
+    ds = rd.from_arrow(media)
+    out = decode_stage(ds, ImageDecode, fake=True, concurrency=2)
+    return out.select_columns(["media_id", "media_type", "image_features"])
+
+
+def q_flagship_tokenized(sf_dir):
+    """Flagship parse→enrich→route→aggregate over the synthesized
+    tokenized-log table (the BASELINE.json input shape; scale-free)."""
+    import ray.data as rd
+
+    from vector_ray.pipelines.flagship import flagship_aggregate, parse_enrich_route
+    from vector_ray.sources.synth import synth_table
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    ds = rd.from_arrow(synth_table(n)).repartition(4)
+    routed = parse_enrich_route(ds, enrich_concurrency=2)
+    return flagship_aggregate(routed)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship-shaped pipeline over sf0.001 documents: regex-parse →
+    enrich → route(copy) → per-lane aggregate. Returns the aggregate
+    Dataset (small)."""
+    import ray.data as rd
+
+    from vector_ray.expr import C
+    from vector_ray.stages import Enrich, EnrichmentTable, RegexParser, Route, grouped_aggregate
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = _rp(sf_dir, "documents")
+    parser = RegexParser("source", [r"src(?P<src_num>\d+)"], types={"src_num": "int"}, drop_field=False)
+    ds = parser.apply(ds)
+    # derived lookup: source → bucket (deterministic small side)
+    srcs = sorted(set(pa.parquet.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["source"])["source"].to_pylist()))
+    lookup = pa.table({"source": srcs, "bucket": [f"b{int(s[3:]) % 4}" for s in srcs]})
+    ds = Enrich(EnrichmentTable(lookup, key=["source"]), concurrency=2).apply(ds)
+    route = Route({"en": C.eq("lang", "en"), "long": C.ge("n_chars", 300)}, unmatched_lane="rest")
+    routed = route.explode(ds)
+    return grouped_aggregate(
+        routed, ["lane", "bucket"], {"n_docs": ("count", "doc_id"), "chars_sum": ("sum", "n_chars")}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "filter_events": q_filter_events,
+        "route_events": q_route_events,
+        "remap_fields": q_remap_fields,
+        "regex_parse_source": q_regex_parse_source,
+        "grok_first_word": q_grok_first_word,
+        "json_parse_props": q_json_parse_props,
+        "kv_roundtrip": q_kv_roundtrip,
+        "tokenize_docs": q_tokenize_docs,
+        "text_counts": q_text_counts,
+        "dedupe_docs": q_dedupe_docs,
+        "agg_source_stats": q_agg_source_stats,
+        "reduce_events": q_reduce_events,
+        "q1_lineitem": q_q1_lineitem,
+        "enrich_customer": q_enrich_customer,
+        "enrich_supplier_region": q_enrich_supplier_region,
+        "window_events": q_window_events,
+        "cardinality_limit": q_cardinality_limit,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "knn_embeddings": q_knn_embeddings,
+        # non-SQL-expressible (driver records rows-only checks)
+        "sample_events": q_sample_events,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_ivf": q_ann_ivf,
+        "lang_id_docs": q_lang_id_docs,
+        "quality_docs": q_quality_docs,
+        "media_features": q_media_features,
+        "flagship_tokenized": q_flagship_tokenized,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_RE_SQL = r"(?i)\b(?:the|and|of|a|to|in|is|it|that|for)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_events": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'error' AND value > 100"
+        ),
+        "route_events": (
+            "SELECT 'high' AS lane, event_id FROM events WHERE value >= 150 "
+            "UNION ALL SELECT 'purchase' AS lane, event_id FROM events WHERE event_type = 'purchase' "
+            "UNION ALL SELECT 'rest' AS lane, event_id FROM events "
+            "WHERE NOT (value >= 150) AND NOT (event_type = 'purchase')"
+        ),
+        "remap_fields": (
+            "SELECT c_custkey, c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_key, "
+            "UPPER(c_name) AS name_upper FROM customer"
+        ),
+        "regex_parse_source": (
+            r"SELECT doc_id, CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS src_num "
+            "FROM documents"
+        ),
+        "grok_first_word": (
+            r"SELECT doc_id, regexp_extract(text, '\b(\w+)\b', 1) AS first_word FROM documents"
+        ),
+        "json_parse_props": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "kv_roundtrip": (
+            "SELECT event_id, user_id AS u, event_type AS t FROM events"
+        ),
+        "tokenize_docs": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_words, "
+            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tokens_bpe "
+            "FROM documents"
+        ),
+        "text_counts": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct, "
+            f"len(regexp_extract_all(text, '{_STOP_RE_SQL}')) AS n_stop, "
+            r"len(regexp_extract_all(text, '[A-Z]')) AS n_upper FROM documents"
+        ),
+        "dedupe_docs": (
+            "SELECT doc_id, lang, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1"
+        ),
+        "agg_source_stats": (
+            "SELECT source, COUNT(doc_id) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum, "
+            "MAX(n_chars) AS chars_max, CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs "
+            "FROM documents GROUP BY source"
+        ),
+        "reduce_events": (
+            "SELECT user_id, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c, "
+            "COUNT(*) AS n_rows FROM events GROUP BY user_id"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_c, "
+            "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c, "
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_c, "
+            "CAST(ROUND(AVG(l_discount) * 1000000) AS BIGINT) AS avg_disc_u, "
+            "COUNT(l_quantity) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "enrich_customer": (
+            "SELECT c_custkey, c_name, n_name FROM customer "
+            "LEFT JOIN nation ON nation.n_nationkey = customer.c_nationkey"
+        ),
+        "enrich_supplier_region": (
+            "SELECT s_suppkey, n_name, r_name FROM supplier "
+            "LEFT JOIN nation ON n_nationkey = s_nationkey "
+            "LEFT JOIN region ON r_regionkey = n_regionkey"
+        ),
+        "window_events": (
+            "SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour, "
+            "COUNT(value) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c "
+            "FROM events GROUP BY event_type, hour"
+        ),
+        "cardinality_limit": (
+            "SELECT event_id, user_id FROM events WHERE CAST(user_id AS VARCHAR) IN "
+            "(SELECT u FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events) "
+            "ORDER BY u LIMIT 5)"
+        ),
+        "exact_dedup_docs": (
+            r"SELECT doc_id FROM documents "
+            r"QUALIFY row_number() OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')) "
+            "ORDER BY doc_id) = 1"
+        ),
+        "knn_embeddings": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.qid AS query_idx, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS c FROM q CROSS JOIN embeddings e) "
+            "SELECT query_idx, vec_id, CAST(row_number() OVER "
+            "(PARTITION BY query_idx ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY c DESC, vec_id) <= 10"
+        ),
+    }

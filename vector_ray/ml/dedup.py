@@ -60,9 +60,7 @@ def exact_dedup(ds, field: str = "text", *, id_col: str = "doc_id"):
 
 def _shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-char shingle hashes per doc → (flat uint64 hashes, offsets)."""
-    from vector_ray.expr.kernels import _splitmix64 as _sm  # type: ignore
-
-    # build shingle hash via rolling window over byte arrays
+    # build shingle hashes via a rolling polynomial over byte windows
     offs = [0]
     hashes = []
     for t in texts:

@@ -54,7 +54,7 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
             aggs.append((col, "count"))
             renames[f"{col}_sum"] = f"{name}__sum"
             renames[f"{col}_count"] = f"{name}__count"
-        elif kind == "set":
+        elif kind in ("set", "nunique"):
             aggs.append((col, "distinct"))
             renames[f"{col}_distinct"] = f"{name}__set"
         elif kind == "last":
@@ -102,6 +102,10 @@ def _final_merge_fn(keys, specs):
                 flat = pc.list_flatten(g[f"{name}__set"])
                 vals = sorted({str(v) for v in flat.to_pylist() if v is not None})
                 cols[name] = pa.array([vals], pa.list_(pa.string()))
+            elif kind == "nunique":
+                flat = pc.list_flatten(g[f"{name}__set"])
+                nval = len({v for v in flat.to_pylist() if v is not None})
+                cols[name] = pa.array([nval], pa.int64())
             elif kind == "last":
                 cols[name] = g[name].combine_chunks().slice(len(g) - 1, 1)
             elif kind == "first":
