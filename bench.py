@@ -56,11 +56,16 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     ctx.enable_progress_bars = False
 
     from vector_ray.pipelines.flagship import flagship_aggregate, parse_enrich_route
-    from vector_ray.sources.synth import synth_parquet
+    from vector_ray.sources.synth import synth_parquet, synth_table
 
     import ray.data as rd
 
     queries: dict[str, float] = {}
+
+    # ---- untimed warmup: spin up worker processes + import the library
+    # in every worker so the timed run measures compute, not cold start
+    wds = rd.from_arrow(synth_table(20_000)).repartition(ncpu)
+    flagship_aggregate(parse_enrich_route(wds, enrich_concurrency=2)).to_pandas()
 
     # ---- headline: flagship over the tokenized-log table ----
     tok_path = synth_parquet(bench_rows, seed=42, rows_per_file=125_000)
@@ -69,7 +74,10 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     import glob as _g
 
     files = sorted(_g.glob(os.path.join(tok_path, "part-*.parquet")))
-    ds = rd.read_parquet(files)
+    # one block per fragment: ~140 MB decoded blocks; Ray's default
+    # 200-way min split would shatter these into 2.8 MB blocks and the
+    # per-block overhead would dominate (measured 4-5x slower)
+    ds = rd.read_parquet(files, override_num_blocks=len(files))
     routed = parse_enrich_route(ds, enrich_concurrency=max(2, ncpu // 4))
     agg = flagship_aggregate(routed).to_pandas()
     flagship_sec = time.time() - t0
@@ -129,7 +137,7 @@ def run_subprocess(ncpu: int) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    bench_rows = int(os.environ.get("VR_BENCH_ROWS", "1000000"))
+    bench_rows = int(os.environ.get("VR_BENCH_ROWS", "4000000"))
 
     if "--scaling" in sys.argv:
         lo, hi = 8, 32

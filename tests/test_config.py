@@ -1,0 +1,198 @@
+"""Config-topology tests: load/validate/graph/run + the `vector test`
+behavior harness (mirrors tests/behavior/transforms/*.toml)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.pipelines.config import (
+    ConfigError,
+    Topology,
+    build_condition,
+    graph,
+    load_config,
+    run_unit_tests,
+    validate,
+)
+
+CFG = {
+    "sources": {"in": {"type": "generator", "format": "apache", "count": 200}},
+    "transforms": {
+        "parsed": {
+            "type": "regex_parser",
+            "inputs": ["in"],
+            "field": "message",
+            "patterns": [
+                r'^(?P<host>[\w.]+) - (?P<user>[\w-]+) \[(?P<timestamp>.*)\] "(?P<method>\w+) (?P<path>.*)" (?P<status>\d+) (?P<bytes_out>\d+)$'
+            ],
+            "types": {"status": "int", "bytes_out": "int"},
+        },
+        "routed": {
+            "type": "route",
+            "inputs": ["parsed"],
+            "route": {
+                "errors": {"field": "status", "op": "gte", "value": 500},
+                "gets": {"field": "method", "op": "eq", "value": "GET"},
+            },
+            "unmatched_lane": "rest",
+        },
+    },
+    "sinks": {
+        "err_sink": {"type": "memory", "inputs": ["routed.errors"]},
+        "all_sink": {"type": "blackhole", "inputs": ["parsed"]},
+    },
+}
+
+
+class TestValidate:
+    def test_valid(self):
+        assert validate(CFG) == []
+
+    def test_unknown_type(self):
+        bad = {"sources": {"s": {"type": "parquet", "path": "x"}},
+               "transforms": {"t": {"type": "nope", "inputs": ["s"]}}, "sinks": {}}
+        with pytest.raises(ConfigError):
+            validate(bad)
+
+    def test_unknown_input(self):
+        bad = {"sources": {"s": {"type": "parquet", "path": "x"}},
+               "transforms": {"t": {"type": "filter", "inputs": ["ghost"],
+                                    "condition": {"field": "x", "op": "eq", "value": 1}}},
+               "sinks": {}}
+        with pytest.raises(ConfigError):
+            validate(bad)
+
+    def test_cycle(self):
+        bad = {"sources": {"s": {"type": "parquet", "path": "x"}},
+               "transforms": {
+                   "a": {"type": "remove_fields", "inputs": ["b"], "fields": ["x"]},
+                   "b": {"type": "remove_fields", "inputs": ["a"], "fields": ["x"]},
+               }, "sinks": {}}
+        with pytest.raises(ConfigError):
+            validate(bad)
+
+    def test_graph_dot(self):
+        dot = graph(CFG)
+        assert '"in" -> "parsed"' in dot
+        assert '"parsed" -> "routed"' in dot
+
+
+class TestRun:
+    def test_run_sinks(self):
+        topo = Topology(CFG)
+        results = topo.run()
+        assert results["all_sink"] == 200
+        errs = results["err_sink"]
+        assert (errs["status"] >= 500).all()
+
+    def test_yaml_load(self):
+        yaml_text = """
+sources:
+  g: {type: generator, format: json, count: 50}
+transforms:
+  parsed:
+    type: json_parser
+    inputs: [g]
+sinks:
+  out: {type: memory, inputs: [parsed]}
+"""
+        topo = load_config(yaml_text)
+        out = topo.run()["out"]
+        assert len(out) == 50
+        assert "status" in out.columns
+
+    def test_compound_macro(self):
+        cfg = {
+            "sources": {"g": {"type": "generator", "format": "json", "count": 30}},
+            "transforms": {
+                "pipe": {
+                    "type": "compound",
+                    "inputs": ["g"],
+                    "steps": [
+                        {"type": "json_parser"},
+                        {"type": "add_fields", "fields": {"tagged": "yes"}},
+                        {"type": "remove_fields", "fields": ["row_id"]},
+                    ],
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["pipe"]}},
+        }
+        out = Topology(cfg).run()["out"]
+        assert (out["tagged"] == "yes").all()
+        assert "row_id" not in out.columns
+
+    def test_fan_in_union(self):
+        cfg = {
+            "sources": {
+                "a": {"type": "generator", "format": "json", "count": 10},
+                "b": {"type": "generator", "format": "json", "count": 20},
+            },
+            "transforms": {
+                "both": {"type": "json_parser", "inputs": ["a", "b"]},
+            },
+            "sinks": {"n": {"type": "blackhole", "inputs": ["both"]}},
+        }
+        assert Topology(cfg).run()["n"] == 30
+
+
+class TestUnitHarness:
+    def test_behavior_style(self):
+        # mirrors tests/behavior/transforms/route.toml structure
+        tests = [
+            {
+                "name": "error routing",
+                "input": {
+                    "insert_at": "parsed",
+                    "rows": [
+                        {"message": 'h - u [t] "GET /a" 500 1'},
+                        {"message": 'h - u [t] "POST /b" 200 2'},
+                    ],
+                },
+                "outputs": [
+                    {
+                        "extract_from": "routed.errors",
+                        "n_rows": 1,
+                        "conditions": [{"field": "status", "op": "gte", "value": 500}],
+                    },
+                    {"extract_from": "routed.gets", "n_rows": 1},
+                ],
+            },
+            {
+                "name": "no errors lane when all 2xx",
+                "input": {
+                    "insert_at": "parsed",
+                    "rows": [{"message": 'h - u [t] "PUT /a" 200 9'}],
+                },
+                "no_outputs_from": ["routed.errors", "routed.gets"],
+            },
+        ]
+        results = run_unit_tests(CFG, tests)
+        assert all(r["passed"] for r in results), results
+
+    def test_failing_assertion_reported(self):
+        tests = [
+            {
+                "name": "wrong expectation",
+                "input": {"insert_at": "parsed",
+                          "rows": [{"message": 'h - u [t] "GET /a" 500 1'}]},
+                "outputs": [
+                    {"extract_from": "routed.errors",
+                     "conditions": [{"field": "status", "op": "lt", "value": 100}]}
+                ],
+            }
+        ]
+        results = run_unit_tests(CFG, tests)
+        assert not results[0]["passed"]
+
+
+class TestConditionSpecs:
+    def test_nested(self):
+        t = pa.table({"x": [1, 5, 9], "s": ["a", "ab", "b"]})
+        cond = build_condition(
+            {"any": [
+                {"all": [{"field": "x", "op": "gte", "value": 5},
+                         {"field": "s", "op": "prefix", "value": "a"}]},
+                {"not": {"field": "x", "op": "gt", "value": 2}},
+            ]}
+        )
+        assert cond(t).to_pylist() == [True, True, False]

@@ -1,0 +1,569 @@
+"""Config-driven topology — the rebuild of Vector's config surface:
+
+- component registry (`inventory::submit!` + `#[typetag::serde]`
+  dispatch, src/transforms/route.rs:77-83) → ``@register_transform``
+  decorator over builder functions;
+- config load → macro expansion → DAG validation → build
+  (src/config/loading.rs, src/config/compiler.rs:105-146,
+  src/config/graph.rs:1-60,202-260) → ``load_config`` / ``validate`` /
+  ``Topology``;
+- named outputs (``routed.hot``) for route lanes;
+- ``graph()`` → DOT export (the `vector graph` subcommand);
+- ``run_unit_tests`` → the `vector test` harness
+  (src/config/unit_test.rs:15-100): insert_at / extract_from /
+  condition assertions over the transform subgraph.
+
+Execution compiles each sink's input chain into ONE lazy Dataset
+pipeline: linear runs of function transforms fuse into a single
+map_batches (ChainStep), route lanes become filtered views of the
+masked dataset, TaskTransforms (dedupe/reduce/aggregate) insert their
+shuffle stages.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Any, Callable, Dict, List, Optional
+
+import pyarrow as pa
+
+from vector_ray.expr import C, Cond
+from vector_ray.stages import (
+    AddFields,
+    AnsiStripper,
+    Coercer,
+    Concat,
+    Dedupe,
+    Enrich,
+    EnrichmentTable,
+    Filter,
+    GrokParser,
+    JsonParser,
+    KeyValueParser,
+    LogfmtParser,
+    LogToMetric,
+    Aggregate,
+    MetricToLog,
+    Reduce,
+    RegexParser,
+    RemoveFields,
+    RenameFields,
+    Route,
+    Sample,
+    SplitParser,
+    TagCardinalityLimit,
+    Tokenizer,
+)
+from vector_ray.stages.base import Step, apply_chain
+
+# ---------------------------------------------------------------------------
+# condition spec → Cond
+#
+# {"field": "status", "op": "gte", "value": 500}
+# {"all": [...]} / {"any": [...]} / {"not": {...}}
+# string shorthand "status >= 500" is NOT supported (no expression
+# parser by design — SURVEY.md §2.4: semantics, not syntax).
+
+_OPS = {
+    "eq": C.eq, "equals": C.eq, "neq": C.neq, "not_equals": C.neq,
+    "gt": C.gt, "gte": C.ge, "lt": C.lt, "lte": C.le,
+    "contains": C.contains, "prefix": C.prefix, "starts_with": C.prefix,
+    "suffix": C.suffix, "ends_with": C.suffix, "regex": C.regex,
+    "is_in": C.is_in, "length_eq": C.length_eq,
+}
+
+
+def build_condition(spec) -> Cond:
+    if isinstance(spec, Cond):
+        return spec
+    if spec is True:
+        return C.true()
+    if not isinstance(spec, dict):
+        raise ValueError(f"bad condition spec: {spec!r}")
+    if "all" in spec:
+        conds = [build_condition(s) for s in spec["all"]]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if "any" in spec:
+        conds = [build_condition(s) for s in spec["any"]]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+    if "not" in spec:
+        return ~build_condition(spec["not"])
+    if "exists" in spec:
+        return C.exists(spec["exists"])
+    op = spec.get("op", "eq")
+    if op == "exists":
+        return C.exists(spec["field"])
+    if op not in _OPS:
+        raise ValueError(f"unknown condition op {op!r}")
+    return _OPS[op](spec["field"], spec.get("value"))
+
+
+# ---------------------------------------------------------------------------
+# component registry
+
+TRANSFORMS: Dict[str, Callable[[dict], Any]] = {}
+
+
+def register_transform(name: str):
+    def deco(fn):
+        TRANSFORMS[name] = fn
+        return fn
+
+    return deco
+
+
+def _opt(cfg: dict, *drop: str) -> dict:
+    return {k: v for k, v in cfg.items() if k not in ("type", "inputs") + drop}
+
+
+@register_transform("filter")
+def _build_filter(cfg):
+    return Filter(build_condition(cfg["condition"]))
+
+
+@register_transform("field_filter")
+def _build_field_filter(cfg):
+    return Filter(C.eq(cfg["field"], cfg["value"]))
+
+
+@register_transform("sample")
+def _build_sample(cfg):
+    exclude = build_condition(cfg["exclude"]) if "exclude" in cfg else None
+    return Sample(cfg["rate"], cfg["key_field"], exclude=exclude)
+
+
+@register_transform("regex_parser")
+def _build_regex(cfg):
+    pats = cfg.get("patterns") or [cfg["regex"]]
+    return RegexParser(
+        cfg.get("field", "message"), pats,
+        types=cfg.get("types"), target_field=cfg.get("target_field"),
+        overwrite_target=cfg.get("overwrite_target", True),
+        drop_failed=cfg.get("drop_failed", False),
+        drop_field=cfg.get("drop_field", True),
+    )
+
+
+@register_transform("grok_parser")
+def _build_grok(cfg):
+    return GrokParser(
+        cfg.get("field", "message"), cfg["pattern"],
+        custom_patterns=cfg.get("custom_patterns"), types=cfg.get("types"),
+        drop_field=cfg.get("drop_field", False),
+    )
+
+
+@register_transform("json_parser")
+def _build_json(cfg):
+    return JsonParser(
+        cfg.get("field", "message"), target_field=cfg.get("target_field"),
+        drop_invalid=cfg.get("drop_invalid", False),
+        drop_field=cfg.get("drop_field", True),
+    )
+
+
+@register_transform("key_value_parser")
+def _build_kv(cfg):
+    return KeyValueParser(
+        cfg.get("field", "message"),
+        separator=cfg.get("separator", " "),
+        field_split=cfg.get("field_split", "="),
+        fields=cfg.get("fields"), types=cfg.get("types"),
+        drop_field=cfg.get("drop_field", True),
+    )
+
+
+@register_transform("logfmt_parser")
+def _build_logfmt(cfg):
+    return LogfmtParser(cfg.get("field", "message"), fields=cfg.get("fields"),
+                        types=cfg.get("types"), drop_field=cfg.get("drop_field", True))
+
+
+@register_transform("tokenizer")
+def _build_tokenizer(cfg):
+    return Tokenizer(cfg.get("field", "message"), cfg["field_names"], types=cfg.get("types"),
+                     drop_field=cfg.get("drop_field", True))
+
+
+@register_transform("split")
+def _build_split(cfg):
+    return SplitParser(cfg.get("field", "message"), cfg["field_names"],
+                       separator=cfg.get("separator"), types=cfg.get("types"),
+                       drop_field=cfg.get("drop_field", True))
+
+
+@register_transform("coercer")
+def _build_coercer(cfg):
+    return Coercer(cfg["types"], drop_unspecified=cfg.get("drop_unspecified", False))
+
+
+@register_transform("add_fields")
+def _build_add_fields(cfg):
+    return AddFields(cfg["fields"], overwrite=cfg.get("overwrite", True))
+
+
+@register_transform("remove_fields")
+def _build_remove_fields(cfg):
+    return RemoveFields(cfg["fields"])
+
+
+@register_transform("rename_fields")
+def _build_rename_fields(cfg):
+    return RenameFields(cfg["fields"])
+
+
+@register_transform("concat")
+def _build_concat(cfg):
+    return Concat(cfg["target"], cfg["items"], joiner=cfg.get("joiner", " "))
+
+
+@register_transform("ansi_stripper")
+def _build_ansi(cfg):
+    return AnsiStripper(cfg.get("field", "message"))
+
+
+@register_transform("dedupe")
+def _build_dedupe(cfg):
+    fields = cfg.get("fields", {}).get("match") or cfg.get("match") or cfg["fields"]
+    return Dedupe(fields, order_by=cfg.get("order_by"))
+
+
+@register_transform("reduce")
+def _build_reduce(cfg):
+    return Reduce(
+        cfg["group_by"],
+        merge_strategies=cfg.get("merge_strategies"),
+        order_by=cfg.get("order_by"),
+        ends_when=build_condition(cfg["ends_when"]) if "ends_when" in cfg else None,
+        starts_when=build_condition(cfg["starts_when"]) if "starts_when" in cfg else None,
+    )
+
+
+@register_transform("log_to_metric")
+def _build_log_to_metric(cfg):
+    return LogToMetric(cfg["metrics"])
+
+
+@register_transform("aggregate")
+def _build_aggregate(cfg):
+    return Aggregate(tag_keys=cfg.get("tag_keys", []))
+
+
+@register_transform("metric_to_log")
+def _build_metric_to_log(cfg):
+    return MetricToLog()
+
+
+@register_transform("tag_cardinality_limit")
+def _build_tcl(cfg):
+    return TagCardinalityLimit(cfg["tags"], value_limit=cfg.get("value_limit", 500),
+                               action=cfg.get("action", "drop_tag"))
+
+
+@register_transform("enrich")
+def _build_enrich(cfg):
+    src = cfg["table"]
+    if isinstance(src, str):
+        if src.endswith(".csv"):
+            table = EnrichmentTable.from_csv(src, cfg["key"],
+                                             case_insensitive=cfg.get("case_insensitive", False))
+        else:
+            table = EnrichmentTable.from_parquet(src, cfg["key"],
+                                                 case_insensitive=cfg.get("case_insensitive", False))
+    else:
+        table = EnrichmentTable(src, cfg["key"], case_insensitive=cfg.get("case_insensitive", False))
+    return Enrich(table, select=cfg.get("select"), mode=cfg.get("mode", "get"),
+                  key_map=cfg.get("key_map"), miss_col=cfg.get("miss_col", "_enrich_miss"),
+                  concurrency=cfg.get("concurrency", 4))
+
+
+# route is built inline by the topology (it has named outputs)
+
+
+# ---------------------------------------------------------------------------
+# topology
+
+
+class ConfigError(ValueError):
+    pass
+
+
+class Topology:
+    def __init__(self, config: dict):
+        self.config = config
+        self.sources = config.get("sources", {})
+        self.transforms = config.get("transforms", {})
+        self.sinks = config.get("sinks", {})
+        validate(config)
+
+    # -- dataset construction ------------------------------------------
+
+    def _source_dataset(self, name: str, overrides: Optional[dict] = None):
+        import ray.data as rd
+
+        cfg = self.sources[name]
+        if overrides and name in overrides:
+            return overrides[name]
+        stype = cfg["type"]
+        if stype == "parquet":
+            return rd.read_parquet(cfg["path"], columns=cfg.get("columns"))
+        if stype == "csv":
+            return rd.read_csv(cfg["path"])
+        if stype == "json":
+            return rd.read_json(cfg["path"])
+        if stype == "text":
+            ds = rd.read_text(cfg["path"])
+            return ds.map_batches(
+                lambda t: t.rename_columns(["message"]), batch_format="pyarrow"
+            )
+        if stype == "generator":
+            from vector_ray.sources.synth import generator_lines
+
+            tbl = generator_lines(cfg.get("count", 1000), cfg.get("format", "apache"),
+                                  seed=cfg.get("seed", 42))
+            return rd.from_arrow(tbl)
+        raise ConfigError(f"unknown source type {stype}")
+
+    def node_dataset(self, ref: str, *, overrides: Optional[dict] = None, _cache=None):
+        """Dataset for node reference `name` or `name.output` (route lane)."""
+        if _cache is None:
+            _cache = {}
+        if ref in _cache:
+            return _cache[ref]
+        name, _, port = ref.partition(".")
+        if name in self.sources:
+            ds = self._source_dataset(name, overrides)
+            _cache[ref] = ds
+            return ds
+        if name not in self.transforms:
+            raise ConfigError(f"unknown node {name}")
+        cfg = self.transforms[name]
+        inputs = cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]]
+        input_dss = [self.node_dataset(i, overrides=overrides, _cache=_cache) for i in inputs]
+        ds = input_dss[0]
+        if len(input_dss) > 1:  # fan-in = union (src/config/graph.rs edges)
+            ds = ds.union(*input_dss[1:])
+        if cfg["type"] in ("route", "swimlanes"):
+            lanes = {ln: build_condition(spec) for ln, spec in cfg["route"].items()}
+            route = Route(lanes, unmatched_lane=cfg.get("unmatched_lane"))
+            if port:
+                if port == "_unmatched" and cfg.get("unmatched_lane"):
+                    port = cfg["unmatched_lane"]
+                if port not in lanes and port != cfg.get("unmatched_lane"):
+                    raise ConfigError(f"route {name} has no lane {port}")
+                out = route.views(ds).get(port)
+                if out is None:  # unmatched lane view
+                    inv = None
+                    for c in lanes.values():
+                        inv = c if inv is None else (inv | c)
+                    out = Filter(~inv).apply(ds)
+                _cache[ref] = out
+                return out
+            # no port: exploded dataset with lane column
+            out = route.explode(ds)
+            _cache[ref] = out
+            return out
+        if cfg["type"] == "compound":  # serial macro (src/transforms/compound.rs)
+            steps = [TRANSFORMS[c["type"]](c) for c in cfg["steps"]]
+            out = apply_chain(ds, steps)
+            _cache[ref] = out
+            return out
+        step = TRANSFORMS[cfg["type"]](cfg)
+        out = step.apply(ds)
+        _cache[ref] = out
+        return out
+
+    # -- sinks ----------------------------------------------------------
+
+    def run(self, *, overrides: Optional[dict] = None) -> dict:
+        """Execute every sink; returns {sink: result} (path, count, or
+        rows for console)."""
+        results = {}
+        cache: dict = {}
+        for name, cfg in self.sinks.items():
+            inputs = cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]]
+            dss = [self.node_dataset(i, overrides=overrides, _cache=cache) for i in inputs]
+            ds = dss[0]
+            if len(dss) > 1:
+                ds = ds.union(*dss[1:])
+            stype = cfg["type"]
+            if stype == "parquet":
+                ds.write_parquet(cfg["path"], partition_cols=cfg.get("partition_cols"))
+                results[name] = cfg["path"]
+            elif stype == "csv":
+                ds.write_csv(cfg["path"])
+                results[name] = cfg["path"]
+            elif stype == "json":
+                ds.write_json(cfg["path"])
+                results[name] = cfg["path"]
+            elif stype == "console":
+                results[name] = ds.take(cfg.get("limit", 20))
+            elif stype == "blackhole":
+                results[name] = ds.count()
+            elif stype == "memory":
+                results[name] = ds.to_pandas()
+            else:
+                raise ConfigError(f"unknown sink type {stype}")
+        return results
+
+
+# ---------------------------------------------------------------------------
+# validate / graph (the `vector validate` / `vector graph` subcommands)
+
+
+def validate(config: dict) -> List[str]:
+    """Schema+graph validation; raises ConfigError on fatal problems,
+    returns warnings."""
+    warnings: List[str] = []
+    sources = config.get("sources", {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+    if not sources:
+        raise ConfigError("config has no sources")
+    names = set(sources) | set(transforms)
+    dup = set(sources) & set(transforms)
+    if dup:
+        raise ConfigError(f"duplicate component names: {sorted(dup)}")
+    for name, cfg in transforms.items():
+        t = cfg.get("type")
+        if t in ("route", "swimlanes"):
+            if "route" not in cfg:
+                raise ConfigError(f"route {name} missing 'route' lanes")
+        elif t == "compound":
+            for c in cfg.get("steps", []):
+                if c.get("type") not in TRANSFORMS:
+                    raise ConfigError(f"compound {name}: unknown step type {c.get('type')}")
+        elif t not in TRANSFORMS:
+            raise ConfigError(f"unknown transform type {t!r} in {name}")
+        for i in cfg.get("inputs") or []:
+            base = i.split(".")[0]
+            if base not in names:
+                raise ConfigError(f"{name}: unknown input {i}")
+    if not sinks:
+        warnings.append("config has no sinks — nothing will execute")
+    for name, cfg in sinks.items():
+        for i in cfg.get("inputs") or []:
+            base = i.split(".")[0]
+            if base not in names:
+                raise ConfigError(f"sink {name}: unknown input {i}")
+    # cycle check (DAG requirement, src/config/graph.rs:202-260)
+    adj = {n: [] for n in names}
+    for name, cfg in transforms.items():
+        for i in cfg.get("inputs") or []:
+            adj[i.split(".")[0]].append(name)
+    state: Dict[str, int] = {}
+
+    def dfs(n):
+        state[n] = 1
+        for m in adj.get(n, []):
+            if state.get(m) == 1:
+                raise ConfigError(f"cycle through {m}")
+            if m not in state:
+                dfs(m)
+        state[n] = 2
+
+    for n in names:
+        if n not in state:
+            dfs(n)
+    return warnings
+
+
+def graph(config: dict) -> str:
+    """DOT export (`vector graph`)."""
+    out = io.StringIO()
+    out.write("digraph {\n")
+    for n in config.get("sources", {}):
+        out.write(f'  "{n}" [shape=trapezium]\n')
+    for n, cfg in config.get("transforms", {}).items():
+        out.write(f'  "{n}" [shape=diamond]\n')
+        for i in cfg.get("inputs") or []:
+            out.write(f'  "{i.split(".")[0]}" -> "{n}"\n')
+    for n, cfg in config.get("sinks", {}).items():
+        out.write(f'  "{n}" [shape=invtrapezium]\n')
+        for i in cfg.get("inputs") or []:
+            out.write(f'  "{i.split(".")[0]}" -> "{n}"\n')
+    out.write("}\n")
+    return out.getvalue()
+
+
+def load_config(src) -> Topology:
+    """Load from dict, YAML/JSON string, or path."""
+    if isinstance(src, Topology):
+        return src
+    if isinstance(src, dict):
+        return Topology(src)
+    import yaml
+
+    if isinstance(src, str) and "\n" not in src and src.endswith((".yaml", ".yml", ".json", ".toml")):
+        with open(src) as f:
+            text = f.read()
+        if src.endswith(".toml"):
+            import tomllib
+
+            return Topology(tomllib.loads(text))
+        return Topology(yaml.safe_load(text))
+    return Topology(yaml.safe_load(src))
+
+
+# ---------------------------------------------------------------------------
+# unit-test harness (`vector test`, src/config/unit_test.rs:15-100)
+
+
+def run_unit_tests(config, tests: List[dict]) -> List[dict]:
+    """Each test: {"name", "input": {"insert_at": node, "rows": [...]},
+    "outputs": [{"extract_from": node-ref, "conditions": [spec...],
+                 "n_rows": int?}],
+    "no_outputs_from": [node-ref...]}.
+
+    Builds only the transform subgraph, injects the rows as the
+    insert-at node's input, and asserts the conditions on every
+    extracted row. Returns a list of {"name", "passed", "errors"}.
+    """
+    import ray.data as rd
+
+    topo = load_config(config)
+    results = []
+    for test in tests:
+        errors: List[str] = []
+        insert_at = test["input"]["insert_at"]
+        rows = test["input"]["rows"]
+        injected = rd.from_arrow(pa.Table.from_pylist(rows))
+        # override: treat the insert_at node's INPUTS as the injected data
+        cfg = topo.transforms.get(insert_at)
+        if cfg is None:
+            raise ConfigError(f"test {test.get('name')}: unknown insert_at {insert_at}")
+        src_names = {i.split(".")[0] for i in (cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]])}
+        overrides = {s: injected for s in src_names}
+        # make every (possibly transitive) source feed injected rows
+        for s in topo.sources:
+            overrides.setdefault(s, injected)
+        cache: dict = {}
+        for out_spec in test.get("outputs", []):
+            ref = out_spec["extract_from"]
+            tbl = pa.Table.from_pylist(
+                topo.node_dataset(ref, overrides=overrides, _cache=cache).take_all()
+            )
+            if "n_rows" in out_spec and len(tbl) != out_spec["n_rows"]:
+                errors.append(f"{ref}: expected {out_spec['n_rows']} rows, got {len(tbl)}")
+            for cond_spec in out_spec.get("conditions", []):
+                cond = build_condition(cond_spec)
+                if len(tbl) == 0:
+                    errors.append(f"{ref}: no rows to assert {cond_spec}")
+                    continue
+                mask = cond(tbl)
+                import pyarrow.compute as pc
+
+                if not pc.all(mask).as_py():
+                    errors.append(f"{ref}: condition {cond_spec} failed on some rows")
+        for ref in test.get("no_outputs_from", []):
+            n = topo.node_dataset(ref, overrides=overrides, _cache=cache).count()
+            if n != 0:
+                errors.append(f"{ref}: expected no outputs, got {n} rows")
+        results.append({"name": test.get("name", "?"), "passed": not errors, "errors": errors})
+    return results

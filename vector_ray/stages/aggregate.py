@@ -134,10 +134,9 @@ def grouped_aggregate(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    # final merge over the (small) partials
-    out_cols = list(keys)
-    for name, (kind, _c) in specs.items():
-        out_cols.append(name)
+    # coalesce the (tiny) partial blocks so the final shuffle doesn't pay
+    # per-block overhead for hundreds of near-empty blocks
+    partial = partial.repartition(8)
     merged = partial.groupby(keys).map_groups(_final_merge_fn(keys, specs), batch_format="pyarrow")
     return merged
 
