@@ -1,0 +1,86 @@
+"""Tests for merge (partial-event stitching), unnest/explode, and the
+geoip-style lookup."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.stages.explode import ExplodeJsonList, Unnest
+from vector_ray.stages.geoip import GeoipLookup
+from vector_ray.stages.merge_partial import Merge
+
+
+class TestMerge:
+    def test_stitch_partials(self):
+        t = pa.table(
+            {
+                "stream": ["a", "a", "a", "b", "a"],
+                "seq": [1, 2, 3, 1, 4],
+                "_partial": [True, True, False, False, False],
+                "message": ["he", "llo ", "world", "solo", "next"],
+            }
+        )
+        m = Merge("_partial", ["message"], ["stream"], order_by="seq")
+        rows = m.apply(rd.from_arrow(t).repartition(2)).take_all()
+        msgs = sorted(r["message"] for r in rows)
+        assert msgs == ["hello world", "next", "solo"]
+        assert all("_partial" not in r for r in rows)
+
+    def test_trailing_partials_dropped(self):
+        t = pa.table(
+            {"stream": ["a", "a"], "seq": [1, 2], "_partial": [False, True], "message": ["x", "y"]}
+        )
+        m = Merge("_partial", ["message"], ["stream"], order_by="seq")
+        rows = m.apply(rd.from_arrow(t)).take_all()
+        assert [r["message"] for r in rows] == ["x"]
+
+
+class TestUnnest:
+    def test_explode_list(self):
+        t = pa.table({"id": [1, 2, 3], "vals": [[10, 20], [], [30]]})
+        out = Unnest("vals").transform(t)
+        assert sorted(zip(out["id"].to_pylist(), out["vals"].to_pylist())) == [
+            (1, 10), (1, 20), (3, 30),
+        ]
+
+    def test_keep_empty(self):
+        t = pa.table({"id": [1, 2], "vals": [[10], []]})
+        out = Unnest("vals", keep_empty=True).transform(t)
+        got = sorted(zip(out["id"].to_pylist(), out["vals"].to_pylist()))
+        assert got == [(1, 10), (2, None)]
+
+    def test_explode_json_list(self):
+        t = pa.table(
+            {
+                "env": ["e1", "e2"],
+                "payload": ['[{"m": "a"}, {"m": "b"}]', '[{"m": "c"}]'],
+            }
+        )
+        out = ExplodeJsonList("payload").transform(t)
+        assert sorted(zip(out["env"].to_pylist(), out["m"].to_pylist())) == [
+            ("e1", "a"), ("e1", "b"), ("e2", "c"),
+        ]
+
+
+class TestGeoip:
+    DB = [
+        ("10.0.0.0/8", {"city_name": "inland", "country_code": "XX"}),
+        ("192.168.0.0/16", {"city_name": "lanville", "country_code": "LN"}),
+    ]
+
+    def test_probe(self):
+        t = pa.table({"ip": ["10.1.2.3", "192.168.9.9", "8.8.8.8", "notanip"]})
+        g = GeoipLookup("ip", table=self.DB)
+        out = g.probe_batch(t)
+        cities = [None if v is None else v["city_name"] for v in out["geoip"].to_pylist()]
+        assert cities == ["inland", "lanville", None, None]
+
+    def test_actor_pool_apply(self):
+        t = pa.table({"ip": ["10.0.0.1"] * 10})
+        g = GeoipLookup("ip", table=self.DB)
+        rows = g.apply(rd.from_arrow(t).repartition(2)).take_all()
+        assert all(r["geoip"]["country_code"] == "XX" for r in rows)
+
+    def test_mmdb_unavailable(self):
+        with pytest.raises(NotImplementedError):
+            GeoipLookup("ip", database="/nope.mmdb")

@@ -283,6 +283,41 @@ def _build_enrich(cfg):
                   concurrency=cfg.get("concurrency", 4))
 
 
+@register_transform("merge")
+def _build_merge(cfg):
+    from vector_ray.stages.merge_partial import Merge
+
+    return Merge(
+        cfg.get("partial_event_marker_field", "_partial"),
+        cfg.get("merge_fields", ["message"]),
+        cfg.get("stream_discriminant_fields", []),
+        order_by=cfg["order_by"],
+        joiner=cfg.get("joiner", ""),
+    )
+
+
+@register_transform("unnest")
+def _build_unnest(cfg):
+    from vector_ray.stages.explode import Unnest
+
+    return Unnest(cfg["column"], keep_empty=cfg.get("keep_empty", False))
+
+
+@register_transform("explode_json_list")
+def _build_explode_json(cfg):
+    from vector_ray.stages.explode import ExplodeJsonList
+
+    return ExplodeJsonList(cfg.get("field", "message"), drop_field=cfg.get("drop_field", True))
+
+
+@register_transform("geoip")
+def _build_geoip(cfg):
+    from vector_ray.stages.geoip import GeoipLookup
+
+    return GeoipLookup(cfg["field"], table=[tuple(x) for x in cfg["table"]],
+                       target=cfg.get("target", "geoip"))
+
+
 # route is built inline by the topology (it has named outputs)
 
 

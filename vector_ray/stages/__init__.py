@@ -32,6 +32,9 @@ from vector_ray.stages.reduce import Reduce
 from vector_ray.stages.aggregate import LogToMetric, Aggregate, grouped_aggregate
 from vector_ray.stages.cardinality import TagCardinalityLimit
 from vector_ray.stages.metric_to_log import MetricToLog
+from vector_ray.stages.merge_partial import Merge
+from vector_ray.stages.explode import Unnest, ExplodeJsonList
+from vector_ray.stages.geoip import GeoipLookup
 
 __all__ = [
     "Step", "BatchStep", "ChainStep", "Remap", "Filter", "Sample",
@@ -40,5 +43,6 @@ __all__ = [
     "KeyValueParser", "LogfmtParser", "Tokenizer", "SplitParser",
     "Route", "EnrichmentTable", "Enrich", "Dedupe", "Reduce",
     "LogToMetric", "Aggregate", "grouped_aggregate",
-    "TagCardinalityLimit", "MetricToLog",
+    "TagCardinalityLimit", "MetricToLog", "Merge", "Unnest",
+    "ExplodeJsonList", "GeoipLookup",
 ]

@@ -1,0 +1,109 @@
+"""GeoIP-style lookup — src/transforms/geoip.rs:92-123: enrich an IP
+column with a nested target struct (city/country/continent/tz/latlon).
+
+The MaxMind reader (`maxminddb`) is NOT in this container, so the real
+database path is gated behind an import-try; ``GeoipLookup`` otherwise
+uses a supplied CIDR-prefix table (list of (network, payload dict)) —
+the same read-only-state actor-pool shape as the real thing: DB loaded
+once per actor in ``__init__``, vectorized longest-prefix probe per
+batch.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from vector_ray.stages.base import Step
+
+PAYLOAD_FIELDS = ["city_name", "country_code", "continent_code", "timezone", "latitude", "longitude"]
+
+
+class _GeoipActor:
+    def __init__(self, db_ref, field: str, target: str):
+        db = ray.get(db_ref) if isinstance(db_ref, ray.ObjectRef) else db_ref
+        # db: list of (cidr_str, payload dict) — precompute int ranges,
+        # sorted by network start for a vectorized searchsorted probe
+        nets = []
+        for cidr, payload in db:
+            net = ipaddress.ip_network(cidr)
+            nets.append((int(net.network_address), int(net.broadcast_address), payload))
+        nets.sort()
+        self.starts = np.array([n[0] for n in nets], dtype=np.uint32)
+        self.ends = np.array([n[1] for n in nets], dtype=np.uint32)
+        self.payloads = [n[2] for n in nets]
+        self.field = field
+        self.target = target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        # vectorized dotted-quad → uint32 via one regex extract; invalid
+        # rows (non-IPv4 strings, nulls) fall out as null → miss
+        s = pc.extract_regex(
+            pc.cast(t[self.field], pa.string()),
+            r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$",
+        )
+        sc = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        valid = np.asarray(pc.is_valid(sc).to_numpy(zero_copy_only=False), dtype=bool)
+        quads = np.zeros((n, 4), dtype=np.uint32)
+        for j, part in enumerate("abcd"):
+            col = pc.fill_null(pc.cast(pc.struct_field(sc, part), pa.uint32()), 0)
+            quads[:, j] = col.to_numpy(zero_copy_only=False)
+        valid &= (quads <= 255).all(axis=1)
+        ipnum = (quads[:, 0] << 24) | (quads[:, 1] << 16) | (quads[:, 2] << 8) | quads[:, 3]
+        idx = np.searchsorted(self.starts, ipnum, side="right") - 1
+        idx = np.clip(idx, 0, len(self.starts) - 1) if len(self.starts) else np.zeros(n, dtype=int)
+        hit = valid & (len(self.starts) > 0) & (ipnum >= self.starts[idx]) & (ipnum <= self.ends[idx])
+        rows = [self.payloads[idx[i]] if hit[i] else None for i in range(n)]
+        struct = pa.array(rows)
+        return t.append_column(self.target, struct)
+
+
+class GeoipLookup(Step):
+    fusable = False
+
+    def __init__(
+        self,
+        field: str,
+        *,
+        database: Optional[str] = None,
+        table: Optional[Sequence[Tuple[str, Dict]]] = None,
+        target: str = "geoip",
+        concurrency: int = 2,
+    ):
+        if database is not None:
+            try:
+                import maxminddb  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "maxminddb is not available in this container; pass "
+                    "`table=[(cidr, payload), ...]` instead"
+                ) from e
+            raise NotImplementedError("mmdb path stub — use `table=` in this environment")
+        if table is None:
+            raise ValueError("need table=[(cidr, payload), ...]")
+        self.table = list(table)
+        self.field = field
+        self.target = target
+        self.concurrency = concurrency
+        self._ref = None
+
+    def apply(self, ds):
+        if self._ref is None:
+            self._ref = ray.put(self.table)
+        return ds.map_batches(
+            _GeoipActor,
+            fn_constructor_kwargs=dict(db_ref=self._ref, field=self.field, target=self.target),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=self.concurrency,
+        )
+
+    def probe_batch(self, t: pa.Table) -> pa.Table:
+        return _GeoipActor(self.table, self.field, self.target)(t)
