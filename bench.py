@@ -1,21 +1,27 @@
 """Benchmark harness.
 
-Plain run: executes the headline flagship pipeline (parse → enrich →
-route → aggregate over the synthesized tokenized-log table, the
-BASELINE.json input shape) plus a set of sf-dir pipelines, and prints
-ONE JSON line:
+Plain run: executes the headline flagship pipeline — parse → enrich →
+route → aggregate (+ token-sequence MinHash signatures) over the
+synthesized tokenized-log table (the BASELINE.json input shape) as ONE
+fused actor-pool stage (vector_ray.pipelines.flagship.FlagshipWorker:
+only KB-sized partial aggregates cross the object store) — plus a set
+of sf-dir pipelines, and prints ONE JSON line:
 
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N,
    "flagship_rows": N, "flagship_rows_per_sec": R}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), VR_BENCH_ROWS (default 1_000_000 tokenized rows).
+(default 32), VR_BENCH_ROWS (default 4_000_000 tokenized rows),
+VR_BENCH_REPS (scaling repetitions per level, default 3).
 
---scaling: runs the same bench twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (cached) input — the sandbox
-stand-in for N vs 4N nodes — and prints throughputs + scaling
-efficiency.
+--scaling: the sandbox stand-in for N vs 4N nodes — runs the flagship
+in FRESH processes at num_cpus=8 and num_cpus=32 on the same cached
+input, ALTERNATING the two levels VR_BENCH_REPS times and taking the
+best per level (this host is a shared VM with 2x run-to-run variance —
+see BASELINE.md "Measured"), plus a pure-CPU calibration (same
+protocol, busy-loop tasks) that bounds what the host itself allows.
+Prints throughputs at both levels + scaling efficiency.
 """
 
 from __future__ import annotations
@@ -31,13 +37,46 @@ sys.path.insert(0, REPO)
 
 
 def _warm(path: str):
-    """Warm the page cache so both scaling runs measure compute+shuffle."""
+    """Warm the page cache so runs measure compute+shuffle, not first disk read."""
     import glob
 
     for f in glob.glob(os.path.join(path, "*.parquet")):
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
+
+
+def _flagship_files(bench_rows: int):
+    import glob
+
+    from vector_ray.sources.synth import synth_parquet
+
+    tok_path = synth_parquet(bench_rows, seed=42, rows_per_file=125_000)
+    return sorted(glob.glob(os.path.join(tok_path, "part-*.parquet"))), tok_path
+
+
+def run_flagship_bench(ncpu: int, bench_rows: int) -> float:
+    """Timed fused flagship at the given parallelism; Ray must already
+    be initialised. Returns seconds."""
+    import ray.data as rd
+
+    from vector_ray.pipelines.flagship import run_streaming_fused
+    from vector_ray.sources.synth import synth_parquet
+
+    import glob
+
+    # untimed warmup: worker spawn + imports + page cache
+    wsrc = synth_parquet(50_000, seed=13, rows_per_file=12_500)
+    wfiles = sorted(glob.glob(os.path.join(wsrc, "part-*.parquet")))
+    run_streaming_fused(wfiles, concurrency=2, token_sig=True).to_pandas()
+
+    files, tok_path = _flagship_files(bench_rows)
+    _warm(tok_path)
+    t0 = time.time()
+    agg = run_streaming_fused(files, concurrency=max(2, ncpu - 2), token_sig=True).to_pandas()
+    sec = time.time() - t0
+    assert len(agg) > 0
+    return sec
 
 
 def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
@@ -52,37 +91,11 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-
-    from vector_ray.pipelines.flagship import flagship_aggregate, parse_enrich_route
-    from vector_ray.sources.synth import synth_parquet, synth_table
-
-    import ray.data as rd
+    DataContext.get_current().enable_progress_bars = False
 
     queries: dict[str, float] = {}
-
-    # ---- untimed warmup: spin up worker processes + import the library
-    # in every worker so the timed run measures compute, not cold start
-    wds = rd.from_arrow(synth_table(20_000)).repartition(ncpu)
-    flagship_aggregate(parse_enrich_route(wds, enrich_concurrency=2)).to_pandas()
-
-    # ---- headline: flagship over the tokenized-log table ----
-    tok_path = synth_parquet(bench_rows, seed=42, rows_per_file=125_000)
-    _warm(tok_path)
-    t0 = time.time()
-    import glob as _g
-
-    files = sorted(_g.glob(os.path.join(tok_path, "part-*.parquet")))
-    # one block per fragment: ~140 MB decoded blocks; Ray's default
-    # 200-way min split would shatter these into 2.8 MB blocks and the
-    # per-block overhead would dominate (measured 4-5x slower)
-    ds = rd.read_parquet(files, override_num_blocks=len(files))
-    routed = parse_enrich_route(ds, enrich_concurrency=max(2, ncpu // 4))
-    agg = flagship_aggregate(routed).to_pandas()
-    flagship_sec = time.time() - t0
+    flagship_sec = run_flagship_bench(ncpu, bench_rows)
     queries["flagship"] = round(flagship_sec, 3)
-    assert len(agg) > 0
 
     # ---- sf-dir pipelines (reuse the driver-contract queries) ----
     import __ray_entry__ as entrymod
@@ -102,7 +115,6 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     for name in sf_queries:
         t0 = time.time()
         res = qs[name](sf_dir)
-        # consume
         try:
             res.to_pandas()
         except AttributeError:
@@ -122,47 +134,74 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     }
 
 
-def run_subprocess(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+def _flagship_once_subprocess(ncpu: int, bench_rows: int) -> float:
+    """One fresh-process flagship timing (scaling protocol unit)."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import ray, bench\n"
+        "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "print(bench.run_flagship_bench(%d, %d))\n"
+        "ray.shutdown()\n" % (REPO, ncpu, ncpu, bench_rows)
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _cpu_calibration(ncpu: int, seconds: float = 6.0) -> float:
+    """Pure-ALU calibration: ncpu busy-loop processes; returns aggregate
+    Miter/s. Bounds the host's deliverable CPU at this level."""
+    code = (
+        "import time\n"
+        "t0=time.time(); n=0\n"
+        f"while time.time()-t0<{seconds}:\n"
+        "    for _ in range(100000): n+=1\n"
+        "print(n)"
+    )
+    ps = [subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE) for _ in range(ncpu)]
+    total = sum(int(p.communicate()[0]) for p in ps)
+    return total / seconds / 1e6
 
 
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     bench_rows = int(os.environ.get("VR_BENCH_ROWS", "4000000"))
+    reps = int(os.environ.get("VR_BENCH_REPS", "3"))
 
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = run_subprocess(lo)
-        r_hi = run_subprocess(hi)
-        thr_lo = r_lo["flagship_rows_per_sec"]
-        thr_hi = r_hi["flagship_rows_per_sec"]
-        eff = (thr_hi / thr_lo) / (hi / lo)
+        best = {lo: float("inf"), hi: float("inf")}
+        runs = {lo: [], hi: []}
+        for _ in range(reps):  # alternate levels: the host is bursty
+            for level in (hi, lo):
+                sec = _flagship_once_subprocess(level, bench_rows)
+                runs[level].append(round(sec, 2))
+                best[level] = min(best[level], sec)
+        thr = {k: bench_rows / v for k, v in best.items()}
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
+        cal_lo, cal_hi = _cpu_calibration(lo), _cpu_calibration(hi)
+        cal_eff = (cal_hi / cal_lo) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (flagship, num_cpus 8 vs 32)",
-                    "sec_8": r_lo["value"],
-                    "sec_32": r_hi["value"],
-                    "rows_per_sec_8": thr_lo,
-                    "rows_per_sec_32": thr_hi,
+                    "metric": "scaling efficiency (flagship, num_cpus 8 vs 32, best of %d alternating)" % reps,
+                    "sec_8": round(best[lo], 3),
+                    "sec_32": round(best[hi], 3),
+                    "runs_8": runs[lo],
+                    "runs_32": runs[hi],
+                    "rows_per_sec_8": round(thr[lo], 1),
+                    "rows_per_sec_32": round(thr[hi], 1),
                     "scaling_efficiency": round(eff, 3),
+                    "host_cpu_calibration_eff_8_to_32": round(cal_eff, 3),
                     "flagship_rows": bench_rows,
                 }
             )
         )
         return
 
-    result = run_bench(sf_dir, ncpu, bench_rows)
-    print(json.dumps(result))
+    print(json.dumps(run_bench(sf_dir, ncpu, bench_rows)))
 
 
 if __name__ == "__main__":

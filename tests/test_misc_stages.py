@@ -84,3 +84,69 @@ class TestGeoip:
     def test_mmdb_unavailable(self):
         with pytest.raises(NotImplementedError):
             GeoipLookup("ip", database="/nope.mmdb")
+
+
+class TestSaltedReduce:
+    def test_salted_matches_unsalted(self):
+        import numpy as np
+        import pandas as pd
+        from vector_ray.stages.salt import salted_group_reduce
+
+        # skewed: key 'hot' holds 60% of rows
+        n = 1000
+        keys = np.where(
+            np.arange(n) % 10 < 6, "hot", np.char.add("k", (np.arange(n) % 7).astype(str))
+        )
+        t = pa.table({"k": keys.tolist(), "v": list(range(n)), "u": [f"u{i}" for i in range(n)]})
+
+        def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame([{"k": g["k"].iloc[0], "v": g["v"].sum()}])
+
+        out = salted_group_reduce(
+            rd.from_arrow(t).repartition(4), ["k"], reduce_fn, buckets=8, salt_source="u"
+        ).take_all()
+        got = {r["k"]: r["v"] for r in out}
+        import collections
+
+        truth = collections.defaultdict(int)
+        for k, v in zip(t["k"].to_pylist(), t["v"].to_pylist()):
+            truth[k] += v
+        assert got == dict(truth)
+
+
+class TestTokenMinHash:
+    def test_identical_sequences_same_sig(self):
+        import numpy as np
+        from vector_ray.ml.dedup import TokenMinHash
+
+        toks = [[1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5, 6], [9, 9, 9, 9, 9]]
+        t = pa.table({"doc_id": ["a", "b", "c"], "tokens": pa.array(toks, pa.list_(pa.int32()))})
+        out = TokenMinHash(num_hashes=4)(t)
+        for h in range(4):
+            col = out[f"tok_sig{h}"].to_pylist()
+            assert col[0] == col[1]
+        assert any(
+            out[f"tok_sig{h}"].to_pylist()[0] != out[f"tok_sig{h}"].to_pylist()[2]
+            for h in range(4)
+        )
+
+    def test_short_rows_get_sentinel(self):
+        from vector_ray.ml.dedup import TokenMinHash
+
+        t = pa.table({"tokens": pa.array([[1, 2], [1, 2, 3, 4, 5]], pa.list_(pa.int32()))})
+        out = TokenMinHash(num_hashes=2, ngram=4)(t)
+        assert out["tok_sig0"].to_pylist()[0] == 2**64 - 1
+        assert out["tok_sig0"].to_pylist()[1] != 2**64 - 1
+
+    def test_no_cross_row_contamination(self):
+        import numpy as np
+        from vector_ray.ml.dedup import TokenMinHash
+
+        # same row content must hash identically regardless of neighbors
+        base = [[5, 6, 7, 8, 9, 10]]
+        t1 = pa.table({"tokens": pa.array(base + [[1, 1, 1, 1, 1]], pa.list_(pa.int32()))})
+        t2 = pa.table({"tokens": pa.array([[2, 3, 2, 3, 2]] + base, pa.list_(pa.int32()))})
+        mh = TokenMinHash(num_hashes=3)
+        s1 = mh(t1)["tok_sig1"].to_pylist()[0]
+        s2 = mh(t2)["tok_sig1"].to_pylist()[1]
+        assert s1 == s2

@@ -332,3 +332,87 @@ def embedding_dup_pairs(
 
     all_pairs = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
     return all_pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-sequence minhash (tokenized-training-data near-dup signatures)
+
+
+class TokenMinHash:
+    """MinHash signatures over token n-gram shingles of a
+    ``tokens:list<int32>`` column — sequence-level near-dup detection
+    for pre-tokenized training data (the tokenized-table analogue of
+    text MinHash; pairs with LSH banding exactly like
+    ``minhash_lsh_dedup``).
+
+    Fully vectorized over the FLAT token buffer: one rolling-window
+    shingle hash pass + ``num_hashes`` splitmix permutations with
+    ``np.minimum.reduceat`` per row. Window hashes that cross row
+    boundaries are masked to u64::MAX so they never win a minimum.
+    Emits ``sig_cols`` uint64 columns (sig0..sigH-1).
+    """
+
+    def __init__(self, tokens_col: str = "tokens", *, num_hashes: int = 8,
+                 ngram: int = 4, seed: int = 17, out_prefix: str = "tok_sig"):
+        self.tokens_col = tokens_col
+        self.num_hashes = num_hashes
+        self.ngram = ngram
+        self.seed = seed
+        self.out_prefix = out_prefix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.tokens_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(t)
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        flat = np.asarray(arr.values, dtype=np.uint64)
+        total = len(flat)
+        k = self.ngram
+        MAX = np.iinfo(np.uint64).max
+        if total < k:
+            for h in range(self.num_hashes):
+                t = t.append_column(f"{self.out_prefix}{h}", pa.array(np.full(n, MAX, np.uint64), pa.uint64()))
+            return t
+        # rolling n-gram window hash over the flat buffer
+        with np.errstate(over="ignore"):
+            w = flat[: total - k + 1].copy()
+            for j in range(1, k):
+                w ^= flat[j : total - k + 1 + j] * np.uint64(0x9E3779B97F4A7C15 * (j + 1) & 0xFFFFFFFFFFFFFFFF)
+        # mask windows that cross a row boundary
+        ends = offsets[1:]  # row end positions in flat space
+        boundary_mask = np.zeros(len(w), dtype=bool)
+        for d in range(1, k):
+            pos = ends - d  # windows starting here include the boundary
+            pos = pos[(pos >= 0) & (pos < len(w))]
+            boundary_mask[pos] = True
+        starts = np.minimum(offsets[:-1], len(w) - 1)
+        lens = np.diff(offsets)
+        empty = lens < k
+        out_cols = {}
+        # scratch buffer reused across hash passes: the naive version
+        # allocates ~4 large temporaries per pass (8+ GB/batch of
+        # mmap/munmap churn → kernel page-zeroing storms under high
+        # worker counts); in-place ops keep it to ONE resident buffer
+        perm = np.empty_like(w)
+        tmp = np.empty_like(w)
+        for h in range(self.num_hashes):
+            with np.errstate(over="ignore"):
+                np.bitwise_xor(w, np.uint64((self.seed + h * 2_654_435_761) & 0xFFFFFFFFFFFFFFFF), out=perm)
+                # inline splitmix64, all in-place on `perm`
+                np.add(perm, np.uint64(0x9E3779B97F4A7C15), out=perm)
+                np.right_shift(perm, np.uint64(30), out=tmp)
+                np.bitwise_xor(perm, tmp, out=perm)
+                np.multiply(perm, np.uint64(0xBF58476D1CE4E5B9), out=perm)
+                np.right_shift(perm, np.uint64(27), out=tmp)
+                np.bitwise_xor(perm, tmp, out=perm)
+                np.multiply(perm, np.uint64(0x94D049BB133111EB), out=perm)
+                np.right_shift(perm, np.uint64(31), out=tmp)
+                np.bitwise_xor(perm, tmp, out=perm)
+            perm[boundary_mask] = MAX
+            mins = np.minimum.reduceat(perm, starts)[:n]
+            mins[empty] = MAX
+            out_cols[f"{self.out_prefix}{h}"] = mins
+        for name, vals in out_cols.items():
+            t = t.append_column(name, pa.array(vals, pa.uint64()))
+        return t

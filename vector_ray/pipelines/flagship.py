@@ -61,12 +61,27 @@ def _build_steps():
     return parser, Remap(remap_prog, name="derive")
 
 
-def parse_enrich_route(ds, *, lookup: Optional[pa.Table] = None, enrich_concurrency: int = 4):
-    """parse + remap fused into one map_batches; enrich as actor pool;
-    route explode (one pass, lane column)."""
+def parse_enrich_route(
+    ds,
+    *,
+    lookup: Optional[pa.Table] = None,
+    enrich_concurrency: int = 4,
+    token_sig: bool = False,
+):
+    """parse + remap (+ optional token-minhash signatures) fused into one
+    map_batches; enrich as actor pool; route explode (one pass, lane
+    column). ``token_sig=True`` inserts the sequence-level MinHash
+    signature stage (vector_ray.ml.dedup.TokenMinHash) — the dedupe
+    prepass a training-data pipeline runs over ``tokens``."""
     parser, remap = _build_steps()
     route = Route(LANES, unmatched_lane="rest")
-    fused = ChainStep([parser, remap])
+    steps = [parser, remap]
+    if token_sig:
+        from vector_ray.ml.dedup import TokenMinHash
+        from vector_ray.stages.base import FnStep
+
+        steps.append(FnStep(TokenMinHash(num_hashes=8), name="token_sig"))
+    fused = ChainStep(steps)
     ds = fused.apply(ds)
     table = EnrichmentTable(lookup if lookup is not None else source_lookup_table(), key=["source"])
     enrich = Enrich(table, select=["region", "tier"], concurrency=enrich_concurrency)
@@ -188,3 +203,73 @@ def run_flagship(
             )
             agg = flagship_aggregate(agg_ds)
     return {"manifest": manifest, "skipped": skipped, "aggregate": agg, "partitions": len(groups)}
+
+
+class FlagshipWorker:
+    """Fully-fused flagship stage for the streaming/bench path: ONE
+    actor-pool operator that parses, enriches (broadcast table fetched
+    once per actor — the stateful actor-pool lookup of the north star),
+    routes, and pre-aggregates each block. Only the tiny per-block
+    partial-aggregate rows leave the process, so the object store
+    carries KBs instead of the full routed payload — the fusion
+    discipline that matters identically on a real multi-node cluster
+    (no cross-node block shipping for the narrow stages).
+    """
+
+    def __init__(self, table_ref=None, token_sig: bool = False):
+        import ray as _ray
+
+        from vector_ray.stages.enrich import Enrich, _EnrichActor
+
+        parser, remap = _build_steps()
+        steps = [parser, remap]
+        if token_sig:
+            from vector_ray.ml.dedup import TokenMinHash
+
+            steps.append(FnStep(TokenMinHash(num_hashes=8), name="token_sig"))
+        self.chain = ChainStep(steps)
+        lookup = _ray.get(table_ref) if table_ref is not None else source_lookup_table()
+        en = Enrich(EnrichmentTable(lookup, key=["source"]), select=["region", "tier"])
+        self.enricher = _EnrichActor(en.small, en.key_cols, False, "get", "_enrich_miss", None, {})
+        self.route = Route(LANES, unmatched_lane="rest")
+        from vector_ray.stages.aggregate import _partial_batch
+
+        self._partial = _partial_batch
+
+    AGG_KEYS = ["lane", "source", "region"]
+    AGG_SPECS = {
+        "n_rows": ("count", "doc_id"),
+        "tok_sum": ("sum", "n_tok"),
+        "seq_min": ("min", "seq"),
+        "seq_max": ("max", "seq"),
+    }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = self.chain.transform(t)
+        t = self.enricher(t)
+        t = self.route._explode_batch(t)
+        return self._partial(t, self.AGG_KEYS, self.AGG_SPECS)
+
+
+def run_streaming_fused(files, *, concurrency: int, token_sig: bool = False, lookup=None):
+    """Bench/streaming mode: read → fused FlagshipWorker actor pool →
+    final merge of partials. Returns the aggregate Dataset."""
+    import ray as _ray
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import _final_merge_fn
+
+    table_ref = _ray.put(lookup if lookup is not None else source_lookup_table())
+    ds = rd.read_parquet(files, override_num_blocks=len(files) if isinstance(files, list) else None)
+    partial = ds.map_batches(
+        FlagshipWorker,
+        fn_constructor_kwargs={"table_ref": table_ref, "token_sig": token_sig},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    partial = partial.repartition(4)
+    return partial.groupby(FlagshipWorker.AGG_KEYS).map_groups(
+        _final_merge_fn(FlagshipWorker.AGG_KEYS, FlagshipWorker.AGG_SPECS),
+        batch_format="pyarrow",
+    )
