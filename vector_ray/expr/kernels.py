@@ -290,6 +290,24 @@ def fingerprint(a) -> pa.Array:
         arr = arr.cast(pa.string())
     if len(arr) == 0:
         return pa.array([], pa.uint64())
+    from vector_ray.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and arr.null_count == 0 and arr.offset == 0:
+        import ctypes
+
+        bufs = arr.buffers()
+        if bufs[2] is not None:
+            out = np.empty(len(arr), dtype=np.uint64)
+            offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            lib.fnv1a_batch(
+                data.ctypes.data_as(ctypes.c_void_p),
+                offs.ctypes.data_as(ctypes.c_void_p),
+                len(arr),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            return pa.array(out, pa.uint64())
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
     offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
