@@ -393,6 +393,80 @@ def q_media_features(sf_dir):
     return out.select_columns(["media_id", "media_type", "image_features"])
 
 
+def q_unnest_words(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.stages.explode import Unnest
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split_words(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "word": F.split(t["text"], " ")})
+
+    ds = ds.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(Unnest("word").apply(ds))
+
+
+def q_session_events(sf_dir):
+    from vector_ray.stages.window import SessionWindow
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    w = SessionWindow(["user_id"], "ts", gap_s=1800, aggs={"n": ("count", "ts"), "v": ("sum", "value")})
+    out = w.apply(ds)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_id": pc.cast(t["session_id"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "value_sum_c": pc.cast(pc.round(pc.multiply(t["v"], 100.0), ndigits=0), pa.int64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_geoip_events(sf_dir):
+    from vector_ray.expr import F
+    from vector_ray.stages.geoip import GeoipLookup
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def mk_ip(t: pa.Table) -> pa.Table:
+        octet = pc.cast(F.mod(t["user_id"], 256), pa.string())
+        ip = pc.binary_join_element_wise("10.", octet, ".0.1", "")
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"], "ip": ip})
+
+    ds = ds.map_batches(mk_ip, batch_format="pyarrow", zero_copy_batch=True)
+    db = [("10.0.0.0/9", {"region": "low"}), ("10.128.0.0/9", {"region": "high"})]
+    out = GeoipLookup("ip", table=db, concurrency=2).apply(ds)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "region": pc.struct_field(t["geoip"], "region")}
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def q_approx_distinct_users(sf_dir):
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return _finish(
+        grouped_aggregate(ds, ["event_type"], {"approx_users": ("approx_nunique", "user_id")})
+    )
+
+
+def q_tumbling_histogram(sf_dir):
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_aggregate(
+        ds, ["event_type"], {"value_hist": ("histogram", "value", [50.0, 100.0, 250.0])}
+    )
+
+
 def q_flagship_tokenized(sf_dir):
     """Flagship parse→enrich→route→aggregate over the synthesized
     tokenized-log table (the BASELINE.json input shape; scale-free)."""
@@ -455,7 +529,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
         "knn_embeddings": q_knn_embeddings,
+        "unnest_words": q_unnest_words,
+        "session_events": q_session_events,
+        "geoip_events": q_geoip_events,
         # non-SQL-expressible (driver records rows-only checks)
+        "approx_distinct_users": q_approx_distinct_users,
+        "tumbling_histogram": q_tumbling_histogram,
         "sample_events": q_sample_events,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
@@ -555,6 +634,23 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id FROM documents "
             r"QUALIFY row_number() OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')) "
             "ORDER BY doc_id) = 1"
+        ),
+        "unnest_words": (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+        ),
+        "session_events": (
+            "WITH x AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "y AS (SELECT user_id, value, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c "
+            "FROM y GROUP BY user_id, sid"
+        ),
+        "geoip_events": (
+            "SELECT event_id, CASE WHEN user_id % 256 < 128 THEN 'low' ELSE 'high' END AS region "
+            "FROM events"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "

@@ -1,0 +1,139 @@
+"""Tests for the extended kernel families (ip, url, csv, syslog,
+duration, format) and the sketch module."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vector_ray.expr import F
+from vector_ray.stages.sketch import HLL, Histogram, hll_partial
+
+
+class TestIpFamily:
+    def test_aton_ntoa_roundtrip(self):
+        ips = pa.array(["10.0.0.1", "192.168.1.255", "8.8.8.8", "bad", None])
+        nums = F.ip_aton(ips)
+        assert nums.to_pylist()[:3] == [167772161, 3232236031, 134744072]
+        assert nums.to_pylist()[3] is None
+        back = F.ip_ntoa(pa.array([167772161, 134744072], pa.uint32()))
+        assert back.to_pylist() == ["10.0.0.1", "8.8.8.8"]
+
+    def test_cidr_contains(self):
+        ips = pa.array(["10.1.2.3", "10.255.0.1", "11.0.0.1", "junk"])
+        out = F.ip_cidr_contains(ips, "10.0.0.0/8")
+        assert out.to_pylist() == [True, True, False, False]
+
+    def test_subnet(self):
+        out = F.ip_subnet(pa.array(["192.168.37.99"]), 16)
+        assert out.to_pylist() == ["192.168.0.0"]
+
+    def test_bad_octet_rejected(self):
+        assert F.ip_aton(pa.array(["1.2.3.999"])).to_pylist() == [None]
+
+
+class TestParseFamily:
+    def test_parse_url(self):
+        u = F.parse_url(pa.array(["https://user:pw@example.com:8443/a/b?x=1&y=2#frag"]))
+        row = u.to_pylist()[0] if not isinstance(u, pa.ChunkedArray) else u.combine_chunks().to_pylist()[0]
+        assert row["scheme"] == "https"
+        assert row["host"] == "example.com"
+        assert row["port"] == "8443"
+        assert row["path"] == "/a/b"
+        assert row["query"] == "x=1&y=2"
+        assert row["fragment"] == "frag"
+
+    def test_parse_query_string(self):
+        q = F.parse_query_string(pa.array(["a=1&b=two&c=3", "b=only"]), "b")
+        assert q.to_pylist() == ["two", "only"]
+
+    def test_parse_csv(self):
+        out = F.parse_csv_line(pa.array(['x,"a, quoted",3']), ["f1", "f2", "f3"])
+        assert out["f1"].to_pylist() == ["x"]
+        assert out["f2"].to_pylist() == ["a, quoted"]
+        assert out["f3"].to_pylist() == ["3"]
+
+    def test_parse_syslog(self):
+        line = "<13>Feb  5 10:15:57 host42 sshd[4242]: Failed password for root"
+        s = F.parse_syslog(pa.array([line]))
+        row = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_pylist()[0]
+        assert row["pri"] == "13"
+        assert row["hostname"] == "host42"
+        assert row["appname"] == "sshd"
+        assert row["procid"] == "4242"
+        assert row["message"] == "Failed password for root"
+
+    def test_parse_duration(self):
+        out = F.parse_duration(pa.array(["15ms", "2.5h", "3s", "nope"]))
+        vals = out.to_pylist()
+        assert vals[0] == pytest.approx(0.015)
+        assert vals[1] == pytest.approx(9000.0)
+        assert vals[2] == pytest.approx(3.0)
+        assert vals[3] is None
+
+
+class TestFormat:
+    def test_format_timestamp(self):
+        ts = F.to_timestamp(pa.array(["2015-12-12 18:32:56"]))
+        out = F.format_timestamp(ts, "%Y/%m/%d")
+        assert out.to_pylist() == ["2015/12/12"]
+
+    def test_format_number(self):
+        assert F.format_number(pa.array([3.14159, 2.0]), 2).to_pylist() == ["3.14", "2.00"]
+
+
+class TestSketches:
+    def test_hll_accuracy(self):
+        h = HLL()
+        h.add_strings(pa.array([f"k{i}" for i in range(20000)]))
+        assert abs(h.estimate() - 20000) / 20000 < 0.05
+
+    def test_hll_merge_equals_union(self):
+        a, b = HLL(), HLL()
+        a.add_strings(pa.array([f"x{i}" for i in range(1000)]))
+        b.add_strings(pa.array([f"x{i}" for i in range(500, 1500)]))
+        a.merge(b)
+        assert abs(a.estimate() - 1500) / 1500 < 0.06
+
+    def test_hll_bytes_roundtrip(self):
+        h = HLL()
+        h.add_strings(pa.array(["a", "b", "c"]))
+        h2 = HLL.from_bytes(h.to_bytes())
+        assert h2.estimate() == h.estimate()
+
+    def test_small_cardinality_near_exact(self):
+        blob = hll_partial(pa.array(["u1", "u2", "u3", "u1"]))
+        assert HLL.from_bytes(blob).estimate() == 3
+
+    def test_histogram_merge(self):
+        a = Histogram([10, 100])
+        b = Histogram([10, 100])
+        a.add(np.array([1, 5, 50]))
+        b.add(np.array([200, 7]))
+        a.merge(b)
+        d = a.to_dict()
+        assert d["counts"] == [3, 1, 1]
+        assert d["count"] == 5
+        assert d["sum"] == 263.0
+
+
+class TestApproxAggIntegration:
+    def test_grouped_approx_nunique(self):
+        import ray.data as rd
+
+        from vector_ray.stages import grouped_aggregate
+
+        t = pa.table(
+            {
+                "k": ["a"] * 600 + ["b"] * 400,
+                "u": [f"u{i % 300}" for i in range(600)] + [f"v{i % 37}" for i in range(400)],
+            }
+        )
+        out = grouped_aggregate(
+            rd.from_arrow(t).repartition(4),
+            ["k"],
+            {"nd": ("approx_nunique", "u"), "n": ("count", "u")},
+        ).take_all()
+        by = {r["k"]: r for r in out}
+        assert by["a"]["n"] == 600
+        assert abs(by["a"]["nd"] - 300) <= 12
+        assert abs(by["b"]["nd"] - 37) <= 3

@@ -481,3 +481,162 @@ def render(tbl: pa.Table, template: str):
     if len(cols) == 1:
         return cols[0]
     return pc.binary_join_element_wise(*cols, "")
+
+
+# --------------------------------------------------------------------------
+# ip family  (lib/vrl/stdlib: ip_aton ip_ntoa ip_cidr_contains ip_subnet
+# ip_to_ipv6 ipv6_to_ipv4)
+
+
+_IPV4_RE = r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+
+
+def ip_aton(a):
+    """Dotted-quad → uint32 (null for invalid), fully vectorized."""
+    s = pc.extract_regex(pc.cast(a, pa.string()), _IPV4_RE)
+    sc = _arr(s)
+    quads = []
+    for part in "abcd":
+        quads.append(pc.cast(pc.struct_field(sc, part), pa.uint64()))
+    ok = pc.is_valid(sc)
+    for q in quads:
+        ok = pc.and_(ok, pc.fill_null(pc.less_equal(q, 255), False))
+    val = quads[0]
+    for q in quads[1:]:
+        val = pc.add(pc.multiply(val, 256), q)
+    val = pc.cast(val, pa.uint32())
+    return pc.if_else(ok, val, pa.scalar(None, pa.uint32()))
+
+
+def ip_ntoa(a):
+    """uint32 → dotted-quad string."""
+    v = pc.cast(a, pa.uint64())
+    parts = []
+    for shift in (24, 16, 8, 0):
+        parts.append(pc.cast(mod(pc.shift_right(v, shift), 256), pa.string()))
+    return pc.binary_join_element_wise(*parts, ".")
+
+
+def ip_cidr_contains(a, cidr: str):
+    """check_fields ip_cidr_contains (check_fields.rs) — vectorized."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+    v = ip_aton(a)
+    inside = pc.and_(pc.greater_equal(pc.cast(v, pa.uint64()), lo),
+                     pc.less_equal(pc.cast(v, pa.uint64()), hi))
+    return pc.fill_null(inside, False)
+
+
+def ip_subnet(a, prefix: int):
+    """Mask an IPv4 to its /prefix subnet address string."""
+    v = pc.cast(ip_aton(a), pa.uint64())
+    mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF
+    masked = pc.bit_wise_and(v, mask)
+    return ip_ntoa(masked)
+
+
+# --------------------------------------------------------------------------
+# parse family additions (parse_url, parse_query_string, parse_csv,
+# parse_syslog, parse_duration)
+
+_URL_RE = (
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+    r"(?:(?P<username>[^:@/]*)(?::(?P<password>[^@/]*))?@)?"
+    r"(?P<host>[^:/?#]*)(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
+)
+
+
+def parse_url(a):
+    """URL → struct(scheme, username, password, host, port, path, query,
+    fragment) — one vectorized extract (lib/vrl/stdlib parse_url)."""
+    return pc.extract_regex(pc.cast(a, pa.string()), _URL_RE)
+
+
+def parse_query_string(a, key: str):
+    """Extract one query-string parameter's (first) value."""
+    pat = rf"(?:^|[&?]){_re.escape(key)}=(?P<v>[^&]*)"
+    return pc.struct_field(pc.extract_regex(pc.cast(a, pa.string()), pat), "v")
+
+
+def parse_csv_line(a, field_names):
+    """Simple CSV split (no embedded quotes-with-commas beyond "..."):
+    positional assignment like parse_csv (lib/vrl/stdlib parse_csv)."""
+    tok = r'(?:"[^"]*"|[^,]*)'
+    groups = ",".join(f"(?P<{n}>{tok})" for n in field_names)
+    s = pc.extract_regex(pc.cast(a, pa.string()), "^" + groups)
+    out = {}
+    for n in field_names:
+        v = pc.struct_field(s, n)
+        out[n] = pc.replace_substring_regex(v, r'^"(.*)"$', r"\1")
+    return out
+
+
+_SYSLOG_RE = (
+    r"^<(?P<pri>\d{1,3})>"
+    r"(?P<timestamp>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) "
+    r"(?P<appname>[^\[\s:]+)(?:\[(?P<procid>\d+)\])?:?\s"
+    r"(?P<message>.*)$"
+)
+
+
+def parse_syslog(a):
+    """RFC3164-ish syslog line → struct(pri, timestamp, hostname,
+    appname, procid, message) (lib/vrl/stdlib parse_syslog; the shape of
+    src/sources/syslog decoding)."""
+    return pc.extract_regex(pc.cast(a, pa.string()), _SYSLOG_RE)
+
+
+_DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_duration(a, output_unit: str = "s"):
+    """'15ms' / '2.5h' → float in output_unit (parse_duration)."""
+    s = pc.extract_regex(pc.cast(a, pa.string()), r"^(?P<n>\d+(?:\.\d+)?)\s*(?P<u>ns|us|µs|ms|s|m|h|d)$")
+    n = pc.cast(pc.struct_field(s, "n"), pa.float64())
+    u = pc.struct_field(s, "u")
+    factor = pa.nulls(len(_arr(u)), pa.float64())
+    for unit, mult in _DUR_UNITS.items():
+        factor = pc.if_else(pc.equal(u, unit), mult, factor)
+    out_div = _DUR_UNITS[output_unit]
+    return pc.divide(pc.multiply(n, factor), out_div)
+
+
+# --------------------------------------------------------------------------
+# time/format family
+
+
+def format_timestamp(a, fmt: str = "%Y-%m-%dT%H:%M:%S"):
+    return pc.strftime(a, format=fmt)
+
+
+def format_number(a, ndigits: int = 2):
+    """Fixed-decimal string formatting."""
+    import pandas as pd
+
+    ser = pd.Series(_arr(a).to_pandas())
+    return pa.array(ser.map(lambda v: None if pd.isna(v) else f"{v:.{ndigits}f}"), pa.string())
+
+
+# --------------------------------------------------------------------------
+# type predicates (is_* family)
+
+
+def is_integer_type(a):
+    return pa.types.is_integer(a.type)
+
+
+def is_float_type(a):
+    return pa.types.is_floating(a.type)
+
+
+def is_string_type(a):
+    return pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+
+
+def is_match(a, pattern):
+    """VRL `match`: regex test returning bool array."""
+    return pc.match_substring_regex(pc.cast(a, pa.string()), pattern)

@@ -41,10 +41,58 @@ _SIMPLE = {
 }
 
 
+def _sketch_partial(tbl: pa.Table, keys, sketch_specs) -> pa.Table:
+    """Per-(batch, group) mergeable sketches: group rows by a combined
+    key fingerprint (argsort + segment slicing, no Python per row),
+    one serialized sketch per group per batch."""
+    from vector_ray.expr import F as _F
+    from vector_ray.stages.sketch import HLL, Histogram
+
+    parts = [pc.cast(tbl[k], pa.string()) for k in keys]
+    combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    fp = _F.fingerprint(pc.fill_null(combo, "\x00"))
+    fpv = np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64)
+    order = np.argsort(fpv, kind="stable")
+    sorted_fp = fpv[order]
+    seg_starts = np.concatenate([[0], np.nonzero(np.diff(sorted_fp))[0] + 1])
+    rows = {k: [] for k in keys}
+    sketches: dict = {name: [] for name in sketch_specs}
+    key_cols = {k: tbl[k] for k in keys}
+    for si, start in enumerate(seg_starts):
+        end = seg_starts[si + 1] if si + 1 < len(seg_starts) else len(sorted_fp)
+        idx = order[start:end]
+        first = int(idx[0])
+        for k in keys:
+            rows[k].append(key_cols[k][first].as_py())
+        take = pa.array(idx, pa.int64())
+        for name, (kind, col, *opts) in sketch_specs.items():
+            vals = tbl[col].take(take)
+            if kind == "approx_nunique":
+                h = HLL()
+                h.add_strings(vals)
+                sketches[name].append(h.to_bytes())
+            else:  # histogram
+                hg = Histogram(opts[0])
+                hg.add(pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False))
+                import pickle
+
+                sketches[name].append(pickle.dumps(hg))
+    out = {k: pa.array(rows[k], tbl[k].type) for k in keys}
+    for name in sketch_specs:
+        out[f"{name}__sk"] = pa.array(sketches[name], pa.binary())
+    return pa.table(out)
+
+
 def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
+    sketch_specs = {n: v for n, v in specs.items() if v[0] in ("approx_nunique", "histogram")}
+    specs = {n: v for n, v in specs.items() if n not in sketch_specs}
+    if sketch_specs:
+        sk_tbl = _sketch_partial(tbl, keys, sketch_specs)
+        if not specs:
+            return sk_tbl
     aggs = []
     renames = {}
-    for name, (kind, col) in specs.items():
+    for name, (kind, col, *_o) in specs.items():
         if kind in _SIMPLE:
             agg, _ = _SIMPLE[kind]
             aggs.append((col, agg))
@@ -61,6 +109,8 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
             # value at max seq within batch: batch is already in row order
             aggs.append((col, "last"))
             renames[f"{col}_last"] = f"{name}"
+        elif kind in ("approx_nunique", "histogram"):
+            continue  # handled by _sketch_partial
         elif kind == "first":
             aggs.append((col, "first"))
             renames[f"{col}_first"] = f"{name}"
@@ -76,7 +126,16 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
             nn = nn + "_"
         used.add(nn)
         new_names.append(nn)
-    return out.rename_columns(new_names)
+    out = out.rename_columns(new_names)
+    if sketch_specs:
+        # attach sketch columns by joining on the keys (both sides have
+        # exactly one row per group)
+        idx = pa.array(np.arange(len(out), dtype=np.int64))
+        probe = out.select(list(keys)).append_column("__i", idx)
+        joined = probe.join(sk_tbl, keys=list(keys), join_type="left outer").sort_by("__i")
+        for name in sketch_specs:
+            out = out.append_column(f"{name}__sk", joined[f"{name}__sk"])
+    return out
 
 
 def _final_merge_fn(keys, specs):
@@ -84,7 +143,7 @@ def _final_merge_fn(keys, specs):
         cols = {}
         for k in keys:
             cols[k] = g[k].combine_chunks().slice(0, 1)  # type-preserving
-        for name, (kind, _col) in specs.items():
+        for name, (kind, *_rest) in specs.items():
             if kind in ("sum", "count"):
                 s = pc.sum(g[name])
                 cols[name] = pa.array([s.as_py()], s.type)
@@ -110,6 +169,25 @@ def _final_merge_fn(keys, specs):
                 cols[name] = g[name].combine_chunks().slice(len(g) - 1, 1)
             elif kind == "first":
                 cols[name] = g[name].combine_chunks().slice(0, 1)
+            elif kind == "approx_nunique":
+                from vector_ray.stages.sketch import HLL
+
+                h = HLL()
+                for blob in g[f"{name}__sk"].to_pylist():
+                    if blob is not None:
+                        h.merge_bytes(blob)
+                cols[name] = pa.array([h.estimate()], pa.int64())
+            elif kind == "histogram":
+                import json as _json
+                import pickle
+
+                hg = None
+                for blob in g[f"{name}__sk"].to_pylist():
+                    if blob is None:
+                        continue
+                    other = pickle.loads(blob)
+                    hg = other if hg is None else hg.merge(other)
+                cols[name] = pa.array([_json.dumps(hg.to_dict()) if hg else None], pa.string())
         return pa.table(cols)
 
     return merge
@@ -128,6 +206,8 @@ def grouped_aggregate(
     mean, set, last, first}. `count` counts non-null of in_col.
     """
     keys = list(keys)
+    # spec tuple: (kind, col[, options]) — kinds: sum count min max mean
+    # set nunique last first approx_nunique histogram(bounds)
     partial = ds.map_batches(
         lambda t: _partial_batch(t, keys, specs),
         batch_format="pyarrow",
