@@ -467,6 +467,41 @@ def q_tumbling_histogram(sf_dir):
     )
 
 
+def q_join_orders_customers(sf_dir):
+    from vector_ray.stages.join import bucketed_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = bucketed_join(orders, cust, ["o_custkey"], right_on=["c_custkey"], buckets=8)
+    return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
+
+
+def q_asof_last_purchase(sf_dir):
+    from vector_ray.stages.join import asof_join
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    purchases = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": p["user_id"], "ts": p["ts"], "pts": p["ts"]})
+
+    purchases = purchases.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(ev, purchases, by=["user_id"], on="ts", buckets=8)
+
+    def final(t: pa.Table) -> pa.Table:
+        # the bucketed union pads the other side's columns with nulls, so
+        # pandas upcasts int columns to float inside merge_bucket — cast back
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "last_purchase_us": pc.cast(pc.cast(t["pts"], pa.int64()), pa.float64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_flagship_tokenized(sf_dir):
     """Flagship parse→enrich→route→aggregate over the synthesized
     tokenized-log table (the BASELINE.json input shape; scale-free)."""
@@ -529,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
         "knn_embeddings": q_knn_embeddings,
+        "join_orders_customers": q_join_orders_customers,
+        "asof_last_purchase": q_asof_last_purchase,
         "unnest_words": q_unnest_words,
         "session_events": q_session_events,
         "geoip_events": q_geoip_events,
@@ -634,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id FROM documents "
             r"QUALIFY row_number() OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')) "
             "ORDER BY doc_id) = 1"
+        ),
+        "join_orders_customers": (
+            "SELECT o_orderkey, o_totalprice, c_name FROM orders "
+            "JOIN customer ON c_custkey = o_custkey"
+        ),
+        "asof_last_purchase": (
+            "SELECT e.event_id, CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_us "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
         ),
         "unnest_words": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"

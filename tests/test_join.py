@@ -1,0 +1,55 @@
+"""Join stage tests: native wrapper, bucketed hash join, as-of join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.stages.join import asof_join, bucketed_join, join
+
+
+def ds_of(tbl, blocks=2):
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+LEFT = pa.table({"k": ["a", "b", "c", "a"], "lv": [1, 2, 3, 4]})
+RIGHT = pa.table({"k": ["a", "b", "d"], "rv": [10, 20, 40]})
+
+
+class TestBucketedJoin:
+    def test_inner(self):
+        out = bucketed_join(ds_of(LEFT), ds_of(RIGHT), ["k"], buckets=4).take_all()
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+        assert got == [("a", 1, 10), ("a", 4, 10), ("b", 2, 20)]
+
+    def test_left_outer(self):
+        out = bucketed_join(ds_of(LEFT), ds_of(RIGHT), ["k"], join_type="left").take_all()
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+        assert got == [("a", 1, 10), ("a", 4, 10), ("b", 2, 20), ("c", 3, None)]
+
+    def test_different_key_names(self):
+        right = pa.table({"rk": ["a", "b"], "rv": [10, 20]})
+        out = bucketed_join(ds_of(LEFT), ds_of(right), ["k"], right_on=["rk"]).take_all()
+        assert sorted((r["k"], r["rv"]) for r in out) == [("a", 10), ("a", 10), ("b", 20)]
+
+
+class TestNativeJoin:
+    def test_native_inner_matches_bucketed(self):
+        out = join(ds_of(LEFT), ds_of(RIGHT), ["k"], num_partitions=4).take_all()
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+        assert got == [("a", 1, 10), ("a", 4, 10), ("b", 2, 20)]
+
+
+class TestAsofJoin:
+    def test_backward(self):
+        trades = pa.table(
+            {"sym": ["x", "x", "y"], "t": [10, 20, 15], "price": [1.0, 2.0, 9.0]}
+        )
+        quotes = pa.table(
+            {"sym": ["x", "x", "y"], "t": [8, 18, 11], "bid": [0.9, 1.9, 8.5]}
+        )
+        out = asof_join(ds_of(trades), ds_of(quotes), by=["sym"], on="t").take_all()
+        got = {(r["sym"], r["t"]): r["bid"] for r in out}
+        assert got[("x", 10)] == 0.9
+        assert got[("x", 20)] == 1.9
+        assert got[("y", 15)] == 8.5

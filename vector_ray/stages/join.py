@@ -1,0 +1,168 @@
+"""Joins.
+
+The reference's only join is the broadcast enrichment lookup
+(lib/enrichment) — covered by ``stages.enrich``. A general engine also
+needs large×large joins; two implementations:
+
+- ``join()``: Ray Data's native hash-partitioned ``Dataset.join`` when
+  available (Ray ≥ 2.46), with ``num_partitions`` controlling the
+  shuffle fan-out.
+- ``bucketed_join()``: the portable explicit pattern (per the Ray
+  guide): both sides get a ``bucket = fingerprint(key) % B`` column,
+  co-grouped per bucket, and joined pairwise with an Arrow hash join
+  inside ``map_groups``. Salt-friendly: B spreads hot keys across
+  aggregators only insofar as distinct keys differ — a single
+  pathological key still lands in one bucket (callers with one giant
+  key should pre-aggregate or use broadcast instead).
+- ``asof_join()``: sort-within-bucket + ``pandas.merge_asof`` per
+  bucket — the as-of/range join for event streams.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.expr import F
+
+_BUCKET = "__join_bucket"
+_SIDE = "__join_side"
+
+
+def join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+    right_on: Optional[Sequence[str]] = None,
+):
+    """Native hash join when the installed Ray has Dataset.join."""
+    if hasattr(left, "join"):
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=tuple(on),
+            right_on=tuple(right_on) if right_on else None,
+        )
+    return bucketed_join(left, right, on, join_type=join_type, buckets=num_partitions,
+                         right_on=right_on)
+
+
+def _with_bucket(ds, keys, buckets: int, side: int, pad_schema: "pa.Schema"):
+    """Tag with (bucket, side) and pad to the union schema so the two
+    sides can union (Ray union requires identical schemas)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        parts = [pc.cast(t[k], pa.string()) for k in keys]
+        combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+        fp = F.fingerprint(pc.fill_null(combo, "\x00"))
+        b = np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64) % np.uint64(buckets)
+        cols = {}
+        for f in pad_schema:
+            if f.name == _BUCKET:
+                cols[f.name] = pa.array(b.astype(np.int32))
+            elif f.name == _SIDE:
+                cols[f.name] = pa.array([side] * len(t), pa.int8())
+            elif f.name in t.column_names:
+                cols[f.name] = pc.cast(t[f.name], f.type)
+            else:
+                cols[f.name] = pa.nulls(len(t), f.type)
+        return pa.table(cols)
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _union_schema(left, right) -> "pa.Schema":
+    ls, rs = left.schema(), right.schema()
+    fields = []
+    seen = set()
+    for name, typ in zip(ls.names, ls.types):
+        fields.append(pa.field(name, typ))
+        seen.add(name)
+    for name, typ in zip(rs.names, rs.types):
+        if name not in seen:
+            fields.append(pa.field(name, typ))
+            seen.add(name)
+    fields.append(pa.field(_BUCKET, pa.int32()))
+    fields.append(pa.field(_SIDE, pa.int8()))
+    return pa.schema(fields)
+
+
+def bucketed_join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    join_type: str = "inner",
+    buckets: int = 16,
+    right_on: Optional[Sequence[str]] = None,
+):
+    """Explicit partitioned hash join: union both (tagged) sides, group
+    by bucket, Arrow-join the two sides inside each group."""
+    on = list(on)
+    r_on = list(right_on) if right_on else on
+    l_names = left.schema().names
+    r_names = right.schema().names
+    schema = _union_schema(left, right)
+    l = _with_bucket(left, on, buckets, 0, schema)
+    r = _with_bucket(right, r_on, buckets, 1, schema)
+    both = l.union(r)
+    jt = {"inner": "inner", "left": "left outer", "left outer": "left outer"}[join_type]
+    l_cols = list(l_names)
+    r_cols = [c for c in r_names if c in r_on or c not in l_names]
+    out_cols = l_cols + [c for c in r_cols if c not in r_on]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        sides = g[_SIDE]
+        lt = g.filter(pc.equal(sides, 0)).select(l_cols)
+        rt = g.filter(pc.equal(sides, 1)).select(r_cols)
+        if len(rt) == 0 and jt == "inner":
+            return lt.select(l_cols).slice(0, 0)
+        out = lt.join(rt, keys=on, right_keys=r_on, join_type=jt)
+        return out.select([c for c in out_cols if c in out.column_names])
+
+    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: Sequence[str],
+    on: str,
+    direction: str = "backward",
+    tolerance=None,
+    buckets: int = 16,
+):
+    """As-of join: for each left row, the latest right row with
+    right.on <= left.on (direction=backward) within the same `by` key.
+    Sort + pandas.merge_asof per bucket (keys are hash-co-located)."""
+    by = list(by)
+    l_names = left.schema().names
+    r_names = right.schema().names
+    schema = _union_schema(left, right)
+    l = _with_bucket(left, by, buckets, 0, schema)
+    r = _with_bucket(right, by, buckets, 1, schema)
+    both = l.union(r)
+    l_cols = list(l_names)
+    r_cols = list(r_names)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g[_SIDE] == 0][l_cols]
+        rt = g[g[_SIDE] == 1][r_cols]
+        if lt.empty:
+            return lt
+        lt = lt.sort_values(on, kind="mergesort")
+        if rt.empty:
+            return lt
+        rt = rt.sort_values(on, kind="mergesort")
+        return pd.merge_asof(lt, rt, on=on, by=by, direction=direction, tolerance=tolerance)
+
+    return both.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pandas")
