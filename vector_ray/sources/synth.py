@@ -100,22 +100,44 @@ def synth_table(ids: np.ndarray | int, seed: int = 42) -> pa.Table:
     )
 
 
+def _write_fragment(path: str, part: int, lo: int, hi: int, seed: int):
+    tbl = synth_table(np.arange(lo, hi, dtype=np.int64), seed)
+    pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
+
+
 def synth_parquet(n: int, seed: int = 42, *, rows_per_file: int = 250_000, root: str = "/tmp/vector_ray_synth") -> str:
     """Write (once, cached) the n-row table as a multi-fragment Parquet
-    dir — multiple fragments so partition lineage/resume is exercised."""
+    dir — multiple fragments so partition lineage/resume is exercised.
+    Generation is counter-based per fragment, so when a Ray session is
+    live the fragments are generated IN PARALLEL as Ray tasks (output is
+    byte-identical to the serial path)."""
     path = os.path.join(root, f"n{n}_seed{seed}")
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
-    i = 0
-    part = 0
+    ranges = []
+    i = part = 0
     while i < n:
         hi = min(i + rows_per_file, n)
-        tbl = synth_table(np.arange(i, hi, dtype=np.int64), seed)
-        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
+        ranges.append((part, i, hi))
         i = hi
         part += 1
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(ranges) > 1
+    except Exception:
+        pass
+    if use_ray:
+        import ray
+
+        frag = ray.remote(num_cpus=1)(_write_fragment)
+        ray.get([frag.remote(path, p, lo, hi, seed) for p, lo, hi in ranges])
+    else:
+        for p, lo, hi in ranges:
+            _write_fragment(path, p, lo, hi, seed)
     with open(done, "w") as f:
         f.write(str(n))
     return path
