@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — the analogue of the reference's
+VRL proptests (lib/vrl/proptests/)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_ray.expr import F
+
+ident = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=12)
+plain = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=30,
+)
+
+
+class TestRoundTrips:
+    @given(st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=20))
+    @settings(max_examples=50, deadline=None)
+    def test_ip_aton_ntoa_roundtrip(self, nums):
+        ips = F.ip_ntoa(pa.array(nums, pa.uint32()))
+        back = F.ip_aton(ips)
+        assert back.to_pylist() == nums
+
+    @given(st.lists(plain, min_size=1, max_size=10), st.sampled_from([",", "|", ";"]))
+    @settings(max_examples=50, deadline=None)
+    def test_split_join_roundtrip(self, parts, sep):
+        s = sep.join(parts)
+        out = F.join(F.split(pa.array([s]), sep), sep)
+        assert out.to_pylist() == [s]
+
+    @given(st.lists(st.tuples(plain, st.integers(-(10**6), 10**6)), min_size=1, max_size=8))
+    @settings(max_examples=50, deadline=None)
+    def test_template_render_matches_python(self, rows):
+        t = pa.table(
+            {"a": pa.array([r[0] for r in rows]), "n": pa.array([r[1] for r in rows])}
+        )
+        out = F.render(t, "{{a}}-x-{{n}}")
+        assert out.to_pylist() == [f"{a}-x-{n}" for a, n in rows]
+
+
+class TestFingerprint:
+    @given(st.lists(plain, min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_deterministic_and_native_parity(self, vals):
+        import vector_ray.native as nv
+
+        arr = pa.array(vals, pa.string())
+        f1 = F.fingerprint(arr).to_pylist()
+        saved = (nv._lib, nv._tried)
+        try:
+            nv._lib, nv._tried = None, True  # force numpy path
+            f2 = F.fingerprint(arr).to_pylist()
+        finally:
+            nv._lib, nv._tried = saved
+        assert f1 == f2
+        assert F.fingerprint(arr).to_pylist() == f1
+
+    @given(plain, plain)
+    @settings(max_examples=50, deadline=None)
+    def test_equal_iff_same_string_mostly(self, a, b):
+        fa = F.fingerprint(pa.array([a])).to_pylist()[0]
+        fb = F.fingerprint(pa.array([b])).to_pylist()[0]
+        if a == b:
+            assert fa == fb
+
+
+class TestTokenMinHashProperties:
+    @given(st.lists(st.integers(0, 50256), min_size=5, max_size=60),
+           st.lists(st.integers(0, 50256), min_size=0, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_superset_monotonicity(self, base, extra):
+        """Appending tokens can only lower (or keep) each minhash value."""
+        from vector_ray.ml.dedup import TokenMinHash
+
+        mh = TokenMinHash(num_hashes=4)
+        t1 = pa.table({"tokens": pa.array([base], pa.list_(pa.int32()))})
+        t2 = pa.table({"tokens": pa.array([base + extra], pa.list_(pa.int32()))})
+        s1 = mh(t1)
+        s2 = mh(t2)
+        for h in range(4):
+            assert s2[f"tok_sig{h}"].to_pylist()[0] <= s1[f"tok_sig{h}"].to_pylist()[0]
+
+    @given(st.lists(st.lists(st.integers(0, 50256), min_size=0, max_size=30),
+                    min_size=1, max_size=10))
+    @settings(max_examples=30, deadline=None)
+    def test_batch_invariance(self, rows):
+        from vector_ray.ml.dedup import TokenMinHash
+
+        mh = TokenMinHash(num_hashes=2)
+        whole = mh(pa.table({"tokens": pa.array(rows, pa.list_(pa.int32()))}))
+        per_row = [
+            mh(pa.table({"tokens": pa.array([r], pa.list_(pa.int32()))})) for r in rows
+        ]
+        for h in range(2):
+            assert whole[f"tok_sig{h}"].to_pylist() == [
+                p[f"tok_sig{h}"].to_pylist()[0] for p in per_row
+            ]
+
+
+class TestSampleProperty:
+    @given(st.lists(ident, min_size=1, max_size=50, unique=True), st.integers(2, 20))
+    @settings(max_examples=30, deadline=None)
+    def test_sample_subset_and_deterministic(self, keys, rate):
+        from vector_ray.stages import Sample
+
+        t = pa.table({"k": pa.array(keys)})
+        s = Sample(rate, "k")
+        a = s.transform(t)["k"].to_pylist()
+        b = s.transform(t)["k"].to_pylist()
+        assert a == b
+        assert set(a) <= set(keys)
+
+
+class TestHLLProperty:
+    @given(st.integers(50, 3000))
+    @settings(max_examples=15, deadline=None)
+    def test_estimate_within_10pct(self, n):
+        from vector_ray.stages.sketch import HLL
+
+        h = HLL()
+        h.add_strings(pa.array([f"val-{i}" for i in range(n)]))
+        assert abs(h.estimate() - n) / n < 0.10

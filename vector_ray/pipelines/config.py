@@ -230,7 +230,10 @@ def _build_ansi(cfg):
 
 @register_transform("dedupe")
 def _build_dedupe(cfg):
-    fields = cfg.get("fields", {}).get("match") or cfg.get("match") or cfg["fields"]
+    fields = cfg.get("fields")
+    if isinstance(fields, dict):  # reference shape: fields.match = [...]
+        fields = fields.get("match")
+    fields = fields or cfg.get("match")
     return Dedupe(fields, order_by=cfg.get("order_by"))
 
 
