@@ -1,0 +1,47 @@
+"""CLI subprocess tests (`python -m vector_ray ...`) — the `vector`
+binary's subcommand surface."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLE = os.path.join(REPO, "examples", "apache_routing.yaml")
+
+
+def run_cli(*args, timeout=180):
+    return subprocess.run(
+        [sys.executable, "-m", "vector_ray", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+class TestCli:
+    def test_validate(self):
+        r = run_cli("validate", EXAMPLE)
+        assert r.returncode == 0
+        assert "ok" in r.stdout
+
+    def test_graph(self):
+        r = run_cli("graph", EXAMPLE)
+        assert r.returncode == 0
+        assert '"parsed" -> "routed"' in r.stdout
+
+    def test_validate_rejects_bad_config(self, tmp_path):
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("sources: {}\ntransforms: {}\nsinks: {}\n")
+        r = run_cli("validate", str(bad))
+        assert r.returncode != 0
+
+    def test_unit_tests_run(self):
+        r = run_cli("test", EXAMPLE, "--num-cpus", "2")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "2/2 tests passed" in r.stdout
+
+    def test_run_executes_sinks(self):
+        r = run_cli("run", EXAMPLE, "--num-cpus", "2")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "all_count: 10000" in r.stdout
