@@ -45,30 +45,27 @@ def knn_brute(
     """Exact cosine top-k for each query row. Returns a pa.Table
     (query_idx, vec_id, cosine, rank) of len n_queries × k."""
     q = _normalize(np.asarray(queries, dtype=np.float32))
-    qref = ray.put(q)
+    qref = ray.put(q)  # broadcast once; tasks read zero-copy from plasma
 
-    class TopK:
-        def __init__(self):
-            self.q = ray.get(qref)
+    def topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        m = _normalize(_as_matrix(t[vec_col]))
+        ids = np.asarray(t[id_col])
+        sims = qm @ m.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        nq = sims.shape[0]
+        qi = np.repeat(np.arange(nq), kk)
+        vi = idx.reshape(-1)
+        return pa.table(
+            {
+                "query_idx": pa.array(qi, pa.int64()),
+                id_col: pa.array(ids[vi]),
+                "cosine": pa.array(sims[np.arange(nq)[:, None], idx].reshape(-1).astype(np.float64)),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(t[vec_col]))
-            ids = np.asarray(t[id_col])
-            sims = self.q @ m.T  # (nq, nb)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            nq = sims.shape[0]
-            qi = np.repeat(np.arange(nq), kk)
-            vi = idx.reshape(-1)
-            return pa.table(
-                {
-                    "query_idx": pa.array(qi, pa.int64()),
-                    id_col: pa.array(ids[vi]),
-                    "cosine": pa.array(sims[np.arange(nq)[:, None], idx].reshape(-1).astype(np.float64)),
-                }
-            )
-
-    local = ds.map_batches(TopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    local = ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge(g: pa.Table) -> pa.Table:
         g = g.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
@@ -113,35 +110,32 @@ def knn_ivf(
     probed = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     state = ray.put((q, cent, probed))
 
-    class IvfTopK:
-        def __init__(self):
-            self.q, self.cent, self.probed = ray.get(state)
+    def ivf_topk(t: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(state)
+        m = _normalize(_as_matrix(t[vec_col]))
+        ids = np.asarray(t[id_col])
+        assign = np.argmax(m @ cm.T, axis=1)
+        out = {"query_idx": [], id_col: [], "cosine": []}
+        for qi in range(len(qm)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sub = m[mask]
+            sims = sub @ qm[qi]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out["query_idx"].extend([qi] * kk)
+            out[id_col].extend(ids[mask][idx].tolist())
+            out["cosine"].extend(sims[idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out["query_idx"], pa.int64()),
+                id_col: pa.array(out[id_col]),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(t[vec_col]))
-            ids = np.asarray(t[id_col])
-            assign = np.argmax(m @ self.cent.T, axis=1)
-            out = {"query_idx": [], id_col: [], "cosine": []}
-            for qi in range(len(self.q)):
-                mask = np.isin(assign, self.probed[qi])
-                if not mask.any():
-                    continue
-                sub = m[mask]
-                sims = sub @ self.q[qi]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                out["query_idx"].extend([qi] * kk)
-                out[id_col].extend(ids[mask][idx].tolist())
-                out["cosine"].extend(sims[idx].astype(np.float64).tolist())
-            return pa.table(
-                {
-                    "query_idx": pa.array(out["query_idx"], pa.int64()),
-                    id_col: pa.array(out[id_col]),
-                    "cosine": pa.array(out["cosine"], pa.float64()),
-                }
-            )
-
-    local = ds.map_batches(IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    local = ds.map_batches(ivf_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge(g: pa.Table) -> pa.Table:
         g = g.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)

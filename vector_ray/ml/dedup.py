@@ -89,8 +89,46 @@ def _sm64(x: np.ndarray) -> np.ndarray:
 
 
 def minhash_signature(texts: list, *, num_hashes: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
-    """(n_docs, num_hashes) uint64 MinHash signatures, vectorized with
-    reduceat over the flat shingle-hash array."""
+    """(n_docs, num_hashes) uint64 MinHash signatures.
+
+    Fast path: the native fused kernel (vector_ray.native) runs the
+    byte-shingle rolling hash + all minima in one C pass over the
+    concatenated lowercase text bytes. Fallback: numpy reduceat path.
+    (The two paths use different shingle hash functions, so signatures
+    are internally consistent per process configuration but not
+    interchangeable across paths — fine for LSH use.)"""
+    from vector_ray.native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "token_minhash_fused") and texts:
+        import ctypes
+
+        bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
+        offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bufs], out=offsets[1:])
+        flat_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int32)
+        if len(flat_bytes) == 0:
+            return np.full((len(texts), num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mults = np.array(
+                [np.uint64(0x9E3779B97F4A7C15) * np.uint64(j + 1) for j in range(k)],
+                dtype=np.uint64,
+            )
+        seeds = np.array(
+            [(seed * 1_000_003 + h * 2_654_435_761) & 0xFFFFFFFFFFFFFFFF for h in range(num_hashes)],
+            dtype=np.uint64,
+        )
+        out = np.empty((len(texts), num_hashes), dtype=np.uint64)
+        flat_c = np.ascontiguousarray(flat_bytes)
+        offs_c = np.ascontiguousarray(offsets)
+        lib.token_minhash_fused(
+            flat_c.ctypes.data_as(ctypes.c_void_p),
+            offs_c.ctypes.data_as(ctypes.c_void_p), len(texts), k,
+            mults.ctypes.data_as(ctypes.c_void_p),
+            seeds.ctypes.data_as(ctypes.c_void_p), num_hashes,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
     flat, offs = _shingle_hashes(texts, k)
     n = len(texts)
     sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)

@@ -321,6 +321,34 @@ def _build_geoip(cfg):
                        target=cfg.get("target", "geoip"))
 
 
+@register_transform("token_count")
+def _build_token_count(cfg):
+    from vector_ray.ml.text import TokenCount
+
+    return TokenCount(cfg.get("field", "text"))
+
+
+@register_transform("quality_score")
+def _build_quality(cfg):
+    from vector_ray.ml.text import QualityScore
+
+    return QualityScore(cfg.get("field", "text"))
+
+
+@register_transform("lang_id")
+def _build_langid(cfg):
+    from vector_ray.ml.text import LangId
+
+    return LangId(cfg.get("field", "text"))
+
+
+@register_transform("fingerprint")
+def _build_fingerprint(cfg):
+    from vector_ray.ml.text import Fingerprint
+
+    return Fingerprint(cfg.get("field", "text"), cfg.get("target", "fp"))
+
+
 # route is built inline by the topology (it has named outputs)
 
 
