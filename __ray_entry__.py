@@ -467,6 +467,16 @@ def q_tumbling_histogram(sf_dir):
     )
 
 
+def q_reduce_concat(sf_dir):
+    from vector_ray.stages import Reduce
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    red = Reduce(["lang"], merge_strategies={"source": "concat"}, order_by="doc_id",
+                 count_col="n_docs")
+    out = red.apply(ds)
+    return _finish(out.select_columns(["lang", "source", "n_docs"]))
+
+
 def q_join_orders_customers(sf_dir):
     from vector_ray.stages.join import bucketed_join
 
@@ -564,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
         "knn_embeddings": q_knn_embeddings,
+        "reduce_concat": q_reduce_concat,
         "join_orders_customers": q_join_orders_customers,
         "asof_last_purchase": q_asof_last_purchase,
         "unnest_words": q_unnest_words,
@@ -671,6 +682,10 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id FROM documents "
             r"QUALIFY row_number() OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')) "
             "ORDER BY doc_id) = 1"
+        ),
+        "reduce_concat": (
+            "SELECT lang, string_agg(source, ' ' ORDER BY doc_id) AS source, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY lang"
         ),
         "join_orders_customers": (
             "SELECT o_orderkey, o_totalprice, c_name FROM orders "

@@ -321,6 +321,97 @@ def _build_geoip(cfg):
                        target=cfg.get("target", "geoip"))
 
 
+@register_transform("remap")
+def _build_remap(cfg):
+    """Declarative remap: a serial op list compiled to one vectorized
+    batch fn — the config-file face of the VRL-semantics kernel library
+    (each op maps to an expr.F kernel; src/transforms/remap.rs's role).
+
+    ops:
+      - {fn: set, field: x, value: lit | template: "{{a}}-{{b}}"}
+      - {fn: upcase|downcase|strip_whitespace|strip_ansi, field: x [, target: y]}
+      - {fn: replace, field: x, pattern: p, replacement: r [, regex: true]}
+      - {fn: coerce, field: x, kind: int|float|bool|timestamp[|fmt]}
+      - {fn: del, fields: [..]}
+      - {fn: rename, fields: {old: new}}
+      - {fn: fingerprint, field: x, target: y}
+      - {fn: parse_regex, field: x, pattern: p}   (captures merged to root)
+    """
+    from vector_ray.expr import F
+    from vector_ray.stages.remap import Remap
+    import pyarrow.compute as _pc
+
+    ops = cfg["ops"]
+
+    def compile_op(op):
+        fn = op["fn"]
+        if fn == "set":
+            if "template" in op:
+                return lambda t, op=op: F.set_(t, op["field"], F.render(t, op["template"]))
+            return lambda t, op=op: F.set_(t, op["field"], op["value"])
+        if fn in ("upcase", "downcase", "strip_whitespace"):
+            kern = {"upcase": F.upcase, "downcase": F.downcase,
+                    "strip_whitespace": F.strip_whitespace}[fn]
+            return lambda t, op=op, kern=kern: F.set_(
+                t, op.get("target", op["field"]), kern(t[op["field"]])
+            )
+        if fn == "strip_ansi":
+            return lambda t, op=op: F.set_(
+                t, op.get("target", op["field"]), F.strip_ansi_escape_codes(t[op["field"]])
+            )
+        if fn == "replace":
+            return lambda t, op=op: F.set_(
+                t, op.get("target", op["field"]),
+                F.replace(t[op["field"]], op["pattern"], op["replacement"],
+                          regex=op.get("regex", False)),
+            )
+        if fn == "coerce":
+            return lambda t, op=op: F.set_(t, op["field"], F.coerce(t[op["field"]], op["kind"]))
+        if fn == "del":
+            return lambda t, op=op: F.del_(t, *op["fields"])
+        if fn == "rename":
+            return lambda t, op=op: F.rename(t, op["fields"])
+        if fn == "fingerprint":
+            return lambda t, op=op: F.set_(
+                t, op.get("target", "fp"), F.fingerprint(_pc.cast(t[op["field"]], pa.string()))
+            )
+        if fn == "parse_regex":
+            return lambda t, op=op: F.merge_struct(
+                t, _pc.extract_regex(t[op["field"]], op["pattern"])
+            )
+        raise ConfigError(f"unknown remap op fn {fn!r}")
+
+    compiled = [compile_op(op) for op in ops]
+
+    def program(t: pa.Table) -> pa.Table:
+        for c in compiled:
+            t = c(t)
+        return t
+
+    return Remap(program)
+
+
+@register_transform("csv_parser")
+def _build_csv(cfg):
+    from vector_ray.expr import F
+    from vector_ray.stages.base import FnStep
+
+    field = cfg.get("field", "message")
+    names = cfg["field_names"]
+    types = cfg.get("types") or {}
+    drop = cfg.get("drop_field", True)
+
+    def parse(t: pa.Table) -> pa.Table:
+        cols = F.parse_csv_line(t[field], names)
+        for n, v in cols.items():
+            if n in types:
+                v = F.coerce(v, types[n])
+            t = F.set_(t, n, v)
+        return F.del_(t, field) if drop else t
+
+    return FnStep(parse, name="csv_parser")
+
+
 @register_transform("token_count")
 def _build_token_count(cfg):
     from vector_ray.ml.text import TokenCount
