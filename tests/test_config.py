@@ -196,3 +196,30 @@ class TestConditionSpecs:
             ]}
         )
         assert cond(t).to_pylist() == [True, True, False]
+
+
+class TestTimePartitionedSink:
+    def test_strftime_partitioning(self, tmp_path):
+        import glob
+        import pyarrow as pa
+
+        out = str(tmp_path / "out")
+        cfg = {
+            "sources": {"ev": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"}},
+            "transforms": {},
+            "sinks": {
+                "by_day": {
+                    "type": "parquet",
+                    "inputs": ["ev"],
+                    "path": out,
+                    "partition_by_time": {"field": "ts", "format": "%Y-%m-%d"},
+                }
+            },
+        }
+        Topology(cfg).run()
+        days = glob.glob(out + "/dt=*")
+        assert len(days) > 1, days
+        # every directory name is a valid date
+        import re
+
+        assert all(re.match(r".*dt=\d{4}-\d{2}-\d{2}$", d) for d in days)

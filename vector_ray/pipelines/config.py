@@ -551,7 +551,22 @@ class Topology:
                 ds = ds.union(*dss[1:])
             stype = cfg["type"]
             if stype == "parquet":
-                ds.write_parquet(cfg["path"], partition_cols=cfg.get("partition_cols"))
+                pcols = list(cfg.get("partition_cols") or [])
+                tpart = cfg.get("partition_by_time")
+                if tpart:
+                    # strftime sink-path templating (src/sinks/file/mod.rs:35-44)
+                    # → derived date column + hive partition dir
+                    field, fmt = tpart["field"], tpart.get("format", "%Y-%m-%d")
+                    col = tpart.get("column", "dt")
+
+                    def add_dt(t, field=field, fmt=fmt, col=col):
+                        import pyarrow.compute as _pc
+
+                        return t.append_column(col, _pc.strftime(t[field], format=fmt))
+
+                    ds = ds.map_batches(add_dt, batch_format="pyarrow", zero_copy_batch=True)
+                    pcols.append(col)
+                ds.write_parquet(cfg["path"], partition_cols=pcols or None)
                 results[name] = cfg["path"]
             elif stype == "csv":
                 ds.write_csv(cfg["path"])
