@@ -1,0 +1,169 @@
+"""ML-operator tests: ANN ground truth, planted near-duplicates for
+minhash/simhash/embedding dedup, lang-id accuracy, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.ml.ann import kmeans_fit, knn_brute, knn_ivf
+from vector_ray.ml.dedup import (
+    SimHash,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard,
+    simhash_batch,
+)
+
+
+def _rand_embeddings(n, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+class TestKnn:
+    def test_brute_matches_numpy_truth(self):
+        m = _rand_embeddings(200)
+        q = m[:3]
+        t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        out = knn_brute(rd.from_arrow(t).repartition(4), q, k=5).take_all()
+        sims = q @ m.T
+        for qi in range(3):
+            truth = set(np.argsort(-sims[qi])[:5].tolist())
+            got = {r["vec_id"] for r in out if r["query_idx"] == qi}
+            assert got == truth
+
+    def test_ivf_recall(self):
+        m = _rand_embeddings(500)
+        q = m[:2]
+        t = pa.table({"vec_id": pa.array(range(500), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(2)
+        out = knn_ivf(ds, q, k=5, n_clusters=8, n_probe=4).take_all()
+        sims = q @ m.T
+        recall = 0
+        for qi in range(2):
+            truth = set(np.argsort(-sims[qi])[:5].tolist())
+            got = {r["vec_id"] for r in out if r["query_idx"] == qi}
+            recall += len(got & truth)
+        assert recall >= 6  # >=60% recall with 4/8 probes on random data
+
+    def test_kmeans_centroids_unit_norm(self):
+        c = kmeans_fit(_rand_embeddings(300), 4)
+        assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+
+
+def _docs_with_dups():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest looking for food and shelter tonight")
+    rows = []
+    for i in range(30):
+        rows.append((i, f"unique document number {i} " + " ".join(f"w{i}{j}" for j in range(25))))
+    rows.append((100, base))
+    rows.append((101, base))  # exact dup
+    rows.append((102, base.replace("lazy", "sleepy")))  # near dup
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+
+
+class TestTextDedup:
+    def test_minhash_finds_planted_dups(self):
+        t = _docs_with_dups()
+        pairs = minhash_lsh_dedup(
+            rd.from_arrow(t).repartition(2), "text", jaccard_threshold=0.5, return_pairs=True
+        ).take_all()
+        found = {(r["a"], r["b"]) for r in pairs}
+        assert (100, 101) in found
+        assert any(a == 100 or b == 102 for a, b in found if (a, b) != (100, 101))
+
+    def test_minhash_dedup_removes_cluster(self):
+        t = _docs_with_dups()
+        kept = minhash_lsh_dedup(
+            rd.from_arrow(t).repartition(2), "text", jaccard_threshold=0.5
+        ).take_all()
+        ids = {r["doc_id"] for r in kept}
+        assert 100 in ids  # min-id representative survives
+        assert 101 not in ids
+        assert len(ids) >= 30
+
+    def test_exact_dedup(self):
+        t = _docs_with_dups()
+        kept = exact_dedup(rd.from_arrow(t).repartition(2), "text").take_all()
+        ids = {r["doc_id"] for r in kept}
+        assert 100 in ids and 101 not in ids and 102 in ids
+
+    def test_simhash_near_for_near_dups(self):
+        t = _docs_with_dups()
+        sh = simhash_batch(t["text"].to_pylist())
+        # rows: 0..29 unique, 30 base, 31 exact dup, 32 near dup
+        ham = bin(int(sh[30]) ^ int(sh[32])).count("1")  # base vs near-dup
+        ham_far = bin(int(sh[30]) ^ int(sh[0])).count("1")
+        assert sh[30] == sh[31]  # exact dup identical
+        assert ham < ham_far
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+class TestEmbeddingDup:
+    def test_planted_pairs_found(self):
+        m = _rand_embeddings(100)
+        m[50] = m[10] + 0.001  # near-dup pair
+        m[50] /= np.linalg.norm(m[50])
+        t = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        pairs = embedding_dup_pairs(
+            rd.from_arrow(t).repartition(2), cosine_threshold=0.99, planes=6
+        ).take_all()
+        assert any({r["a"], r["b"]} == {10, 50} for r in pairs)
+
+
+class TestLangId:
+    def test_accuracy_on_documents(self):
+        import pyarrow.parquet as pq
+
+        from vector_ray.ml.text import LangId
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text", "lang"])
+        out = LangId("text").transform(t)
+        # the synthetic corpus is english-ish word salad; just assert the
+        # stage runs vectorized and emits sane values
+        preds = set(out["lang_pred"].to_pylist())
+        assert preds <= {"en", "es", "de", "fr", "zh", "und"}
+        scores = out["lang_score"].to_pylist()
+        assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+class TestMultimodal:
+    def test_decode_pipeline(self):
+        from vector_ray.ml.multimodal import FrameSample, ImageDecode, decode_stage, synth_media_table
+
+        media = synth_media_table(50)
+        ds = rd.from_arrow(media).repartition(2)
+        out = decode_stage(ds, ImageDecode, fake=True).take_all()
+        assert all(len(r["image_features"]) == 8 for r in out)
+        # deterministic across runs
+        out2 = decode_stage(rd.from_arrow(media), ImageDecode, fake=True).take_all()
+        f1 = {r["media_id"]: list(r["image_features"]) for r in out}
+        f2 = {r["media_id"]: list(r["image_features"]) for r in out2}
+        assert f1 == f2
+
+    def test_frame_sample_explode(self):
+        from vector_ray.ml.multimodal import FrameSample, synth_media_table
+
+        media = synth_media_table(10)
+        fs = FrameSample(every_ms=5000, fake=True)
+        out = fs(media)
+        assert len(out) >= 10
+        assert out.column_names == ["media_id", "frame_idx", "frame_ms"]
+
+    def test_real_decode_gated(self):
+        from vector_ray.ml.multimodal import FrameSample
+
+        with pytest.raises(NotImplementedError):
+            FrameSample(fake=False)

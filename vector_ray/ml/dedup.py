@@ -269,7 +269,7 @@ def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
         hs = _sm64(np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
                    ^ np.uint64(seed))
         bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = bits.sum(axis=0) * 2 - len(hs)  # >0 → bit set
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)  # >0 → bit set (signed!)
         bitvec = (votes > 0).astype(np.uint8)
         out[i] = np.packbits(bitvec, bitorder="little").view(np.uint64)[0]
     return out
