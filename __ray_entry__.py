@@ -467,6 +467,40 @@ def q_tumbling_histogram(sf_dir):
     )
 
 
+def q_salted_reduce(sf_dir):
+    import pandas as pd
+
+    from vector_ray.stages.salt import salted_group_reduce
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            [{"event_type": g["event_type"].iloc[0], "value": g["value"].sum(),
+              "n": len(g)}]
+        )
+
+    def merge_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            [{"event_type": g["event_type"].iloc[0], "value": g["value"].sum(),
+              "n": int(g["n"].sum())}]
+        )
+
+    out = salted_group_reduce(ds, ["event_type"], reduce_fn, merge_fn, buckets=8,
+                              salt_source="event_id")
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_sum_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0), pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_reduce_concat(sf_dir):
     from vector_ray.stages import Reduce
 
@@ -574,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
         "knn_embeddings": q_knn_embeddings,
+        "salted_reduce": q_salted_reduce,
         "reduce_concat": q_reduce_concat,
         "join_orders_customers": q_join_orders_customers,
         "asof_last_purchase": q_asof_last_purchase,
@@ -682,6 +717,10 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id FROM documents "
             r"QUALIFY row_number() OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')) "
             "ORDER BY doc_id) = 1"
+        ),
+        "salted_reduce": (
+            "SELECT event_type, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c, "
+            "COUNT(*) AS n FROM events GROUP BY event_type"
         ),
         "reduce_concat": (
             "SELECT lang, string_agg(source, ' ' ORDER BY doc_id) AS source, "
