@@ -150,3 +150,23 @@ class TestTokenMinHash:
         s1 = mh(t1)["tok_sig1"].to_pylist()[0]
         s2 = mh(t2)["tok_sig1"].to_pylist()[1]
         assert s1 == s2
+
+
+class TestMetrics:
+    def test_stage_counters(self):
+        import pyarrow.compute as pc
+
+        from vector_ray.state.metrics import Metrics
+
+        m = Metrics()
+        t = pa.table({"x": list(range(100))})
+        ds = rd.from_arrow(t).repartition(4)
+        keep_even = m.instrument(
+            lambda tb: tb.filter(pc.equal(pc.bit_wise_and(tb["x"], 1), 0)), "even_filter"
+        )
+        out = ds.map_batches(keep_even, batch_format="pyarrow").take_all()
+        assert len(out) == 50
+        snap = m.snapshot()
+        assert snap["even_filter.rows_in"] == 100
+        assert snap["even_filter.rows_out"] == 50
+        assert snap["even_filter.batches"] >= 1
