@@ -47,11 +47,11 @@ class C:
 
     @staticmethod
     def true() -> Cond:
-        return Cond(lambda t: pa.array([True] * len(t)), "true")
+        return Cond(lambda t: pa.array([True] * len(t), pa.bool_()), "true")
 
     @staticmethod
     def false() -> Cond:
-        return Cond(lambda t: pa.array([False] * len(t)), "false")
+        return Cond(lambda t: pa.array([False] * len(t), pa.bool_()), "false")
 
     @staticmethod
     def eq(field: str, value) -> Cond:
@@ -106,7 +106,7 @@ class C:
 
         def fn(t: pa.Table):
             if field not in t.column_names and "." not in field:
-                return pa.array([False] * len(t))
+                return pa.array([False] * len(t), pa.bool_())
             return pc.is_valid(F.get(t, field))
 
         return Cond(fn, f"exists({field})")

@@ -46,6 +46,15 @@ def _arr(x):
     return x
 
 
+def const(n: int, value, type=None):
+    """Typed constant column — safe for n == 0 (a bare
+    ``pa.array([v] * 0)`` infers null type and breaks schema stability
+    on empty batches)."""
+    if type is None:
+        type = pa.scalar(value).type
+    return pa.array([value] * n, type=type)
+
+
 # --------------------------------------------------------------------------
 # string family
 
@@ -471,11 +480,11 @@ def render(tbl: pa.Table, template: str):
     if last < len(template):
         parts.append(("lit", template[last:]))
     if not parts:
-        return pa.array([""] * len(tbl))
+        return const(len(tbl), "")
     cols = []
     for kind, val in parts:
         if kind == "lit":
-            cols.append(pa.array([val] * len(tbl)))
+            cols.append(const(len(tbl), val))
         else:
             cols.append(pc.cast(tbl[val], pa.string()))
     if len(cols) == 1:

@@ -54,7 +54,7 @@ def _build_steps():
     parser = GrokParser("doc_id", _GROK, types={"seq": "int"}, matched_col="parse_ok")
 
     def remap_prog(t: pa.Table) -> pa.Table:
-        t = F.set_(t, "fqdn", F.concat("", t["host"], pa.array(["."] * len(t)), t["tld"]))
+        t = F.set_(t, "fqdn", F.concat("", t["host"], F.const(len(t), "."), t["tld"]))
         t = F.set_(t, "seq_bucket", F.mod(pc.fill_null(t["seq"], -1), 10))
         return t
 

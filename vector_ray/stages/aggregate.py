@@ -258,7 +258,7 @@ class LogToMetric(Step):
     def transform(self, tbl: pa.Table) -> pa.Table:
         parts = []
         n = len(tbl)
-        for m in self.metrics:
+        for m in (self.metrics if n > 0 else []):
             mtype = m["type"]
             name = m["name"]
             field = m.get("field")
@@ -271,15 +271,15 @@ class LogToMetric(Step):
             ln = len(sub)
             if ln == 0:
                 continue
-            name_col = F.render(sub, name) if "{{" in name else pa.array([name] * ln)
+            name_col = F.render(sub, name) if "{{" in name else F.const(ln, name)
             if mtype == "counter" and m.get("increment_by_value"):
                 value = pc.cast(sub[field], pa.float64())
             elif mtype == "counter":
-                value = pa.array([1.0] * ln)
+                value = F.const(ln, 1.0, pa.float64())
             elif mtype in ("gauge", "histogram", "summary"):
                 value = pc.cast(sub[field], pa.float64())
             elif mtype == "set":
-                value = pa.array([1.0] * ln)
+                value = F.const(ln, 1.0, pa.float64())
             else:
                 raise ValueError(f"unknown metric type {mtype}")
             svalue = (
@@ -290,8 +290,8 @@ class LogToMetric(Step):
             kind = "absolute" if mtype == "gauge" else "incremental"
             cols = {
                 "name": name_col,
-                "kind": pa.array([kind] * ln),
-                "metric_type": pa.array([mtype] * ln),
+                "kind": F.const(ln, kind),
+                "metric_type": F.const(ln, mtype),
                 "value": value,
                 "svalue": svalue,
             }
@@ -302,7 +302,7 @@ class LogToMetric(Step):
                 elif isinstance(tv, str) and "{{" in tv:
                     cols[tk] = pc.cast(F.render(sub, tv), pa.string())
                 else:
-                    cols[tk] = pa.array([str(tv)] * ln)
+                    cols[tk] = F.const(ln, str(tv))
             parts.append(pa.table(cols))
         if not parts:
             # empty, schema-stable

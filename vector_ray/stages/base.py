@@ -79,11 +79,10 @@ class ChainStep(Step):
         self._fns = [s.batch_fn() for s in self.steps]
 
     def transform(self, tbl: pa.Table) -> pa.Table:
+        # every step runs even on empty tables — schema stability across
+        # blocks requires empty batches to flow through the full chain
         for fn in self._fns:
             tbl = fn(tbl)
-            if len(tbl) == 0:
-                # keep schema: downstream fns must tolerate empty tables
-                continue
         return tbl
 
     def batch_fn(self):

@@ -27,10 +27,8 @@ class AddFields(BatchStep):
                 continue
             if isinstance(value, str) and "{{" in value:
                 col = F.render(tbl, value)
-            elif isinstance(value, list):
-                col = pa.array([value] * len(tbl))
             else:
-                col = pa.array([value] * len(tbl))
+                col = F.const(len(tbl), value)
             tbl = F.set_(tbl, name, col)
         return tbl
 

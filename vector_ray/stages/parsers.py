@@ -198,6 +198,11 @@ class JsonParser(BatchStep):
         return pa.array(rows), pa.array(ok)
 
     def transform(self, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            # JSON-derived columns are data-dependent; an empty batch has
+            # no keys to derive (document: schema on empty blocks omits
+            # parse outputs, as in any schema-on-read JSON path)
+            return F.del_(tbl, self.field) if self.drop_field else tbl
         struct, ok = self._parse(tbl[self.field])
         out = tbl
         if self.drop_field:
