@@ -223,3 +223,36 @@ class TestTimePartitionedSink:
         import re
 
         assert all(re.match(r".*dt=\d{4}-\d{2}-\d{2}$", d) for d in days)
+
+
+class TestInsertAtBypassesUpstream:
+    def test_injection_is_direct(self):
+        # rows that the upstream filter would drop must still reach the
+        # insert_at node (unit_test.rs injects AT the node, not upstream)
+        cfg = {
+            "sources": {"g": {"type": "generator", "format": "json", "count": 5}},
+            "transforms": {
+                "parsed": {"type": "json_parser", "inputs": ["g"]},
+                "only_errors": {
+                    "type": "filter", "inputs": ["parsed"],
+                    "condition": {"field": "status", "op": "gte", "value": 500},
+                },
+                "tagged": {
+                    "type": "add_fields", "inputs": ["only_errors"],
+                    "fields": {"seen": "yes"},
+                },
+            },
+            "sinks": {"out": {"type": "blackhole", "inputs": ["tagged"]}},
+        }
+        tests = [
+            {
+                "name": "rows bypass the error filter",
+                "input": {"insert_at": "tagged", "rows": [{"status": 200}]},
+                "outputs": [
+                    {"extract_from": "tagged", "n_rows": 1,
+                     "conditions": [{"field": "seen", "op": "eq", "value": "yes"}]}
+                ],
+            }
+        ]
+        results = run_unit_tests(cfg, tests)
+        assert all(r["passed"] for r in results), results

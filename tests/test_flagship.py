@@ -146,3 +146,33 @@ class TestFlagshipResume:
         assert set(got) == set(truth)
         for k in list(got)[:300]:
             assert got[k] == truth[k]
+
+
+class TestResumeWithChangedInputList:
+    def test_no_double_count_when_fragments_added(self, tmp_path):
+        # reviewer scenario: resume after ADDING a fragment must not leave
+        # stale partition outputs in the aggregate
+        src = synth_parquet(3000, seed=21, rows_per_file=1000, root=str(tmp_path / "in"))
+        files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        out = str(tmp_path / "out")
+
+        # first run with only fragments 0 and 2 present in the input dir
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+        for f in [files[0], files[2]]:
+            shutil.copy(f, os.path.join(live, os.path.basename(f)))
+        res1 = run_flagship(live, out)
+        assert res1["partitions"] == 2
+
+        # fragment 1 arrives later; rerun over the same dir + out dir
+        shutil.copy(files[1], os.path.join(live, os.path.basename(files[1])))
+        res2 = run_flagship(live, out)
+        assert res2["partitions"] == 3
+        assert res2["skipped"] == 2  # unchanged fragments keep their digest ids
+        agg = res2["aggregate"].to_pandas()
+        assert int(agg["n_rows"].sum()) >= 3000  # routed rows >= inputs (copy lanes)
+        # row total equals a fresh run over all fragments (no stale double count)
+        fresh_out = str(tmp_path / "fresh")
+        res3 = run_flagship(live, fresh_out)
+        fresh = res3["aggregate"].to_pandas()
+        assert int(agg["n_rows"].sum()) == int(fresh["n_rows"].sum())

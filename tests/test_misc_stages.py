@@ -166,7 +166,32 @@ class TestMetrics:
         )
         out = ds.map_batches(keep_even, batch_format="pyarrow").take_all()
         assert len(out) == 50
-        snap = m.snapshot()
+        # increments are fire-and-forget: poll until the actor drains
+        import time
+
+        snap = {}
+        for _ in range(50):
+            snap = m.snapshot()
+            if snap.get("even_filter.rows_in") == 100:
+                break
+            time.sleep(0.1)
         assert snap["even_filter.rows_in"] == 100
         assert snap["even_filter.rows_out"] == 50
         assert snap["even_filter.batches"] >= 1
+
+
+class TestGeoipNested:
+    def test_longest_prefix_wins(self):
+        db = [("10.0.0.0/8", {"region": "big"}), ("10.1.0.0/16", {"region": "nested"}),
+              ("10.1.2.0/24", {"region": "deep"})]
+        g = GeoipLookup("ip", table=db)
+        t = pa.table({"ip": ["10.1.2.3", "10.1.9.9", "10.9.9.9", "11.0.0.1"]})
+        out = g.probe_batch(t)
+        regions = [None if v is None else v["region"] for v in out["geoip"].to_pylist()]
+        assert regions == ["deep", "nested", "big", None]
+
+    def test_empty_table_schema_stable(self):
+        g = GeoipLookup("ip", table=[("10.0.0.0/8", {"region": "x"})])
+        t = pa.table({"ip": pa.array([], pa.string())})
+        out = g.probe_batch(t)
+        assert out.column_names == ["ip", "geoip"]

@@ -442,6 +442,8 @@ class TokenMinHash:
                 )
             return t
         flat = np.asarray(arr.values, dtype=np.uint64)
+        if off0:
+            flat = flat[off0:]  # sliced list arrays: values buffer keeps the prefix
         total = len(flat)
         k = self.ngram
         MAX = np.iinfo(np.uint64).max

@@ -451,6 +451,14 @@ class ConfigError(ValueError):
     pass
 
 
+def _inputs(cfg: dict) -> List[str]:
+    """Normalize `inputs` (scalar string or list) to a list."""
+    inp = cfg.get("inputs")
+    if inp is None:
+        return []
+    return [inp] if isinstance(inp, str) else list(inp)
+
+
 class Topology:
     def __init__(self, config: dict):
         self.config = config
@@ -493,6 +501,9 @@ class Topology:
             _cache = {}
         if ref in _cache:
             return _cache[ref]
+        if overrides:
+            if ref in overrides and ref not in self.sources:
+                return overrides[ref]
         name, _, port = ref.partition(".")
         if name in self.sources:
             ds = self._source_dataset(name, overrides)
@@ -613,21 +624,21 @@ def validate(config: dict) -> List[str]:
                     raise ConfigError(f"compound {name}: unknown step type {c.get('type')}")
         elif t not in TRANSFORMS:
             raise ConfigError(f"unknown transform type {t!r} in {name}")
-        for i in cfg.get("inputs") or []:
+        for i in _inputs(cfg):
             base = i.split(".")[0]
             if base not in names:
                 raise ConfigError(f"{name}: unknown input {i}")
     if not sinks:
         warnings.append("config has no sinks — nothing will execute")
     for name, cfg in sinks.items():
-        for i in cfg.get("inputs") or []:
+        for i in _inputs(cfg):
             base = i.split(".")[0]
             if base not in names:
                 raise ConfigError(f"sink {name}: unknown input {i}")
     # cycle check (DAG requirement, src/config/graph.rs:202-260)
     adj = {n: [] for n in names}
     for name, cfg in transforms.items():
-        for i in cfg.get("inputs") or []:
+        for i in _inputs(cfg):
             adj[i.split(".")[0]].append(name)
     state: Dict[str, int] = {}
 
@@ -654,11 +665,11 @@ def graph(config: dict) -> str:
         out.write(f'  "{n}" [shape=trapezium]\n')
     for n, cfg in config.get("transforms", {}).items():
         out.write(f'  "{n}" [shape=diamond]\n')
-        for i in cfg.get("inputs") or []:
+        for i in _inputs(cfg):
             out.write(f'  "{i.split(".")[0]}" -> "{n}"\n')
     for n, cfg in config.get("sinks", {}).items():
         out.write(f'  "{n}" [shape=invtrapezium]\n')
-        for i in cfg.get("inputs") or []:
+        for i in _inputs(cfg):
             out.write(f'  "{i.split(".")[0]}" -> "{n}"\n')
     out.write("}\n")
     return out.getvalue()
@@ -706,15 +717,15 @@ def run_unit_tests(config, tests: List[dict]) -> List[dict]:
         insert_at = test["input"]["insert_at"]
         rows = test["input"]["rows"]
         injected = rd.from_arrow(pa.Table.from_pylist(rows))
-        # override: treat the insert_at node's INPUTS as the injected data
         cfg = topo.transforms.get(insert_at)
         if cfg is None:
             raise ConfigError(f"test {test.get('name')}: unknown insert_at {insert_at}")
-        src_names = {i.split(".")[0] for i in (cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]])}
-        overrides = {s: injected for s in src_names}
-        # make every (possibly transitive) source feed injected rows
-        for s in topo.sources:
-            overrides.setdefault(s, injected)
+        # inject DIRECTLY as the insert_at node's input (unit_test.rs
+        # semantics: rows enter AT the named transform, bypassing any
+        # upstream transforms); unrelated sources produce nothing
+        overrides = {ref: injected for ref in _inputs(cfg)}
+        for sname in topo.sources:
+            overrides.setdefault(sname, injected.limit(0))
         cache: dict = {}
         for out_spec in test.get("outputs", []):
             ref = out_spec["extract_from"]

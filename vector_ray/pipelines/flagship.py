@@ -148,15 +148,21 @@ def run_flagship(
     manifest = RunManifest(out_dir)
 
     groups = [files[i : i + fragments_per_partition] for i in range(0, len(files), fragments_per_partition)]
+    # partition id = digest of the fragment paths ONLY (no ordinal):
+    # adding/removing other fragments must not change an unchanged
+    # group's id, or resumes would recompute into new dirs while the
+    # final aggregate still reads the stale ones
+    import hashlib
+
+    pids = [
+        "frag-" + hashlib.sha1("\n".join(group).encode()).hexdigest()[:12]
+        for group in groups
+    ]
     skipped = 0
     for gi, group in enumerate(groups):
-        # partition id is bound to the input fragment identity, not the
-        # ordinal — resume over a different input list must NOT skip
-        import hashlib
-
-        digest = hashlib.sha1("\n".join(group).encode()).hexdigest()[:8]
-        pid = f"frag-{gi:05d}-{digest}"
-        if resume and manifest.is_done(pid):
+        pid = pids[gi]
+        frag_dir = os.path.join(out_dir, f"routed/{pid}")
+        if resume and manifest.is_done(pid) and (not write_routed or os.path.isdir(frag_dir)):
             skipped += 1
             continue
         t0 = time.time()
@@ -196,7 +202,13 @@ def run_flagship(
     # included without recomputation — that's the resume win)
     agg = None
     if write_routed:
-        routed_files = sorted(glob.glob(os.path.join(out_dir, "routed/*/_lane=*/*.parquet")))
+        # aggregate over THIS run's partitions only — the out_dir may hold
+        # partitions from prior runs over different input lists
+        routed_files = sorted(
+            f
+            for pid in pids
+            for f in glob.glob(os.path.join(out_dir, f"routed/{pid}/_lane=*/*.parquet"))
+        )
         if routed_files:
             agg_ds = rd.read_parquet(
                 routed_files, columns=["lane", "source", "region", "doc_id", "n_tok", "seq"]

@@ -84,7 +84,10 @@ def synth_table(ids: np.ndarray | int, seed: int = 42) -> pa.Table:
     app = APPS[(ha % _U64(len(APPS))).astype(np.int64)]
     host = HOSTS[((ha >> _U64(8)) % _U64(len(HOSTS))).astype(np.int64)]
     tld = TLDS[((ha >> _U64(16)) % _U64(len(TLDS))).astype(np.int64)]
-    seq = np.char.zfill(ids.astype("U8"), 8)
+    # %08d semantics: pad to 8, keep ALL digits beyond (np.char.zfill
+    # alone truncates to U8 — ids past 10^8 would collide)
+    strs = ids.astype("U20")
+    seq = np.where(np.char.str_len(strs) >= 8, strs, np.char.zfill(strs, 8).astype("U20"))
     doc_id = np.char.add(
         np.char.add(np.char.add(np.char.add(np.char.add(app, "-"), host), "."), np.char.add(tld, "-")),
         seq,

@@ -14,10 +14,13 @@
   templated names/tags.
 
 - ``Aggregate``: src/transforms/aggregate.rs:72-107 — merge metric rows
-  by series (name+tags): Incremental → sum, Absolute → last-write (by a
-  sequence column, since batch has no arrival order). Interval flushing
-  (aggregate.rs:24-26) collapses to one end-of-input flush, exactly the
-  reference's stream-end flush (aggregate.rs:128-134).
+  by series (name+tags): Incremental → sum, Absolute → last-write.
+  NOTE: "last" is last-in-batch-order within partials and
+  last-partial-in-shuffle-order at the merge — like the reference's
+  arrival-order replace, it is only deterministic if the caller
+  provides an ordered input (sort on a sequence column first). Interval
+  flushing (aggregate.rs:24-26) collapses to one end-of-input flush,
+  exactly the reference's stream-end flush (aggregate.rs:128-134).
 """
 
 from __future__ import annotations
@@ -90,43 +93,37 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
         sk_tbl = _sketch_partial(tbl, keys, sketch_specs)
         if not specs:
             return sk_tbl
-    aggs = []
-    renames = {}
+    # collect UNIQUE (col, agg) pairs, then map each spec's target
+    # columns onto them — two specs may need the same pair (e.g.
+    # {"avg": ("mean", "v"), "total": ("sum", "v")} both need v_sum)
+    pairs: list = []
+    targets: list = []  # (target_name, (col, agg))
     for name, (kind, col, *_o) in specs.items():
         if kind in _SIMPLE:
             agg, _ = _SIMPLE[kind]
-            aggs.append((col, agg))
-            renames[f"{col}_{agg}"] = f"{name}"
+            need = [(name, (col, agg))]
         elif kind == "mean":
-            aggs.append((col, "sum"))
-            aggs.append((col, "count"))
-            renames[f"{col}_sum"] = f"{name}__sum"
-            renames[f"{col}_count"] = f"{name}__count"
+            need = [(f"{name}__sum", (col, "sum")), (f"{name}__count", (col, "count"))]
         elif kind in ("set", "nunique"):
-            aggs.append((col, "distinct"))
-            renames[f"{col}_distinct"] = f"{name}__set"
+            need = [(f"{name}__set", (col, "distinct"))]
         elif kind == "last":
             # value at max seq within batch: batch is already in row order
-            aggs.append((col, "last"))
-            renames[f"{col}_last"] = f"{name}"
+            need = [(name, (col, "last"))]
+        elif kind == "first":
+            need = [(name, (col, "first"))]
         elif kind in ("approx_nunique", "histogram"):
             continue  # handled by _sketch_partial
-        elif kind == "first":
-            aggs.append((col, "first"))
-            renames[f"{col}_first"] = f"{name}"
         else:
             raise ValueError(f"unknown agg kind {kind}")
-    out = pa.TableGroupBy(tbl, list(keys)).aggregate(aggs)
-    # TableGroupBy names output "<col>_<agg>"; apply our renames (dedupe-safe)
-    new_names = []
-    used = set()
-    for n in out.column_names:
-        nn = renames.get(n, n)
-        while nn in used:
-            nn = nn + "_"
-        used.add(nn)
-        new_names.append(nn)
-    out = out.rename_columns(new_names)
+        for tname, pair in need:
+            if pair not in pairs:
+                pairs.append(pair)
+            targets.append((tname, pair))
+    raw = pa.TableGroupBy(tbl, list(keys)).aggregate(pairs)
+    cols = {k: raw[k] for k in keys}
+    for tname, (col, agg) in targets:
+        cols[tname] = raw[f"{col}_{agg}"]
+    out = pa.table(cols)
     if sketch_specs:
         # attach sketch columns by joining on the keys (both sides have
         # exactly one row per group)

@@ -38,11 +38,14 @@ class _GeoipActor:
         self.starts = np.array([n[0] for n in nets], dtype=np.uint32)
         self.ends = np.array([n[1] for n in nets], dtype=np.uint32)
         self.payloads = [n[2] for n in nets]
+        self.payload_type = pa.array(self.payloads).type if self.payloads else pa.struct([])
         self.field = field
         self.target = target
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = len(t)
+        if n == 0 or len(self.starts) == 0:
+            return t.append_column(self.target, pa.nulls(n, self.payload_type))
         # vectorized dotted-quad → uint32 via one regex extract; invalid
         # rows (non-IPv4 strings, nulls) fall out as null → miss
         s = pc.extract_regex(
@@ -57,10 +60,24 @@ class _GeoipActor:
             quads[:, j] = col.to_numpy(zero_copy_only=False)
         valid &= (quads <= 255).all(axis=1)
         ipnum = (quads[:, 0] << 24) | (quads[:, 1] << 16) | (quads[:, 2] << 8) | quads[:, 3]
-        idx = np.searchsorted(self.starts, ipnum, side="right") - 1
-        idx = np.clip(idx, 0, len(self.starts) - 1) if len(self.starts) else np.zeros(n, dtype=int)
-        hit = valid & (len(self.starts) > 0) & (ipnum >= self.starts[idx]) & (ipnum <= self.ends[idx])
-        rows = [self.payloads[idx[i]] if hit[i] else None for i in range(n)]
+        # candidate = last network starting at or before the ip; nested
+        # (overlapping) networks sort with the NARROWEST nearest the ip,
+        # so walking backwards finds the longest-prefix match first
+        idx = np.clip(np.searchsorted(self.starts, ipnum, side="right") - 1, 0, len(self.starts) - 1)
+        match = np.full(n, -1, dtype=np.int64)
+        remaining = valid.copy()
+        for d in range(min(33, len(self.starts))):
+            j = idx - d
+            ok = remaining & (j >= 0)
+            jj = np.clip(j, 0, None)
+            contained = ok & (ipnum >= self.starts[jj]) & (ipnum <= self.ends[jj])
+            match[contained] = jj[contained]
+            remaining &= ~contained
+            # stop early once candidates start before every remaining ip's
+            # possible enclosing range
+            if not remaining.any():
+                break
+        rows = [self.payloads[match[i]] if match[i] >= 0 else None for i in range(n)]
         struct = pa.array(rows)
         return t.append_column(self.target, struct)
 

@@ -123,8 +123,9 @@ def bucketed_join(
         sides = g[_SIDE]
         lt = g.filter(pc.equal(sides, 0)).select(l_cols)
         rt = g.filter(pc.equal(sides, 1)).select(r_cols)
-        if len(rt) == 0 and jt == "inner":
-            return lt.select(l_cols).slice(0, 0)
+        # Arrow join handles empty sides and keeps the full joined schema
+        # — no early return, or empty buckets would emit schema-divergent
+        # blocks
         out = lt.join(rt, keys=on, right_keys=r_on, join_type=jt)
         return out.select([c for c in out_cols if c in out.column_names])
 
@@ -155,14 +156,12 @@ def asof_join(
     r_cols = list(r_names)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lt = g[g[_SIDE] == 0][l_cols]
-        rt = g[g[_SIDE] == 1][r_cols]
-        if lt.empty:
-            return lt
-        lt = lt.sort_values(on, kind="mergesort")
-        if rt.empty:
-            return lt
-        rt = rt.sort_values(on, kind="mergesort")
+        # dtypes survive even for empty sides (columns come from the
+        # padded union frame), and merge_asof handles empty right by
+        # emitting typed-null right columns — every bucket keeps the
+        # identical output schema
+        lt = g[g[_SIDE] == 0][l_cols].sort_values(on, kind="mergesort")
+        rt = g[g[_SIDE] == 1][r_cols].sort_values(on, kind="mergesort")
         return pd.merge_asof(lt, rt, on=on, by=by, direction=direction, tolerance=tolerance)
 
     return both.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pandas")

@@ -56,7 +56,7 @@ class Remap(BatchStep):
         if self.drop_on_error:
             out = out.filter(pc.invert(err))
             if self.error_col:
-                out = out.append_column(self.error_col, pa.array([False] * len(out)))
+                out = out.append_column(self.error_col, pa.array([False] * len(out), pa.bool_()))
             return out
 
         # keep-original semantics: commit program output only where !err

@@ -39,11 +39,15 @@ def add_salt(ds, key_cols: Sequence[str], *, salt_col: str = "__salt", buckets: 
 
     def salt_batch(t: pa.Table) -> pa.Table:
         if salt_source and salt_source in t.column_names:
-            base = pc.cast(t[salt_source], pa.string())
+            f = F.fingerprint(pc.cast(t[salt_source], pa.string()))
+            salted = np.asarray(f.to_numpy(zero_copy_only=False), dtype=np.uint64) % np.uint64(buckets)
         else:
-            base = pc.cast(t[key_cols[0]], pa.string())
-        f = F.fingerprint(base)
-        salted = np.asarray(f.to_numpy(zero_copy_only=False), dtype=np.uint64) % np.uint64(buckets)
+            # no per-row salt source: round-robin within the batch. The
+            # assignment is batching-dependent, which is fine — salt only
+            # controls sub-grouping and the merge is associative; a
+            # key-derived salt here would be CONSTANT per key and split
+            # nothing.
+            salted = np.arange(len(t), dtype=np.uint64) % np.uint64(buckets)
         return t.append_column(salt_col, pa.array(salted.astype(np.int32)))
 
     return ds.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -5,8 +5,9 @@
 A detached ``MetricsActor`` collects (stage, counter) increments;
 ``instrument()`` wraps a batch fn so every batch reports rows_in /
 rows_out (fire-and-forget remote call — no added latency on the data
-path; counts are eventually consistent, exact at pipeline completion
-because ``snapshot()`` is called after the run consumes).
+path; counts are EVENTUALLY consistent: in-flight increments may still
+be queued when the pipeline's consuming call returns, so poll
+``snapshot()`` until stable for exact totals).
 """
 
 from __future__ import annotations
