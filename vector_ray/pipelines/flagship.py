@@ -90,20 +90,20 @@ def parse_enrich_route(
     return ds
 
 
+_AGG_KEYS = ["lane", "source", "region"]
+_AGG_SPECS = {
+    "n_rows": ("count", "doc_id"),
+    "tok_sum": ("sum", "n_tok"),
+    "seq_min": ("min", "seq"),
+    "seq_max": ("max", "seq"),
+}
+
+
 def flagship_aggregate(routed_ds):
     """Per-sink aggregate: one row per (lane, source, region) with row
     count, token sum, and seq bounds — the log_to_metric+aggregate
     composition, two-phase so the shuffle only moves partials."""
-    return grouped_aggregate(
-        routed_ds,
-        ["lane", "source", "region"],
-        {
-            "n_rows": ("count", "doc_id"),
-            "tok_sum": ("sum", "n_tok"),
-            "seq_min": ("min", "seq"),
-            "seq_max": ("max", "seq"),
-        },
-    )
+    return grouped_aggregate(routed_ds, _AGG_KEYS, _AGG_SPECS)
 
 
 def flagship_dataset(input_path: str | Sequence[str], *, columns=None):
@@ -191,6 +191,25 @@ def run_flagship(
 
                 nrows = sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(ld, "*.parquet")))
                 counters[f"rows_out_{lane}"] = nrows
+            # per-partition aggregate PARTIAL (tiny), so the final
+            # aggregate merges manifests instead of re-reading the routed
+            # payload — resume cost is O(partitions), not O(data)
+            part_files = sorted(glob.glob(os.path.join(frag_out, "_lane=*/*.parquet")))
+            if part_files:
+                from vector_ray.stages.aggregate import _partial_batch
+
+                part_ds = rd.read_parquet(
+                    part_files, columns=["lane", "source", "region", "doc_id", "n_tok", "seq"]
+                )
+                partial = part_ds.map_batches(
+                    lambda t: _partial_batch(t, _AGG_KEYS, _AGG_SPECS),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                pa_partial = pa.Table.from_pylist(partial.take_all())
+                import pyarrow.parquet as pq
+
+                pq.write_table(pa_partial, os.path.join(frag_out, "agg_partial.parquet"))
             outputs = [frag_out]
         else:
             counters = {"rows_in": rows_in, "rows_out": routed.count()}
@@ -202,18 +221,40 @@ def run_flagship(
     # included without recomputation — that's the resume win)
     agg = None
     if write_routed:
-        # aggregate over THIS run's partitions only — the out_dir may hold
-        # partitions from prior runs over different input lists
-        routed_files = sorted(
-            f
-            for pid in pids
-            for f in glob.glob(os.path.join(out_dir, f"routed/{pid}/_lane=*/*.parquet"))
-        )
-        if routed_files:
-            agg_ds = rd.read_parquet(
-                routed_files, columns=["lane", "source", "region", "doc_id", "n_tok", "seq"]
+        # merge the per-partition aggregate partials for THIS run's
+        # partitions (fall back to re-reading routed files for partitions
+        # written before partials existed)
+        from vector_ray.stages.aggregate import _final_merge_fn, _partial_batch
+
+        partial_files = []
+        legacy_routed = []
+        for pid in pids:
+            pf = os.path.join(out_dir, f"routed/{pid}/agg_partial.parquet")
+            if os.path.exists(pf):
+                partial_files.append(pf)
+            else:
+                legacy_routed.extend(
+                    glob.glob(os.path.join(out_dir, f"routed/{pid}/_lane=*/*.parquet"))
+                )
+        pieces = []
+        if partial_files:
+            pieces.append(rd.read_parquet(partial_files))
+        if legacy_routed:
+            legacy = rd.read_parquet(
+                legacy_routed, columns=["lane", "source", "region", "doc_id", "n_tok", "seq"]
+            ).map_batches(
+                lambda t: _partial_batch(t, _AGG_KEYS, _AGG_SPECS),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-            agg = flagship_aggregate(agg_ds)
+            pieces.append(legacy)
+        if pieces:
+            allp = pieces[0]
+            for p_ in pieces[1:]:
+                allp = allp.union(p_)
+            agg = allp.repartition(4).groupby(_AGG_KEYS).map_groups(
+                _final_merge_fn(_AGG_KEYS, _AGG_SPECS), batch_format="pyarrow"
+            )
     return {"manifest": manifest, "skipped": skipped, "aggregate": agg, "partitions": len(groups)}
 
 
