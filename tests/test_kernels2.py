@@ -137,3 +137,47 @@ class TestApproxAggIntegration:
         assert by["a"]["n"] == 600
         assert abs(by["a"]["nd"] - 300) <= 12
         assert abs(by["b"]["nd"] - 37) <= 3
+
+
+class TestParsePresets:
+    def test_apache_combined(self):
+        line = '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326 "http://ref" "curl/8"'
+        s = F.parse_apache_log(pa.array([line]))
+        row = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_pylist()[0]
+        assert row["host"] == "1.2.3.4"
+        assert row["status"] == "200"
+        assert row["agent"] == "curl/8"
+
+    def test_nginx(self):
+        line = '1.2.3.4 - - [10/Oct/2000:13:55:36 +0000] "GET / HTTP/1.1" 304 0 "-" "Mozilla"'
+        s = F.parse_nginx_log(pa.array([line]))
+        row = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_pylist()[0]
+        assert row["status"] == "304"
+        assert row["agent"] == "Mozilla"
+
+    def test_glog(self):
+        line = "I0813 12:00:01.123456 42 server.cc:123] started ok"
+        s = F.parse_glog(pa.array([line]))
+        row = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_pylist()[0]
+        assert row["level"] == "I"
+        assert row["file"] == "server.cc"
+        assert row["message"] == "started ok"
+
+    def test_linux_auth(self):
+        line = "Feb  5 10:15:57 host42 sshd[4242]: Failed password for root"
+        s = F.parse_linux_authorization(pa.array([line]))
+        row = (s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s).to_pylist()[0]
+        assert row["appname"] == "sshd"
+        assert row["message"] == "Failed password for root"
+
+
+class TestCodecAdditions:
+    def test_encode_key_value_roundtrip(self):
+        t = pa.table({"at": ["info"], "status": [200]})
+        enc = F.encode_key_value(t)
+        assert enc.to_pylist() == ["at=info status=200"]
+
+    def test_redact(self):
+        a = pa.array(["user=alice token=abc123 other"])
+        out = F.redact(a, [r"token=\w+"])
+        assert out.to_pylist() == ["user=alice [REDACTED] other"]

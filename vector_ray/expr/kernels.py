@@ -649,3 +649,104 @@ def is_string_type(a):
 def is_match(a, pattern):
     """VRL `match`: regex test returning bool array."""
     return pc.match_substring_regex(pc.cast(a, pa.string()), pattern)
+
+
+# --------------------------------------------------------------------------
+# parse presets (lib/vrl/stdlib parse_apache_log / parse_nginx_log /
+# parse_common_log / parse_glog / parse_klog / parse_linux_authorization)
+
+_COMMON_LOG_RE = (
+    r'^(?P<host>\S+) (?P<identity>\S+) (?P<user>\S+) \[(?P<timestamp>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)(?: (?P<protocol>[^"]*))?" '
+    r"(?P<status>\d{3}) (?P<size>\d+|-)"
+)
+
+_COMBINED_EXTRA_RE = r'(?: "(?P<referrer>[^"]*)" "(?P<agent>[^"]*)")?'
+
+
+def parse_common_log(a):
+    """Apache common log format → struct."""
+    return pc.extract_regex(pc.cast(a, pa.string()), _COMMON_LOG_RE)
+
+
+def parse_apache_log(a, format: str = "combined"):
+    """Apache common/combined → struct (combined adds referrer+agent)."""
+    if format == "common":
+        return parse_common_log(a)
+    return pc.extract_regex(pc.cast(a, pa.string()), _COMMON_LOG_RE + _COMBINED_EXTRA_RE)
+
+
+_NGINX_RE = (
+    r'^(?P<client>\S+) - (?P<user>\S+) \[(?P<timestamp>[^\]]+)\] '
+    r'"(?P<request>[^"]*)" (?P<status>\d{3}) (?P<size>\d+) '
+    r'"(?P<referer>[^"]*)" "(?P<agent>[^"]*)"'
+)
+
+
+def parse_nginx_log(a):
+    return pc.extract_regex(pc.cast(a, pa.string()), _NGINX_RE)
+
+
+_GLOG_RE = (
+    r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2}) "
+    r"(?P<time>\d{2}:\d{2}:\d{2}\.\d+)\s+(?P<thread>\d+) "
+    r"(?P<file>[^:]+):(?P<line>\d+)\] (?P<message>.*)$"
+)
+
+
+def parse_glog(a):
+    """google-glog lines (I0813 12:00:00.000000 1 main.cc:10] msg)."""
+    return pc.extract_regex(pc.cast(a, pa.string()), _GLOG_RE)
+
+
+_KLOG_RE = (
+    r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2}) "
+    r"(?P<time>\d{2}:\d{2}:\d{2}\.\d+)\s+(?P<thread>\d+) "
+    r"(?P<file>[^:]+):(?P<line>\d+)\] \"(?P<message>[^\"]*)\"(?P<rest>.*)$"
+)
+
+
+def parse_klog(a):
+    return pc.extract_regex(pc.cast(a, pa.string()), _KLOG_RE)
+
+
+_LINUX_AUTH_RE = (
+    r"^(?P<timestamp>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<appname>[^\[\s:]+)(?:\[(?P<procid>\d+)\])?: "
+    r"(?P<message>.*)$"
+)
+
+
+def parse_linux_authorization(a):
+    return pc.extract_regex(pc.cast(a, pa.string()), _LINUX_AUTH_RE)
+
+
+# --------------------------------------------------------------------------
+# codec additions (encode_logfmt / encode_key_value / redact)
+
+
+def encode_key_value(tbl: pa.Table, fields=None, *, field_sep: str = "=", pair_sep: str = " "):
+    """Rows → key=value strings (VRL encode_key_value/encode_logfmt).
+    Vectorized: one render-style join over the selected columns."""
+    names = list(fields) if fields else list(tbl.column_names)
+    parts = []
+    for i, name in enumerate(names):
+        prefix = f"{name}{field_sep}"
+        vals = pc.cast(tbl[name], pa.string())
+        vals = pc.fill_null(vals, "")
+        parts.append(pc.binary_join_element_wise(const(len(tbl), prefix), vals, ""))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, pair_sep)
+
+
+def encode_logfmt(tbl: pa.Table, fields=None):
+    return encode_key_value(tbl, fields)
+
+
+def redact(a, patterns, *, replacement: str = "[REDACTED]"):
+    """VRL `redact`: replace every match of each pattern."""
+    out = pc.cast(a, pa.string())
+    for p in patterns:
+        out = pc.replace_substring_regex(out, p, replacement)
+    return out

@@ -412,6 +412,22 @@ def _build_csv(cfg):
     return FnStep(parse, name="csv_parser")
 
 
+@register_transform("tumbling_window")
+def _build_tumbling(cfg):
+    from vector_ray.stages.window import TumblingWindow
+
+    return TumblingWindow(cfg["keys"], cfg.get("ts_col", "ts"), cfg["size_s"],
+                          {k: tuple(v) for k, v in cfg["specs"].items()})
+
+
+@register_transform("session_window")
+def _build_session(cfg):
+    from vector_ray.stages.window import SessionWindow
+
+    return SessionWindow(cfg["keys"], cfg.get("ts_col", "ts"), cfg["gap_s"],
+                         {k: tuple(v) for k, v in cfg["aggs"].items()})
+
+
 @register_transform("token_count")
 def _build_token_count(cfg):
     from vector_ray.ml.text import TokenCount
