@@ -546,6 +546,27 @@ def q_asof_last_purchase(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_token_near_dup(sf_dir):
+    """Sequence-level near-dup pairs over the tokenized table (synth +
+    100 planted duplicate rows) — TokenMinHash → banded LSH → pairs."""
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import token_minhash_pairs
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table(
+        {
+            "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+            "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+            "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+            "source": t["source"].slice(0, 100).combine_chunks(),
+        }
+    )
+    full = pa.concat_tables([t, dup])
+    return token_minhash_pairs(rd.from_arrow(full).repartition(4))
+
+
 def q_flagship_tokenized(sf_dir):
     """Flagship parse→enrich→route→aggregate over the synthesized
     tokenized-log table (the BASELINE.json input shape; scale-free)."""
@@ -626,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "media_features": q_media_features,
+        "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
     }
 

@@ -167,3 +167,32 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             FrameSample(fake=False)
+
+
+class TestTokenNearDup:
+    def test_planted_token_dups_found(self):
+        from vector_ray.ml.dedup import token_minhash_pairs
+        from vector_ray.sources.synth import synth_table
+
+        t = synth_table(200)
+        # plant duplicates of two LONG rows (short rows — n_tok < ngram —
+        # have no shingles and are excluded from banding by design)
+        import numpy as np
+
+        n_tok = t["n_tok"].to_pylist()
+        long_idx = [i for i, n in enumerate(n_tok) if n >= 16][:2]
+        dup = pa.table(
+            {
+                "doc_id": pa.array(["dup-0", "dup-1"]),
+                "tokens": t["tokens"].take(pa.array(long_idx)).combine_chunks(),
+                "n_tok": t["n_tok"].take(pa.array(long_idx)).combine_chunks(),
+                "source": t["source"].take(pa.array(long_idx)).combine_chunks(),
+            }
+        )
+        full = pa.concat_tables([t, dup])
+        pairs = token_minhash_pairs(rd.from_arrow(full).repartition(3)).take_all()
+        found = {tuple(sorted((r["a"], r["b"]))) for r in pairs}
+        d0 = t["doc_id"][long_idx[0]].as_py()
+        d1 = t["doc_id"][long_idx[1]].as_py()
+        assert tuple(sorted((d0, "dup-0"))) in found
+        assert tuple(sorted((d1, "dup-1"))) in found

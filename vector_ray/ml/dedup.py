@@ -520,3 +520,80 @@ class TokenMinHash:
         for name, vals in out_cols.items():
             t = t.append_column(name, pa.array(vals, pa.uint64()))
         return t
+
+
+def token_minhash_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 4,
+    sig_threshold: float = 0.75,
+):
+    """Near-duplicate PAIRS over a tokens:list<int32> column: TokenMinHash
+    signatures (one fused pass) → banded LSH buckets → within-bucket
+    signature-agreement verification. The shuffle moves only
+    (band, band_hash, id, sigs) rows — never the token payload."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    mh = TokenMinHash(tokens_col, num_hashes=num_hashes, ngram=ngram)
+    sig_cols = [f"tok_sig{h}" for h in range(num_hashes)]
+
+    MAXU = np.iinfo(np.uint64).max
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        t = mh(t)
+        # rows shorter than the shingle width carry the sentinel signature
+        # (no shingles): near-dup is undefined for them, and keeping them
+        # would put EVERY short row into one giant identical-sig bucket
+        t = t.filter(pc.not_equal(t[sig_cols[0]], pa.scalar(MAXU, pa.uint64())))
+        n = len(t)
+        sig = np.stack(
+            [np.asarray(t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c])
+             for c in sig_cols], axis=1
+        ).astype(np.uint64)
+        band_hashes = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = _sm64(acc ^ sig[:, b * rows_per_band + j])
+                band_hashes[:, b] = acc
+        ids = np.repeat(np.asarray(t[id_col]), bands)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hashes.reshape(-1), pa.uint64()),
+                id_col: pa.array(ids),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.uint64()), num_hashes
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def candidates(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                          "est_sim": pa.array([], pa.float64())})
+        if len(g) < 2:
+            return empty
+        ids = [str(v) for v in g[id_col].to_pylist()]
+        sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
+        order = np.argsort(ids)
+        out_a, out_b, est = [], [], []
+        for ii in range(len(order)):
+            i = order[ii]
+            eq = (sig[[order[jj] for jj in range(ii + 1, len(order))]] == sig[i]).mean(axis=1)
+            for off, e in enumerate(eq):
+                if e >= sig_threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[order[ii + 1 + off]])
+                    est.append(float(e))
+        return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string()),
+                         "est_sim": pa.array(est, pa.float64())})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
