@@ -112,13 +112,20 @@ def flagship_dataset(input_path: str | Sequence[str], *, columns=None):
     return rd.read_parquet(input_path)
 
 
-def run_streaming(input_path, *, lookup=None):
-    """One-shot lazy pipeline (bench mode): read → parse → enrich →
-    route → aggregate, consumed by the tiny final aggregate — nothing
-    materializes the full dataset."""
-    ds = flagship_dataset(input_path)
-    routed = parse_enrich_route(ds, lookup=lookup)
-    return flagship_aggregate(routed)
+def run_streaming(input_path, *, lookup=None, concurrency: int = 4, token_sig: bool = False):
+    """One-shot lazy pipeline: read → parse → enrich → route →
+    aggregate, consumed by the tiny final aggregate — nothing
+    materializes the full dataset. Delegates to the fused
+    FlagshipWorker path (see run_streaming_fused)."""
+    import glob as _g
+
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        files = sorted(_g.glob(os.path.join(input_path, "*.parquet")))
+    elif isinstance(input_path, str):
+        files = [input_path]
+    else:
+        files = list(input_path)
+    return run_streaming_fused(files, concurrency=concurrency, token_sig=token_sig, lookup=lookup)
 
 
 def run_flagship(
