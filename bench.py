@@ -168,7 +168,7 @@ def _cpu_calibration(ncpu: int, seconds: float = 6.0) -> float:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    bench_rows = int(os.environ.get("VR_BENCH_ROWS", "2000000"))
+    bench_rows = int(os.environ.get("VR_BENCH_ROWS", "4000000"))
     reps = int(os.environ.get("VR_BENCH_REPS", "3"))
 
     if "--scaling" in sys.argv:

@@ -304,9 +304,16 @@ class FlagshipWorker:
         "seq_max": ("max", "seq"),
     }
 
+    #: columns the aggregate consumes — the route-explode copy is
+    #: projected to these BEFORE duplicating rows into lanes (projection
+    #: pushdown through the fan-out: the aggregate-only path must not
+    #: memcpy the token payload once per matching lane)
+    NARROW = ["doc_id", "n_tok", "seq", "source", "region", "tier", "app"]
+
     def __call__(self, t: pa.Table) -> pa.Table:
         t = self.chain.transform(t)
         t = self.enricher(t)
+        t = t.select([c for c in self.NARROW if c in t.column_names])
         t = self.route._explode_batch(t)
         return self._partial(t, self.AGG_KEYS, self.AGG_SPECS)
 
@@ -320,6 +327,10 @@ def run_streaming_fused(files, *, concurrency: int, token_sig: bool = False, loo
     from vector_ray.stages.aggregate import _final_merge_fn
 
     table_ref = _ray.put(lookup if lookup is not None else source_lookup_table())
+    # one block per fragment: override_num_blocks above len(files)
+    # triggers SplitBlocks, which re-copies the full list-column buffers
+    # per sub-block (measured 4-5x slower); parallelism beyond the
+    # fragment count must come from MORE fragments, not splits
     ds = rd.read_parquet(files, override_num_blocks=len(files) if isinstance(files, list) else None)
     partial = ds.map_batches(
         FlagshipWorker,
