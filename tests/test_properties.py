@@ -124,3 +124,50 @@ class TestHLLProperty:
         h = HLL()
         h.add_strings(pa.array([f"val-{i}" for i in range(n)]))
         assert abs(h.estimate() - n) / n < 0.10
+
+
+class TestGroupedAggregateProperty:
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "hot"]),
+                st.one_of(st.integers(-1000, 1000), st.none()),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(1, 4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_pandas(self, rows, blocks):
+        import pandas as pd
+        import ray.data as rd
+
+        from vector_ray.stages import grouped_aggregate
+
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "v": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        out = grouped_aggregate(
+            rd.from_arrow(t).repartition(blocks),
+            ["k"],
+            {"s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v"),
+             "n": ("count", "v"), "nd": ("nunique", "v")},
+        ).take_all()
+        got = {r["k"]: r for r in out}
+        df = t.to_pandas()
+        for k, g in df.groupby("k"):
+            vals = g["v"].dropna()
+            r = got[k]
+            if len(vals):
+                assert r["s"] == vals.sum()
+                assert r["mn"] == vals.min()
+                assert r["mx"] == vals.max()
+            else:
+                assert r["s"] is None
+            assert r["n"] == len(vals)
+            assert r["nd"] == vals.nunique()
+        assert set(got) == set(df["k"].unique())
