@@ -38,16 +38,30 @@ class TagCardinalityLimit(Step):
         self.action = action
 
     def apply(self, ds):
-        # phase 1: per-tag distinct values via per-batch partial distinct
-        accepted: dict[str, object] = {}
-        for tag in self.tags:
-            def partial(t: pa.Table, tag=tag) -> pa.Table:
-                return pa.table({tag: pc.unique(pc.cast(t[tag], pa.string()))})
+        # phase 1: ONE pass emitting per-batch distinct (tag, value) pairs
+        # for every guarded tag, then a single small distinct-pair shuffle
+        tags = self.tags
 
-            distinct = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            vals = distinct.unique(tag)
-            vals = sorted(v for v in vals if v is not None)[: self.value_limit]
-            accepted[tag] = ray.put(pa.array(vals, pa.string()))
+        def partial(t: pa.Table) -> pa.Table:
+            tcols, vcols = [], []
+            for tag in tags:
+                u = pc.unique(pc.cast(t[tag], pa.string()))
+                u = u.drop_null()
+                tcols.append(pa.array([tag] * len(u), pa.string()))
+                vcols.append(u)
+            return pa.table({"tag": pa.concat_arrays(tcols), "value": pa.concat_arrays(vcols)})
+
+        pairs = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        distinct_pairs = pairs.groupby(["tag", "value"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+        by_tag: dict[str, list] = {tag: [] for tag in tags}
+        for row in distinct_pairs.take_all():
+            by_tag[row["tag"]].append(row["value"])
+        accepted = {
+            tag: ray.put(pa.array(sorted(vals)[: self.value_limit], pa.string()))
+            for tag, vals in by_tag.items()
+        }
 
         tags, action = self.tags, self.action
 
