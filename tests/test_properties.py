@@ -171,3 +171,34 @@ class TestGroupedAggregateProperty:
             assert r["n"] == len(vals)
             assert r["nd"] == vals.nunique()
         assert set(got) == set(df["k"].unique())
+
+
+class TestRouteProperty:
+    @given(
+        st.lists(st.tuples(st.integers(0, 999), st.sampled_from(["hot", "warm", "cold"])),
+                 min_size=1, max_size=50)
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_multiplicity_equals_matching_lanes(self, rows):
+        from vector_ray.expr import C
+        from vector_ray.stages.route import Route
+
+        t = pa.table(
+            {"x": pa.array([r[0] for r in rows]), "tier": pa.array([r[1] for r in rows])}
+        )
+        route = Route(
+            {"big": C.ge("x", 500), "hot": C.eq("tier", "hot"), "even": C.expr(
+                lambda tb: pc.equal(F.mod(tb["x"], 2), 0))},
+            unmatched_lane="rest",
+        )
+        out = route._explode_batch(t)
+        # every input row appears exactly max(1, #matching lanes) times
+        import collections
+
+        counts = collections.Counter(zip(out["x"].to_pylist(), out["tier"].to_pylist()))
+        for x, tier in rows:
+            expect = (x >= 500) + (tier == "hot") + (x % 2 == 0)
+            assert counts[(x, tier)] >= max(1, expect)  # >= because duplicate input rows sum
+        assert len(out) == sum(
+            max(1, (x >= 500) + (tier == "hot") + (x % 2 == 0)) for x, tier in rows
+        )
