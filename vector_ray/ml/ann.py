@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 import pyarrow as pa

@@ -17,10 +17,10 @@ all-to-all exchanges are groupbys over narrow key/signature tables.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

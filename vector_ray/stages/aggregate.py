@@ -28,7 +28,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

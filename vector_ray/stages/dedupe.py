@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from vector_ray.expr import F
+
 from vector_ray.stages.base import Step
 
 _HASH = "__dedupe_key"

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json as _json
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -12,7 +12,7 @@ be queued when the pipeline's consuming call returns, so poll
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import pyarrow as pa
 
