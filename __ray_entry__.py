@@ -546,6 +546,23 @@ def q_asof_last_purchase(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_percentiles(sf_dir):
+    """Exact distributed percentiles via ds.sort + limit(k) — the sort /
+    top-k capability the reference lacks entirely (SURVEY.md §2.7)."""
+    import math
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    n = ds.count()
+    rows = {"p": [], "value": []}
+    for p in (0.5, 0.9, 0.99):
+        k = max(1, math.ceil(p * n))
+        last = ds.sort("value").limit(k).take(k)[-1]
+        rows["p"].append(p)
+        rows["value"].append(last["value"])
+    return pa.table({"p": pa.array(rows["p"], pa.float64()),
+                     "value": pa.array(rows["value"], pa.float64())})
+
+
 def q_token_near_dup(sf_dir):
     """Sequence-level near-dup pairs over the tokenized table (synth +
     100 planted duplicate rows) — TokenMinHash → banded LSH → pairs."""
@@ -647,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_docs": q_quality_docs,
         "media_features": q_media_features,
+        "percentiles": q_percentiles,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
     }
@@ -774,6 +792,11 @@ def oracle_sql() -> dict[str, str]:
         "geoip_events": (
             "SELECT event_id, CASE WHEN user_id % 256 < 128 THEN 'low' ELSE 'high' END AS region "
             "FROM events"
+        ),
+        "percentiles": (
+            "SELECT 0.5 AS p, quantile_disc(value, 0.5) AS value FROM events "
+            "UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events "
+            "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "

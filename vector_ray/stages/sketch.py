@@ -128,10 +128,29 @@ class Histogram:
         self.sum += other.sum
         return self
 
+    def quantile(self, p: float) -> float:
+        """Estimated quantile from bucket counts (upper-bound estimate —
+        the mergeable stand-in for the reference's non-mergeable
+        AggregatedSummary quantile snapshots, metric.rs:165-169)."""
+        if self.count == 0:
+            return float("nan")
+        target = p * self.count
+        cum = 0
+        for i, c in enumerate(self.counts):
+            cum += c
+            if cum >= target:
+                if i < len(self.bounds):
+                    return float(self.bounds[i])
+                return float("inf")  # above the last bound
+        return float(self.bounds[-1]) if len(self.bounds) else float("nan")
+
     def to_dict(self) -> dict:
         return {
             "buckets": self.bounds.tolist(),
             "counts": self.counts.tolist(),
             "count": self.count,
             "sum": self.sum,
+            "p50": self.quantile(0.5),
+            "p90": self.quantile(0.9),
+            "p99": self.quantile(0.99),
         }
