@@ -584,18 +584,37 @@ def q_token_near_dup(sf_dir):
     return token_minhash_pairs(rd.from_arrow(full).repartition(4))
 
 
+_FLAGSHIP_Q_ROWS = 20_000
+
+
+def _flagship_q_path() -> str:
+    from vector_ray.sources.synth import synth_parquet
+
+    return synth_parquet(_FLAGSHIP_Q_ROWS, seed=42, rows_per_file=5_000)
+
+
 def q_flagship_tokenized(sf_dir):
     """Flagship parse→enrich→route→aggregate over the synthesized
-    tokenized-log table (the BASELINE.json input shape; scale-free)."""
+    tokenized-log table (the BASELINE.json input shape; scale-free).
+    Oracle-checked: oracle_sql() re-implements the ENTIRE pipeline in
+    SQL over the same cached parquet fragments."""
+    import glob as _g
+
     import ray.data as rd
 
     from vector_ray.pipelines.flagship import flagship_aggregate, parse_enrich_route
-    from vector_ray.sources.synth import synth_table
 
-    n = 20_000 if "0.01" in sf_dir else 5_000
-    ds = rd.from_arrow(synth_table(n)).repartition(4)
+    path = _flagship_q_path()
+    files = sorted(_g.glob(os.path.join(path, "part-*.parquet")))
+    ds = rd.read_parquet(files, override_num_blocks=len(files))
     routed = parse_enrich_route(ds, enrich_concurrency=2)
-    return flagship_aggregate(routed)
+    agg = flagship_aggregate(routed)
+
+    def final(t: pa.Table) -> pa.Table:
+        # count → BIGINT; int32-sourced sums already int64
+        return _cast64(t)
+
+    return agg.map_batches(final, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +690,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _STOP_RE_SQL = r"(?i)\b(?:the|and|of|a|to|in|is|it|that|for)\b"
+
+
+def _flagship_oracle_sql() -> str:
+    from vector_ray.sources.synth import source_lookup_table
+
+    path = _flagship_q_path()  # ensure the parquet exists for DuckDB
+    lk = source_lookup_table().to_pylist()
+    values = ", ".join(f"('{r['source']}', '{r['region']}', '{r['tier']}')" for r in lk)
+    return (
+        f"WITH tok AS (SELECT * FROM read_parquet('{path}/part-*.parquet')), "
+        f"lookup(source, region, tier) AS (VALUES {values}), "
+        r"parsed AS (SELECT doc_id, n_tok, t.source, "
+        r"regexp_extract(doc_id, '^(\w+)-', 1) AS app, "
+        r"CAST(regexp_extract(doc_id, '-(\d+)$', 1) AS BIGINT) AS seq, "
+        "l.region, l.tier FROM tok t LEFT JOIN lookup l ON l.source = t.source), "
+        "routed AS ("
+        "SELECT 'hot' AS lane, * FROM parsed WHERE tier = 'hot' "
+        "UNION ALL SELECT 'web', * FROM parsed WHERE app = 'web' "
+        "UNION ALL SELECT 'long', * FROM parsed WHERE n_tok >= 1024 "
+        "UNION ALL SELECT 'rest', * FROM parsed "
+        "WHERE NOT coalesce(tier = 'hot', FALSE) AND NOT coalesce(app = 'web', FALSE) "
+        "AND NOT n_tok >= 1024) "
+        "SELECT lane, source, region, COUNT(doc_id) AS n_rows, "
+        "CAST(SUM(n_tok) AS BIGINT) AS tok_sum, MIN(seq) AS seq_min, MAX(seq) AS seq_max "
+        "FROM routed GROUP BY lane, source, region"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -798,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events "
             "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
         ),
+        "flagship_tokenized": _flagship_oracle_sql(),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "
             "s AS (SELECT q.qid AS query_idx, e.vec_id, "
