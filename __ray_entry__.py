@@ -5,7 +5,36 @@ SURVEY.md §2 (and the training-data extensions), each running the REAL
 vector_ray stage over the driver's parquet tables; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for everything SQL-expressible.
 Column names and types are matched to DuckDB defaults (BIGINT/DOUBLE/
-VARCHAR); float aggregates are rounded identically on both sides.
+VARCHAR); float aggregates are rounded identically on both sides
+(fixed-point integers) so value hashes compare exactly.
+
+Query → reference-transform parity map (paths under /root/reference):
+
+  filter_events          src/transforms/filter.rs:65-73
+  route_events           src/transforms/route.rs:57-65,101-120 (copy semantics)
+  remap_fields           src/transforms/remap.rs + src/template.rs:28-32
+  regex_parse_source     src/transforms/regex_parser.rs:242-300
+  grok_first_word        src/transforms/grok_parser.rs:107-148
+  json_parse_props       src/transforms/json_parser.rs:13-20
+  kv_roundtrip           src/transforms/key_value_parser.rs:16-29
+  tokenize_docs          src/transforms/tokenizer.rs / lib/shared/src/tokenize.rs
+  dedupe_docs            src/transforms/dedupe.rs:155-163 (typed keys :131-143)
+  agg_source_stats       src/transforms/aggregate.rs:72-107 (two-phase partials)
+  reduce_events/concat   src/transforms/reduce/mod.rs:221-257 + merge_strategy.rs
+  q1_lineitem            grouped aggregate composition (metric.rs:103-106 mergeable partials)
+  enrich_*               lib/enrichment/src/lib.rs:37-74, src/enrichment_tables/file.rs
+  window_events          aggregate interval flush (aggregate.rs:24-26) as event-time tumbling
+  session_events         reduce expire_after_ms analogue as gap sessions
+  cardinality_limit      src/transforms/tag_cardinality_limit.rs:25-53
+  sample_events          src/transforms/sample.rs:107-139 (hash mode)
+  geoip_events           src/transforms/geoip.rs:92-123
+  unnest_words           VRL unnest (lib/vrl/stdlib) / cloudwatch explode
+  salted_reduce          skew handling per BASELINE.json north_rule
+  flagship_tokenized     the full north-rule topology (SURVEY.md §7), oracle = full SQL
+  percentiles            sort/top-k (SURVEY.md §2.7 — absent in the reference)
+  exact_dedup/minhash/simhash/embedding_dup/knn/ann_ivf/token_near_dup/
+  lang_id/quality/approx_distinct/tumbling_histogram/media_features
+                         training-data extensions (driver brief), vector_ray.ml + stages.sketch
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or in vector_ray.
