@@ -79,6 +79,13 @@ class TestHashFamily:
     def test_md5(self):
         assert F.md5(pa.array(["abc"])).to_pylist() == ["900150983cd24fb0d6963f7d28e17f72"]
 
+    def test_mod_floor_semantics(self):
+        # ADVICE r1: mod is Euclidean/floor mod (sign of the modulus),
+        # matching VRL's `mod` rather than C-style truncation
+        a = pa.array([-1, -10, -11, 0, 7, 23])
+        assert F.mod(a, 10).to_pylist() == [9, 0, 9, 0, 7, 3]
+        assert F.mod(pa.array([7, -7]), -3).to_pylist() == [-2, -1]
+
 
 class TestPathOps:
     def test_set_del_rename(self):

@@ -195,3 +195,29 @@ class TestGeoipNested:
         t = pa.table({"ip": pa.array([], pa.string())})
         out = g.probe_batch(t)
         assert out.column_names == ["ip", "geoip"]
+
+    def test_same_start_nested_networks(self):
+        # ADVICE r1: nested CIDRs sharing a network start must resolve to
+        # the NARROWEST containing network (maxminddb longest-prefix).
+        db = [("10.0.0.0/8", {"region": "wide"}), ("10.0.0.0/24", {"region": "narrow"})]
+        g = GeoipLookup("ip", table=db)
+        t = pa.table({"ip": ["10.0.0.5", "10.0.1.5"]})
+        out = g.probe_batch(t)
+        regions = [v["region"] for v in out["geoip"].to_pylist()]
+        assert regions == ["narrow", "wide"]
+        # reversed insertion order must give the same answer, and ties on
+        # (start, end) must not raise comparing payload dicts
+        g2 = GeoipLookup("ip", table=list(reversed(db)) + [("10.0.0.0/24", {"region": "dup"})])
+        out2 = g2.probe_batch(t)
+        assert [v["region"] for v in out2["geoip"].to_pylist()] == ["narrow", "wide"]
+
+    def test_many_siblings_between_probe_and_enclosing(self):
+        # an ip inside the /8 but in none of its many /24 children must
+        # still find the /8 (the old bounded backward walk missed this)
+        db = [("10.0.0.0/8", {"region": "parent"})] + [
+            (f"10.0.{i}.0/24", {"region": f"c{i}"}) for i in range(64)
+        ]
+        g = GeoipLookup("ip", table=db)
+        t = pa.table({"ip": ["10.1.0.7", "10.0.63.9"]})
+        out = g.probe_batch(t)
+        assert [v["region"] for v in out["geoip"].to_pylist()] == ["parent", "c63"]

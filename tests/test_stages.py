@@ -144,6 +144,14 @@ class TestRoute:
         masked = route.mask(ds).take_all()
         assert [r["_route_big"] for r in sorted(masked, key=lambda r: r["x"])] == [False, True, True]
 
+    def test_empty_lanes_rejected(self):
+        # ADVICE r1: empty lane table silently dropped the lane column and
+        # the unmatched contract — now rejected at construction
+        import pytest
+
+        with pytest.raises(ValueError):
+            Route({})
+
 
 class TestEnrich:
     def test_get_semantics(self):
@@ -294,6 +302,32 @@ class TestAggregate:
         assert by[("requests", "h2")] == 1.0
         assert by[("bytes_total", "h1")] == 30.0
         assert by[("hosts_seen", None)] == 2.0  # distinct set size
+
+    def test_sketch_partial_empty_batch(self):
+        # ADVICE r1: an empty upstream block must yield a schema-stable
+        # empty partial, not IndexError
+        from vector_ray.stages.aggregate import _partial_batch
+
+        t = pa.table({"k": pa.array([], pa.string()), "u": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+        out = _partial_batch(t, ["k"], {"u_n": ("approx_nunique", "u"), "s": ("sum", "v")})
+        assert len(out) == 0
+        assert set(out.column_names) == {"k", "s", "u_n__sk"}
+        out2 = _partial_batch(t, ["k"], {"u_n": ("approx_nunique", "u")})
+        assert len(out2) == 0 and set(out2.column_names) == {"k", "u_n__sk"}
+
+    def test_null_group_key_gets_sketch(self):
+        # ADVICE r1: Arrow joins never match null keys — null-keyed groups
+        # must still carry their sketch through mixed simple+sketch specs
+        t = pa.table({"k": ["a", None, None, "a"], "u": ["x", "y", "z", "x"],
+                      "v": [1, 2, 3, 4]})
+        out = grouped_aggregate(
+            ds_of(t, blocks=2), ["k"],
+            {"s": ("sum", "v"), "u_n": ("approx_nunique", "u")},
+        ).take_all()
+        by = {r["k"]: r for r in out}
+        assert by[None]["s"] == 5 and by[None]["u_n"] == 2
+        assert by["a"]["s"] == 5 and by["a"]["u_n"] == 1
 
 
 class TestTagCardinality:

@@ -254,9 +254,13 @@ def abs_(a):
 
 
 def mod(a, m):
-    # arrow has no modulo kernel for all types; emulate a - floor(a/m)*m
+    # Euclidean/floor modulo (VRL `mod` semantics: result has the sign of
+    # the modulus). pc.divide truncates toward zero on int64, so correct
+    # the C-style remainder where its sign mismatches the modulus.
     a64 = pc.cast(a, pa.int64())
-    return pc.subtract(a64, pc.multiply(pc.divide(a64, m), m))
+    r = pc.subtract(a64, pc.multiply(pc.divide(a64, m), m))
+    neg = pc.and_(pc.not_equal(r, 0), pc.less(pc.multiply(r, m), 0))
+    return pc.if_else(neg, pc.add(r, m), r)
 
 
 # --------------------------------------------------------------------------

@@ -44,17 +44,35 @@ _SIMPLE = {
 }
 
 
+def _key_fingerprint(tbl: pa.Table, keys) -> np.ndarray:
+    """Null-safe uint64 fingerprint of the combined group key. Used both
+    to segment batches in ``_sketch_partial`` and as the join key when
+    re-attaching sketch columns (Arrow joins never match null keys, so
+    joining on the raw keys would drop null-keyed groups' sketches)."""
+    from vector_ray.expr import F as _F
+
+    parts = [pc.fill_null(pc.cast(tbl[k], pa.string()), "\x00\x01") for k in keys]
+    combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    fp = _F.fingerprint(combo)
+    return np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64)
+
+
 def _sketch_partial(tbl: pa.Table, keys, sketch_specs) -> pa.Table:
     """Per-(batch, group) mergeable sketches: group rows by a combined
     key fingerprint (argsort + segment slicing, no Python per row),
-    one serialized sketch per group per batch."""
-    from vector_ray.expr import F as _F
+    one serialized sketch per group per batch. Output carries a
+    ``__fp`` uint64 column for null-safe re-attachment."""
     from vector_ray.stages.sketch import HLL, Histogram
 
-    parts = [pc.cast(tbl[k], pa.string()) for k in keys]
-    combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
-    fp = _F.fingerprint(pc.fill_null(combo, "\x00"))
-    fpv = np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64)
+    if len(tbl) == 0:
+        # schema-stable empty partial (empty upstream blocks must not crash)
+        out = {k: pa.array([], tbl[k].type) for k in keys}
+        for name in sketch_specs:
+            out[f"{name}__sk"] = pa.array([], pa.binary())
+        out["__fp"] = pa.array([], pa.uint64())
+        return pa.table(out)
+
+    fpv = _key_fingerprint(tbl, keys)
     order = np.argsort(fpv, kind="stable")
     sorted_fp = fpv[order]
     seg_starts = np.concatenate([[0], np.nonzero(np.diff(sorted_fp))[0] + 1])
@@ -83,6 +101,7 @@ def _sketch_partial(tbl: pa.Table, keys, sketch_specs) -> pa.Table:
     out = {k: pa.array(rows[k], tbl[k].type) for k in keys}
     for name in sketch_specs:
         out[f"{name}__sk"] = pa.array(sketches[name], pa.binary())
+    out["__fp"] = pa.array(sorted_fp[seg_starts], pa.uint64())
     return pa.table(out)
 
 
@@ -92,7 +111,7 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
     if sketch_specs:
         sk_tbl = _sketch_partial(tbl, keys, sketch_specs)
         if not specs:
-            return sk_tbl
+            return sk_tbl.drop_columns(["__fp"])
     # collect UNIQUE (col, agg) pairs, then map each spec's target
     # columns onto them — two specs may need the same pair (e.g.
     # {"avg": ("mean", "v"), "total": ("sum", "v")} both need v_sum)
@@ -125,14 +144,26 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
         cols[tname] = raw[f"{col}_{agg}"]
     out = pa.table(cols)
     if sketch_specs:
-        # attach sketch columns by joining on the keys (both sides have
-        # exactly one row per group)
+        # attach sketch columns by joining on the null-safe key
+        # fingerprint (both sides have exactly one row per group; raw-key
+        # joins would never match null-keyed groups)
         idx = pa.array(np.arange(len(out), dtype=np.int64))
-        probe = out.select(list(keys)).append_column("__i", idx)
-        joined = probe.join(sk_tbl, keys=list(keys), join_type="left outer").sort_by("__i")
+        probe = pa.table({
+            "__fp": pa.array(_key_fingerprint(out, keys), pa.uint64()),
+            "__i": idx,
+        })
+        joined = probe.join(sk_tbl.drop_columns(list(keys)), keys=["__fp"], join_type="left outer").sort_by("__i")
         for name in sketch_specs:
             out = out.append_column(f"{name}__sk", joined[f"{name}__sk"])
     return out
+
+
+def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
+    """Append a null-safe combined string group key ``__gk`` (Ray Data's
+    sort-based groupby can't order null keys; group on this instead)."""
+    parts = [pc.fill_null(pc.cast(tbl[k], pa.string()), "\x00\x01") for k in keys]
+    combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    return tbl.append_column("__gk", combo)
 
 
 def _final_merge_fn(keys, specs):
@@ -214,7 +245,12 @@ def grouped_aggregate(
     # coalesce the (tiny) partial blocks so the final shuffle doesn't pay
     # per-block overhead for hundreds of near-empty blocks
     partial = partial.repartition(8)
-    merged = partial.groupby(keys).map_groups(_final_merge_fn(keys, specs), batch_format="pyarrow")
+    partial = partial.map_batches(
+        lambda t: _gk_batch(t, keys), batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = partial.groupby("__gk").map_groups(
+        _final_merge_fn(keys, specs), batch_format="pyarrow"
+    )
     return merged
 
 

@@ -28,23 +28,39 @@ PAYLOAD_FIELDS = ["city_name", "country_code", "continent_code", "timezone", "la
 class _GeoipActor:
     def __init__(self, db_ref, field: str, target: str):
         db = ray.get(db_ref) if isinstance(db_ref, ray.ObjectRef) else db_ref
-        # db: list of (cidr_str, payload dict) — precompute int ranges,
-        # sorted by network start for a vectorized searchsorted probe
-        nets = []
+        # db: list of (cidr_str, payload dict). Longest-prefix match via
+        # per-prefix-length exact lookup: for each prefix length L present
+        # in the table keep a sorted array of network starts; probe
+        # (ip & mask(L)) with searchsorted, longest L first. This is
+        # correct for arbitrarily nested/sibling networks (unlike a
+        # bounded backward walk over a single (start, end) ordering) and
+        # stays fully vectorized: ≤33 searchsorted passes per batch.
+        self.payloads: list = []
+        by_len: dict = {}
+        seen = set()
         for cidr, payload in db:
             net = ipaddress.ip_network(cidr)
-            nets.append((int(net.network_address), int(net.broadcast_address), payload))
-        nets.sort()
-        self.starts = np.array([n[0] for n in nets], dtype=np.uint32)
-        self.ends = np.array([n[1] for n in nets], dtype=np.uint32)
-        self.payloads = [n[2] for n in nets]
+            key = (net.prefixlen, int(net.network_address))
+            if key in seen:  # first occurrence wins, deterministic
+                continue
+            seen.add(key)
+            pidx = len(self.payloads)
+            self.payloads.append(payload)
+            by_len.setdefault(net.prefixlen, []).append((int(net.network_address), pidx))
+        # (prefixlen, sorted starts, payload index aligned), longest first
+        self.levels = []
+        for L in sorted(by_len, reverse=True):
+            entries = sorted(by_len[L])
+            starts = np.array([e[0] for e in entries], dtype=np.uint32)
+            pidxs = np.array([e[1] for e in entries], dtype=np.int64)
+            self.levels.append((L, starts, pidxs))
         self.payload_type = pa.array(self.payloads).type if self.payloads else pa.struct([])
         self.field = field
         self.target = target
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = len(t)
-        if n == 0 or len(self.starts) == 0:
+        if n == 0 or not self.levels:
             return t.append_column(self.target, pa.nulls(n, self.payload_type))
         # vectorized dotted-quad → uint32 via one regex extract; invalid
         # rows (non-IPv4 strings, nulls) fall out as null → miss
@@ -60,23 +76,18 @@ class _GeoipActor:
             quads[:, j] = col.to_numpy(zero_copy_only=False)
         valid &= (quads <= 255).all(axis=1)
         ipnum = (quads[:, 0] << 24) | (quads[:, 1] << 16) | (quads[:, 2] << 8) | quads[:, 3]
-        # candidate = last network starting at or before the ip; nested
-        # (overlapping) networks sort with the NARROWEST nearest the ip,
-        # so walking backwards finds the longest-prefix match first
-        idx = np.clip(np.searchsorted(self.starts, ipnum, side="right") - 1, 0, len(self.starts) - 1)
         match = np.full(n, -1, dtype=np.int64)
         remaining = valid.copy()
-        for d in range(min(33, len(self.starts))):
-            j = idx - d
-            ok = remaining & (j >= 0)
-            jj = np.clip(j, 0, None)
-            contained = ok & (ipnum >= self.starts[jj]) & (ipnum <= self.ends[jj])
-            match[contained] = jj[contained]
-            remaining &= ~contained
-            # stop early once candidates start before every remaining ip's
-            # possible enclosing range
+        for L, starts, pidxs in self.levels:  # longest prefix first
             if not remaining.any():
                 break
+            mask = np.uint32(0) if L == 0 else np.uint32(0xFFFFFFFF << (32 - L) & 0xFFFFFFFF)
+            masked = ipnum & mask
+            pos = np.searchsorted(starts, masked)
+            posc = np.clip(pos, 0, len(starts) - 1)
+            hit = remaining & (pos < len(starts)) & (starts[posc] == masked)
+            match[hit] = pidxs[posc[hit]]
+            remaining &= ~hit
         rows = [self.payloads[match[i]] if match[i] >= 0 else None for i in range(n)]
         struct = pa.array(rows)
         return t.append_column(self.target, struct)

@@ -33,6 +33,8 @@ from vector_ray.stages.base import Step
 
 class Route(Step):
     def __init__(self, lanes: Dict[str, Cond], *, unmatched_lane: str | None = None):
+        if not lanes:
+            raise ValueError("Route needs at least one lane (route.rs rejects empty route tables)")
         self.lanes = dict(lanes)
         self.unmatched_lane = unmatched_lane
         self.lane_col = "lane"
