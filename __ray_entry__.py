@@ -576,20 +576,18 @@ def q_asof_last_purchase(sf_dir):
 
 
 def q_percentiles(sf_dir):
-    """Exact distributed percentiles via ds.sort + limit(k) — the sort /
-    top-k capability the reference lacks entirely (SURVEY.md §2.7)."""
-    import math
+    """Exact distributed percentiles — histogram-refinement rank
+    selection (vector_ray/stages/quantile.py): 3 shuffle-free column
+    scans, driver sees only the candidate bins (≤cap values), never a
+    sorted copy of the data. Capability the reference lacks entirely
+    (SURVEY.md §2.7)."""
+    from vector_ray.stages.quantile import exact_quantiles
 
     ds = _rp(sf_dir, "events", columns=["value"])
-    n = ds.count()
-    rows = {"p": [], "value": []}
-    for p in (0.5, 0.9, 0.99):
-        k = max(1, math.ceil(p * n))
-        last = ds.sort("value").limit(k).take(k)[-1]
-        rows["p"].append(p)
-        rows["value"].append(last["value"])
-    return pa.table({"p": pa.array(rows["p"], pa.float64()),
-                     "value": pa.array(rows["value"], pa.float64())})
+    ps = (0.5, 0.9, 0.99)
+    vals = exact_quantiles(ds, "value", ps)
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "value": pa.array(vals, pa.float64())})
 
 
 def q_token_near_dup(sf_dir):

@@ -342,3 +342,41 @@ class TestTagCardinality:
         t = pa.table({"tag": [f"v{i}" for i in range(10)]})
         out = TagCardinalityLimit(["tag"], value_limit=3, action="drop_event").apply(ds_of(t)).take_all()
         assert len(out) == 3
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_rank(self):
+        from vector_ray.stages.quantile import exact_quantiles
+
+        rng = __import__("numpy").random.default_rng(7)
+        vals = rng.normal(0, 100, 10_001)
+        t = pa.table({"v": pa.array(vals, pa.float64())})
+        got = exact_quantiles(ds_of(t, blocks=5), "v", [0.5, 0.9, 0.99])
+        import math
+
+        s = sorted(vals)
+        want = [s[max(1, math.ceil(p * len(s))) - 1] for p in (0.5, 0.9, 0.99)]
+        assert got == want
+
+    def test_refinement_path_and_ties(self):
+        # tiny cap forces bin refinement; heavy ties + nulls exercised
+        from vector_ray.stages.quantile import exact_quantiles
+        import numpy as np
+
+        vals = np.concatenate([np.full(5000, 42.0), np.arange(5000, dtype=np.float64)])
+        arr = pa.array(list(vals) + [None], pa.float64())
+        t = pa.table({"v": arr})
+        got = exact_quantiles(ds_of(t, blocks=4), "v", [0.5, 0.99], cap=100, bins=16)
+        import math
+
+        s = sorted(vals)
+        want = [s[max(1, math.ceil(p * len(s))) - 1] for p in (0.5, 0.99)]
+        assert got == want
+
+    def test_all_equal_and_empty(self):
+        from vector_ray.stages.quantile import exact_quantiles
+
+        t = pa.table({"v": pa.array([7.0] * 100)})
+        assert exact_quantiles(ds_of(t), "v", [0.5, 0.99]) == [7.0, 7.0]
+        te = pa.table({"v": pa.array([], pa.float64())})
+        assert exact_quantiles(ds_of(te, blocks=1), "v", [0.5]) == [None]
