@@ -108,6 +108,38 @@ class TestTextDedup:
         assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
         assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
 
+    def test_simhash_matches_reference_loop(self):
+        # vectorized flat-buffer path must be bit-identical to the
+        # straightforward per-row crc32→splitmix→majority-vote loop
+        import re
+        import zlib
+
+        import numpy as np
+
+        from vector_ray.ml.dedup import _sm64
+
+        def reference(texts, seed=1):
+            word_re = re.compile(r"\w+")
+            out = np.zeros(len(texts), dtype=np.uint64)
+            for i, txt in enumerate(texts):
+                words = word_re.findall((txt or "").lower())
+                if not words:
+                    continue
+                hs = _sm64(
+                    np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+                    ^ np.uint64(1)
+                )
+                bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+                out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+            return out
+
+        texts = _docs_with_dups()["text"].to_pylist()
+        texts += ["", None, "   ", "one", "...!!", "__x__", "MiXeD CaSe 123", "a\tb\nc"]
+        got = simhash_batch(texts)
+        want = reference(texts)
+        assert (got == want).all()
+
 
 class TestEmbeddingDup:
     def test_planted_pairs_found(self):

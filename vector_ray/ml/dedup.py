@@ -254,24 +254,93 @@ def minhash_lsh_dedup(
 # simhash
 
 
+def _crc32_table() -> np.ndarray:
+    t = np.empty(256, np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        t[i] = c
+    return t
+
+
+_CRC_TABLE = _crc32_table()
+
+
+def _crc32_words(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """zlib.crc32 of each (start, length) slice of the flat byte buffer,
+    vectorized across words: one table-lookup step per BYTE POSITION
+    (max word length iterations), each step updating every still-active
+    word at once."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    # sort by length ascending → at byte j the still-active words are a
+    # contiguous SUFFIX (no boolean masks, slice assignment only)
+    order = np.argsort(lengths, kind="stable")
+    slen = lengths[order]
+    sstart = starts[order]
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(int(slen[-1])):
+        s = int(np.searchsorted(slen, j, side="right"))
+        b = flat[sstart[s:] + j].astype(np.uint32)
+        c = crc[s:]
+        crc[s:] = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> np.uint32(8))
+    out = np.empty(n, dtype=np.uint32)
+    out[order] = crc ^ np.uint32(0xFFFFFFFF)
+    return out
+
+
 def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
-    """64-bit SimHash per doc over word tokens (vectorized bit votes)."""
-    import re
+    """64-bit SimHash per doc over word tokens — fully vectorized
+    (flat-buffer + reduceat, the TokenMinHash pattern; no per-row or
+    per-word Python). Bit-identical to the r1 per-row loop
+    (crc32-per-word → splitmix64 → majority bit votes) on ASCII text.
 
-    word_re = re.compile(r"\w+")
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = word_re.findall((t or "").lower())
-        if not words:
-            continue
-        import zlib
-
-        hs = _sm64(np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
-                   ^ np.uint64(seed))
-        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)  # >0 → bit set (signed!)
-        bitvec = (votes > 0).astype(np.uint8)
-        out[i] = np.packbits(bitvec, bitorder="little").view(np.uint64)[0]
+    Words are maximal runs of word bytes ([a-z0-9_] after lowercasing,
+    plus any byte ≥ 0x80) in the utf-8 encoding — for non-ASCII text
+    this glues characters Python's unicode ``\\w`` would split (e.g.
+    punctuation like €), a documented deviation."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
+    flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum([len(b) + 1 for b in bufs[:-1]], out=doc_starts[1:])
+    # word-char mask → word runs via diff
+    wc = (
+        ((flat >= 97) & (flat <= 122))
+        | ((flat >= 48) & (flat <= 57))
+        | (flat == 95)
+        | (flat >= 128)
+        | ((flat >= 65) & (flat <= 90))
+    )
+    d = np.diff(wc.astype(np.int8), prepend=np.int8(0))
+    w_starts = np.nonzero(d == 1)[0]
+    w_ends = np.nonzero(d == -1)[0]
+    if len(w_ends) < len(w_starts):  # buffer ends inside a word
+        w_ends = np.append(w_ends, len(flat))
+    if len(w_starts) == 0:
+        return out
+    w_lens = w_ends - w_starts
+    doc_of_word = np.searchsorted(doc_starts, w_starts, side="right") - 1
+    with np.errstate(over="ignore"):
+        hs = _sm64(_crc32_words(flat, w_starts, w_lens).astype(np.uint64) ^ np.uint64(seed))
+    counts = np.bincount(doc_of_word, minlength=n)
+    nz = counts > 0
+    word_offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=word_offs[1:])
+    nz_offs = word_offs[nz]
+    counts_nz = counts[nz].astype(np.uint64)
+    # per-bit 1-D reduceat (2-D axis-0 reduceat is numpy's slow path);
+    # majority vote: bit set iff 2·(ones) > word count
+    res = np.zeros(int(nz.sum()), dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat((hs >> np.uint64(b)) & np.uint64(1), nz_offs)
+        res |= (np.uint64(2) * ones > counts_nz).astype(np.uint64) << np.uint64(b)
+    out[nz] = res
     return out
 
 
