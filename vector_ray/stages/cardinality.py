@@ -30,36 +30,91 @@ from vector_ray.stages.base import Step
 class TagCardinalityLimit(Step):
     fusable = False
 
-    def __init__(self, tags: Sequence[str], *, value_limit: int = 500, action: str = "drop_tag"):
+    def __init__(self, tags: Sequence[str], *, value_limit: int = 500, action: str = "drop_tag",
+                 mode: str = "exact"):
         if action not in ("drop_tag", "drop_event"):
             raise ValueError("action must be drop_tag or drop_event")
+        if mode not in ("exact", "probabilistic"):
+            raise ValueError("mode must be exact or probabilistic")
         self.tags = list(tags)
         self.value_limit = value_limit
         self.action = action
+        # reference's Bloom mode (tag_cardinality_limit.rs:38-47) accepts an
+        # arrival-order-arbitrary subset with O(1) memory; the deterministic
+        # batch analogue here is KMV: accept the value_limit values with the
+        # SMALLEST 64-bit fingerprints (still a mergeable truncated-min-set
+        # partial, just hash-ordered — so the accepted subset is
+        # value-distribution-independent like Bloom's, not lexicographic).
+        self.mode = mode
 
     def apply(self, ds):
-        # phase 1: ONE pass emitting per-batch distinct (tag, value) pairs
-        # for every guarded tag, then a single small distinct-pair shuffle
-        tags = self.tags
+        # phase 1: mergeable truncated-min-set partials. Per (tag, batch)
+        # keep only the value_limit SMALLEST distinct values — merging
+        # truncated partials and re-truncating preserves the global
+        # value_limit smallest distinct values exactly, so the driver
+        # never sees the (unbounded!) pre-limit distinct set; every
+        # intermediate is ≤ value_limit values per tag per block.
+        tags, limit, mode = self.tags, self.value_limit, self.mode
 
-        def partial(t: pa.Table) -> pa.Table:
+        def trunc(u):
+            if len(u) <= limit:
+                return u
+            if mode == "probabilistic":
+                import numpy as np
+
+                from vector_ray.expr import F
+
+                from vector_ray.sources.synth import _splitmix64
+
+                uc = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+                # splitmix-finalize the fingerprint: the raw fingerprint is
+                # near-linear on short sequential strings, which would bias
+                # the KMV subset toward a lexicographic prefix
+                fp = _splitmix64(
+                    np.asarray(F.fingerprint(uc).to_numpy(zero_copy_only=False), np.uint64)
+                )
+                idx = np.sort(np.argsort(fp, kind="stable")[:limit])
+                return uc.take(pa.array(idx, pa.int64()))
+            return u.take(pc.array_sort_indices(u)).slice(0, limit)
+
+        def truncated_partial(t: pa.Table, value_col: str = None) -> pa.Table:
             tcols, vcols = [], []
-            for tag in tags:
-                u = pc.unique(pc.cast(t[tag], pa.string()))
-                u = u.drop_null()
+            if value_col is None:  # raw input rows: one pass over every tag
+                per_tag = {tag: pc.unique(pc.cast(t[tag], pa.string())).drop_null() for tag in tags}
+            else:  # partial rows: regroup (tag, value) pairs
+                per_tag = {}
+                for tag in tags:
+                    sub = t.filter(pc.equal(t["tag"], tag))
+                    per_tag[tag] = pc.unique(sub[value_col]).drop_null()
+            for tag, u in per_tag.items():
+                u = trunc(u)
                 tcols.append(pa.array([tag] * len(u), pa.string()))
                 vcols.append(u)
-            return pa.table({"tag": pa.concat_arrays(tcols), "value": pa.concat_arrays(vcols)})
+            return pa.table({
+                "tag": pa.concat_arrays(tcols) if tcols else pa.array([], pa.string()),
+                "value": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in vcols]) if vcols else pa.array([], pa.string()),
+            })
 
-        pairs = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        distinct_pairs = pairs.groupby(["tag", "value"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        pairs = ds.map_batches(truncated_partial, batch_format="pyarrow", zero_copy_batch=True)
+        # intermediate merge: coalesce many tiny partial blocks and
+        # re-truncate, so the final per-tag merge sees O(16·limit) rows
+        # per tag even with millions of input blocks
+        pre = pairs.repartition(16).map_batches(
+            lambda t: truncated_partial(t, value_col="value"),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
+
+        def final_set(g: pa.Table) -> pa.Table:
+            u = trunc(pc.unique(g["value"]).drop_null())
+            u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+            return pa.table({"tag": pa.array([str(g["tag"][0])] * len(u)), "value": u})
+
+        merged = pre.groupby("tag").map_groups(final_set, batch_format="pyarrow")
         by_tag: dict[str, list] = {tag: [] for tag in tags}
-        for row in distinct_pairs.take_all():
+        for row in merged.take_all():  # ≤ len(tags) × value_limit rows
             by_tag[row["tag"]].append(row["value"])
         accepted = {
-            tag: ray.put(pa.array(sorted(vals)[: self.value_limit], pa.string()))
+            tag: ray.put(pa.array(sorted(vals), pa.string()))
             for tag, vals in by_tag.items()
         }
 
