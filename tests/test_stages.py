@@ -249,6 +249,54 @@ class TestReduce:
         assert rows["r1"]["n_rows"] == 3
         assert rows["r2"]["bytes"] == 5
 
+    def test_salted_matches_unsalted_all_strategies(self):
+        import numpy as np
+
+        n = 400
+        rng = np.random.default_rng(5)
+        t = pa.table(
+            {
+                "k": [f"k{i % 3}" for i in range(n)],
+                "seq": list(range(n)),
+                "v": rng.integers(0, 100, n).tolist(),
+                "msg": [f"m{i}" for i in range(n)],
+                "first_col": [f"f{i}" for i in range(n)],
+                "last_col": [f"l{i}" for i in range(n)],
+                "arr": [[f"a{i % 7}", f"b{i % 5}"] for i in range(n)],
+            }
+        )
+        strategies = {
+            "v": "sum", "msg": "concat", "first_col": "discard",
+            "last_col": "retain", "arr": "flat_unique", "seq": "max",
+        }
+        salted = Reduce(["k"], merge_strategies=strategies, order_by="seq",
+                        salted=True, salt_buckets=8)
+        unsalted = Reduce(["k"], merge_strategies=strategies, order_by="seq",
+                          salted=False)
+        a = {r["k"]: r for r in salted.apply(ds_of(t, blocks=4)).take_all()}
+        b = {r["k"]: r for r in unsalted.apply(ds_of(t, blocks=4)).take_all()}
+        assert set(a) == set(b)
+        for k in a:
+            for col in ("v", "msg", "first_col", "last_col", "seq", "n_rows"):
+                assert a[k][col] == b[k][col], (k, col, a[k][col], b[k][col])
+            assert list(a[k]["arr"]) == list(b[k]["arr"])
+
+    def test_salted_skew_hot_key(self):
+        # one key = 50% of rows: the salted plan must still be exact
+        import numpy as np
+
+        n = 2000
+        keys = ["hot" if i % 2 == 0 else f"cold{i % 11}" for i in range(n)]
+        t = pa.table({"k": keys, "seq": list(range(n)), "v": [1.0] * n,
+                      "m": [f"x{i}" for i in range(n)]})
+        r = Reduce(["k"], merge_strategies={"v": "sum", "m": "retain", "seq": "min"},
+                   order_by="seq", salt_buckets=16)
+        rows = {x["k"]: x for x in r.apply(ds_of(t, blocks=8)).take_all()}
+        assert rows["hot"]["v"] == 1000.0
+        assert rows["hot"]["n_rows"] == 1000
+        assert rows["hot"]["m"] == f"x{n - 2}"  # last by seq among evens
+        assert rows["hot"]["seq"] == 0
+
     def test_ends_when_segments(self):
         t = pa.table(
             {

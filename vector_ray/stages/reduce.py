@@ -68,6 +68,17 @@ def _merge_series(s: pd.Series, strategy: str):
 
 
 class Reduce(Step):
+    """See module docstring. Execution is auto-salted: unless
+    ``ends_when``/``starts_when`` force whole-key segmentation (or
+    ``salted=False``), the reduce runs as a two-phase salted plan
+    (stages/salt.py) — every strategy has a mergeable partial form, with
+    order keys carried alongside order-sensitive strategies so the
+    phase-2 merge reconstructs the exact ``order_by`` interleaving. A
+    hot key is split across ``salt_buckets`` sub-reducers instead of
+    landing on one. Rows tied on ``order_by`` (or with no order_by)
+    merge in unspecified relative order — same nondeterminism class as
+    the unsalted shuffle-arrival order."""
+
     fusable = False
 
     def __init__(
@@ -79,6 +90,8 @@ class Reduce(Step):
         ends_when: Optional[Cond] = None,
         starts_when: Optional[Cond] = None,
         count_col: str = "n_rows",
+        salted: bool = True,
+        salt_buckets: int = 16,
     ):
         self.group_by = list(group_by)
         self.merge_strategies = merge_strategies or {}
@@ -86,6 +99,8 @@ class Reduce(Step):
         self.ends_when = ends_when
         self.starts_when = starts_when
         self.count_col = count_col
+        self.salted = salted
+        self.salt_buckets = salt_buckets
 
     def _reduce_group(self, g: pd.DataFrame) -> pd.DataFrame:
         if self.order_by:
@@ -122,5 +137,133 @@ class Reduce(Step):
             rows.append(row)
         return pd.DataFrame(rows)
 
+    # -- salted two-phase plan --------------------------------------------
+
+    def _strategy(self, col: str) -> str:
+        return self.merge_strategies.get(col, "discard")
+
+    def _data_cols(self, columns) -> list:
+        return [c for c in columns
+                if c not in self.group_by and c != "__seg" and not c.startswith("__o_")
+                and c != self.count_col]
+
+    def _partial_group(self, g: pd.DataFrame) -> pd.DataFrame:
+        """Per (key, salt) sub-group → one mergeable partial row."""
+        ob = self.order_by
+        if ob:
+            g = g.sort_values(ob, kind="mergesort")
+        row = {k: g[k].iloc[0] for k in self.group_by}
+        for col in self._data_cols(g.columns):
+            s = self._strategy(col)
+            ser = g[col]
+            vals = ser.dropna()
+            if s in ("sum", "min", "max"):
+                row[col] = _merge_series(ser, s)
+            elif s == "discard":
+                row[col] = ser.iloc[0]
+                if ob:
+                    row[f"__o_{col}"] = g[ob].iloc[0]
+            elif s == "retain":
+                row[col] = ser.iloc[-1]
+                if ob:
+                    row[f"__o_{col}"] = g[ob].iloc[-1]
+            elif s == "array":
+                row[col] = list(ser)
+                if ob:
+                    row[f"__o_{col}"] = list(g[ob])
+            elif s in ("concat", "concat_newline", "flat_unique"):
+                row[col] = list(vals)
+                if ob:
+                    row[f"__o_{col}"] = list(g[ob][ser.notna()])
+            elif s in ("shortest_array", "longest_array"):
+                row[col] = _merge_series(ser, s)
+                if ob:
+                    arrays = ser.map(lambda v: isinstance(v, (list, np.ndarray)))
+                    cand = g[arrays]
+                    if len(cand):
+                        lens = cand[col].map(len)
+                        pick = lens.idxmin() if s == "shortest_array" else lens.idxmax()
+                        row[f"__o_{col}"] = cand.loc[pick, ob]
+                    else:
+                        row[f"__o_{col}"] = None
+            else:
+                raise ValueError(f"unknown merge strategy {s}")
+        if self.count_col:
+            row[self.count_col] = len(g)
+        return pd.DataFrame([row])
+
+    def _merge_group(self, m: pd.DataFrame) -> pd.DataFrame:
+        """Per key over partial rows → final row (order reconstructed
+        from the carried __o_ keys)."""
+        ob = self.order_by
+        row = {k: m[k].iloc[0] for k in self.group_by}
+
+        def ordered_concat(col):
+            vals: list = []
+            if ob:
+                ords: list = []
+                for v, o in zip(m[col], m[f"__o_{col}"]):
+                    if isinstance(v, (list, np.ndarray)):
+                        vals.extend(list(v))
+                        ords.extend(list(o))
+                if not vals:
+                    return vals
+                idx = np.argsort(np.asarray(ords), kind="stable")
+                return [vals[i] for i in idx]
+            for v in m[col]:
+                if isinstance(v, (list, np.ndarray)):
+                    vals.extend(list(v))
+            return vals
+
+        for col in self._data_cols(m.columns):
+            s = self._strategy(col)
+            if s in ("sum", "min", "max"):
+                row[col] = _merge_series(m[col], s)
+            elif s in ("discard", "retain"):
+                if ob:
+                    o = m[f"__o_{col}"]
+                    pick = o.idxmin() if s == "discard" else o.idxmax()
+                else:
+                    pick = m.index[0] if s == "discard" else m.index[-1]
+                row[col] = m.loc[pick, col]
+            elif s == "array":
+                row[col] = ordered_concat(col)
+            elif s in ("concat", "concat_newline"):
+                sep = " " if s == "concat" else "\n"
+                row[col] = sep.join(str(v) for v in ordered_concat(col))
+            elif s == "flat_unique":
+                out, seen = [], set()
+                for x in ordered_concat(col):
+                    items = x if isinstance(x, (list, np.ndarray)) else [x]
+                    for it in items:
+                        key = (type(it).__name__, str(it))
+                        if key not in seen:
+                            seen.add(key)
+                            out.append(it)
+                row[col] = out
+            elif s in ("shortest_array", "longest_array"):
+                cand = m[m[col].map(lambda v: isinstance(v, (list, np.ndarray)))]
+                if len(cand) == 0:
+                    row[col] = None
+                else:
+                    lens = cand[col].map(len)
+                    best = lens.min() if s == "shortest_array" else lens.max()
+                    tied = cand[lens == best]
+                    if ob and f"__o_{col}" in m.columns:
+                        pick = tied[f"__o_{col}"].idxmin()
+                    else:
+                        pick = tied.index[0]
+                    row[col] = tied.loc[pick, col]
+        if self.count_col:
+            row[self.count_col] = int(m[self.count_col].sum())
+        return pd.DataFrame([row])
+
     def apply(self, ds):
+        if self.salted and self.ends_when is None and self.starts_when is None:
+            from vector_ray.stages.salt import salted_group_reduce
+
+            return salted_group_reduce(
+                ds, self.group_by, self._partial_group, self._merge_group,
+                buckets=self.salt_buckets, salt_source=self.order_by,
+            )
         return ds.groupby(self.group_by).map_groups(self._reduce_group, batch_format="pandas")
