@@ -89,6 +89,64 @@ class TestTextDedup:
         assert 101 not in ids
         assert len(ids) >= 30
 
+    def test_distributed_components_match_driver_unionfind(self):
+        # VERDICT r1: planted ~10%-duplicate cluster — hash-min label
+        # propagation must keep the identical survivor set with NO
+        # driver-side edge materialization
+        base = " ".join(f"tok{j} filler{j % 9}" for j in range(40))
+        rows = [(i, f"doc {i} " + " ".join(f"u{i}x{j}" for j in range(30))) for i in range(45)]
+        rows += [(200 + i, base + (f" tail{i}" if i else "")) for i in range(5)]  # cluster
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": pa.array([r[1] for r in rows])})
+        ds = rd.from_arrow(t).repartition(3)
+        a = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+            ds, "text", jaccard_threshold=0.5, components="distributed").take_all())
+        b = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+            ds, "text", jaccard_threshold=0.5, components="driver").take_all())
+        assert a == b
+        assert 200 in a and len(a) < 50  # cluster collapsed to its min id
+
+    def test_antijoin_drop_path(self):
+        # broadcast_limit=0 forces the bucketed anti-join filter
+        t = _docs_with_dups()
+        ds = rd.from_arrow(t).repartition(2)
+        small = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+            ds, "text", jaccard_threshold=0.5, broadcast_limit=10**9).take_all())
+        large = sorted(r["doc_id"] for r in minhash_lsh_dedup(
+            ds, "text", jaccard_threshold=0.5, broadcast_limit=0).take_all())
+        assert small == large
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self):
+        from vector_ray.ml.components import connected_components
+
+        edges = pa.table({
+            "a": pa.array([1, 2, 3, 10, 10, 11, 20], pa.int64()),
+            "b": pa.array([2, 3, 4, 11, 12, 12, 21], pa.int64()),
+        })
+        labels = connected_components(rd.from_arrow(edges).repartition(2))
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges(self):
+        from vector_ray.ml.components import connected_components
+
+        n = 40  # diameter 40 chain: needs multiple propagation rounds
+        edges = pa.table({"a": pa.array(range(n), pa.int64()),
+                          "b": pa.array(range(1, n + 1), pa.int64())})
+        labels = connected_components(rd.from_arrow(edges).repartition(4), max_iters=50)
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert all(v == 0 for v in got.values()) and len(got) == n + 1
+
+    def test_string_nodes(self):
+        from vector_ray.ml.components import connected_components
+
+        edges = pa.table({"a": ["x", "y", "p"], "b": ["y", "z", "q"]})
+        labels = connected_components(rd.from_arrow(edges))
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        assert got == {"x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
+
     def test_exact_dedup(self):
         t = _docs_with_dups()
         kept = exact_dedup(rd.from_arrow(t).repartition(2), "text").take_all()

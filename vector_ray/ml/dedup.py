@@ -154,15 +154,30 @@ def minhash_lsh_dedup(
     k: int = 5,
     jaccard_threshold: float = 0.8,
     return_pairs: bool = False,
+    components: str = "distributed",
+    max_bucket: int = 512,
+    broadcast_limit: int = 5_000_000,
 ):
     """MinHash+LSH near-dup. Emits either the deduped dataset (keep
     lowest id per duplicate cluster) or the verified duplicate pairs.
 
     Pipeline: signature map_batches → explode to (band, band_hash,
     id, sig) → groupby(band, band_hash) → candidate pairs verified by
-    signature-estimated Jaccard → duplicate edges → min-label
-    components (driver-side union-find over the — small — edge set) →
-    filter.
+    signature-estimated Jaccard → duplicate edges → connected
+    components → filter.
+
+    Scale guards:
+    - ``components="distributed"`` (default) labels duplicate clusters
+      with hash-min propagation (ml/components.py) — the edge set never
+      lands on the driver. ``"driver"`` keeps the r1 union-find for
+      tiny jobs.
+    - Degenerate LSH buckets (identical band hash across > ``max_bucket``
+      docs) are capped to the ``max_bucket`` lowest ids before the
+      O(width²) pairing, with a logged warning — per the no-silent-caps
+      rule. Capped docs still pair through their other bands.
+    - The final filter broadcasts the duplicate-id set when it is under
+      ``broadcast_limit`` ids, else falls back to a bucketed anti-join
+      so no unbounded set crosses the driver.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
@@ -200,6 +215,15 @@ def minhash_lsh_dedup(
         if len(g) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
+        if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger("vector_ray.dedup").warning(
+                "LSH bucket of width %d capped to %d lowest ids (band=%s); "
+                "capped docs can still pair via their other bands",
+                len(g), max_bucket, g["band"][0].as_py() if "band" in g.column_names else "?",
+            )
+            g = g.sort_by(id_col).slice(0, max_bucket)
         ids = np.asarray(g[id_col])
         sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
         order = np.argsort(ids)
@@ -222,31 +246,84 @@ def minhash_lsh_dedup(
             lambda g: g.slice(0, 1), batch_format="pyarrow"
         )
 
-    # small edge set → driver union-find; keep min-id representative
-    edge_rows = pairs.select_columns(["a", "b"]).take_all()
-    parent: dict = {}
+    if components == "driver":
+        # r1 path, for tiny jobs: edge set → driver union-find
+        edge_rows = pairs.select_columns(["a", "b"]).take_all()
+        parent: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
+        def union(x, y):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
 
-    for e in edge_rows:
-        union(e["a"], e["b"])
-    drop = {x for x in parent if find(x) != x}
-    if not drop:
+        for e in edge_rows:
+            union(e["a"], e["b"])
+        drop = {x for x in parent if find(x) != x}
+        if not drop:
+            return ds
+        drop_arr = pa.array(sorted(drop), pa.int64())
+        return ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=drop_arr))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    from vector_ray.ml.components import connected_components
+
+    labels = connected_components(pairs.select_columns(["a", "b"]))
+    dup_ids = labels.map_batches(
+        lambda t: pa.table({"__dupid": t.filter(pc.not_equal(t["node"], t["label"]))["node"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _filter_out_ids(ds, id_col, dup_ids, broadcast_limit=broadcast_limit)
+
+
+def _filter_out_ids(ds, id_col: str, dup_ids, *, broadcast_limit: int = 5_000_000):
+    """Remove rows whose (int64-cast) ``id_col`` appears in ``dup_ids``
+    (a Dataset with one ``__dupid`` column). Small sets broadcast via
+    ray.put + is_in; large sets anti-join through the bucketed hash
+    join so the driver never materializes them."""
+    import ray
+
+    n_dup = dup_ids.count()
+    if n_dup == 0:
         return ds
-    drop_arr = pa.array(sorted(drop), pa.int64())
-    return ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=drop_arr))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    if n_dup <= broadcast_limit:
+        drop_arr = pa.array(
+            sorted(r["__dupid"] for r in dup_ids.take_all()), pa.int64()
+        )
+        ref = ray.put(drop_arr)
+
+        def flt(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            return t.filter(
+                pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=arr))
+            )
+
+        return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    from vector_ray.stages.join import bucketed_join
+
+    marked = dup_ids.map_batches(
+        lambda t: t.append_column("__dup", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_key = ds.map_batches(
+        lambda t: t.append_column("__id64", pc.cast(t[id_col], pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = bucketed_join(with_key, marked, on=["__id64"], right_on=["__dupid"],
+                           join_type="left outer")
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__dup"])).drop_columns(["__id64", "__dup"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
