@@ -377,13 +377,36 @@ def q_simhash_docs(sf_dir):
 
 
 def q_embedding_dup_pairs(sf_dir):
+    """Embedding near-dup with PLANTED duplicates: copies of vec_id<25
+    re-appended as vec_id+10000, so the result must be exactly those 25
+    pairs (the base table's max off-diagonal cosine is ~0.51) — the
+    oracle recomputes every pairwise cosine in SQL and 0 rows fails.
+    Copies share all LSH sign bits by construction, so bucketing cannot
+    miss them."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from vector_ray.ml.dedup import embedding_dup_pairs
 
-    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, cosine_threshold=0.9)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    planted = emb.filter(pc.less(emb["vec_id"], 25))
+    planted = pa.table({
+        "vec_id": pc.add(planted["vec_id"], 10_000),
+        "embedding": planted["embedding"],
+    })
+    ds = rd.from_arrow(pa.concat_tables([emb, planted])).repartition(4)
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.9)
+    return _finish(pairs.select_columns(["a", "b"]))
 
 
 def q_ann_ivf(sf_dir):
+    """IVF top-k with FULL probing (n_probe = n_clusters): exercises the
+    whole IVF machinery — sampled k-means centroids, per-batch cluster
+    assignment and pruning, per-cluster search, global merge — in the
+    regime where it must equal exact brute-force top-k, which the
+    DuckDB cross-join oracle verifies. The approximate n_probe < n
+    recall path is covered by pytest (tests/test_ml.py::TestKnn)."""
     import pyarrow.parquet as pq
 
     from vector_ray.ml.ann import knn_ivf
@@ -392,7 +415,8 @@ def q_ann_ivf(sf_dir):
     qrows = emb.filter(pc.less(emb["vec_id"], 3)).sort_by("vec_id")
     queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_ivf(ds, queries, k=10, n_clusters=8, n_probe=3)
+    out = knn_ivf(ds, queries, k=10, n_clusters=8, n_probe=8)
+    return _finish(out.select_columns(["query_idx", "vec_id", "rank"]))
 
 
 def q_lang_id_docs(sf_dir):
@@ -412,6 +436,11 @@ def q_quality_docs(sf_dir):
 
 
 def q_media_features(sf_dir):
+    """Multimodal decode plumbing (deterministic fake decoder over the
+    seeded synthetic media table — scale-free, sf-independent). Features
+    are unnested to scalar f0..f7 columns (exact dyadic fractions) so a
+    golden-value oracle from an independent re-implementation of the
+    synth + feature spec can hash-match (tools/golden.py)."""
     import ray.data as rd
 
     from vector_ray.ml.multimodal import ImageDecode, decode_stage, synth_media_table
@@ -419,7 +448,16 @@ def q_media_features(sf_dir):
     media = synth_media_table(200)
     ds = rd.from_arrow(media)
     out = decode_stage(ds, ImageDecode, fake=True, concurrency=2)
-    return out.select_columns(["media_id", "media_type", "image_features"])
+
+    def unnest(t: pa.Table) -> pa.Table:
+        feats = t["image_features"].combine_chunks()
+        flat = np.asarray(feats.flatten(), dtype=np.float64).reshape(len(t), 8)
+        cols = {"media_id": t["media_id"], "media_type": t["media_type"]}
+        for j in range(8):
+            cols[f"f{j}"] = pa.array(flat[:, j], pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(unnest, batch_format="pyarrow")
 
 
 def q_unnest_words(sf_dir):
@@ -488,12 +526,35 @@ def q_approx_distinct_users(sf_dir):
 
 
 def q_tumbling_histogram(sf_dir):
+    """Mergeable fixed-bucket histogram (AggregatedHistogram,
+    metric.rs:160-164) through grouped_aggregate's sketch partials,
+    finalized as one row per (event_type, bin) so bucket counts are
+    exactly SQL-checkable (bin i = value <= bounds[i], last bin =
+    overflow)."""
+    import json
+
     from vector_ray.stages import grouped_aggregate
 
     ds = _rp(sf_dir, "events", columns=["event_type", "value"])
-    return grouped_aggregate(
+    merged = grouped_aggregate(
         ds, ["event_type"], {"value_hist": ("histogram", "value", [50.0, 100.0, 250.0])}
     )
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = {"event_type": [], "bin": [], "n": []}
+        for et, js in zip(t["event_type"].to_pylist(), t["value_hist"].to_pylist()):
+            counts = json.loads(js)["counts"] if js else []
+            for i, c in enumerate(counts):
+                rows["event_type"].append(et)
+                rows["bin"].append(i)
+                rows["n"].append(int(c))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "bin": pa.array(rows["bin"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+        })
+
+    return merged.map_batches(explode, batch_format="pyarrow")
 
 
 def q_salted_reduce(sf_dir):
@@ -879,4 +940,111 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_idx ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank FROM s "
             "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY c DESC, vec_id) <= 10"
         ),
+        # ann_ivf probes ALL clusters (n_probe = n_clusters), so the IVF
+        # machinery must reproduce exact brute-force top-k — same oracle
+        # shape as knn_embeddings.
+        "ann_ivf": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.qid AS query_idx, e.vec_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS c FROM q CROSS JOIN embeddings e) "
+            "SELECT query_idx, vec_id, CAST(row_number() OVER "
+            "(PARTITION BY query_idx ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY c DESC, vec_id) <= 10"
+        ),
+        # the engine's keep test is FNV-1a-64(decimal(event_id)) % 5 == 0
+        # (kernels.fingerprint); re-implemented in pure SQL arithmetic:
+        # byte fold via list_reduce with mod-2^64 HUGEINT multiplication.
+        "sample_events": (
+            "WITH s AS (SELECT event_id, CAST(event_id AS VARCHAR) AS k FROM events), "
+            "f AS (SELECT event_id, list_reduce("
+            "list_prepend(14695981039346656037::HUGEINT, "
+            "list_transform(range(1, length(k) + 1), i -> ascii(substr(k, i, 1))::HUGEINT)), "
+            "(acc, b) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT) "
+            "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h FROM s) "
+            "SELECT event_id FROM f WHERE h % 5 = 0"
+        ),
+        # marker-word argmax with first-match tie-break (en,es,de,fr);
+        # CJK presence short-circuits to zh; zero hits → und.
+        "lang_id_docs": (
+            "WITH c AS (SELECT doc_id, lang, "
+            "len(regexp_extract_all(text, '(?i)\\b(?:the|and|of|is|that)\\b')) AS c_en, "
+            "len(regexp_extract_all(text, '(?i)\\b(?:el|la|de|que|los)\\b')) AS c_es, "
+            "len(regexp_extract_all(text, '(?i)\\b(?:der|die|und|ist|nicht)\\b')) AS c_de, "
+            "len(regexp_extract_all(text, '(?i)\\b(?:le|la|et|les|des)\\b')) AS c_fr, "
+            "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk FROM documents) "
+            "SELECT doc_id, lang, CASE WHEN cjk > 0 THEN 'zh' "
+            "WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und' "
+            "WHEN c_en >= greatest(c_es, c_de, c_fr) THEN 'en' "
+            "WHEN c_es >= greatest(c_de, c_fr) THEN 'es' "
+            "WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM c"
+        ),
+        # mirrors QualityScore's float64 formula op-for-op (same IEEE
+        # association order), over regexp match counts.
+        "quality_docs": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(length(text) AS DOUBLE) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_words, "
+            "CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, "
+            "'(?i)\\b(?:the|and|of|a|to|in|is|it|that|for)\\b')) AS DOUBLE) AS n_stop, "
+            "CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper FROM documents), "
+            "r AS (SELECT doc_id, "
+            "greatest(n_chars, 1.0) / greatest(n_words, 1.0) AS mean_wl, "
+            "n_punct / greatest(n_chars, 1.0) AS punct_ratio, "
+            "n_stop / greatest(n_words, 1.0) AS stop_ratio, "
+            "n_upper / greatest(n_chars, 1.0) AS upper_ratio FROM c) "
+            "SELECT doc_id, "
+            "(((1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0)) + least(stop_ratio * 3.0, 1.0)) + "
+            "((1.0 - least(punct_ratio * 5.0, 1.0)) + (1.0 - least(upper_ratio * 5.0, 1.0)))) / 4.0 "
+            "AS quality, stop_ratio FROM r"
+        ),
+        # exact bucket counts of the mergeable histogram: bin i = value
+        # <= bounds[i] (searchsorted side='left'), last bin = overflow;
+        # empty bins materialize as 0 like the sketch's counts array.
+        "tumbling_histogram": (
+            "WITH b AS (SELECT unnest(range(4)) AS bin), "
+            "et AS (SELECT DISTINCT event_type FROM events), "
+            "c AS (SELECT event_type, CASE WHEN value <= 50.0 THEN 0 "
+            "WHEN value <= 100.0 THEN 1 WHEN value <= 250.0 THEN 2 ELSE 3 END AS bin, "
+            "COUNT(*) AS n FROM events WHERE value IS NOT NULL GROUP BY 1, 2) "
+            "SELECT et.event_type, CAST(b.bin AS BIGINT) AS bin, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+            "FROM et CROSS JOIN b LEFT JOIN c ON c.event_type = et.event_type AND c.bin = b.bin"
+        ),
+        # honest recomputation: every pairwise cosine over the base +
+        # planted-copy union; only the 25 planted pairs clear 0.9.
+        "embedding_dup_pairs": (
+            "WITH all_v AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 25), "
+            "p AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+            "list_cosine_similarity(x.embedding, y.embedding) AS c "
+            "FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id) "
+            "SELECT a, b FROM p WHERE c >= 0.9"
+        ),
+        # golden-value oracles (tools/golden.py): independent
+        # single-threaded re-implementations of the sketch / signature
+        # specs, rendered as VALUES literals over the sf0.01 inputs.
+        **_golden_oracles(),
     }
+
+
+_GOLDEN_CACHE: dict = {}
+
+
+def _golden_oracles() -> dict[str, str]:
+    if _GOLDEN_CACHE:
+        return _GOLDEN_CACHE
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "golden.py")
+    spec = importlib.util.spec_from_file_location("vr_golden", path)
+    golden = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(golden)
+    _GOLDEN_CACHE.update({
+        "simhash_docs": golden.simhash_docs_sql(),
+        "minhash_pairs": golden.minhash_pairs_sql(),
+        "token_near_dup": golden.token_near_dup_sql(),
+        "approx_distinct_users": golden.approx_distinct_users_sql(),
+        "media_features": golden.media_features_sql(),
+    })
+    return _GOLDEN_CACHE

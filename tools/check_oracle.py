@@ -50,6 +50,7 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    os.environ["VR_ORACLE_SF_DIR"] = sf_dir  # golden oracles read the same dir
 
     import ray
 

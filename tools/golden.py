@@ -1,0 +1,260 @@
+"""Golden-value oracles for queries whose semantics are not expressible
+in DuckDB SQL (custom sketches / signature pipelines).
+
+Each function here is an INDEPENDENT re-implementation of the
+corresponding operator's documented spec — straightforward
+per-row/per-doc code written against the hash-function definitions
+(FNV-1a, splitmix64, the fused window-hash kernel contract in
+vector_ray/native.py, the HLL estimator of stages/sketch.py's
+docstring) — sharing no vectorized/C code paths with the engine. The
+results are rendered as a `SELECT * FROM (VALUES ...)` SQL literal that
+the driver's DuckDB oracle runner can execute; a hash match then means
+the engine's batch/C implementation agrees with a simple single-threaded
+reference on the same inputs.
+
+The driver runs correctness at sf=0.01; golden oracles read the same
+parquet (env VR_ORACLE_SF_DIR overrides, default /root/testdata/sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+M64 = (1 << 64) - 1
+GOLD = 0x9E3779B97F4A7C15
+FNV_OFFSET = 14695981039346656037
+FNV_PRIME = 1099511628211
+U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sf_dir() -> str:
+    return os.environ.get("VR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def sm64_int(x: int) -> int:
+    """splitmix64 finalizer, pure-python ints."""
+    x = (x + GOLD) & M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & M64
+    x ^= x >> 31
+    return x
+
+
+def sm64_np(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(GOLD)
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def fnv1a_int(s: str) -> int:
+    h = FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME) & M64
+    return h
+
+
+def _values_sql(rows: list, cols: list[str], types: list[str]) -> str:
+    """Render rows as a DuckDB VALUES literal."""
+    def lit(v, ty):
+        if v is None:
+            return f"CAST(NULL AS {ty})"
+        if ty == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if ty == "DOUBLE":
+            return repr(float(v))
+        return f"{int(v)}::{ty}"
+
+    body = ", ".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")" for r in rows
+    )
+    names = ", ".join(cols)
+    return f"SELECT * FROM (VALUES {body}) AS t({names})"
+
+
+# ---------------------------------------------------------------------------
+# simhash_docs — per-word crc32 → splitmix64 → majority bit vote
+
+
+def simhash_docs_sql() -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    word_re = re.compile(r"\w+")
+    rows = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = word_re.findall((text or "").lower())
+        val = 0
+        if words:
+            votes = [0] * 64
+            for w in words:
+                h = sm64_int((zlib.crc32(w.encode()) ^ 1) & M64)
+                for b in range(64):
+                    votes[b] += (h >> b) & 1
+            n = len(words)
+            for b in range(64):
+                if 2 * votes[b] > n:
+                    val |= 1 << b
+        signed = val - (1 << 64) if val >= (1 << 63) else val
+        rows.append((doc_id, signed))
+    return _values_sql(rows, ["doc_id", "simhash"], ["BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# fused window-hash MinHash (the native.py kernel contract):
+#   w_i = v_i ^ XOR_{j=1..k-1} v_{i+j} * (GOLD*(j+1) mod 2^64)
+#   sig[h] = min_i splitmix64(w_i ^ seed_h); rows with < k values → MAX
+
+
+def _window_sig(vals: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
+    n = len(vals)
+    if n < k:
+        return np.full(len(seeds), U64MAX, np.uint64)
+    v = np.asarray(vals, np.uint64)
+    with np.errstate(over="ignore"):
+        w = v[: n - k + 1].copy()
+        for j in range(1, k):
+            w ^= v[j : n - k + 1 + j] * np.uint64((GOLD * (j + 1)) & M64)
+    sig = np.empty(len(seeds), np.uint64)
+    for h, s in enumerate(seeds):
+        sig[h] = sm64_np(w ^ np.uint64(s)).min()
+    return sig
+
+
+def _band_hash(sig: np.ndarray, band: int, rows_per_band: int) -> int:
+    acc = 0
+    for j in range(rows_per_band):
+        acc = sm64_int((acc ^ int(sig[band * rows_per_band + j])) & M64)
+    return acc
+
+
+def _lsh_pairs(ids: list, sigs: list, *, bands: int, num_hashes: int,
+               threshold: float, max_bucket: int = 512) -> list:
+    rows_per_band = num_hashes // bands
+    buckets: dict = {}
+    for i in range(len(ids)):
+        for b in range(bands):
+            buckets.setdefault((b, _band_hash(sigs[i], b, rows_per_band)), []).append(i)
+    seen: dict = {}
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members, key=lambda i: ids[i])
+        if len(members) > max_bucket:
+            members = members[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    key = (ids[i], ids[j])
+                    if key not in seen:
+                        seen[key] = est
+    return [(a, b, est) for (a, b), est in seen.items()]
+
+
+def minhash_pairs_sql() -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    seeds = [(1 * 1_000_003 + h * 2_654_435_761) & M64 for h in range(64)]
+    ids, sigs = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        buf = np.frombuffer((text or "").lower().encode("utf-8", "ignore"), np.uint8)
+        ids.append(int(doc_id))
+        sigs.append(_window_sig(buf, 5, np.array(seeds, np.uint64)))
+    rows = _lsh_pairs(ids, sigs, bands=16, num_hashes=64, threshold=0.7)
+    return _values_sql(rows, ["a", "b", "est_jaccard"], ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+def token_near_dup_sql() -> str:
+    # same input construction as q_token_near_dup (synth is the INPUT,
+    # not the operator under test)
+    import pyarrow as pa
+
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table({
+        "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+        "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+        "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+        "source": t["source"].slice(0, 100).combine_chunks(),
+    })
+    full = pa.concat_tables([t, dup])
+    seeds = [(17 + h * 2_654_435_761) & M64 for h in range(8)]
+    ids, sigs = [], []
+    for doc_id, toks in zip(full["doc_id"].to_pylist(), full["tokens"].to_pylist()):
+        v = np.asarray(toks, np.int64).astype(np.uint32).astype(np.uint64)
+        sig = _window_sig(v, 4, np.array(seeds, np.uint64))
+        if sig[0] == U64MAX:  # sentinel rows (too short) are filtered
+            continue
+        ids.append(str(doc_id))
+        sigs.append(sig)
+    rows = _lsh_pairs(ids, sigs, bands=4, num_hashes=8, threshold=0.75)
+    return _values_sql(rows, ["a", "b", "est_sim"], ["VARCHAR", "VARCHAR", "DOUBLE"])
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_users — HLL p=12, FNV-1a(decimal) → splitmix64
+
+
+def approx_distinct_users_sql() -> str:
+    import math
+
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["event_type", "user_id"])
+    p, m = 12, 1 << 12
+    regs: dict = {}
+    for et, uid in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        if uid is None:
+            continue
+        r = regs.setdefault(et, [0] * m)
+        h = sm64_int(fnv1a_int(str(uid)))
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) & M64
+        # rank = leading zeros + 1 over the 64-bit value
+        rank = 65 - rest.bit_length()
+        if rank > r[idx]:
+            r[idx] = min(rank, 255)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for et in sorted(regs):
+        r = regs[et]
+        est = alpha * m * m / sum(2.0 ** -x for x in r)
+        if est <= 2.5 * m:
+            zeros = r.count(0)
+            if zeros:
+                est = m * math.log(m / zeros)
+        rows.append((et, int(round(est))))
+    return _values_sql(rows, ["event_type", "approx_users"], ["VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# media_features — synth spec + byte-histogram features, re-derived
+
+
+def media_features_sql() -> str:
+    n, seed, payload_bytes = 200, 21, 256
+    kinds = ["image/jpeg", "audio/wav", "video/mp4"]
+    rows = []
+    for i in range(n):
+        h = sm64_int(i ^ seed)
+        rng = np.random.default_rng(h)
+        payload = rng.integers(0, 256, payload_bytes, dtype=np.uint8)
+        counts = np.bincount(payload >> 5, minlength=8)
+        feats = (counts / payload_bytes).astype(np.float32).astype(np.float64)
+        rows.append((f"m-{i:06d}", kinds[h % 3], *[float(f) for f in feats]))
+    cols = ["media_id", "media_type"] + [f"f{j}" for j in range(8)]
+    types = ["VARCHAR", "VARCHAR"] + ["DOUBLE"] * 8
+    return _values_sql(rows, cols, types)

@@ -459,18 +459,26 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 12,
+    tables: int = 8,
     cosine_threshold: float = 0.95,
     seed: int = 3,
 ):
-    """Near-dup pairs over an embedding column: random-hyperplane LSH
-    bucket (sign bits of `planes` projections) → within-bucket pairwise
-    cosine → pairs above threshold. Dimensions inferred per batch."""
-    rng = np.random.default_rng(seed)
+    """Near-dup pairs over an embedding column: multi-table
+    random-hyperplane LSH (sign bits of `planes` projections per table,
+    `tables` independent plane sets — OR-amplification so a near-dup
+    pair missing one table's bucket is caught by another) →
+    within-bucket pairwise cosine → pairs above threshold, deduped
+    across tables. Dimensions inferred per batch; all plane sets are
+    seed-deterministic."""
     plane_cache: dict = {}
 
     def get_planes(dim: int) -> np.ndarray:
+        """(tables, dim, planes) seeded stack of hyperplane sets."""
         if dim not in plane_cache:
-            plane_cache[dim] = np.random.default_rng(seed).standard_normal((dim, planes))
+            plane_cache[dim] = np.stack([
+                np.random.default_rng(seed + 7919 * tb).standard_normal((dim, planes))
+                for tb in range(tables)
+            ])
         return plane_cache[dim]
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -480,19 +488,27 @@ def embedding_dup_pairs(
         m = vecs.reshape(n, dim)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         m = m / np.maximum(norms, 1e-12)
-        signs = (m @ get_planes(dim)) > 0
-        bucket_id = np.packbits(
-            np.pad(signs, ((0, 0), (0, (-planes) % 8)), constant_values=False),
-            axis=1, bitorder="little",
-        ).astype(np.uint64)
-        key = np.zeros(n, dtype=np.uint64)
-        for j in range(bucket_id.shape[1]):
-            key = key << np.uint64(8) | bucket_id[:, j]
+        keys = np.empty((n, tables), dtype=np.uint64)
+        all_planes = get_planes(dim)
+        for tb in range(tables):
+            signs = (m @ all_planes[tb]) > 0
+            bucket_id = np.packbits(
+                np.pad(signs, ((0, 0), (0, (-planes) % 8)), constant_values=False),
+                axis=1, bitorder="little",
+            ).astype(np.uint64)
+            key = np.zeros(n, dtype=np.uint64)
+            for j in range(bucket_id.shape[1]):
+                key = key << np.uint64(8) | bucket_id[:, j]
+            keys[:, tb] = key
+        ids_rep = np.repeat(np.asarray(t[id_col]), tables)
+        vec_rep = np.repeat(m, tables, axis=0)
         return pa.table(
             {
-                "bucket": pa.array(key, pa.uint64()),
-                id_col: t[id_col],
-                "vec": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1), pa.float32()), dim),
+                "table": pa.array(np.tile(np.arange(tables, dtype=np.int32), n)),
+                "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+                id_col: pa.array(ids_rep),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vec_rep.reshape(-1), pa.float32()), dim),
             }
         )
 
@@ -514,7 +530,7 @@ def embedding_dup_pairs(
         return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
                          "cosine": pa.array(sims[iu][mask].astype(np.float64))})
 
-    all_pairs = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    all_pairs = bucketed.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
     return all_pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
