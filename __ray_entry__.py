@@ -343,6 +343,208 @@ def q_knn_embeddings(sf_dir):
     return _finish(out.select_columns(["query_idx", "vec_id", "rank"]))
 
 
+def q_syslog_lines(sf_dir):
+    """Raw-line ingestion path end-to-end (sources/lines.py): render
+    syslog-style lines from events into text files (the Vector
+    'file source → syslog lines' topology), re-read them with newline
+    framing via ray.data.read_text, parse with
+    parse_linux_authorization + KV message fields, aggregate counts per
+    (hostname, status). Oracle re-derives the aggregate from the events
+    columns directly."""
+    import glob as _g
+    import hashlib
+
+    from vector_ray.expr import F
+    from vector_ray.sources.lines import read_lines
+    from vector_ray.stages import grouped_aggregate
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/vr_syslog_{tag}"
+
+    def render(t: pa.Table) -> pa.Table:
+        n = len(t)
+        line = pc.binary_join_element_wise(
+            F.const(n, "Feb  5 10:15:57 host-"),
+            pc.cast(F.mod(t["user_id"], 20), pa.string()),
+            F.const(n, " app["),
+            pc.cast(F.mod(t["event_id"], 1000), pa.string()),
+            F.const(n, "]: status="),
+            pc.cast(t["event_type"], pa.string()),
+            F.const(n, " value="),
+            pc.cast(pc.cast(pc.floor(pc.fill_null(t["value"], 0.0)), pa.int64()), pa.string()),
+            "",
+        )
+        return pa.table({"line": line})
+
+    if not _g.glob(os.path.join(out_dir, "*.txt")):
+        import ray.data as rd
+
+        src = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+        lines = src.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in lines.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        text = "\n".join(tbl["line"].to_pylist())
+        chunks = text.split("\n")
+        per = max(1, len(chunks) // 4)
+        for i in range(4):
+            part = chunks[i * per : (i + 1) * per if i < 3 else len(chunks)]
+            with open(os.path.join(out_dir, f"part-{i}.txt"), "w") as f:
+                f.write("\n".join(part) + ("\n" if part else ""))
+
+    ds = read_lines(sorted(_g.glob(os.path.join(out_dir, "*.txt"))))
+
+    def parse(t: pa.Table) -> pa.Table:
+        parsed = F.parse_linux_authorization(t["line"])
+        parsed = parsed.combine_chunks() if isinstance(parsed, pa.ChunkedArray) else parsed
+        msg = pc.struct_field(parsed, "message")
+        status = pc.struct_field(pc.extract_regex(msg, r"status=(?P<s>\S+)"), "s")
+        return pa.table({
+            "hostname": pc.struct_field(parsed, "hostname"),
+            "status": status,
+        })
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(grouped_aggregate(parsed, ["hostname", "status"], {"n": ("count", "status")}))
+
+
+def q_apache_log_parse(sf_dir):
+    """parse_apache_log (combined) round trip: render CLF+combined lines
+    from events columns, parse them back with the kernel regex, emit
+    typed fields. Oracle derives the same fields directly from the
+    source columns — so the parse must exactly invert the render
+    (lib/vrl/stdlib/src/parse_apache_log.rs)."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def build_and_parse(t: pa.Table) -> pa.Table:
+        n = len(t)
+        host = pc.binary_join_element_wise(
+            F.const(n, "10.0."),
+            pc.cast(F.mod(t["user_id"], 256), pa.string()),
+            F.const(n, "."),
+            pc.cast(F.mod(t["event_id"], 256), pa.string()),
+            "",
+        )
+        user = pc.binary_join_element_wise(
+            F.const(n, "u"), pc.cast(t["user_id"], pa.string()), "")
+        ts_us = pc.cast(pc.cast(t["ts"], pa.int64()), pa.string())
+        path = pc.binary_join_element_wise(
+            F.const(n, "/api/"), pc.cast(t["event_type"], pa.string()), "")
+        status = pc.if_else(pc.greater(t["value"], 200.0), F.const(n, "500"), F.const(n, "200"))
+        size = pc.cast(pc.cast(pc.floor(pc.multiply(pc.fill_null(t["value"], 0.0), 10.0)),
+                               pa.int64()), pa.string())
+        agent = pc.binary_join_element_wise(
+            F.const(n, "curl/8."), pc.cast(F.mod(t["event_id"], 10), pa.string()), "")
+        line = pc.binary_join_element_wise(
+            host, F.const(n, "-"), user,
+            pc.binary_join_element_wise(F.const(n, "["), ts_us, F.const(n, "]"), ""),
+            pc.binary_join_element_wise(
+                F.const(n, '"GET '), path, F.const(n, ' HTTP/1.1"'), ""),
+            status, size,
+            F.const(n, '"-"'),
+            pc.binary_join_element_wise(F.const(n, '"'), agent, F.const(n, '"'), ""),
+            " ",
+        )
+        parsed = F.parse_apache_log(line)
+        parsed = parsed.combine_chunks() if isinstance(parsed, pa.ChunkedArray) else parsed
+        return pa.table({
+            "event_id": t["event_id"],
+            "host": pc.struct_field(parsed, "host"),
+            "user": pc.struct_field(parsed, "user"),
+            "path": pc.struct_field(parsed, "path"),
+            "status": pc.cast(pc.struct_field(parsed, "status"), pa.int64()),
+            "size": pc.cast(pc.struct_field(parsed, "size"), pa.int64()),
+            "agent": pc.struct_field(parsed, "agent"),
+        })
+
+    return _finish(ds.map_batches(build_and_parse, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_glog_parse(sf_dir):
+    """parse_glog round trip over rendered glog lines
+    (lib/vrl/stdlib/src/parse_glog.rs): level char from value, thread =
+    user_id, file:line from event ids, free-text message."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def build_and_parse(t: pa.Table) -> pa.Table:
+        n = len(t)
+        level = pc.if_else(pc.greater(t["value"], 200.0), F.const(n, "E"),
+                           pc.if_else(pc.greater(t["value"], 100.0), F.const(n, "W"),
+                                      F.const(n, "I")))
+        lineno = pc.cast(F.mod(t["event_id"], 1000), pa.string())
+        line = pc.binary_join_element_wise(
+            level, F.const(n, "0813 12:00:01.123456 "),
+            pc.cast(t["user_id"], pa.string()), F.const(n, " main.cc:"),
+            lineno, F.const(n, "] evt "), pc.cast(t["event_type"], pa.string()),
+            "",
+        )
+        parsed = F.parse_glog(line)
+        parsed = parsed.combine_chunks() if isinstance(parsed, pa.ChunkedArray) else parsed
+        return pa.table({
+            "event_id": t["event_id"],
+            "level": pc.struct_field(parsed, "level"),
+            "thread": pc.cast(pc.struct_field(parsed, "thread"), pa.int64()),
+            "file": pc.struct_field(parsed, "file"),
+            "line": pc.cast(pc.struct_field(parsed, "line"), pa.int64()),
+            "message": pc.struct_field(parsed, "message"),
+        })
+
+    return _finish(ds.map_batches(build_and_parse, batch_format="pyarrow", zero_copy_batch=True))
+
+
+_UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+    "curl/8.4.0",
+    "weird-client/1.0",
+]
+
+# hand-derived expected families per pool index (the oracle CASE table)
+_UA_EXPECT = [
+    ("Chrome", "120.0.0.0", "Windows", "Other"),
+    ("Edge", "120.0.2210.91", "Windows", "Other"),
+    ("Safari", "17.1", "macOS", "Other"),
+    ("Firefox", "121.0", "Linux", "Other"),
+    ("Safari", "17.1", "iOS", "Mobile"),
+    ("Chrome", "120.0.6099.43", "Android", "Mobile"),
+    ("curl", "8.4.0", "Other", "Other"),
+    ("Other", None, "Other", "Other"),
+]
+
+
+def q_user_agent_parse(sf_dir):
+    """parse_user_agent over a deterministic UA pool indexed by
+    user_id % 8 (lib/vrl/stdlib/src/parse_user_agent.rs, simplified
+    family table — see kernels.parse_user_agent)."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+    pool = pa.array(_UA_POOL, pa.string())
+
+    def pick_and_parse(t: pa.Table) -> pa.Table:
+        idx = pc.cast(F.mod(t["user_id"], 8), pa.int64())
+        ua = pool.take(idx.combine_chunks() if isinstance(idx, pa.ChunkedArray) else idx)
+        parsed = F.parse_user_agent(ua)
+        return pa.table({
+            "event_id": t["event_id"],
+            "browser_family": pc.struct_field(parsed, "browser_family"),
+            "browser_version": pc.struct_field(parsed, "browser_version"),
+            "os_family": pc.struct_field(parsed, "os_family"),
+            "device": pc.struct_field(parsed, "device"),
+        })
+
+    return _finish(ds.map_batches(pick_and_parse, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_sample_events(sf_dir):
     from vector_ray.expr import F
     from vector_ray.stages import Sample
@@ -764,6 +966,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "tumbling_histogram": q_tumbling_histogram,
         "sample_events": q_sample_events,
+        "apache_log_parse": q_apache_log_parse,
+        "syslog_lines": q_syslog_lines,
+        "glog_parse": q_glog_parse,
+        "user_agent_parse": q_user_agent_parse,
         "minhash_pairs": q_minhash_pairs,
         "simhash_docs": q_simhash_docs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1020,6 +1226,49 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(x.embedding, y.embedding) AS c "
             "FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id) "
             "SELECT a, b FROM p WHERE c >= 0.9"
+        ),
+        "syslog_lines": (
+            "SELECT 'host-' || CAST(user_id % 20 AS VARCHAR) AS hostname, "
+            "event_type AS status, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the render→parse round trips: the oracle derives the fields
+        # straight from the source columns, so the kernel regex must
+        # exactly invert the deterministic line renderer.
+        "apache_log_parse": (
+            "SELECT event_id, "
+            "'10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || "
+            "CAST(event_id % 256 AS VARCHAR) AS host, "
+            "'u' || CAST(user_id AS VARCHAR) AS \"user\", "
+            "'/api/' || event_type AS path, "
+            "CAST(CASE WHEN value > 200.0 THEN 500 ELSE 200 END AS BIGINT) AS status, "
+            "CAST(FLOOR(COALESCE(value, 0.0) * 10.0) AS BIGINT) AS size, "
+            "'curl/8.' || CAST(event_id % 10 AS VARCHAR) AS agent "
+            "FROM events"
+        ),
+        "glog_parse": (
+            "SELECT event_id, "
+            "CASE WHEN value > 200.0 THEN 'E' WHEN value > 100.0 THEN 'W' ELSE 'I' END AS level, "
+            "CAST(user_id AS BIGINT) AS thread, 'main.cc' AS file, "
+            "CAST(event_id % 1000 AS BIGINT) AS line, "
+            "'evt ' || event_type AS message FROM events"
+        ),
+        "user_agent_parse": (
+            "SELECT event_id, "
+            + "CASE user_id % 8 "
+            + " ".join(f"WHEN {i} THEN '{fam}'" for i, (fam, _v, _o, _d) in enumerate(_UA_EXPECT))
+            + " END AS browser_family, "
+            + "CASE user_id % 8 "
+            + " ".join(
+                f"WHEN {i} THEN " + ("NULL" if v is None else f"'{v}'")
+                for i, (_f, v, _o, _d) in enumerate(_UA_EXPECT))
+            + " END AS browser_version, "
+            + "CASE user_id % 8 "
+            + " ".join(f"WHEN {i} THEN '{o}'" for i, (_f, _v, o, _d) in enumerate(_UA_EXPECT))
+            + " END AS os_family, "
+            + "CASE user_id % 8 "
+            + " ".join(f"WHEN {i} THEN '{d}'" for i, (_f, _v, _o, d) in enumerate(_UA_EXPECT))
+            + " END AS device FROM events"
         ),
         # golden-value oracles (tools/golden.py): independent
         # single-threaded re-implementations of the sketch / signature

@@ -754,3 +754,56 @@ def redact(a, patterns, *, replacement: str = "[REDACTED]"):
     for p in patterns:
         out = pc.replace_substring_regex(out, p, replacement)
     return out
+
+
+# ordered: more-specific tokens first (Edge UAs contain "Chrome", Chrome
+# UAs contain "Safari")
+_UA_BROWSERS = [
+    ("Firefox", r"Firefox/(?P<v>[0-9.]+)"),
+    ("Edge", r"Edg[eA]?/(?P<v>[0-9.]+)"),
+    ("Chrome", r"Chrome/(?P<v>[0-9.]+)"),
+    ("Safari", r"Version/(?P<v>[0-9.]+).*Safari"),
+    ("curl", r"curl/(?P<v>[0-9.]+)"),
+    ("wget", r"Wget/(?P<v>[0-9.]+)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT"),
+    ("iOS", r"iPhone OS|CPU OS"),
+    ("macOS", r"Mac OS X"),
+    ("Android", r"Android"),
+    ("Linux", r"Linux"),
+]
+
+
+def parse_user_agent(a):
+    """User-agent → struct(browser_family, browser_version, os_family,
+    device). Vectorized first-match-wins over an ordered token table — a
+    documented SIMPLIFICATION of the reference's uap/woothee database
+    (lib/vrl/stdlib/src/parse_user_agent.rs); family coverage is the
+    major desktop/mobile browsers + CLI clients, everything else is
+    "Other"."""
+    s = pc.cast(_arr(a), pa.string())
+    n = len(s)
+    fam = const(n, None, pa.string())
+    ver = const(n, None, pa.string())
+    for name, pat in _UA_BROWSERS:
+        m = pc.extract_regex(s, pat)
+        hit = pc.and_(pc.is_valid(m), pc.is_null(fam))
+        fam = pc.if_else(hit, name, fam)
+        ver = pc.if_else(hit, pc.struct_field(m, "v"), ver)
+    fam = pc.fill_null(fam, "Other")
+    osf = const(n, None, pa.string())
+    for name, pat in _UA_OS:
+        hit = pc.and_(pc.match_substring_regex(s, pat), pc.is_null(osf))
+        osf = pc.if_else(hit, name, osf)
+    osf = pc.fill_null(osf, "Other")
+    mobile = pc.match_substring_regex(s, r"Mobile|iPhone|Android")
+    tablet = pc.match_substring_regex(s, r"iPad|Tablet")
+    device = pc.if_else(tablet, "Tablet", pc.if_else(mobile, "Mobile", "Other"))
+    arrs = []
+    for c in (fam, ver, osf, device):
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        arrs.append(c)
+    return pa.StructArray.from_arrays(
+        arrs, ["browser_family", "browser_version", "os_family", "device"]
+    )
