@@ -55,6 +55,31 @@ class TestKnn:
         c = kmeans_fit(_rand_embeddings(300), 4)
         assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
 
+    def test_ivf_bucketed_layout(self, tmp_path):
+        # the 100-TB layout: partitions by centroid; probing must read
+        # only n_probe/n_clusters of the data, full probe = exact
+        from vector_ray.ml.ann import ivf_build, ivf_search
+
+        m = _rand_embeddings(400)
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        idx_dir = str(tmp_path / "ivf")
+        ivf_build(rd.from_arrow(t).repartition(4), idx_dir, n_clusters=8)
+        q = m[:2]
+        # partial probe: bounded read
+        res, stats = ivf_search(idx_dir, q, k=5, n_probe=2)
+        res.take_all()
+        assert stats["clusters_total"] == 8
+        assert stats["files_read"] < stats["files_total"]
+        assert 0 < stats["rows_read"] < stats["rows_total"] == 400
+        # full probe reads everything and equals brute force exactly
+        res_full, stats_full = ivf_search(idx_dir, q, k=5, n_probe=8)
+        assert stats_full["rows_read"] == 400
+        got = {(r["query_idx"], r["vec_id"]) for r in res_full.take_all()}
+        sims = q @ m.T
+        want = {(qi, v) for qi in range(2) for v in np.argsort(-sims[qi])[:5].tolist()}
+        assert got == want
+
 
 def _docs_with_dups():
     base = ("the quick brown fox jumps over the lazy dog and then runs far away "
