@@ -51,13 +51,18 @@ def _flagship_files(bench_rows: int):
 
     from vector_ray.sources.synth import synth_parquet
 
-    tok_path = synth_parquet(bench_rows, seed=42, rows_per_file=125_000)
+    # fragment size trades per-block overhead against fan-out: 62.5k
+    # rows/fragment gives 32 CPUs >= 2 blocks/slot at the 4M default
+    # while keeping blocks ~70 MB (VR_BENCH_ROWS_PER_FILE overrides)
+    per_file = int(os.environ.get("VR_BENCH_ROWS_PER_FILE", "62500"))
+    tok_path = synth_parquet(bench_rows, seed=42, rows_per_file=per_file)
     return sorted(glob.glob(os.path.join(tok_path, "part-*.parquet"))), tok_path
 
 
-def run_flagship_bench(ncpu: int, bench_rows: int) -> float:
+def run_flagship_bench(ncpu: int, bench_rows: int, sig_hashes: int = 8) -> float:
     """Timed fused flagship at the given parallelism; Ray must already
-    be initialised. Returns seconds."""
+    be initialised. Returns seconds. ``sig_hashes`` > 8 raises the
+    per-byte ALU work (the compute-bound scaling variant)."""
     import ray.data as rd
 
     from vector_ray.pipelines.flagship import run_streaming_fused
@@ -65,15 +70,18 @@ def run_flagship_bench(ncpu: int, bench_rows: int) -> float:
 
     import glob
 
-    # untimed warmup: worker spawn + imports + page cache
-    wsrc = synth_parquet(50_000, seed=13, rows_per_file=12_500)
+    # untimed warmup at FULL parallelism: enough tiny fragments that
+    # every prestarted worker process spawns and imports before timing
+    wsrc = synth_parquet(64_000, seed=13, rows_per_file=1_000)
     wfiles = sorted(glob.glob(os.path.join(wsrc, "part-*.parquet")))
-    run_streaming_fused(wfiles, concurrency=2, token_sig=True).to_pandas()
+    run_streaming_fused(wfiles, concurrency=max(2, ncpu - 2), token_sig=True,
+                        sig_hashes=sig_hashes).to_pandas()
 
     files, tok_path = _flagship_files(bench_rows)
     _warm(tok_path)
     t0 = time.time()
-    agg = run_streaming_fused(files, concurrency=max(2, ncpu - 2), token_sig=True).to_pandas()
+    agg = run_streaming_fused(files, concurrency=max(2, ncpu - 2), token_sig=True,
+                              sig_hashes=sig_hashes).to_pandas()
     sec = time.time() - t0
     assert len(agg) > 0
     return sec
@@ -135,7 +143,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     }
 
 
-def _flagship_once_subprocess(ncpu: int, bench_rows: int) -> float:
+def _flagship_once_subprocess(ncpu: int, bench_rows: int, sig_hashes: int = 8) -> float:
     """One fresh-process flagship timing (scaling protocol unit)."""
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -143,8 +151,8 @@ def _flagship_once_subprocess(ncpu: int, bench_rows: int) -> float:
         "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR')\n"
         "from ray.data import DataContext\n"
         "DataContext.get_current().enable_progress_bars = False\n"
-        "print(bench.run_flagship_bench(%d, %d))\n"
-        "ray.shutdown()\n" % (REPO, ncpu, ncpu, bench_rows)
+        "print(bench.run_flagship_bench(%d, %d, sig_hashes=%d))\n"
+        "ray.shutdown()\n" % (REPO, ncpu, ncpu, bench_rows, sig_hashes)
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
     return float(out.stdout.strip().splitlines()[-1])
@@ -173,30 +181,48 @@ def main():
 
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        best = {lo: float("inf"), hi: float("inf")}
-        runs = {lo: [], hi: []}
-        for _ in range(reps):  # alternate levels: the host is bursty
-            for level in (hi, lo):
-                sec = _flagship_once_subprocess(level, bench_rows)
-                runs[level].append(round(sec, 2))
-                best[level] = min(best[level], sec)
-        thr = {k: bench_rows / v for k, v in best.items()}
-        eff = (thr[hi] / thr[lo]) / (hi / lo)
+
+        def measure(rows: int, sig_hashes: int) -> dict:
+            best = {lo: float("inf"), hi: float("inf")}
+            runs = {lo: [], hi: []}
+            for _ in range(reps):  # alternate levels: the host is bursty
+                for level in (hi, lo):
+                    sec = _flagship_once_subprocess(level, rows, sig_hashes)
+                    runs[level].append(round(sec, 2))
+                    best[level] = min(best[level], sec)
+            thr = {k: rows / v for k, v in best.items()}
+            return {
+                "sec_8": round(best[lo], 3),
+                "sec_32": round(best[hi], 3),
+                "runs_8": runs[lo],
+                "runs_32": runs[hi],
+                "rows_per_sec_8": round(thr[lo], 1),
+                "rows_per_sec_32": round(thr[hi], 1),
+                "scaling_efficiency": round((thr[hi] / thr[lo]) / (hi / lo), 3),
+                "rows": rows,
+                "sig_hashes": sig_hashes,
+            }
+
+        # memory-bound variant: the production config (8 sig hashes) —
+        # dominated by parquet decode + Arrow passes, which saturate the
+        # shared VM's memory bus near 8 workers (BASELINE.md "Measured").
+        mem = measure(bench_rows, 8)
+        # compute-bound variant: 128 sig hashes ≈ 16x the ALU per byte in
+        # the fused C kernel; per-byte compute high enough that the
+        # memory bus is no longer the binding constraint, isolating the
+        # ENGINE's scaling from the host ceiling.
+        comp = measure(max(bench_rows // 2, 250_000), 128)
         cal_lo, cal_hi = _cpu_calibration(lo), _cpu_calibration(hi)
         cal_eff = (cal_hi / cal_lo) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "scaling efficiency (flagship, num_cpus 8 vs 32, best of %d alternating)" % reps,
-                    "sec_8": round(best[lo], 3),
-                    "sec_32": round(best[hi], 3),
-                    "runs_8": runs[lo],
-                    "runs_32": runs[hi],
-                    "rows_per_sec_8": round(thr[lo], 1),
-                    "rows_per_sec_32": round(thr[hi], 1),
-                    "scaling_efficiency": round(eff, 3),
-                    "host_cpu_calibration_eff_8_to_32": round(cal_eff, 3),
+                    **{k: v for k, v in mem.items() if k != "sig_hashes"},
                     "flagship_rows": bench_rows,
+                    "memory_bound": mem,
+                    "compute_bound": comp,
+                    "host_cpu_calibration_eff_8_to_32": round(cal_eff, 3),
                 }
             )
         )

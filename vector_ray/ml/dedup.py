@@ -42,8 +42,13 @@ def exact_dedup(ds, field: str = "text", *, id_col: str = "doc_id"):
 
     def local_first(t: pa.Table) -> pa.Table:
         t = t.sort_by(id_col)
-        dup = t["__fp"].to_pandas().duplicated().to_numpy()
-        return t.filter(pa.array(~dup)) if dup.any() else t
+        # first row per fingerprint in sorted order — same key the global
+        # groupby uses; np.unique(return_index) gives first occurrences
+        fp = np.asarray(t["__fp"].combine_chunks().to_numpy(zero_copy_only=False), np.uint64)
+        first_idx = np.unique(fp, return_index=True)[1]
+        if len(first_idx) < len(t):
+            t = t.take(pa.array(np.sort(first_idx)))
+        return t
 
     pre = hashed.map_batches(local_first, batch_format="pyarrow", zero_copy_batch=True)
 

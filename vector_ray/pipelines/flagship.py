@@ -213,7 +213,11 @@ def run_flagship(
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 )
-                pa_partial = pa.Table.from_pylist(partial.take_all())
+                import ray as _ray
+
+                # zero-copy arrow refs, no row-dict round trip
+                _tables = _ray.get(partial.to_arrow_refs())
+                pa_partial = pa.concat_tables(_tables)
                 import pyarrow.parquet as pq
 
                 pq.write_table(pa_partial, os.path.join(frag_out, "agg_partial.parquet"))
@@ -276,7 +280,7 @@ class FlagshipWorker:
     (no cross-node block shipping for the narrow stages).
     """
 
-    def __init__(self, table_ref=None, token_sig: bool = False):
+    def __init__(self, table_ref=None, token_sig: bool = False, sig_hashes: int = 8):
         import ray as _ray
 
         from vector_ray.stages.enrich import Enrich, _EnrichActor
@@ -286,7 +290,7 @@ class FlagshipWorker:
         if token_sig:
             from vector_ray.ml.dedup import TokenMinHash
 
-            steps.append(FnStep(TokenMinHash(num_hashes=8), name="token_sig"))
+            steps.append(FnStep(TokenMinHash(num_hashes=sig_hashes), name="token_sig"))
         self.chain = ChainStep(steps)
         lookup = _ray.get(table_ref) if table_ref is not None else source_lookup_table()
         en = Enrich(EnrichmentTable(lookup, key=["source"]), select=["region", "tier"])
@@ -318,9 +322,37 @@ class FlagshipWorker:
         return self._partial(t, self.AGG_KEYS, self.AGG_SPECS)
 
 
-def run_streaming_fused(files, *, concurrency: int, token_sig: bool = False, lookup=None):
-    """Bench/streaming mode: read → fused FlagshipWorker actor pool →
-    final merge of partials. Returns the aggregate Dataset."""
+#: per-worker-process FlagshipWorker cache for the task-pool mode:
+#: worker processes are prestarted and reused by Ray core, so the state
+#: (enrich table fetch, compiled parser) is built once per process with
+#: NO serial actor-pool ramp (measured ~1 s/actor — dominates short
+#: runs at 30 actors).
+_WORKER_CACHE: dict = {}
+
+
+def _fused_task_fn(table_ref, token_sig: bool, sig_hashes: int):
+    key = (table_ref.hex() if table_ref is not None else None, token_sig, sig_hashes)
+
+    def fused(t: pa.Table) -> pa.Table:
+        w = _WORKER_CACHE.get(key)
+        if w is None:
+            w = FlagshipWorker(table_ref=table_ref, token_sig=token_sig,
+                               sig_hashes=sig_hashes)
+            _WORKER_CACHE[key] = w
+        return w(t)
+
+    return fused
+
+
+def run_streaming_fused(files, *, concurrency: int, token_sig: bool = False, lookup=None,
+                        sig_hashes: int = 8, pool: str = "task"):
+    """Bench/streaming mode: read → fused FlagshipWorker pool → final
+    merge of partials. Returns the aggregate Dataset.
+
+    ``pool="task"`` (default) runs the fused worker as a task pool with
+    a per-process state cache — no actor ramp, full CPU fan-out;
+    ``pool="actor"`` keeps the explicit actor pool (useful when state
+    must NOT be shared process-wide)."""
     import ray as _ray
     import ray.data as rd
 
@@ -332,13 +364,21 @@ def run_streaming_fused(files, *, concurrency: int, token_sig: bool = False, loo
     # per sub-block (measured 4-5x slower); parallelism beyond the
     # fragment count must come from MORE fragments, not splits
     ds = rd.read_parquet(files, override_num_blocks=len(files) if isinstance(files, list) else None)
-    partial = ds.map_batches(
-        FlagshipWorker,
-        fn_constructor_kwargs={"table_ref": table_ref, "token_sig": token_sig},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if pool == "task":
+        partial = ds.map_batches(
+            _fused_task_fn(table_ref, token_sig, sig_hashes),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        partial = ds.map_batches(
+            FlagshipWorker,
+            fn_constructor_kwargs={"table_ref": table_ref, "token_sig": token_sig,
+                                   "sig_hashes": sig_hashes},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     partial = partial.repartition(4)
     return partial.groupby(FlagshipWorker.AGG_KEYS).map_groups(
         _final_merge_fn(FlagshipWorker.AGG_KEYS, FlagshipWorker.AGG_SPECS),

@@ -73,9 +73,15 @@ class Dedupe(Step):
         # shrinks the shuffle; "first" by order_by if present else row order)
         if self.order_by and self.order_by in tbl.column_names:
             tbl = tbl.sort_by(self.order_by)
-        dup_mask = tbl[_HASH].to_pandas().duplicated().to_numpy()  # vectorized hash pass
-        if dup_mask.any():
-            tbl = tbl.filter(pa.array(~dup_mask))
+        # first-seen per key via dictionary codes (exact, no pandas
+        # round-trip): np.unique returns the first occurrence index of
+        # each code in row order
+        import numpy as np
+
+        codes = pc.dictionary_encode(tbl[_HASH].combine_chunks()).indices
+        first_idx = np.unique(np.asarray(codes), return_index=True)[1]
+        if len(first_idx) < len(tbl):
+            tbl = tbl.take(pa.array(np.sort(first_idx)))
         return tbl
 
     def apply(self, ds):

@@ -71,23 +71,22 @@ class SessionWindow(Step):
             new_session[1:] = (np.diff(ts) > self.gap_us).astype(np.int64)
         sid = np.cumsum(new_session)
         g = g.assign(**{self.session_col: sid})
-        out_rows = []
-        for s, sub in g.groupby(self.session_col, sort=True):
-            row = {k: sub[k].iloc[0] for k in self.keys}
-            row[self.session_col] = int(s)
-            for name, (kind, col) in self.aggs.items():
-                if kind == "count":
-                    row[name] = len(sub)
-                elif kind == "sum":
-                    row[name] = sub[col].sum()
-                elif kind == "min":
-                    row[name] = sub[col].min()
-                elif kind == "max":
-                    row[name] = sub[col].max()
-                else:
-                    raise ValueError(kind)
-            out_rows.append(row)
-        return pd.DataFrame(out_rows)
+        # one vectorized pandas groupby-agg over all sessions of the key
+        # (no per-session Python loop)
+        named = {}
+        for name, (kind, col) in self.aggs.items():
+            if kind == "count":
+                named[name] = (self.session_col, "size")
+            elif kind in ("sum", "min", "max"):
+                named[name] = (col, kind)
+            else:
+                raise ValueError(kind)
+        for k in self.keys:
+            named[k] = (k, "first")
+        out = g.groupby(self.session_col, sort=True).agg(**named).reset_index()
+        out[self.session_col] = out[self.session_col].astype(np.int64)
+        cols = self.keys + [self.session_col] + list(self.aggs)
+        return out[cols]
 
     def apply(self, ds):
         return ds.groupby(self.keys).map_groups(self._sessions, batch_format="pandas")
