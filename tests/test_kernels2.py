@@ -181,3 +181,58 @@ class TestCodecAdditions:
         a = pa.array(["user=alice token=abc123 other"])
         out = F.redact(a, [r"token=\w+"])
         assert out.to_pylist() == ["user=alice [REDACTED] other"]
+
+
+class TestStdlibTail:
+    def test_percent_codecs_match_urllib(self):
+        import urllib.parse
+
+        vals = ["hello world", "a/b?c=d&e=f", "плюс", "", "100%", "%2",
+                "x%41y", "~safe-._", None, "tail%"]
+        want = [None if v is None else urllib.parse.quote(v, safe="-_.~") for v in vals]
+        assert F.encode_percent(pa.array(vals)).to_pylist() == want
+        assert F.decode_percent(pa.array(want)).to_pylist() == vals
+
+    def test_decode_percent_invalid_and_boundaries(self):
+        assert F.decode_percent(pa.array(["%41", "%4", "%zz", "a%25b", "%"])).to_pylist() == \
+            ["A", "%4", "%zz", "a%b", "%"]
+        # escape must not cross a row boundary in the flat buffer
+        assert F.decode_percent(pa.array(["x%", "41"])).to_pylist() == ["x%", "41"]
+
+    def test_ip_v6_mapping(self):
+        assert F.ip_to_ipv6(pa.array(["1.2.3.4", "::1"])).to_pylist() == \
+            ["::ffff:1.2.3.4", "::1"]
+        assert F.ipv6_to_ipv4(pa.array(["::ffff:1.2.3.4", "5.6.7.8", "::1"])).to_pylist() == \
+            ["1.2.3.4", "5.6.7.8", None]
+
+    def test_match_array(self):
+        la = pa.array([["err: boom", "ok"], ["fine"], [], None, ["err1", "err2"]],
+                      pa.list_(pa.string()))
+        assert F.match_array(la, "^err").to_pylist() == [True, False, False, False, True]
+        assert F.match_array(la, "^err", all_=True).to_pylist() == \
+            [False, False, False, False, True]
+
+    def test_parse_xml(self):
+        import json
+
+        x = F.parse_xml(pa.array(['<a b="1"><c>t</c><c>u</c></a>', "<bad", None])).to_pylist()
+        assert json.loads(x[0]) == {"a": {"@b": "1", "c": ["t", "u"]}}
+        assert x[1] is None and x[2] is None
+
+    def test_parse_vpc_flow(self):
+        line = ("2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 "
+                "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK")
+        row = F.parse_aws_vpc_flow_log(pa.array([line])).to_pylist()[0]
+        assert row["srcaddr"] == "172.31.16.139" and row["action"] == "ACCEPT"
+        assert row["log_status"] == "OK"
+
+    def test_parse_user_agent(self):
+        ua = pa.array([
+            "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+            "curl/8.4.0",
+            "weird/1.0",
+        ])
+        rows = F.parse_user_agent(ua).to_pylist()
+        assert rows[0]["browser_family"] == "Firefox" and rows[0]["os_family"] == "Linux"
+        assert rows[1]["browser_family"] == "curl"
+        assert rows[2]["browser_family"] == "Other" and rows[2]["browser_version"] is None

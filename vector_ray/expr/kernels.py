@@ -807,3 +807,212 @@ def parse_user_agent(a):
     return pa.StructArray.from_arrays(
         arrs, ["browser_family", "browser_version", "os_family", "device"]
     )
+
+
+# --------------------------------------------------------------------------
+# percent-encoding codecs (lib/vrl/stdlib/src/{encode,decode}_percent.rs)
+# — fully vectorized over the flat utf8 byte buffer, no per-row Python.
+
+_PERCENT_SAFE = np.zeros(256, dtype=bool)
+for _c in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~"):
+    _PERCENT_SAFE[_c] = True
+_HEX_DIGITS = b"0123456789ABCDEF"
+_HEX_VAL = np.full(256, -1, dtype=np.int16)
+for _i, _c in enumerate(b"0123456789"):
+    _HEX_VAL[_c] = _i
+for _i, _c in enumerate(b"ABCDEF"):
+    _HEX_VAL[_c] = 10 + _i
+for _i, _c in enumerate(b"abcdef"):
+    _HEX_VAL[_c] = 10 + _i
+
+
+def _flat_utf8(arr: pa.Array):
+    """(data bytes, offsets int64) of a string array (offset-normalized)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return arr, data, offs
+
+
+def _rebuild_string(arr, out_data: np.ndarray, out_offs: np.ndarray) -> pa.Array:
+    """String array from transformed flat bytes + new offsets, keeping
+    the source's validity bitmap."""
+    return pa.Array.from_buffers(
+        pa.string(), len(out_offs) - 1,
+        [arr.buffers()[0], pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+         pa.py_buffer(out_data.tobytes())],
+        null_count=arr.null_count,
+    )
+
+
+def encode_percent(a):
+    """Percent-encode every byte outside the RFC 3986 unreserved set."""
+    arr, data, offs = _flat_utf8(_arr(a))
+    if len(data) == 0:
+        return arr
+    lo, hi = int(offs[0]), int(offs[-1])
+    body = data[lo:hi]
+    safe = _PERCENT_SAFE[body]
+    out_len_per_byte = np.where(safe, 1, 3).astype(np.int64)
+    pos = np.concatenate([[0], np.cumsum(out_len_per_byte)])
+    out = np.empty(int(pos[-1]), dtype=np.uint8)
+    out[pos[:-1][safe]] = body[safe]
+    up = ~safe
+    upos = pos[:-1][up]
+    ub = body[up].astype(np.int16)
+    out[upos] = ord("%")
+    hexd = np.frombuffer(_HEX_DIGITS, dtype=np.uint8)
+    out[upos + 1] = hexd[ub >> 4]
+    out[upos + 2] = hexd[ub & 0xF]
+    # per-row output offsets: sum of out lengths per row
+    rel = offs - lo
+    new_offs = pos[rel]
+    return _rebuild_string(arr, out, new_offs)
+
+
+def decode_percent(a):
+    """Decode %XX escapes (invalid escapes pass through literally)."""
+    arr, data, offs = _flat_utf8(_arr(a))
+    if len(data) == 0:
+        return arr
+    lo, hi = int(offs[0]), int(offs[-1])
+    body = data[lo:hi]
+    n = len(body)
+    rel_ends = offs - lo
+    pct = np.nonzero(body == ord("%"))[0]
+    if len(pct):
+        # valid escape: two hex digits follow, inside the same row
+        row = np.searchsorted(rel_ends, pct, side="right")  # row index + 1... use ends
+        row_end = rel_ends[np.minimum(row, len(rel_ends) - 1)]
+        in_row = pct + 2 < row_end + 1  # pct+2 must be <= row_end-1
+        hx1 = np.where(pct + 1 < n, _HEX_VAL[body[np.minimum(pct + 1, n - 1)]], -1)
+        hx2 = np.where(pct + 2 < n, _HEX_VAL[body[np.minimum(pct + 2, n - 1)]], -1)
+        valid = in_row & (hx1 >= 0) & (hx2 >= 0)
+        vp = pct[valid]
+    else:
+        vp = np.empty(0, np.int64)
+    if len(vp) == 0:
+        return arr
+    out_body = body.copy()
+    out_body[vp] = (_HEX_VAL[body[vp + 1]] << 4 | _HEX_VAL[body[vp + 2]]).astype(np.uint8)
+    skip = np.zeros(n, dtype=bool)
+    skip[vp + 1] = True
+    skip[vp + 2] = True
+    keep = ~skip
+    out = out_body[keep]
+    removed_before = np.concatenate([[0], np.cumsum(skip)])  # prefix removals
+    new_offs = rel_ends - removed_before[rel_ends]
+    return _rebuild_string(arr, out, new_offs)
+
+
+# --------------------------------------------------------------------------
+# ip family additions (lib/vrl/stdlib/src/{ip_to_ipv6,ipv6_to_ipv4}.rs)
+
+
+def ip_to_ipv6(a):
+    """Dotted-quad v4 → IPv4-mapped IPv6 (::ffff:a.b.c.d); v6 unchanged."""
+    s = pc.cast(_arr(a), pa.string())
+    is_v4 = pc.match_substring_regex(s, r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    mapped = pc.binary_join_element_wise(
+        pa.array(["::ffff:"] * len(s)), pc.fill_null(s, ""), "")
+    return pc.if_else(is_v4, mapped, s)
+
+
+def ipv6_to_ipv4(a):
+    """IPv4-mapped IPv6 → dotted quad; plain v4 passes; other v6 → null
+    (the reference errors there; null is the batch-engine error value)."""
+    s = pc.cast(_arr(a), pa.string())
+    m = pc.extract_regex(s, r"^::[fF]{4}:(?P<v4>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$")
+    mapped = pc.struct_field(m, "v4")
+    is_v4 = pc.match_substring_regex(s, r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return pc.if_else(is_v4, s, mapped)
+
+
+def match_array(a, pattern: str, *, all_: bool = False):
+    """VRL match_array: does any (or every) element of a list<string>
+    column match the regex. Vectorized: flatten once, one regex pass,
+    segment any/all via reduceat."""
+    arr = _arr(a)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    off0 = int(offs[0])
+    offs = offs - off0
+    flat = arr.values
+    if off0 or len(flat) > int(offs[-1]):
+        flat = flat.slice(off0, int(offs[-1]))
+    hits = pc.fill_null(
+        pc.match_substring_regex(pc.cast(flat, pa.string()), pattern), False
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    starts = np.minimum(offs[:-1], max(len(hits) - 1, 0))
+    if len(hits) == 0:
+        agg = np.zeros(n, dtype=np.int64)
+    else:
+        agg = np.add.reduceat(hits, starts)
+        agg[lens == 0] = 0
+    out = (agg == lens) & (lens > 0) if all_ else agg > 0
+    return pa.array(out)
+
+
+# --------------------------------------------------------------------------
+# parse_xml (lib/vrl/stdlib/src/parse_xml.rs) — control-plane parser:
+# per-row ElementTree walk (XML structure is inherently recursive; this
+# is a config/enrichment-time kernel, NOT for hot log paths — use the
+# regex/grok/json parsers there).
+
+
+def parse_xml(a, *, include_attr: bool = True, attr_prefix: str = "@"):
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    def node_to_obj(el):
+        obj: dict = {}
+        if include_attr:
+            for k, v in el.attrib.items():
+                obj[f"{attr_prefix}{k}"] = v
+        for child in el:
+            val = node_to_obj(child)
+            if child.tag in obj:
+                prev = obj[child.tag]
+                if not isinstance(prev, list):
+                    obj[child.tag] = [prev]
+                obj[child.tag].append(val)
+            else:
+                obj[child.tag] = val
+        text = (el.text or "").strip()
+        if text and not obj:
+            return text
+        if text:
+            obj["#text"] = text
+        return obj
+
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            root = ET.fromstring(v)
+            out.append(_json.dumps({root.tag: node_to_obj(root)}, sort_keys=True))
+        except ET.ParseError:
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+_VPC_FLOW_FIELDS = [
+    "version", "account_id", "interface_id", "srcaddr", "dstaddr",
+    "srcport", "dstport", "protocol", "packets", "bytes",
+    "start", "end", "action", "log_status",
+]
+_VPC_FLOW_RE = "^" + " ".join(f"(?P<{f}>\\S+)" for f in _VPC_FLOW_FIELDS) + "$"
+
+
+def parse_aws_vpc_flow_log(a):
+    """AWS VPC flow log (default v2 format) → struct
+    (lib/vrl/stdlib/src/parse_aws_vpc_flow_log.rs). One regex pass."""
+    return pc.extract_regex(pc.cast(_arr(a), pa.string()), _VPC_FLOW_RE)
