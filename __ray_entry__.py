@@ -343,6 +343,29 @@ def q_knn_embeddings(sf_dir):
     return _finish(out.select_columns(["query_idx", "vec_id", "rank"]))
 
 
+def q_dd_search_events(sf_dir):
+    """datadog_search condition syntax (src/conditions/datadog_search.rs
+    → vector_ray/expr/datadog_search.py): facets, numeric range,
+    negation, boolean precedence (implicit AND binds tighter than OR)."""
+    from vector_ray.expr.datadog_search import parse_datadog_search
+    from vector_ray.stages import Filter
+
+    cond = parse_datadog_search("event_type:error OR (value:[150 TO 250] -event_type:purchase)")
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return _finish(Filter(cond).apply(ds).select_columns(["event_id"]))
+
+
+def q_dd_search_docs(sf_dir):
+    """datadog_search full-text terms on a default field + facet mix."""
+    from vector_ray.expr.datadog_search import parse_datadog_search
+    from vector_ray.stages import Filter
+
+    cond = parse_datadog_search("lang:en merge OR (lang:de -source:src0)",
+                                default_field="text")
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    return _finish(Filter(cond).apply(ds).select_columns(["doc_id"]))
+
+
 def q_syslog_lines(sf_dir):
     """Raw-line ingestion path end-to-end (sources/lines.py): render
     syslog-style lines from events into text files (the Vector
@@ -968,6 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": q_sample_events,
         "apache_log_parse": q_apache_log_parse,
         "syslog_lines": q_syslog_lines,
+        "dd_search_events": q_dd_search_events,
+        "dd_search_docs": q_dd_search_docs,
         "glog_parse": q_glog_parse,
         "user_agent_parse": q_user_agent_parse,
         "minhash_pairs": q_minhash_pairs,
@@ -1226,6 +1251,15 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(x.embedding, y.embedding) AS c "
             "FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id) "
             "SELECT a, b FROM p WHERE c >= 0.9"
+        ),
+        "dd_search_events": (
+            "SELECT event_id FROM events WHERE event_type = 'error' "
+            "OR ((value >= 150 AND value <= 250) AND NOT event_type = 'purchase')"
+        ),
+        "dd_search_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "(lang = 'en' AND regexp_matches(text, '(?i)\\bmerge\\b')) "
+            "OR (lang = 'de' AND NOT source = 'src0')"
         ),
         "syslog_lines": (
             "SELECT 'host-' || CAST(user_id % 20 AS VARCHAR) AS hostname, "
