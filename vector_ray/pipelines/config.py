@@ -96,6 +96,13 @@ def build_condition(spec) -> Cond:
         return ~build_condition(spec["not"])
     if "exists" in spec:
         return C.exists(spec["exists"])
+    if "datadog_search" in spec:
+        # {"datadog_search": "status:error -env:dev", "default_field": "message"}
+        from vector_ray.expr.datadog_search import parse_datadog_search
+
+        return parse_datadog_search(
+            spec["datadog_search"], default_field=spec.get("default_field", "message")
+        )
     op = spec.get("op", "eq")
     if op == "exists":
         return C.exists(spec["field"])
@@ -454,6 +461,57 @@ def _build_fingerprint(cfg):
     from vector_ray.ml.text import Fingerprint
 
     return Fingerprint(cfg.get("field", "text"), cfg.get("target", "fp"))
+
+
+def _preset_parser(kernel_name: str):
+    """Preset single-regex log-format parsers (apache/nginx/glog/klog/
+    linux-auth/user-agent/vpc-flow): parse `field`, unpack the result
+    struct into columns (typed via `types`), optionally drop the source
+    field."""
+
+    def build(cfg):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vector_ray.expr import kernels as F
+        from vector_ray.stages.base import FnStep
+
+        field = cfg.get("field", "message")
+        drop = cfg.get("drop_field", False)
+        types = cfg.get("types") or {}
+        kw = {}
+        if kernel_name == "parse_apache_log" and "format" in cfg:
+            kw["format"] = cfg["format"]
+        kernel = getattr(F, kernel_name)
+
+        def fn(t: pa.Table) -> pa.Table:
+            s = kernel(t[field], **kw)
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            for sub in s.type:
+                col = pc.struct_field(s, sub.name)
+                if sub.name in types:
+                    col = F.coerce(col, types[sub.name])
+                t = F.set_(t, sub.name, col)
+            if drop:
+                t = F.del_(t, field)
+            return t
+
+        return FnStep(fn, name=kernel_name)
+
+    return build
+
+
+for _tname, _kname in [
+    ("apache_log_parser", "parse_apache_log"),
+    ("common_log_parser", "parse_common_log"),
+    ("nginx_log_parser", "parse_nginx_log"),
+    ("glog_parser", "parse_glog"),
+    ("klog_parser", "parse_klog"),
+    ("linux_auth_parser", "parse_linux_authorization"),
+    ("user_agent_parser", "parse_user_agent"),
+    ("vpc_flow_log_parser", "parse_aws_vpc_flow_log"),
+]:
+    register_transform(_tname)(_preset_parser(_kname))
 
 
 # route is built inline by the topology (it has named outputs)
