@@ -236,3 +236,62 @@ class TestStdlibTail:
         assert rows[0]["browser_family"] == "Firefox" and rows[0]["os_family"] == "Linux"
         assert rows[1]["browser_family"] == "curl"
         assert rows[2]["browser_family"] == "Other" and rows[2]["browser_version"] is None
+
+
+class TestStdlibBatch2:
+    def test_unix_timestamp_roundtrip(self):
+        import datetime
+
+        ts = pa.array([datetime.datetime(2024, 1, 2, 3, 4, 5)], pa.timestamp("us"))
+        assert F.to_unix_timestamp(ts, "s").to_pylist() == [1704164645]
+        assert F.from_unix_timestamp(pa.array([1704164645]), "s").to_pylist() == \
+            [datetime.datetime(2024, 1, 2, 3, 4, 5)]
+
+    def test_case_conversions(self):
+        a = pa.array(["camelCaseValue", "Pascal-Case_mix", "already_snake", "HTTPServer", None])
+        assert F.snakecase(a).to_pylist() == \
+            ["camel_case_value", "pascal_case_mix", "already_snake", "http_server", None]
+        assert F.kebabcase(a).to_pylist()[0] == "camel-case-value"
+        assert F.camelcase(a).to_pylist()[0] == "camelCaseValue"
+        assert F.pascalcase(a).to_pylist()[1] == "PascalCaseMix"
+
+    def test_radix_ints(self):
+        assert F.parse_int(pa.array(["ff", "10", None, "zz"]), 16).to_pylist() == \
+            [255, 16, None, None]
+        assert F.format_int(pa.array([255]), 16).to_pylist() == ["ff"]
+        assert F.format_int(pa.array([5]), 2).to_pylist() == ["101"]
+
+    def test_hashes_and_uuid(self):
+        import hashlib
+        import hmac
+        import uuid
+
+        assert F.sha3(pa.array(["abc"])).to_pylist()[0] == hashlib.sha3_256(b"abc").hexdigest()
+        assert F.hmac_(pa.array(["msg"]), "key").to_pylist()[0] == \
+            hmac.new(b"key", b"msg", "sha256").hexdigest()
+        assert F.uuid_v5(pa.array(["example.com"])).to_pylist()[0] == \
+            str(uuid.uuid5(uuid.NAMESPACE_DNS, "example.com"))
+
+    def test_encode_csv_quoting(self):
+        t = pa.table({"a": ["x", "has,comma"], "b": ['say "hi"', "plain"]})
+        assert F.encode_csv(t).to_pylist() == ['x,"say ""hi"""', '"has,comma",plain']
+
+    def test_parse_alb_log(self):
+        alb = ("http 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 "
+               "192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 "
+               '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+               "arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/x/73e2 "
+               '"Root=1-58337262-36d228ad5d99923122bbe354" "-" "-"')
+        row = F.parse_aws_alb_log(pa.array([alb])).to_pylist()[0]
+        assert row["elb_status_code"] == "200"
+        assert row["user_agent"] == "curl/7.46.0"
+
+    def test_community_id_spec_vector(self):
+        # published test vector from the corelight/community-id-spec repo
+        cid = F.community_id(pa.array(["192.168.1.52"]), pa.array(["8.8.8.8"]),
+                             pa.array([54585]), pa.array([53]), pa.array([17]))
+        assert cid.to_pylist() == ["1:d/FP5EW3wiY1vCndhwleRRKHowQ="]
+        # canonical ordering: reversed direction gives the same id
+        rev = F.community_id(pa.array(["8.8.8.8"]), pa.array(["192.168.1.52"]),
+                             pa.array([53]), pa.array([54585]), pa.array([17]))
+        assert rev.to_pylist() == cid.to_pylist()

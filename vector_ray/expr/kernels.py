@@ -1016,3 +1016,201 @@ def parse_aws_vpc_flow_log(a):
     """AWS VPC flow log (default v2 format) → struct
     (lib/vrl/stdlib/src/parse_aws_vpc_flow_log.rs). One regex pass."""
     return pc.extract_regex(pc.cast(_arr(a), pa.string()), _VPC_FLOW_RE)
+
+
+# --------------------------------------------------------------------------
+# timestamp family additions
+# (lib/vrl/stdlib/src/{to_unix_timestamp,from_unix_timestamp}.rs)
+
+
+def to_unix_timestamp(a, unit: str = "s"):
+    """timestamp → epoch integer in s/ms/us/ns."""
+    us = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    div = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[unit]
+    if unit == "ns":
+        return pc.multiply(us, 1000)
+    return pc.divide(us, div)
+
+
+def from_unix_timestamp(a, unit: str = "s"):
+    mult = {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
+    us = pc.multiply(pc.cast(a, pa.int64()), mult) if mult != 1 else pc.cast(a, pa.int64())
+    return pc.cast(us, pa.timestamp("us"))
+
+
+# --------------------------------------------------------------------------
+# case conversions (lib/vrl/stdlib/src/casing/*) — vectorized regex passes
+
+
+def _boundary_split(a):
+    """camelCase / PascalCase / sep-delimited → lowercase words joined
+    by a single space (intermediate form)."""
+    s = pc.cast(a, pa.string())
+    s = pc.replace_substring_regex(s, r"([a-z0-9])([A-Z])", r"\1 \2")
+    s = pc.replace_substring_regex(s, r"([A-Z]+)([A-Z][a-z])", r"\1 \2")
+    s = pc.replace_substring_regex(s, r"[_\-\s]+", " ")
+    return pc.utf8_lower(pc.utf8_trim_whitespace(s))
+
+
+def snakecase(a):
+    return pc.replace_substring(_boundary_split(a), " ", "_")
+
+
+def kebabcase(a):
+    return pc.replace_substring(_boundary_split(a), " ", "-")
+
+
+def camelcase(a):
+    return pa.array(
+        [None if v is None else (v.split(" ")[0] + "".join(w.title() for w in v.split(" ")[1:]))
+         for v in _arr(_boundary_split(a)).to_pylist()]
+    )
+
+
+def pascalcase(a):
+    return pa.array(
+        [None if v is None else "".join(w.title() for w in v.split(" "))
+         for v in _arr(_boundary_split(a)).to_pylist()]
+    )
+
+
+# --------------------------------------------------------------------------
+# radix ints (lib/vrl/stdlib/src/{parse_int,format_int}.rs)
+
+
+def parse_int(a, base: int = 10):
+    if base == 10:
+        return pc.cast(pc.cast(_arr(a), pa.string()), pa.int64())
+
+    def conv(v):
+        try:
+            return int(v, base)
+        except (TypeError, ValueError):
+            return None
+
+    return pa.array([None if v is None else conv(v) for v in _arr(a).to_pylist()], pa.int64())
+
+
+def format_int(a, base: int = 10):
+    if base == 10:
+        return pc.cast(_arr(a), pa.string())
+    fmt = {2: "{:b}", 8: "{:o}", 16: "{:x}"}[base]
+    return pa.array(
+        [None if v is None else fmt.format(v) for v in _arr(a).to_pylist()], pa.string()
+    )
+
+
+# --------------------------------------------------------------------------
+# hash additions (sha3 / sha512 / hmac / uuid_v5 — per-row like the md5
+# family; hashing is codec-path, not hot-loop)
+
+
+def sha3(a):
+    return pa.array(
+        [None if v is None else hashlib.sha3_256(v.encode()).hexdigest()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def sha512(a):
+    return pa.array(
+        [None if v is None else hashlib.sha512(v.encode()).hexdigest()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def hmac_(a, key: str, algorithm: str = "sha256"):
+    import hmac as _hmac
+
+    kb = key.encode()
+    return pa.array(
+        [None if v is None else _hmac.new(kb, v.encode(), algorithm).hexdigest()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def uuid_v5(a, namespace: str = "dns"):
+    import uuid as _uuid
+
+    ns = {
+        "dns": _uuid.NAMESPACE_DNS, "url": _uuid.NAMESPACE_URL,
+        "oid": _uuid.NAMESPACE_OID, "x500": _uuid.NAMESPACE_X500,
+    }[namespace]
+    return pa.array(
+        [None if v is None else str(_uuid.uuid5(ns, v)) for v in _arr(a).to_pylist()]
+    )
+
+
+# --------------------------------------------------------------------------
+# encode_csv (lib/vrl/stdlib/src/encode_csv.rs) — vectorized RFC-4180
+# quoting: fields containing , " or newline get doubled-quote wrapping
+
+
+def encode_csv(tbl: pa.Table, fields=None):
+    names = list(fields) if fields else list(tbl.column_names)
+    parts = []
+    for name in names:
+        v = pc.fill_null(pc.cast(tbl[name], pa.string()), "")
+        needs = pc.match_substring_regex(v, r'[",\n\r]')
+        quoted = pc.binary_join_element_wise(
+            const(len(tbl), '"'),
+            pc.replace_substring(v, '"', '""'),
+            const(len(tbl), '"'), "")
+        parts.append(pc.if_else(needs, quoted, v))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, ",")
+
+
+# --------------------------------------------------------------------------
+# parse_aws_alb_log (lib/vrl/stdlib/src/parse_aws_alb_log.rs) — the
+# standard ALB access-log line, one regex pass.
+
+_ALB_RE = (
+    r'^(?P<type>\S+) (?P<timestamp>\S+) (?P<elb>\S+) '
+    r'(?P<client_host>\S+) (?P<target_host>\S+) '
+    r'(?P<request_processing_time>\S+) (?P<target_processing_time>\S+) '
+    r'(?P<response_processing_time>\S+) (?P<elb_status_code>\S+) '
+    r'(?P<target_status_code>\S+) (?P<received_bytes>\S+) (?P<sent_bytes>\S+) '
+    r'"(?P<request>[^"]*)" "(?P<user_agent>[^"]*)" '
+    r'(?P<ssl_cipher>\S+) (?P<ssl_protocol>\S+) (?P<target_group_arn>\S+) '
+    r'"(?P<trace_id>[^"]*)"(?: "(?P<domain_name>[^"]*)" "(?P<chosen_cert_arn>[^"]*)")?'
+)
+
+
+def parse_aws_alb_log(a):
+    return pc.extract_regex(pc.cast(_arr(a), pa.string()), _ALB_RE)
+
+
+# --------------------------------------------------------------------------
+# community_id (lib/vrl/stdlib/src/community_id.rs — Zeek Community ID
+# v1 flow hash, https://github.com/corelight/community-id-spec): sorted
+# endpoint tuple → sha1 → base64 with "1:" prefix. IPv4 TCP/UDP/ICMP.
+
+
+def community_id(src_ip, dst_ip, src_port, dst_port, proto, *, seed: int = 0):
+    import socket
+    import struct as _struct
+
+    s_ips = pc.cast(_arr(src_ip), pa.string()).to_pylist()
+    d_ips = pc.cast(_arr(dst_ip), pa.string()).to_pylist()
+    s_ps = pc.cast(_arr(src_port), pa.int64()).to_pylist()
+    d_ps = pc.cast(_arr(dst_port), pa.int64()).to_pylist()
+    protos = pc.cast(_arr(proto), pa.int64()).to_pylist()
+    out = []
+    for si, di, sp, dp, pr in zip(s_ips, d_ips, s_ps, d_ps, protos):
+        if None in (si, di, sp, dp, pr):
+            out.append(None)
+            continue
+        try:
+            sb = socket.inet_aton(si)
+            db = socket.inet_aton(di)
+        except OSError:
+            out.append(None)
+            continue
+        if (sb, sp) > (db, dp):  # canonical order: smaller endpoint first
+            sb, db, sp, dp = db, sb, dp, sp
+        data = (_struct.pack("!H", seed) + sb + db
+                + _struct.pack("!BBHH", pr, 0, sp, dp))
+        out.append("1:" + _b64.b64encode(hashlib.sha1(data).digest()).decode())
+    return pa.array(out, pa.string())
