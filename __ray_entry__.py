@@ -876,6 +876,17 @@ def q_percentiles(sf_dir):
                      "value": pa.array(vals, pa.float64())})
 
 
+def q_grouped_percentiles(sf_dir):
+    """Per-key exact quantiles (the AggregatedSummary per-series
+    quantiles, metric.rs:165-169) — distributed three-scan plan
+    (stages/quantile.py grouped_exact_quantiles), no sort, driver sees
+    only candidate bins. Oracle: quantile_disc GROUP BY."""
+    from vector_ray.stages.quantile import grouped_exact_quantiles
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_exact_quantiles(ds, "event_type", "value", [0.5, 0.9, 0.99])
+
+
 def q_token_near_dup(sf_dir):
     """Sequence-level near-dup pairs over the tokenized table (synth +
     100 planted duplicate rows) — TokenMinHash → banded LSH → pairs."""
@@ -1003,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "media_features": q_media_features,
         "percentiles": q_percentiles,
+        "grouped_percentiles": q_grouped_percentiles,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
     }
@@ -1161,6 +1173,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0.5 AS p, quantile_disc(value, 0.5) AS value FROM events "
             "UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events "
             "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
+        ),
+        "grouped_percentiles": (
+            "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+            "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "flagship_tokenized": _flagship_oracle_sql(),
         "knn_embeddings": (

@@ -454,3 +454,35 @@ class TestExactQuantiles:
         assert exact_quantiles(ds_of(t), "v", [0.5, 0.99]) == [7.0, 7.0]
         te = pa.table({"v": pa.array([], pa.float64())})
         assert exact_quantiles(ds_of(te, blocks=1), "v", [0.5]) == [None]
+
+    def test_grouped_exact_quantiles(self):
+        import math
+
+        import numpy as np
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        rng = np.random.default_rng(11)
+        keys = [f"k{i % 3}" for i in range(6000)]
+        vals = rng.normal(0, 50, 6000)
+        t = pa.table({"k": keys, "v": pa.array(vals, pa.float64())})
+        out = grouped_exact_quantiles(ds_of(t, blocks=5), "k", "v", [0.5, 0.99])
+        got = {r["k"]: (r["p50"], r["p99"]) for r in out.to_pylist()}
+        for kv in ("k0", "k1", "k2"):
+            s = sorted(v for k2, v in zip(keys, vals) if k2 == kv)
+            want = tuple(s[max(1, math.ceil(p * len(s))) - 1] for p in (0.5, 0.99))
+            assert got[kv] == want
+
+    def test_grouped_quantiles_fallback_path(self):
+        # cap=10 forces the over-cap per-key refinement fallback
+        import math
+
+        import numpy as np
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        vals = np.concatenate([np.full(500, 3.0), np.arange(500, dtype=np.float64)])
+        t = pa.table({"k": ["a"] * 1000, "v": pa.array(vals, pa.float64())})
+        out = grouped_exact_quantiles(ds_of(t, blocks=3), "k", "v", [0.5], bins=4, cap=10)
+        s = sorted(vals)
+        assert out.to_pylist()[0]["p50"] == s[max(1, math.ceil(0.5 * len(s))) - 1]

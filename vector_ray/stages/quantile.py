@@ -189,3 +189,138 @@ def exact_quantiles(
     rf = rank_fn or (lambda p, n: max(1, math.ceil(p * n)))
     ranks = [rf(p, n) for p in ps]
     return exact_rank_values(ds, col, ranks, _stats=stats, **kw)
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles — per-key AggregatedSummary quantiles
+# (metric.rs:165-169) as a distributed three-scan plan, no sort:
+#   A. grouped min/max/count (two-phase, tiny result)
+#   B. per-(key, bin) histogram counts (pre-aggregated per batch)
+#   C. fetch ONLY the candidate bins' values per key, exact pick.
+# A pathological (key, bin) wider than `cap` falls back to the global
+# refinement machinery on that key's rows alone.
+
+
+def grouped_exact_quantiles(
+    ds,
+    key: str,
+    col: str,
+    ps: Sequence[float],
+    *,
+    bins: int = 1024,
+    cap: int = 2_000_000,
+):
+    """One row per key with a column per requested quantile
+    (``p50``-style names), DuckDB ``quantile_disc`` rank rule."""
+    import ray
+
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    stats_rows = grouped_aggregate(
+        ds, [key], {"n": ("count", col), "lo": ("min", col), "hi": ("max", col)}
+    ).take_all()
+    ranges = {
+        r[key]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
+        for r in stats_rows if r["n"]
+    }
+    rref = ray.put(ranges)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        # vectorized per DISTINCT key (dictionary codes), not per row
+        rr = ray.get(rref)
+        d = pc.dictionary_encode(t[key].combine_chunks())
+        codes = np.asarray(d.indices)
+        uniq = d.dictionary.to_pylist()
+        vals = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
+        out_k, out_b, out_n = [], [], []
+        for ci, kv in enumerate(uniq):
+            if kv not in rr:
+                continue
+            _n, lo, hi = rr[kv]
+            v = vals[(codes == ci) & valid]
+            counts = np.bincount(_bin_of(v, lo, hi, bins), minlength=bins)
+            nz = np.nonzero(counts)[0]
+            out_k.extend([kv] * len(nz))
+            out_b.extend(nz.tolist())
+            out_n.extend(counts[nz].tolist())
+        return pa.table({
+            key: pa.array(out_k),
+            "bin": pa.array(out_b, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    per_bin = grouped_aggregate(
+        ds.map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "bin"], {"n": ("sum", "n")},
+    ).take_all()  # ≤ keys × bins tiny rows
+    hist: dict = {}
+    for r in per_bin:
+        hist.setdefault(r[key], {})[int(r["bin"])] = int(r["n"])
+
+    # locate the candidate bin per (key, p)
+    needed: dict = {}  # (key, bin) -> list of (p, rank_within)
+    fallbacks = []  # (key, p, global_rank) for over-cap bins
+    for kv, (n, lo, hi) in ranges.items():
+        counts = np.zeros(bins, np.int64)
+        for b, c in hist.get(kv, {}).items():
+            counts[b] = c
+        cum = np.cumsum(counts)
+        for p in ps:
+            k = max(1, math.ceil(p * n))
+            b = int(np.searchsorted(cum, k))
+            rank_within = k - (int(cum[b - 1]) if b > 0 else 0)
+            if counts[b] <= cap:
+                needed.setdefault((kv, b), []).append((p, rank_within))
+            else:
+                fallbacks.append((kv, p, k))
+    nref = ray.put(set(needed))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        # vectorized per distinct key: bin every value at once, keep
+        # only the wanted (key, bin) members
+        rr = ray.get(rref)
+        want = ray.get(nref)
+        d = pc.dictionary_encode(t[key].combine_chunks())
+        codes = np.asarray(d.indices)
+        uniq = d.dictionary.to_pylist()
+        vals = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
+        out_k, out_b, out_v = [], [], []
+        for ci, kv in enumerate(uniq):
+            want_bins = np.array(sorted(b for (k2, b) in want if k2 == kv), np.int64)
+            if kv not in rr or len(want_bins) == 0:
+                continue
+            _n, lo, hi = rr[kv]
+            mask = (codes == ci) & valid
+            v = vals[mask]
+            b = _bin_of(v, lo, hi, bins)
+            sel = np.isin(b, want_bins)
+            out_k.extend([kv] * int(sel.sum()))
+            out_b.extend(b[sel].tolist())
+            out_v.extend(v[sel].tolist())
+        return pa.table({key: pa.array(out_k), "bin": pa.array(out_b, pa.int64()),
+                         "v": pa.array(out_v, pa.float64())})
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    buckets: dict = {}
+    for r in rows:
+        buckets.setdefault((r[key], int(r["bin"])), []).append(r["v"])
+    results: dict = {kv: {} for kv in ranges}
+    for (kv, b), targets in needed.items():
+        vs = sorted(buckets.get((kv, b), []))
+        for p, rank_within in targets:
+            results[kv][p] = vs[rank_within - 1]
+    for kv, p, k in fallbacks:
+        sub = ds.map_batches(
+            lambda t, kv=kv: t.filter(pc.equal(t[key], kv)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        results[kv][p] = exact_rank_values(sub, col, [k], bins=bins, cap=cap)[0]
+
+    cols = {key: pa.array(sorted(results))}
+    for p in ps:
+        pct = round(p * 100, 6)
+        name = f"p{int(pct)}" if pct == int(pct) else f"p{p}"
+        cols[name] = pa.array([results[kv][p] for kv in sorted(results)], pa.float64())
+    return pa.table(cols)
