@@ -876,6 +876,66 @@ def q_percentiles(sf_dir):
                      "value": pa.array(vals, pa.float64())})
 
 
+def q_merge_partial_docs(sf_dir):
+    """Merge (partial-event stitching, src/transforms/merge.rs:18-37)
+    round trip: split each document's text into three partial rows,
+    stitch them back per stream with order_by; the oracle is simply the
+    original documents table — stitching must reproduce it exactly."""
+    from vector_ray.stages.merge_partial import Merge
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode3(t: pa.Table) -> pa.Table:
+        n = len(t)
+        parts, seqs, partials, ids = [], [], [], []
+        for lo, hi, seq in ((0, 100, 0), (100, 200, 1), (200, None, 2)):
+            if hi is None:
+                chunk = pc.utf8_slice_codeunits(t["text"], lo, 2**30)
+            else:
+                chunk = pc.utf8_slice_codeunits(t["text"], lo, hi)
+            parts.append(chunk.combine_chunks() if isinstance(chunk, pa.ChunkedArray) else chunk)
+            seqs.append(pa.array([seq] * n, pa.int64()))
+            partials.append(pa.array([seq < 2] * n, pa.bool_()))
+            ids.append(t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"])
+        return pa.table({
+            "doc_id": pa.concat_arrays(ids),
+            "seq": pa.concat_arrays(seqs),
+            "msg": pa.concat_arrays(parts),
+            "_partial": pa.concat_arrays(partials),
+        })
+
+    rows = ds.map_batches(explode3, batch_format="pyarrow", zero_copy_batch=True)
+    merged = Merge("_partial", ["msg"], ["doc_id"], order_by="seq", joiner="").apply(rows)
+    return _finish(merged.select_columns(["doc_id", "msg"]))
+
+
+def q_log_to_metric_agg(sf_dir):
+    """log_to_metric → aggregate chain (log_to_metric.rs:27-78 +
+    aggregate.rs:72-107): counters (row-count and increment_by_value),
+    a set metric, merged per series; cents-rounded sums for stable
+    hashing."""
+    from vector_ray.stages import Aggregate, LogToMetric
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    lm = LogToMetric([
+        {"type": "counter", "name": "events_total", "tags": {"etype": "{{event_type}}"}},
+        {"type": "counter", "name": "value_total", "field": "value",
+         "increment_by_value": True, "tags": {"etype": "{{event_type}}"}},
+        {"type": "set", "name": "users", "field": "user_id"},
+    ])
+    agg = Aggregate(tag_keys=["etype"]).apply(lm.apply(ds))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": t["name"],
+            "metric_type": t["metric_type"],
+            "etype": t["etype"],
+            "value_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0), pa.int64()),
+        })
+
+    return _finish(agg.map_batches(final, batch_format="pyarrow"))
+
+
 def q_grouped_percentiles(sf_dir):
     """Per-key exact quantiles (the AggregatedSummary per-series
     quantiles, metric.rs:165-169) — distributed three-scan plan
@@ -1015,6 +1075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "percentiles": q_percentiles,
         "grouped_percentiles": q_grouped_percentiles,
+        "merge_partial_docs": q_merge_partial_docs,
+        "log_to_metric_agg": q_log_to_metric_agg,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
     }
@@ -1173,6 +1235,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0.5 AS p, quantile_disc(value, 0.5) AS value FROM events "
             "UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events "
             "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
+        ),
+        "merge_partial_docs": (
+            "SELECT doc_id, text AS msg FROM documents"
+        ),
+        "log_to_metric_agg": (
+            "SELECT 'events_total' AS name, 'counter' AS metric_type, "
+            "event_type AS etype, CAST(COUNT(*) * 100 AS BIGINT) AS value_c "
+            "FROM events GROUP BY event_type "
+            "UNION ALL SELECT 'value_total', 'counter', event_type, "
+            "CAST(ROUND(SUM(value) * 100) AS BIGINT) FROM events "
+            "WHERE value IS NOT NULL GROUP BY event_type "
+            "UNION ALL SELECT 'users', 'set', NULL, "
+            "CAST(COUNT(DISTINCT user_id) * 100 AS BIGINT) FROM events"
         ),
         "grouped_percentiles": (
             "SELECT event_type, quantile_disc(value, 0.5) AS p50, "

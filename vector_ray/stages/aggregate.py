@@ -105,56 +105,87 @@ def _sketch_partial(tbl: pa.Table, keys, sketch_specs) -> pa.Table:
     return pa.table(out)
 
 
+def _set_partial_pieces(tbl: pa.Table, keys, set_specs) -> list:
+    """Per-(batch, group) distinct-value lists, one piece per spec.
+    Arrow's hash `distinct` aggregate emits CORRUPT list offsets when
+    the aggregated column contains nulls (offsets span the raw value
+    count), so distinct is computed explicitly: drop null values →
+    groupby(keys+col) (unique rows) → groupby(keys) list. Each piece
+    carries ``__fp`` for null-safe re-attachment."""
+    pieces = []
+    for name, (_kind, col) in set_specs.items():
+        sub = tbl.select(list(keys) + [col]).filter(pc.is_valid(tbl[col]))
+        dp = pa.TableGroupBy(sub, list(keys) + [col]).aggregate([])
+        lists = pa.TableGroupBy(dp, list(keys)).aggregate([(col, "list")])
+        pieces.append(pa.table({
+            "__fp": pa.array(_key_fingerprint(lists, keys), pa.uint64()),
+            f"{name}__set": lists[f"{col}_list"],
+        }))
+    return pieces
+
+
 def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
     sketch_specs = {n: v for n, v in specs.items() if v[0] in ("approx_nunique", "histogram")}
-    specs = {n: v for n, v in specs.items() if n not in sketch_specs}
+    set_specs = {n: v for n, v in specs.items() if v[0] in ("set", "nunique")}
+    specs = {n: v for n, v in specs.items() if n not in sketch_specs and n not in set_specs}
+    # aux pieces: (__fp, data-cols) tables attached to the base groups by
+    # null-safe fingerprint (raw-key Arrow joins never match null keys)
+    aux_pieces: list = []
     if sketch_specs:
-        sk_tbl = _sketch_partial(tbl, keys, sketch_specs)
-        if not specs:
-            return sk_tbl.drop_columns(["__fp"])
-    # collect UNIQUE (col, agg) pairs, then map each spec's target
-    # columns onto them — two specs may need the same pair (e.g.
-    # {"avg": ("mean", "v"), "total": ("sum", "v")} both need v_sum)
-    pairs: list = []
-    targets: list = []  # (target_name, (col, agg))
-    for name, (kind, col, *_o) in specs.items():
-        if kind in _SIMPLE:
-            agg, _ = _SIMPLE[kind]
-            need = [(name, (col, agg))]
-        elif kind == "mean":
-            need = [(f"{name}__sum", (col, "sum")), (f"{name}__count", (col, "count"))]
-        elif kind in ("set", "nunique"):
-            need = [(f"{name}__set", (col, "distinct"))]
-        elif kind == "last":
-            # value at max seq within batch: batch is already in row order
-            need = [(name, (col, "last"))]
-        elif kind == "first":
-            need = [(name, (col, "first"))]
-        elif kind in ("approx_nunique", "histogram"):
-            continue  # handled by _sketch_partial
-        else:
-            raise ValueError(f"unknown agg kind {kind}")
-        for tname, pair in need:
-            if pair not in pairs:
-                pairs.append(pair)
-            targets.append((tname, pair))
-    raw = pa.TableGroupBy(tbl, list(keys)).aggregate(pairs)
-    cols = {k: raw[k] for k in keys}
-    for tname, (col, agg) in targets:
-        cols[tname] = raw[f"{col}_{agg}"]
-    out = pa.table(cols)
-    if sketch_specs:
-        # attach sketch columns by joining on the null-safe key
-        # fingerprint (both sides have exactly one row per group; raw-key
-        # joins would never match null-keyed groups)
-        idx = pa.array(np.arange(len(out), dtype=np.int64))
-        probe = pa.table({
-            "__fp": pa.array(_key_fingerprint(out, keys), pa.uint64()),
-            "__i": idx,
-        })
-        joined = probe.join(sk_tbl.drop_columns(list(keys)), keys=["__fp"], join_type="left outer").sort_by("__i")
-        for name in sketch_specs:
-            out = out.append_column(f"{name}__sk", joined[f"{name}__sk"])
+        sk = _sketch_partial(tbl, keys, sketch_specs)
+        aux_pieces.append(sk.drop_columns(list(keys)))
+    if set_specs:
+        aux_pieces.extend(_set_partial_pieces(tbl, keys, set_specs))
+    if specs:
+        # collect UNIQUE (col, agg) pairs, then map each spec's target
+        # columns onto them — two specs may need the same pair (e.g.
+        # {"avg": ("mean", "v"), "total": ("sum", "v")} both need v_sum)
+        pairs: list = []
+        targets: list = []  # (target_name, (col, agg))
+        for name, (kind, col, *_o) in specs.items():
+            if kind in _SIMPLE:
+                agg, _ = _SIMPLE[kind]
+                need = [(name, (col, agg))]
+            elif kind == "mean":
+                need = [(f"{name}__sum", (col, "sum")), (f"{name}__count", (col, "count"))]
+            elif kind == "last":
+                # value at max seq within batch: batch is already in row order
+                need = [(name, (col, "last"))]
+            elif kind == "first":
+                need = [(name, (col, "first"))]
+            else:
+                raise ValueError(f"unknown agg kind {kind}")
+            for tname, pair in need:
+                if pair not in pairs:
+                    pairs.append(pair)
+            targets.extend(need)
+        raw = pa.TableGroupBy(tbl, list(keys)).aggregate(pairs)
+        cols = {k: raw[k] for k in keys}
+        for tname, (col, agg) in targets:
+            cols[tname] = raw[f"{col}_{agg}"]
+        out = pa.table(cols)
+    else:
+        # no simple specs: the base is simply every group present
+        out = pa.TableGroupBy(tbl, list(keys)).aggregate([])
+    if aux_pieces:
+        # positional attach via sorted-fingerprint lookup (Arrow joins
+        # cannot carry list-typed payloads, and this is cheaper anyway)
+        fp_out = _key_fingerprint(out, keys)
+        for piece in aux_pieces:
+            fp_piece = np.asarray(
+                piece["__fp"].combine_chunks().to_numpy(zero_copy_only=False), np.uint64
+            )
+            order = np.argsort(fp_piece, kind="stable")
+            pos = np.searchsorted(fp_piece[order], fp_out)
+            posc = np.clip(pos, 0, max(len(fp_piece) - 1, 0))
+            found = (pos < len(fp_piece)) & (
+                fp_piece[order][posc] == fp_out if len(fp_piece) else np.zeros(len(fp_out), bool)
+            )
+            take_idx = pa.array(order[posc], pa.int64(), mask=~found)
+            for c in piece.column_names:
+                if c != "__fp":
+                    out = out.append_column(c, piece[c].take(take_idx))
+        return out
     return out
 
 
