@@ -268,7 +268,7 @@ def grouped_aggregate(
     # spec tuple: (kind, col[, options]) — kinds: sum count min max mean
     # set nunique last first approx_nunique histogram(bounds)
     partial = ds.map_batches(
-        lambda t: _partial_batch(t, keys, specs),
+        lambda t: _gk_batch(_partial_batch(t, keys, specs), keys),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -276,9 +276,6 @@ def grouped_aggregate(
     # coalesce the (tiny) partial blocks so the final shuffle doesn't pay
     # per-block overhead for hundreds of near-empty blocks
     partial = partial.repartition(8)
-    partial = partial.map_batches(
-        lambda t: _gk_batch(t, keys), batch_format="pyarrow", zero_copy_batch=True
-    )
     merged = partial.groupby("__gk").map_groups(
         _final_merge_fn(keys, specs), batch_format="pyarrow"
     )
