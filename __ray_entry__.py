@@ -936,6 +936,50 @@ def q_log_to_metric_agg(sf_dir):
     return _finish(agg.map_batches(final, batch_format="pyarrow"))
 
 
+def q_ngram_dup_pairs(sf_dir):
+    """Exact word-3-gram Jaccard verification (ml/dedup.ngram_jaccard —
+    the exact-verify stage behind MinHash candidates) over a planted
+    near-dup set: docs 0..39 plus copies of 0..19 with a tail appended.
+    Pairs with jaccard >= 0.5; the score ships as floor(1e6·j) so both
+    sides use identical integer arithmetic. Oracle recomputes the
+    3-gram sets and Jaccard in SQL list algebra."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import ngram_jaccard
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    base = docs.filter(pc.less(docs["doc_id"], 40))
+    dup = docs.filter(pc.less(docs["doc_id"], 20))
+    dup = pa.table({
+        "doc_id": pc.add(dup["doc_id"], 10_000),
+        "text": pc.binary_join_element_wise(dup["text"], " tail extra words here", ""),
+    })
+    all_docs = pa.concat_tables([base, dup])
+    ds = rd.from_arrow(all_docs).repartition(2)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        texts = g["text"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        out_a, out_b, out_j = [], [], []
+        for x, y in itertools.combinations(order, 2):
+            j = ngram_jaccard(texts[x], texts[y], 3)
+            if j >= 0.5:
+                out_a.append(ids[x])
+                out_b.append(ids[y])
+                out_j.append(int(np.floor(1_000_000.0 * j)))
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "jac_micro": pa.array(out_j, pa.int64())})
+
+    one = ds.map_batches(lambda t: t.append_column("__g", pa.array([0] * len(t), pa.int8())),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(one.groupby("__g").map_groups(pairs, batch_format="pyarrow"))
+
+
 def q_grouped_percentiles(sf_dir):
     """Per-key exact quantiles (the AggregatedSummary per-series
     quantiles, metric.rs:165-169) — distributed three-scan plan
@@ -1076,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": q_percentiles,
         "grouped_percentiles": q_grouped_percentiles,
         "merge_partial_docs": q_merge_partial_docs,
+        "ngram_dup_pairs": q_ngram_dup_pairs,
         "log_to_metric_agg": q_log_to_metric_agg,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
@@ -1253,6 +1298,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
             "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
             "FROM events GROUP BY event_type"
+        ),
+        "ngram_dup_pairs": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE doc_id < 40 "
+            "UNION ALL SELECT doc_id + 10000, text || ' tail extra words here' "
+            "FROM documents WHERE doc_id < 20), "
+            "g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams "
+            "FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM all_docs)), "
+            "p AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "len(list_intersect(x.grams, y.grams)) AS i, "
+            "len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS u "
+            "FROM g x JOIN g y ON x.doc_id < y.doc_id) "
+            "SELECT a, b, CAST(FLOOR(1000000.0 * (CAST(i AS DOUBLE) / u)) AS BIGINT) "
+            "AS jac_micro FROM p WHERE 2 * i >= u"
         ),
         "flagship_tokenized": _flagship_oracle_sql(),
         "knn_embeddings": (
