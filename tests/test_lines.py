@@ -86,3 +86,29 @@ class TestReadLines:
         agg = grouped_aggregate(routed, ["lane"], {"n": ("count", "status")}).take_all()
         by = {r["lane"]: r["n"] for r in agg}
         assert by == {"errors": 20, "rest": 40}
+
+
+class TestFileSourceConfig:
+    def test_file_source_with_framing(self, tmp_path):
+        import struct
+
+        import yaml
+
+        from vector_ray.pipelines.config import load_config
+
+        msgs = [b"status=ok host=a", b"status=err host=b", b"status=err host=a"]
+        p = tmp_path / "frames.bin"
+        p.write_bytes(b"".join(struct.pack(">I", len(m)) + m for m in msgs))
+        cfg = {
+            "sources": {"in": {"type": "file", "path": str(p), "framing": "length"}},
+            "transforms": {
+                "kv": {"type": "key_value_parser", "inputs": ["in"]},
+                "errs": {"type": "filter", "inputs": ["kv"],
+                         "condition": {"datadog_search": "status:err"}},
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["errs"]}},
+        }
+        res = load_config(cfg).run()
+        df = res["out"]
+        assert len(df) == 2
+        assert sorted(df["host"]) == ["a", "b"]

@@ -107,18 +107,24 @@ class FrameSample:
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out_rows = {"media_id": [], "frame_idx": [], "frame_ms": []}
-        for mid, dur in zip(t["media_id"].to_pylist(), t["duration_ms"].to_pylist()):
-            n_frames = max(1, (dur or 0) // self.every_ms)
-            for fi in range(n_frames):
-                out_rows["media_id"].append(mid)
-                out_rows["frame_idx"].append(fi)
-                out_rows["frame_ms"].append(fi * self.every_ms)
+        # vectorized 1→N explode: repeat ids by frame count, per-row
+        # frame indices via a global arange minus each row's start offset
+        dur = np.asarray(
+            pa.compute.fill_null(t["duration_ms"], 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        n_frames = np.maximum(1, dur // self.every_ms)
+        starts = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n_frames, out=starts[1:])
+        total = int(starts[-1])
+        row_of = np.repeat(np.arange(len(t)), n_frames)
+        frame_idx = np.arange(total, dtype=np.int64) - starts[row_of]
+        mid = t["media_id"].combine_chunks() if isinstance(t["media_id"], pa.ChunkedArray) else t["media_id"]
         return pa.table(
             {
-                "media_id": pa.array(out_rows["media_id"], pa.string()),
-                "frame_idx": pa.array(out_rows["frame_idx"], pa.int32()),
-                "frame_ms": pa.array(out_rows["frame_ms"], pa.int32()),
+                "media_id": mid.take(pa.array(row_of, pa.int64())),
+                "frame_idx": pa.array(frame_idx.astype(np.int32)),
+                "frame_ms": pa.array((frame_idx * self.every_ms).astype(np.int32)),
             }
         )
 

@@ -561,6 +561,20 @@ class Topology:
             return ds.map_batches(
                 lambda t: t.rename_columns(["message"]), batch_format="pyarrow"
             )
+        if stype == "file":
+            # the reference's file source with framing (src/codecs/framers):
+            # newline | character | length | octet
+            from vector_ray.sources.lines import read_lines
+
+            delim = cfg.get("delimiter", "\n")
+            ds = read_lines(
+                cfg["path"],
+                framing=cfg.get("framing", "newline"),
+                delimiter=delim.encode() if isinstance(delim, str) else delim,
+            )
+            return ds.map_batches(
+                lambda t: t.rename_columns(["message"]), batch_format="pyarrow"
+            )
         if stype == "generator":
             from vector_ray.sources.synth import generator_lines
 
