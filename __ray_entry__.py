@@ -980,6 +980,33 @@ def q_ngram_dup_pairs(sf_dir):
     return _finish(one.groupby("__g").map_groups(pairs, batch_format="pyarrow"))
 
 
+def q_metric_to_log_json(sf_dir):
+    """metric_to_log (metric_to_log.rs:18-21): serialize aggregated
+    metric series back into structured log rows with a JSON message.
+    The metric values are cents-rounded ints first so the JSON string
+    is bit-deterministic; the oracle reconstructs the exact
+    sorted-key JSON in SQL string algebra."""
+    from vector_ray.stages import Aggregate, LogToMetric, MetricToLog
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    lm = LogToMetric([
+        {"type": "counter", "name": "value_total", "field": "value",
+         "increment_by_value": True, "tags": {"etype": "{{event_type}}"}},
+    ])
+    agg = Aggregate(tag_keys=["etype"]).apply(lm.apply(ds))
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "etype": t["etype"],
+            "metric_type": t["metric_type"],
+            "name": t["name"],
+            "value_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0), pa.int64()),
+        })
+
+    narrowed = agg.map_batches(narrow, batch_format="pyarrow")
+    return _finish(MetricToLog().apply(narrowed))
+
+
 def q_grouped_percentiles(sf_dir):
     """Per-key exact quantiles (the AggregatedSummary per-series
     quantiles, metric.rs:165-169) — distributed three-scan plan
@@ -1121,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_percentiles": q_grouped_percentiles,
         "merge_partial_docs": q_merge_partial_docs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "metric_to_log_json": q_metric_to_log_json,
         "log_to_metric_agg": q_log_to_metric_agg,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
@@ -1298,6 +1326,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
             "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
             "FROM events GROUP BY event_type"
+        ),
+        "metric_to_log_json": (
+            "WITH s AS (SELECT event_type AS etype, 'counter' AS metric_type, "
+            "'value_total' AS name, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_c "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT etype, metric_type, name, value_c, "
+            "'{\"etype\": \"' || etype || '\", \"metric_type\": \"' || metric_type || "
+            "'\", \"name\": \"' || name || '\", \"value_c\": ' || "
+            "CAST(value_c AS VARCHAR) || '}' AS message FROM s"
         ),
         "ngram_dup_pairs": (
             "WITH all_docs AS ("

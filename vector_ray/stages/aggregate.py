@@ -170,17 +170,20 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
     if aux_pieces:
         # positional attach via sorted-fingerprint lookup (Arrow joins
         # cannot carry list-typed payloads, and this is cheaper anyway)
-        fp_out = _key_fingerprint(out, keys)
+        fp_out = _key_fingerprint(out, keys) if len(out) else np.empty(0, np.uint64)
         for piece in aux_pieces:
+            if len(piece) == 0:  # e.g. a set spec whose values were all null
+                for c, typ in zip(piece.column_names, piece.schema.types):
+                    if c != "__fp":
+                        out = out.append_column(c, pa.nulls(len(out), typ))
+                continue
             fp_piece = np.asarray(
                 piece["__fp"].combine_chunks().to_numpy(zero_copy_only=False), np.uint64
             )
             order = np.argsort(fp_piece, kind="stable")
             pos = np.searchsorted(fp_piece[order], fp_out)
-            posc = np.clip(pos, 0, max(len(fp_piece) - 1, 0))
-            found = (pos < len(fp_piece)) & (
-                fp_piece[order][posc] == fp_out if len(fp_piece) else np.zeros(len(fp_out), bool)
-            )
+            posc = np.clip(pos, 0, len(fp_piece) - 1)
+            found = (pos < len(fp_piece)) & (fp_piece[order][posc] == fp_out)
             take_idx = pa.array(order[posc], pa.int64(), mask=~found)
             for c in piece.column_names:
                 if c != "__fp":
