@@ -33,8 +33,22 @@ Query → reference-transform parity map (paths under /root/reference):
   flagship_tokenized     the full north-rule topology (SURVEY.md §7), oracle = full SQL
   percentiles            sort/top-k (SURVEY.md §2.7 — absent in the reference)
   exact_dedup/minhash/simhash/embedding_dup/knn/ann_ivf/token_near_dup/
-  lang_id/quality/approx_distinct/tumbling_histogram/media_features
-                         training-data extensions (driver brief), vector_ray.ml + stages.sketch
+  lang_id/quality/approx_distinct/tumbling_histogram/media_features/
+  ngram_dup_pairs        training-data extensions (driver brief), vector_ray.ml + stages.sketch
+  apache_log_parse       lib/vrl/stdlib/src/parse_apache_log.rs (render→parse round trip)
+  glog_parse             lib/vrl/stdlib/src/parse_glog.rs
+  user_agent_parse       lib/vrl/stdlib/src/parse_user_agent.rs (simplified family table)
+  syslog_lines           file source × codecs/framers (src/codecs/framers/*) end-to-end
+  dd_search_events/docs  src/conditions/datadog_search.rs (full grammar → Cond)
+  merge_partial_docs     src/transforms/merge.rs:18-37 (partial stitching round trip)
+  log_to_metric_agg      src/transforms/log_to_metric.rs:27-78 + aggregate.rs:72-107
+  metric_to_log_json     src/transforms/metric_to_log.rs:18-21
+  grouped_percentiles    AggregatedSummary per-series quantiles (metric.rs:165-169),
+                         distributed exact (stages/quantile.py)
+
+Every query is oracle-gated (rows+schema+hash): SQL re-derivations
+where expressible, golden-value oracles from independent
+reimplementations (tools/golden.py) for the sketch/signature pipelines.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or in vector_ray.
