@@ -994,6 +994,45 @@ def q_ngram_dup_pairs(sf_dir):
     return _finish(one.groupby("__g").map_groups(pairs, batch_format="pyarrow"))
 
 
+def q_topk_users(sf_dir):
+    """Top-3 most active users per event_type — two-phase grouped
+    top-k (stages/topk.py): grouped count aggregate, then per-key
+    ranked selection whose shuffle carries at most k rows per (key,
+    block). Integer counts + user-id tie-break keep ranking exact.
+    Oracle: QUALIFY row_number."""
+    from vector_ray.stages import grouped_aggregate
+    from vector_ray.stages.topk import grouped_topk
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    per_user = grouped_aggregate(ds, ["event_type", "user_id"],
+                                 {"n": ("count", "user_id")})
+    top = grouped_topk(per_user, ["event_type"], "n", 3, tiebreak="user_id")
+    return _finish(top.select_columns(["event_type", "user_id", "n"]))
+
+
+def q_hopping_window(sf_dir):
+    """Overlapping hopping windows (1h size, 30m hop — each event in 2
+    windows) via vectorized explode + the two-phase grouped aggregate
+    (stages/window.HoppingWindow); oracle re-derives window membership
+    with integer epoch arithmetic."""
+    from vector_ray.stages.window import HoppingWindow
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hw = HoppingWindow(["event_type"], "ts", 3600.0, 1800.0,
+                       {"n": ("count", "value"), "vs": ("sum", "value")})
+    out = hw.apply(ds)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "value_sum_c": pc.cast(pc.round(pc.multiply(t["vs"], 100.0), ndigits=0), pa.int64()),
+        })
+
+    return _finish(out.map_batches(final, batch_format="pyarrow"))
+
+
 def q_metric_to_log_json(sf_dir):
     """metric_to_log (metric_to_log.rs:18-21): serialize aggregated
     metric series back into structured log rows with a JSON message.
@@ -1163,6 +1202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_partial_docs": q_merge_partial_docs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "metric_to_log_json": q_metric_to_log_json,
+        "hopping_window": q_hopping_window,
+        "topk_users": q_topk_users,
         "log_to_metric_agg": q_log_to_metric_agg,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
@@ -1340,6 +1381,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
             "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
             "FROM events GROUP BY event_type"
+        ),
+        "topk_users": (
+            "WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, user_id, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY n DESC, user_id) <= 3"
+        ),
+        "hopping_window": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS tu, value FROM events), "
+            "x AS (SELECT event_type, value, "
+            "((tu // 1800000000) * 1800000000) - k * 1800000000 AS ws "
+            "FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) "
+            "WHERE ((tu // 1800000000) * 1800000000) - k * 1800000000 > tu - 3600000000) "
+            "SELECT event_type, CAST(ws AS BIGINT) AS window_start, "
+            "CAST(COUNT(value) AS BIGINT) AS n, "
+            "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c "
+            "FROM x GROUP BY 1, 2"
         ),
         "metric_to_log_json": (
             "WITH s AS (SELECT event_type AS etype, 'counter' AS metric_type, "

@@ -486,3 +486,44 @@ class TestExactQuantiles:
         out = grouped_exact_quantiles(ds_of(t, blocks=3), "k", "v", [0.5], bins=4, cap=10)
         s = sorted(vals)
         assert out.to_pylist()[0]["p50"] == s[max(1, math.ceil(0.5 * len(s))) - 1]
+
+
+class TestWindowAndTopk:
+    def test_hopping_window_membership(self):
+        import numpy as np
+
+        from vector_ray.stages.window import HoppingWindow
+
+        # ts in seconds-as-us: size 10s, hop 5s → each event in 2 windows
+        ts = pa.array(np.array([0, 4, 5, 9, 10, 14], dtype="int64") * 1_000_000,
+                      pa.timestamp("us"))
+        t = pa.table({"k": ["a"] * 6, "ts": ts, "v": [1.0] * 6})
+        hw = HoppingWindow(["k"], "ts", 10.0, 5.0, {"n": ("count", "v")})
+        rows = {(r["k"], r["window_start"]): r["n"] for r in hw.apply(ds_of(t, blocks=2)).take_all()}
+        # windows (start in us): -5s:{0,4}, 0:{0,4,5,9}, 5s:{5,9,10,14}, 10s:{10,14}
+        assert rows[("a", -5_000_000)] == 2
+        assert rows[("a", 0)] == 4
+        assert rows[("a", 5_000_000)] == 4
+        assert rows[("a", 10_000_000)] == 2
+
+    def test_grouped_topk_matches_sort(self):
+        import numpy as np
+
+        from vector_ray.stages.topk import grouped_topk
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        t = pa.table({
+            "k": [f"g{i % 4}" for i in range(n)],
+            "score": rng.integers(0, 1000, n).tolist(),
+            "id": list(range(n)),
+        })
+        out = grouped_topk(ds_of(t, blocks=6), ["k"], "score", 5, tiebreak="id").take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["k"], []).append((r["score"], r["id"]))
+        rows = list(zip(t["k"].to_pylist(), t["score"].to_pylist(), t["id"].to_pylist()))
+        for kv in ("g0", "g1", "g2", "g3"):
+            want = sorted(((s, i) for k2, s, i in rows if k2 == kv),
+                          key=lambda x: (-x[0], x[1]))[:5]
+            assert sorted(got[kv], key=lambda x: (-x[0], x[1])) == want

@@ -51,6 +51,47 @@ class TumblingWindow(Step):
         return grouped_aggregate(bucketed, self.keys + [wcol], self.specs)
 
 
+class HoppingWindow(Step):
+    """Overlapping event-time windows (size, hop): each row belongs to
+    ``size/hop`` windows; vectorized 1→N explode (np.repeat of window
+    starts) feeding the same two-phase grouped aggregate as tumbling.
+    The explode factor is the only cost multiplier — no per-group
+    materialization, same shuffle shape as tumbling."""
+
+    fusable = False
+
+    def __init__(self, keys: Sequence[str], ts_col: str, size_s: float, hop_s: float,
+                 specs: Dict[str, Tuple[str, str]], *, window_col: str = "window_start"):
+        if size_s % hop_s != 0:
+            raise ValueError("size_s must be a multiple of hop_s")
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.size_us = int(size_s * 1_000_000)
+        self.hop_us = int(hop_s * 1_000_000)
+        self.specs = specs
+        self.window_col = window_col
+
+    def apply(self, ds):
+        size, hop = self.size_us, self.hop_us
+        nwin = size // hop
+        ts_col, wcol = self.ts_col, self.window_col
+
+        def explode(t: pa.Table) -> pa.Table:
+            n = len(t)
+            ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            base = (ts // hop) * hop
+            idx = np.repeat(np.arange(n, dtype=np.int64), nwin)
+            k = np.tile(np.arange(nwin, dtype=np.int64), n)
+            starts = base[idx] - k * hop
+            keep = starts > ts[idx] - size  # window [start, start+size) contains ts
+            take = pa.array(idx[keep], pa.int64())
+            out = t.take(take)
+            return out.append_column(wcol, pa.array(starts[keep], pa.int64()))
+
+        exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        return grouped_aggregate(exploded, self.keys + [wcol], self.specs)
+
+
 class SessionWindow(Step):
     fusable = False
 
