@@ -176,3 +176,45 @@ class TestResumeWithChangedInputList:
         res3 = run_flagship(live, fresh_out)
         fresh = res3["aggregate"].to_pandas()
         assert int(agg["n_rows"].sum()) == int(fresh["n_rows"].sum())
+
+
+class TestGenericResumable:
+    def test_run_resumable_skip_and_crash_recovery(self, tmp_path):
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vector_ray.state.resumable import run_resumable
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        for i in range(4):
+            pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                           os.path.join(src, f"f{i}.parquet"))
+        files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        out = str(tmp_path / "out")
+
+        def double(ds):
+            return ds.map_batches(
+                lambda t: t.append_column("y", pc.multiply(t["x"], 2)),
+                batch_format="pyarrow", zero_copy_batch=True)
+
+        r1 = run_resumable(files, out, double)
+        assert r1["partitions"] == 4 and r1["skipped"] == 0
+        assert r1["counters"]["rows_in"] == 40 and r1["counters"]["rows_out"] == 40
+        # rerun skips everything, outputs unchanged
+        r2 = run_resumable(files, out, double)
+        assert r2["skipped"] == 4
+        # simulate a crash: delete one manifest entry — only that
+        # partition is redone, results identical
+        entries = sorted(glob.glob(os.path.join(out, "_manifest", "*.json")))
+        os.remove(entries[0])
+        r3 = run_resumable(files, out, double)
+        assert r3["skipped"] == 3
+        got = sorted(r["y"] for r in rd.read_parquet(
+            sorted(glob.glob(os.path.join(out, "parts", "*", "*.parquet")))).take_all())
+        assert got == [2 * x for x in range(40)]

@@ -311,3 +311,29 @@ class TestTokenNearDup:
         d1 = t["doc_id"][long_idx[1]].as_py()
         assert tuple(sorted((d0, "dup-0"))) in found
         assert tuple(sorted((d1, "dup-1"))) in found
+
+
+class TestAudioDecode:
+    def test_fake_rms_features(self):
+        from vector_ray.ml.multimodal import AudioDecode, decode_stage, synth_media_table
+
+        media = synth_media_table(50)
+        out = decode_stage(rd.from_arrow(media), AudioDecode, fake=True,
+                           concurrency=2).take_all()
+        assert len(out) == 50
+        feats = out[0]["audio_features"]
+        assert len(feats) == 8
+        assert all(0.0 <= float(f) <= 1.01 for f in feats)
+        # deterministic: same payload → same features
+        out2 = decode_stage(rd.from_arrow(media), AudioDecode, fake=True,
+                            concurrency=2).take_all()
+        by_id = {r["media_id"]: list(r["audio_features"]) for r in out2}
+        assert list(out[0]["audio_features"]) == by_id[out[0]["media_id"]]
+
+    def test_real_path_gated(self):
+        import pytest
+
+        from vector_ray.ml.multimodal import AudioDecode
+
+        with pytest.raises(NotImplementedError):
+            AudioDecode()

@@ -93,6 +93,44 @@ class ImageDecode:
         return t.append_column("image_features", emb)
 
 
+class AudioDecode:
+    """Actor-pool stage: decode audio payloads → per-window RMS
+    features. Real path requires librosa/soundfile (NOT in this
+    container) — raises NotImplementedError unless ``fake=True``, which
+    interprets the payload bytes as int8 samples and emits 8 window-RMS
+    values, exercising the identical plumbing."""
+
+    def __init__(self, *, fake: bool = False, windows: int = 8):
+        self.fake = fake
+        self.windows = windows
+        if not fake:
+            try:
+                import librosa  # noqa: F401
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "audio decode requires librosa, not available in this "
+                    "container; construct with fake=True for the deterministic stub"
+                ) from e
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = self.windows
+        payloads = t["payload"].to_pylist()
+        feats = np.zeros((len(payloads), w), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if p is None or len(p) == 0:
+                continue
+            if not self.fake:  # pragma: no cover - real decode path stub
+                raise NotImplementedError("real audio decode not available here")
+            samples = np.frombuffer(p, dtype=np.int8).astype(np.float32) / 128.0
+            usable = (len(samples) // w) * w
+            if usable == 0:
+                continue
+            chunks = samples[:usable].reshape(w, usable // w)
+            feats[i] = np.sqrt((chunks ** 2).mean(axis=1))
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), pa.float32()), w)
+        return t.append_column("audio_features", emb)
+
+
 class FrameSample:
     """Video frame-sampling stage signature: emits one row per sampled
     frame index (1→N explode) with deterministic frame positions; the

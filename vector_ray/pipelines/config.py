@@ -435,6 +435,30 @@ def _build_session(cfg):
                          {k: tuple(v) for k, v in cfg["aggs"].items()})
 
 
+@register_transform("hopping_window")
+def _build_hopping(cfg):
+    from vector_ray.stages.window import HoppingWindow
+
+    return HoppingWindow(cfg["keys"], cfg.get("ts_col", "ts"), cfg["size_s"],
+                         cfg["hop_s"], {k: tuple(v) for k, v in cfg["specs"].items()})
+
+
+@register_transform("topk")
+def _build_topk(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.topk import grouped_topk
+
+    class _TopK(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return grouped_topk(ds, cfg["keys"], cfg["order_col"], cfg["k"],
+                                descending=cfg.get("descending", True),
+                                tiebreak=cfg.get("tiebreak"))
+
+    return _TopK()
+
+
 @register_transform("token_count")
 def _build_token_count(cfg):
     from vector_ray.ml.text import TokenCount
