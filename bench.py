@@ -119,6 +119,11 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "knn_embeddings",
         "exact_dedup_docs",
         "minhash_pairs",
+        "grouped_percentiles",
+        "topk_users",
+        "hopping_window",
+        "dd_search_events",
+        "apache_log_parse",
     ]
     qs = entrymod.queries()
     for name in sf_queries:

