@@ -202,3 +202,54 @@ class TestRouteProperty:
         assert len(out) == sum(
             max(1, (x >= 500) + (tier == "hot") + (x % 2 == 0)) for x, tier in rows
         )
+
+
+class TestPercentCodecProperty:
+    @given(st.lists(st.text(max_size=40), max_size=20))
+    @settings(max_examples=30, deadline=None)
+    def test_roundtrip_any_unicode(self, texts):
+        arr = pa.array(texts, pa.string())
+        assert F.decode_percent(F.encode_percent(arr)).to_pylist() == texts
+
+    @given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                            max_size=40), max_size=20))
+    @settings(max_examples=30, deadline=None)
+    def test_encode_matches_urllib(self, texts):
+        import urllib.parse
+
+        arr = pa.array(texts, pa.string())
+        want = [urllib.parse.quote(t, safe="-_.~") for t in texts]
+        assert F.encode_percent(arr).to_pylist() == want
+
+
+class TestQuantileProperty:
+    @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=300),
+           st.floats(min_value=0.01, max_value=0.99))
+    @settings(max_examples=15, deadline=None)
+    def test_matches_sorted_rank(self, vals, p):
+        import math
+
+        import ray.data as rd
+
+        from vector_ray.stages.quantile import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})).repartition(3)
+        got = exact_quantiles(ds, "v", [p], bins=16, cap=50)
+        s = sorted(vals)
+        want = s[max(1, math.ceil(p * len(s))) - 1]
+        assert got == [want]
+
+
+class TestCaseConversionProperty:
+    @given(st.lists(st.text(alphabet=st.characters(min_codepoint=48, max_codepoint=122),
+                            max_size=25), max_size=15))
+    @settings(max_examples=30, deadline=None)
+    def test_snake_is_idempotent_and_lower(self, texts):
+        arr = pa.array(texts, pa.string())
+        once = F.snakecase(arr)
+        twice = F.snakecase(once)
+        assert once.to_pylist() == twice.to_pylist()
+        for v in once.to_pylist():
+            assert v == v.lower()
