@@ -527,3 +527,50 @@ class TestWindowAndTopk:
             want = sorted(((s, i) for k2, s, i in rows if k2 == kv),
                           key=lambda x: (-x[0], x[1]))[:5]
             assert sorted(got[kv], key=lambda x: (-x[0], x[1])) == want
+
+
+class TestSessionWindowBucketed:
+    def _mk(self, n=4000, seed=9):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # bursty inter-arrival times so sessions frequently CROSS the
+        # coarse bucket boundary (the merge-phase correctness case)
+        gaps = rng.choice([1, 2, 5, 40], size=n, p=[0.5, 0.3, 0.1, 0.1])
+        ts = np.cumsum(gaps) * 1_000_000
+        keys = [f"u{i % 7}" for i in range(n)]
+        return pa.table({
+            "k": keys,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": rng.integers(0, 100, n).tolist(),
+        })
+
+    def test_bucketed_equals_single_group(self):
+        from vector_ray.stages.window import SessionWindow
+
+        t = self._mk()
+        aggs = {"n": ("count", "v"), "vs": ("sum", "v"),
+                "vmin": ("min", "v"), "vmax": ("max", "v")}
+        a = SessionWindow(["k"], "ts", 10.0, aggs, mode="bucketed", bucket_s=60.0)
+        b = SessionWindow(["k"], "ts", 10.0, aggs, mode="group")
+        ra = sorted(map(tuple, (r.values() for r in
+                    (dict(x) for x in a.apply(ds_of(t, blocks=5)).take_all()))))
+        rb = sorted(map(tuple, (r.values() for r in
+                    (dict(x) for x in b.apply(ds_of(t, blocks=5)).take_all()))))
+        assert ra == rb
+
+    def test_session_spanning_many_buckets(self):
+        # continuous activity: ONE session crossing dozens of buckets —
+        # the chain-merge in phase 2 must collapse it
+        import numpy as np
+
+        from vector_ray.stages.window import SessionWindow
+
+        ts = np.arange(5000, dtype=np.int64) * 1_000_000  # 1s apart, gap 10s
+        t = pa.table({"k": ["hot"] * 5000, "ts": pa.array(ts, pa.timestamp("us")),
+                      "v": [1] * 5000})
+        sw = SessionWindow(["k"], "ts", 10.0, {"n": ("count", "v")},
+                           mode="bucketed", bucket_s=30.0)
+        rows = sw.apply(ds_of(t, blocks=4)).take_all()
+        assert len(rows) == 1
+        assert rows[0]["n"] == 5000 and rows[0]["session_id"] == 1

@@ -93,16 +93,37 @@ class HoppingWindow(Step):
 
 
 class SessionWindow(Step):
+    """Gap-based sessions per key.
+
+    ``mode="bucketed"`` (default) is the DISTRIBUTED plan: events are
+    sessionized per (key, coarse time bucket) — fully parallel — and a
+    per-key phase 2 then sessionizes the SESSION SUMMARIES (sorted by
+    first event time, merging consecutive summaries whose gap is within
+    the threshold; correct because buckets partition time, so summaries
+    never overlap and within-bucket sessions are already > gap apart).
+    The per-key group holds one row per session, not per event — a
+    continuously-active hot key costs one summary per bucket instead of
+    its whole event timeline. ``mode="group"`` keeps the single-group
+    r1 plan (whole key timeline in one reducer).
+
+    aggs kinds: count | sum | min | max (all phase-2 mergeable).
+    """
+
     fusable = False
 
     def __init__(self, keys: Sequence[str], ts_col: str, gap_s: float,
-                 aggs: Dict[str, Tuple[str, str]], *, session_col: str = "session_id"):
-        """aggs kinds: count | sum | min | max (pandas in-group)."""
+                 aggs: Dict[str, Tuple[str, str]], *, session_col: str = "session_id",
+                 mode: str = "bucketed", bucket_s: float | None = None):
         self.keys = list(keys)
         self.ts_col = ts_col
         self.gap_us = int(gap_s * 1_000_000)
         self.aggs = aggs
         self.session_col = session_col
+        if mode not in ("bucketed", "group"):
+            raise ValueError("mode must be bucketed or group")
+        self.mode = mode
+        # bucket >> gap keeps the summary count low; any width is correct
+        self.bucket_us = int((bucket_s if bucket_s is not None else gap_s * 256) * 1_000_000)
 
     def _sessions(self, g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(self.ts_col, kind="mergesort")
@@ -129,5 +150,66 @@ class SessionWindow(Step):
         cols = self.keys + [self.session_col] + list(self.aggs)
         return out[cols]
 
+    # -- bucketed (distributed) plan --------------------------------------
+
+    def _bucket_summaries(self, g: pd.DataFrame) -> pd.DataFrame:
+        """Per (key, bucket): one summary row per local session —
+        first/last event ts + mergeable partials for every agg."""
+        g = g.sort_values(self.ts_col, kind="mergesort")
+        ts = g[self.ts_col].astype("int64").to_numpy()
+        new_session = np.ones(len(g), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) > self.gap_us).astype(np.int64)
+        sid = np.cumsum(new_session)
+        g = g.assign(__sid=sid, __tsi=ts)
+        named = {"__first_ts": ("__tsi", "min"), "__last_ts": ("__tsi", "max")}
+        for name, (kind, col) in self.aggs.items():
+            if kind == "count":
+                named[name] = ("__sid", "size")
+            elif kind in ("sum", "min", "max"):
+                named[name] = (col, kind)
+            else:
+                raise ValueError(kind)
+        for k in self.keys:
+            named[k] = (k, "first")
+        out = g.groupby("__sid", sort=True).agg(**named).reset_index(drop=True)
+        return out[self.keys + ["__first_ts", "__last_ts"] + list(self.aggs)]
+
+    def _merge_summaries(self, m: pd.DataFrame) -> pd.DataFrame:
+        """Per key: sessionize the session summaries (they never overlap
+        — buckets partition time) and finish the aggregates."""
+        m = m.sort_values("__first_ts", kind="mergesort")
+        first = m["__first_ts"].to_numpy()
+        last = m["__last_ts"].to_numpy()
+        new_session = np.ones(len(m), dtype=np.int64)
+        if len(m) > 1:
+            new_session[1:] = (first[1:] - last[:-1] > self.gap_us).astype(np.int64)
+        sid = np.cumsum(new_session)
+        m = m.assign(**{self.session_col: sid})
+        named = {}
+        for name, (kind, _col) in self.aggs.items():
+            merge_kind = "sum" if kind in ("count", "sum") else kind
+            named[name] = (name, merge_kind)
+        for k in self.keys:
+            named[k] = (k, "first")
+        out = m.groupby(self.session_col, sort=True).agg(**named).reset_index()
+        out[self.session_col] = out[self.session_col].astype(np.int64)
+        return out[self.keys + [self.session_col] + list(self.aggs)]
+
     def apply(self, ds):
-        return ds.groupby(self.keys).map_groups(self._sessions, batch_format="pandas")
+        if self.mode == "group":
+            return ds.groupby(self.keys).map_groups(self._sessions, batch_format="pandas")
+        bucket_us, ts_col = self.bucket_us, self.ts_col
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t[ts_col], pa.int64())
+            return t.append_column("__bucket", pc.multiply(pc.divide(ts, bucket_us), bucket_us))
+
+        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        summaries = bucketed.groupby(self.keys + ["__bucket"]).map_groups(
+            lambda g: self._bucket_summaries(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        return summaries.groupby(self.keys).map_groups(
+            self._merge_summaries, batch_format="pandas"
+        )
