@@ -154,14 +154,20 @@ def asof_join(
     both = l.union(r)
     l_cols = list(l_names)
     r_cols = list(r_names)
+    # the union pads each side with the OTHER side's columns as nulls,
+    # which upcasts int columns to float in the pandas block; after the
+    # side split those columns are null-free again, so restore the
+    # original dtypes (otherwise int keys/ids silently come out float)
+    l_dtypes = {n: t.to_pandas_dtype() for n, t in zip(left.schema().names, left.schema().types)}
+    r_dtypes = {n: t.to_pandas_dtype() for n, t in zip(right.schema().names, right.schema().types)}
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # dtypes survive even for empty sides (columns come from the
-        # padded union frame), and merge_asof handles empty right by
-        # emitting typed-null right columns — every bucket keeps the
-        # identical output schema
+        # merge_asof handles empty right by emitting typed-null right
+        # columns — every bucket keeps the identical output schema
         lt = g[g[_SIDE] == 0][l_cols].sort_values(on, kind="mergesort")
         rt = g[g[_SIDE] == 1][r_cols].sort_values(on, kind="mergesort")
+        lt = lt.astype({c: d for c, d in l_dtypes.items() if c in lt and not lt[c].isna().any()})
+        rt = rt.astype({c: d for c, d in r_dtypes.items() if c in rt and not rt[c].isna().any()})
         return pd.merge_asof(lt, rt, on=on, by=by, direction=direction, tolerance=tolerance)
 
     return both.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pandas")
