@@ -57,3 +57,12 @@ class TestDatadogSearch:
     def test_bad_syntax(self):
         with pytest.raises(ValueError):
             P("(unbalanced")
+
+
+class TestDashedFacets:
+    def test_dashed_field_names_and_negation(self):
+        t = pa.table({"my-field": ["x", "y"], "status": ["error", "ok"],
+                      "message": ["a", "b"]})
+        assert run("my-field:x", t) == [True, False]
+        assert run("-status:error", t) == [False, True]
+        assert run("-my-field:x", t) == [False, True]

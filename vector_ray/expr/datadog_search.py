@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<op>OR\b|AND\b|NOT\b) |
     (?P<neg>-) |
-    (?P<kv>[@\w.*_]+:(?:"[^"]*"|\[[^\]]*\]|[^\s()]+)) |
+    (?P<kv>[@\w.*_][-@\w.*_]*:(?:"[^"]*"|\[[^\]]*\]|[^\s()]+)) |
     (?P<quoted>"[^"]*") |
     (?P<word>[^\s()]+)
     )""",
