@@ -66,3 +66,17 @@ class TestDashedFacets:
         assert run("my-field:x", t) == [True, False]
         assert run("-status:error", t) == [False, True]
         assert run("-my-field:x", t) == [False, True]
+
+
+class TestNumericOnStringColumns:
+    def test_numeric_operand_compares_numerically(self):
+        # r2 advice: status stored as strings must compare numerically,
+        # not lexicographically, when the query operand is numeric
+        t = pa.table({"status": ["9", "200", "50", "abc", None],
+                      "message": ["m"] * 5})
+        assert run("status:>50", t) == [False, True, False, False, False]
+        assert run("status:<=50", t) == [True, False, True, False, False]
+
+    def test_string_operand_still_lexicographic(self):
+        t = pa.table({"host": ["a", "b"], "message": ["m", "m"]})
+        assert run("host:>a", t) == [False, True]

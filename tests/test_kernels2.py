@@ -198,6 +198,20 @@ class TestStdlibTail:
             ["A", "%4", "%zz", "a%b", "%"]
         # escape must not cross a row boundary in the flat buffer
         assert F.decode_percent(pa.array(["x%", "41"])).to_pylist() == ["x%", "41"]
+        # r2 advice: '%4' at row end + next row starting with a hex digit
+        # must NOT decode across the boundary
+        assert F.decode_percent(pa.array(["ab%4", "1xyz"])).to_pylist() == \
+            ["ab%4", "1xyz"]
+        assert F.decode_percent(pa.array(["ab%", "41xyz"])).to_pylist() == \
+            ["ab%", "41xyz"]
+
+    def test_percent_codecs_sliced_with_nulls(self):
+        # r2 advice: sliced input with nulls must re-align the validity bitmap
+        src = pa.array(["x", None, "a b", "c d", None, "e"])
+        assert F.encode_percent(src.slice(2)).to_pylist() == \
+            ["a%20b", "c%20d", None, "e"]
+        assert F.decode_percent(pa.array(["q", None, "a%20b", None]).slice(1)).to_pylist() == \
+            [None, "a b", None]
 
     def test_ip_v6_mapping(self):
         assert F.ip_to_ipv6(pa.array(["1.2.3.4", "::1"])).to_pylist() == \

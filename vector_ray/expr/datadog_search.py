@@ -82,6 +82,18 @@ def _safe_get(t: pa.Table, field: str):
     return None
 
 
+def _num_cast(col):
+    """Column → float64, invalid entries → null (so they never match).
+    String-typed numeric fields are the common case in parsed logs;
+    Datadog compares numerically whenever the query operand is numeric."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        s = pc.cast(col, pa.string())
+        ok = pc.match_substring_regex(s, r"^\s*-?\d+(\.\d+)?([eE][+-]?\d+)?\s*$")
+        s = pc.if_else(pc.fill_null(ok, False), s, pa.nulls(len(s), pa.string()))
+        return pc.cast(s, pa.float64())
+    return pc.cast(col, pa.float64())
+
+
 def _field_cmp(field: str, op: str, raw: str) -> Cond:
     val = float(raw) if _NUM_RE.match(raw) else raw
 
@@ -89,16 +101,22 @@ def _field_cmp(field: str, op: str, raw: str) -> Cond:
         col = _safe_get(t, field)
         if col is None:
             return pa.array([False] * len(t), pa.bool_())
-        if isinstance(val, float) and not pa.types.is_string(col.type):
-            c = pc.cast(col, pa.float64())
-            v = val
+        if isinstance(val, float):
+            # numeric operand → numeric compare regardless of column type
+            try:
+                c = _num_cast(col)
+                v = val
+            except pa.ArrowInvalid:
+                c = pc.cast(col, pa.string())
+                v = str(raw)
         else:
             c = pc.cast(col, pa.string())
             v = str(raw)
-        return {
+        res = {
             ">": pc.greater, ">=": pc.greater_equal,
             "<": pc.less, "<=": pc.less_equal,
         }[op](c, v)
+        return pc.fill_null(res, False)
 
     return Cond(fn, f"{field}{op}{raw}")
 

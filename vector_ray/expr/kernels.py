@@ -840,10 +840,22 @@ def _flat_utf8(arr: pa.Array):
 
 def _rebuild_string(arr, out_data: np.ndarray, out_offs: np.ndarray) -> pa.Array:
     """String array from transformed flat bytes + new offsets, keeping
-    the source's validity bitmap."""
+    the source's validity bitmap.
+
+    The output is built with offset 0, so a sliced source (arr.offset != 0)
+    cannot share its parent's bitmap buffer verbatim — the bits would be
+    misaligned (and for a null-free slice of a parent WITH nulls, wrong).
+    Re-pack a fresh aligned bitmap in that case via pc.is_valid.
+    """
+    if arr.null_count == 0:
+        null_buf = None
+    elif arr.offset == 0:
+        null_buf = arr.buffers()[0]
+    else:
+        null_buf = pc.is_valid(arr).buffers()[1]  # fresh offset-0 packed bitmap
     return pa.Array.from_buffers(
         pa.string(), len(out_offs) - 1,
-        [arr.buffers()[0], pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+        [null_buf, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
          pa.py_buffer(out_data.tobytes())],
         null_count=arr.null_count,
     )
@@ -888,7 +900,7 @@ def decode_percent(a):
         # valid escape: two hex digits follow, inside the same row
         row = np.searchsorted(rel_ends, pct, side="right")  # row index + 1... use ends
         row_end = rel_ends[np.minimum(row, len(rel_ends) - 1)]
-        in_row = pct + 2 < row_end + 1  # pct+2 must be <= row_end-1
+        in_row = pct + 2 < row_end  # pct+2 must be <= row_end-1 (strict: stay inside the row)
         hx1 = np.where(pct + 1 < n, _HEX_VAL[body[np.minimum(pct + 1, n - 1)]], -1)
         hx2 = np.where(pct + 2 < n, _HEX_VAL[body[np.minimum(pct + 2, n - 1)]], -1)
         valid = in_row & (hx1 >= 0) & (hx2 >= 0)
