@@ -102,7 +102,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     queries: dict[str, float] = {}
-    flagship_reps = int(os.environ.get("VR_BENCH_FLAGSHIP_REPS", "2"))
+    flagship_reps = int(os.environ.get("VR_BENCH_FLAGSHIP_REPS", "3"))
     flagship_sec = min(run_flagship_bench(ncpu, bench_rows) for _ in range(flagship_reps))
     queries["flagship"] = round(flagship_sec, 3)
 
@@ -126,14 +126,21 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "apache_log_parse",
     ]
     qs = entrymod.queries()
-    for name in sf_queries:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        try:
-            res.to_pandas()
-        except AttributeError:
-            pass
-        queries[name] = round(time.time() - t0, 3)
+    # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
+    # window hits one rep of every query instead of every rep of one
+    # query, so no single query can print a phantom 2-3x swing
+    query_reps = int(os.environ.get("VR_BENCH_QUERY_REPS", "3"))
+    for rep in range(query_reps):
+        for name in sf_queries:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            try:
+                res.to_pandas()
+            except AttributeError:
+                pass
+            sec = round(time.time() - t0, 3)
+            if rep == 0 or sec < queries[name]:
+                queries[name] = sec
 
     ray.shutdown()
     return {

@@ -51,6 +51,33 @@ class TestKnn:
             recall += len(got & truth)
         assert recall >= 6  # >=60% recall with 4/8 probes on random data
 
+    def test_ivf_recall_on_clustered_data_sorted_by_cluster(self):
+        # data laid out SORTED by cluster: a first-blocks sample
+        # (ds.limit) would train centroids on cluster 0 only; the
+        # hash-based sample must see every cluster
+        rng = np.random.default_rng(9)
+        centers = _rand_embeddings(8, seed=12)
+        rows = []
+        for c in range(8):  # sorted layout: cluster 0 first, then 1, ...
+            pts = centers[c] + 0.05 * rng.standard_normal((100, 16)).astype(np.float32)
+            rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+        m = np.concatenate(rows)
+        q = np.stack([m[50], m[350], m[750]])  # queries from 3 clusters
+        t = pa.table({"vec_id": pa.array(range(len(m)), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(8)
+        out = knn_ivf(ds, q, k=5, n_clusters=8, n_probe=2,
+                      sample_size=256).take_all()
+        sims = q @ m.T
+        recall = 0
+        for qi in range(3):
+            truth = set(np.argsort(-sims[qi])[:5].tolist())
+            got = {r["vec_id"] for r in out if r["query_idx"] == qi}
+            recall += len(got & truth)
+        # well-separated clusters: near-perfect recall once centroids
+        # cover all clusters (first-blocks bias would miss late clusters)
+        assert recall >= 13  # ≥86% of 15
+
     def test_kmeans_centroids_unit_norm(self):
         c = kmeans_fit(_rand_embeddings(300), 4)
         assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
@@ -236,6 +263,25 @@ class TestEmbeddingDup:
         ).take_all()
         assert any({r["a"], r["b"]} == {10, 50} for r in pairs)
 
+    def test_degenerate_bucket_capped(self, caplog):
+        # 10^4 IDENTICAL embeddings all land in one LSH bucket in every
+        # table: without the cap this is an O(width^2) blow-up per task
+        import logging
+
+        n = 10_000
+        v = _rand_embeddings(1)[0]
+        m = np.tile(v, (n, 1))
+        t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        with caplog.at_level(logging.WARNING, logger="vector_ray.dedup"):
+            pairs = embedding_dup_pairs(
+                rd.from_arrow(t).repartition(4), cosine_threshold=0.99,
+                planes=6, tables=2, max_bucket=64,
+            ).take_all()
+        # completes, finds pairs among the capped lowest ids only
+        assert pairs
+        assert max(max(r["a"], r["b"]) for r in pairs) < 64
+
 
 class TestLangId:
     def test_accuracy_on_documents(self):
@@ -311,6 +357,26 @@ class TestTokenNearDup:
         d1 = t["doc_id"][long_idx[1]].as_py()
         assert tuple(sorted((d0, "dup-0"))) in found
         assert tuple(sorted((d1, "dup-1"))) in found
+
+    def test_degenerate_token_bucket_capped(self):
+        # one long row duplicated 2000x: identical signatures put every
+        # copy in one bucket per band — cap must bound the O(width^2) pass
+        from vector_ray.ml.dedup import token_minhash_pairs
+
+        toks = list(range(64))
+        n = 2_000
+        t = pa.table({
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+            "tokens": pa.array([toks] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(toks)] * n, pa.int32()),
+            "source": pa.array(["s"] * n),
+        })
+        pairs = token_minhash_pairs(
+            rd.from_arrow(t).repartition(4), max_bucket=32
+        ).take_all()
+        assert pairs
+        ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+        assert max(ids) < "d00032"
 
 
 class TestAudioDecode:

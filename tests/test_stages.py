@@ -473,6 +473,38 @@ class TestExactQuantiles:
             want = tuple(s[max(1, math.ceil(p * len(s))) - 1] for p in (0.5, 0.99))
             assert got[kv] == want
 
+    def test_grouped_quantiles_high_cardinality(self):
+        # 10^5 distinct keys: exercises the distributed candidate-bin and
+        # selection path; driver holds only O(keys × ps) small rows
+        import numpy as np
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        n_keys = 100_000
+        rng = np.random.default_rng(5)
+        # 3 values per key: quantile_disc p50 = middle value
+        kcol = np.repeat(np.arange(n_keys), 3)
+        vals = rng.normal(0, 10, n_keys * 3)
+        t = pa.table({"k": pa.array([f"s{k:06d}" for k in kcol]),
+                      "v": pa.array(vals, pa.float64())})
+        out = grouped_exact_quantiles(ds_of(t, blocks=8), "k", "v", [0.5])
+        assert len(out) == n_keys
+        got = {r["k"]: r["p50"] for r in out.to_pylist()}
+        # spot-check 50 keys against the exact middle value
+        for k in range(0, n_keys, 2000):
+            s = sorted(vals[3 * k : 3 * k + 3])
+            assert got[f"s{k:06d}"] == s[1]
+
+    def test_grouped_quantiles_max_keys_enforced(self):
+        import pytest as _pytest
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        t = pa.table({"k": [f"k{i}" for i in range(100)],
+                      "v": pa.array([float(i) for i in range(100)], pa.float64())})
+        with _pytest.raises(ValueError, match="max_keys"):
+            grouped_exact_quantiles(ds_of(t, blocks=2), "k", "v", [0.5], max_keys=10)
+
     def test_grouped_quantiles_fallback_path(self):
         # cap=10 forces the over-cap per-key refinement fallback
         import math

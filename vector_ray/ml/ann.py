@@ -74,6 +74,41 @@ def knn_brute(
     return local.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
 
 
+def _hash_sample_matrix(ds, vec_col: str, id_col: str, sample_size: int) -> np.ndarray:
+    """Uniform deterministic training sample: the global bottom-
+    ``sample_size`` rows by a hash of the id (a bottom-k sketch) —
+    unbiased across fragments, unlike ``ds.limit`` which reads only the
+    first blocks and inherits their key/cluster skew. Each block
+    contributes at most ``sample_size`` candidate rows; the driver
+    merge keeps the global bottom-k."""
+    import pyarrow.compute as pc
+
+    from vector_ray.expr import F
+
+    def part(t: pa.Table) -> pa.Table:
+        out = t.select([vec_col])
+        h = np.asarray(
+            F.fingerprint(pc.fill_null(pc.cast(t[id_col], pa.string()), "\x00"))
+            .to_numpy(zero_copy_only=False),
+            np.uint64,
+        )
+        if len(t) > sample_size:
+            idx = np.sort(np.argpartition(h, sample_size - 1)[:sample_size])
+            out = out.take(pa.array(idx, pa.int64()))
+            h = h[idx]
+        return out.append_column("__h", pa.array(h, pa.uint64()))
+
+    rows = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not rows:
+        return np.empty((0, 0), np.float32)
+    hs = np.array([r["__h"] for r in rows], np.uint64)
+    keep = (
+        np.argpartition(hs, sample_size - 1)[:sample_size]
+        if len(hs) > sample_size else np.arange(len(hs))
+    )
+    return np.array([rows[int(i)][vec_col] for i in keep], dtype=np.float32)
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 5) -> np.ndarray:
     """Tiny driver-side k-means (Lloyd) on a normalized sample."""
     x = _normalize(np.asarray(sample, dtype=np.float32))
@@ -103,8 +138,7 @@ def knn_ivf(
 ):
     """IVF approximate top-k: centroids from a driver-side sample;
     batches prune to vectors assigned to the probed centroids."""
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    sample = _hash_sample_matrix(ds, vec_col, id_col, sample_size)
     cent = kmeans_fit(sample, n_clusters, seed=seed)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probed = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
@@ -168,8 +202,7 @@ def ivf_build(
     saves it beside the partitions."""
     import os
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    sample = _hash_sample_matrix(ds, vec_col, id_col, sample_size)
     cent = kmeans_fit(sample, n_clusters, seed=seed)
     cref = ray.put(cent)
 

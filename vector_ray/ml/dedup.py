@@ -52,11 +52,11 @@ def exact_dedup(ds, field: str = "text", *, id_col: str = "doc_id"):
 
     pre = hashed.map_batches(local_first, batch_format="pyarrow", zero_copy_batch=True)
 
-    def first(g: pa.Table) -> pa.Table:
-        g = g.sort_by(id_col)
-        return g.slice(0, 1).drop_columns(["__fp"])
+    from vector_ray.stages.bucketed import bucketed_first
 
-    return pre.groupby("__fp").map_groups(first, batch_format="pyarrow")
+    # global phase: hash-bucket shuffle + vectorized keep-first per bucket
+    # (no per-distinct-key Python callback; see stages/bucketed.py)
+    return bucketed_first(pre, ["__fp"], order_by=id_col, drop=("__fp",))
 
 
 # ---------------------------------------------------------------------------
@@ -246,10 +246,11 @@ def minhash_lsh_dedup(
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
     if return_pairs:
-        # distinct pairs (same pair can surface from multiple bands)
-        return pairs.groupby(["a", "b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        )
+        # distinct pairs (same pair can surface from multiple bands) —
+        # bucketed keep-first, not one Python call per distinct pair
+        from vector_ray.stages.bucketed import bucketed_first
+
+        return bucketed_first(pairs, ["a", "b"])
 
     if components == "driver":
         # r1 path, for tiny jobs: edge set → driver union-find
@@ -467,6 +468,7 @@ def embedding_dup_pairs(
     tables: int = 8,
     cosine_threshold: float = 0.95,
     seed: int = 3,
+    max_bucket: int = 512,
 ):
     """Near-dup pairs over an embedding column: multi-table
     random-hyperplane LSH (sign bits of `planes` projections per table,
@@ -524,6 +526,19 @@ def embedding_dup_pairs(
                           "cosine": pa.array([], pa.float64())})
         if len(g) < 2:
             return empty
+        if len(g) > max_bucket:
+            # degenerate bucket (e.g. many identical embeddings): the
+            # O(width²) cosine blows up one task — cap to the lowest ids;
+            # capped vectors can still pair via their other tables
+            import logging
+
+            logging.getLogger("vector_ray.dedup").warning(
+                "embedding LSH bucket of width %d capped to %d lowest ids "
+                "(table=%s); capped vectors can still pair via other tables",
+                len(g), max_bucket,
+                g["table"][0].as_py() if "table" in g.column_names else "?",
+            )
+            g = g.sort_by(id_col).slice(0, max_bucket)
         ids = np.asarray(g[id_col])
         flat = np.asarray(g["vec"].combine_chunks().flatten(), dtype=np.float32)
         m = flat.reshape(len(g), flat.size // len(g))
@@ -536,7 +551,9 @@ def embedding_dup_pairs(
                          "cosine": pa.array(sims[iu][mask].astype(np.float64))})
 
     all_pairs = bucketed.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
-    return all_pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from vector_ray.stages.bucketed import bucketed_first
+
+    return bucketed_first(all_pairs, ["a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +715,7 @@ def token_minhash_pairs(
     bands: int = 4,
     ngram: int = 4,
     sig_threshold: float = 0.75,
+    max_bucket: int = 512,
 ):
     """Near-duplicate PAIRS over a tokens:list<int32> column: TokenMinHash
     signatures (one fused pass) → banded LSH buckets → within-bucket
@@ -747,20 +765,33 @@ def token_minhash_pairs(
                           "est_sim": pa.array([], pa.float64())})
         if len(g) < 2:
             return empty
-        ids = [str(v) for v in g[id_col].to_pylist()]
+        if len(g) > max_bucket:
+            # degenerate bucket (many identical signatures): cap the
+            # O(width²) verification to the lowest ids; capped sequences
+            # can still pair via their other bands
+            import logging
+
+            logging.getLogger("vector_ray.dedup").warning(
+                "token LSH bucket of width %d capped to %d lowest ids "
+                "(band=%s); capped rows can still pair via other bands",
+                len(g), max_bucket,
+                g["band"][0].as_py() if "band" in g.column_names else "?",
+            )
+            g = g.append_column("__ids", pc.cast(g[id_col], pa.string()))
+            g = g.sort_by("__ids").slice(0, max_bucket).drop_columns(["__ids"])
+        ids = np.asarray([str(v) for v in g[id_col].to_pylist()])
         sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
         order = np.argsort(ids)
-        out_a, out_b, est = [], [], []
-        for ii in range(len(order)):
-            i = order[ii]
-            eq = (sig[[order[jj] for jj in range(ii + 1, len(order))]] == sig[i]).mean(axis=1)
-            for off, e in enumerate(eq):
-                if e >= sig_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[order[ii + 1 + off]])
-                    est.append(float(e))
-        return pa.table({"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string()),
-                         "est_sim": pa.array(est, pa.float64())})
+        ids, sig = ids[order], sig[order]
+        # vectorized pairwise signature agreement: (W,W) fraction matrix
+        eq_frac = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = eq_frac[iu] >= sig_threshold
+        return pa.table({"a": pa.array(ids[iu[0][mask]], pa.string()),
+                         "b": pa.array(ids[iu[1][mask]], pa.string()),
+                         "est_sim": pa.array(eq_frac[iu][mask].astype(np.float64))})
 
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from vector_ray.stages.bucketed import bucketed_first
+
+    return bucketed_first(pairs, ["a", "b"])

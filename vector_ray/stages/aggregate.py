@@ -200,59 +200,101 @@ def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
     return tbl.append_column("__gk", combo)
 
 
-def _final_merge_fn(keys, specs):
-    def merge(g: pa.Table) -> pa.Table:
-        cols = {}
-        for k in keys:
-            cols[k] = g[k].combine_chunks().slice(0, 1)  # type-preserving
-        for name, (kind, *_rest) in specs.items():
-            if kind in ("sum", "count"):
-                s = pc.sum(g[name])
-                cols[name] = pa.array([s.as_py()], s.type)
-            elif kind == "min":
-                s = pc.min(g[name])
-                cols[name] = pa.array([s.as_py()], s.type)
-            elif kind == "max":
-                s = pc.max(g[name])
-                cols[name] = pa.array([s.as_py()], s.type)
-            elif kind == "mean":
-                s = pc.sum(g[f"{name}__sum"]).as_py() or 0
-                c = pc.sum(g[f"{name}__count"]).as_py() or 0
-                cols[name] = pa.array([s / c if c else None], pa.float64())
-            elif kind == "set":
-                flat = pc.list_flatten(g[f"{name}__set"])
-                vals = sorted({str(v) for v in flat.to_pylist() if v is not None})
-                cols[name] = pa.array([vals], pa.list_(pa.string()))
-            elif kind == "nunique":
-                flat = pc.list_flatten(g[f"{name}__set"])
-                nval = len({v for v in flat.to_pylist() if v is not None})
-                cols[name] = pa.array([nval], pa.int64())
-            elif kind == "last":
-                cols[name] = g[name].combine_chunks().slice(len(g) - 1, 1)
-            elif kind == "first":
-                cols[name] = g[name].combine_chunks().slice(0, 1)
+_ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first")
+
+
+def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
+    """Merge partial rows for EVERY group in one hash bucket at once:
+    Arrow's hash aggregate handles sum/count/min/max/mean/last/first
+    for all groups in one C++ pass; only sketch/set kinds (inherently
+    per-group Python objects) fall back to a segment loop. Python work
+    is O(buckets) + O(groups with sketch specs), never O(groups) for
+    the plain-aggregate path."""
+    arrow_specs = {n: v for n, v in specs.items() if v[0] in _ARROW_MERGEABLE}
+    py_specs = {n: v for n, v in specs.items() if v[0] not in _ARROW_MERGEABLE}
+
+    aggs = [(k, "first") for k in keys]
+    for name, (kind, *_r) in arrow_specs.items():
+        if kind in ("sum", "count"):
+            aggs.append((name, "sum"))
+        elif kind in ("min", "max", "last", "first"):
+            aggs.append((name, kind))
+        elif kind == "mean":
+            aggs.append((f"{name}__sum", "sum"))
+            aggs.append((f"{name}__count", "sum"))
+    raw = pa.TableGroupBy(
+        g.select(["__gk"] + sorted({c for c, _a in aggs})), "__gk"
+    ).aggregate(aggs)
+    raw = raw.sort_by("__gk")
+
+    cols: dict = {}
+    for k in keys:
+        cols[k] = raw[f"{k}_first"]
+    for name, (kind, *_r) in specs.items():
+        if kind in ("sum", "count"):
+            cols[name] = raw[f"{name}_sum"]
+        elif kind in ("min", "max", "last", "first"):
+            cols[name] = raw[f"{name}_{kind}"]
+        elif kind == "mean":
+            s = pc.cast(raw[f"{name}__sum_sum"], pa.float64())
+            c = pc.cast(raw[f"{name}__count_sum"], pa.float64())
+            ok = pc.greater(pc.fill_null(c, 0), 0)
+            cols[name] = pc.if_else(ok, pc.divide(pc.fill_null(s, 0), c),
+                                    pa.nulls(len(raw), pa.float64()))
+        elif name in py_specs:
+            cols[name] = None  # filled below, aligned on sorted __gk
+
+    if py_specs:
+        gk = g["__gk"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(gk).indices)
+        # Arrow's sort order (consistent with raw.sort_by above)
+        order = np.asarray(pc.sort_indices(gk))
+        sorted_codes = codes[order]
+        seg_starts = np.concatenate(
+            [[0], np.nonzero(sorted_codes[1:] != sorted_codes[:-1])[0] + 1]
+        )
+        seg_ends = np.concatenate([seg_starts[1:], [len(sorted_codes)]])
+        for name, (kind, *_r) in py_specs.items():
+            vals = []
+            if kind in ("set", "nunique"):
+                col = g[f"{name}__set"].combine_chunks()
+                for s0, s1 in zip(seg_starts, seg_ends):
+                    flat = pc.list_flatten(col.take(pa.array(order[s0:s1], pa.int64())))
+                    uniq = {str(v) for v in flat.to_pylist() if v is not None}
+                    vals.append(sorted(uniq) if kind == "set" else len(uniq))
+                cols[name] = pa.array(
+                    vals, pa.list_(pa.string()) if kind == "set" else pa.int64()
+                )
             elif kind == "approx_nunique":
                 from vector_ray.stages.sketch import HLL
 
-                h = HLL()
-                for blob in g[f"{name}__sk"].to_pylist():
-                    if blob is not None:
-                        h.merge_bytes(blob)
-                cols[name] = pa.array([h.estimate()], pa.int64())
+                col = g[f"{name}__sk"]
+                for s0, s1 in zip(seg_starts, seg_ends):
+                    h = HLL()
+                    for i in order[s0:s1]:
+                        blob = col[int(i)].as_py()
+                        if blob is not None:
+                            h.merge_bytes(blob)
+                    vals.append(h.estimate())
+                cols[name] = pa.array(vals, pa.int64())
             elif kind == "histogram":
                 import json as _json
                 import pickle
 
-                hg = None
-                for blob in g[f"{name}__sk"].to_pylist():
-                    if blob is None:
-                        continue
-                    other = pickle.loads(blob)
-                    hg = other if hg is None else hg.merge(other)
-                cols[name] = pa.array([_json.dumps(hg.to_dict()) if hg else None], pa.string())
-        return pa.table(cols)
-
-    return merge
+                col = g[f"{name}__sk"]
+                for s0, s1 in zip(seg_starts, seg_ends):
+                    hg = None
+                    for i in order[s0:s1]:
+                        blob = col[int(i)].as_py()
+                        if blob is None:
+                            continue
+                        other = pickle.loads(blob)
+                        hg = other if hg is None else hg.merge(other)
+                    vals.append(_json.dumps(hg.to_dict()) if hg else None)
+                cols[name] = pa.array(vals, pa.string())
+            else:
+                raise ValueError(f"unknown agg kind {kind}")
+    return pa.table(cols)
 
 
 def grouped_aggregate(
@@ -279,10 +321,13 @@ def grouped_aggregate(
     # coalesce the (tiny) partial blocks so the final shuffle doesn't pay
     # per-block overhead for hundreds of near-empty blocks
     partial = partial.repartition(8)
-    merged = partial.groupby("__gk").map_groups(
-        _final_merge_fn(keys, specs), batch_format="pyarrow"
+    # bucketed final merge: one Arrow hash-aggregate per hash BUCKET of
+    # group keys (O(buckets) Python calls), not one callback per group
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        partial, ["__gk"], lambda g: _merge_bucket(g, keys, specs)
     )
-    return merged
 
 
 # ---------------------------------------------------------------------------

@@ -85,14 +85,12 @@ class Dedupe(Step):
         return tbl
 
     def apply(self, ds):
+        from vector_ray.stages.bucketed import bucketed_first
+
         keyed = ds.map_batches(self._key_batch, batch_format="pyarrow", zero_copy_batch=True)
-        order_by = self.order_by
-        keep = self.keep_key_col
-
-        def first(g: pa.Table) -> pa.Table:
-            if order_by and order_by in g.column_names:
-                g = g.sort_by(order_by)
-            g = g.slice(0, 1)
-            return g if keep else g.drop_columns([_HASH])
-
-        return keyed.groupby(_HASH).map_groups(first, batch_format="pyarrow")
+        # global phase: hash-bucket shuffle + ONE vectorized keep-first
+        # pass per bucket (O(buckets) Python calls, not O(distinct keys))
+        return bucketed_first(
+            keyed, [_HASH], order_by=self.order_by,
+            drop=() if self.keep_key_col else (_HASH,),
+        )

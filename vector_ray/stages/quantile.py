@@ -194,11 +194,32 @@ def exact_quantiles(
 # ---------------------------------------------------------------------------
 # grouped exact quantiles — per-key AggregatedSummary quantiles
 # (metric.rs:165-169) as a distributed three-scan plan, no sort:
-#   A. grouped min/max/count (two-phase, tiny result)
-#   B. per-(key, bin) histogram counts (pre-aggregated per batch)
-#   C. fetch ONLY the candidate bins' values per key, exact pick.
-# A pathological (key, bin) wider than `cap` falls back to the global
-# refinement machinery on that key's rows alone.
+#   A. grouped min/max/count (two-phase, tiny result) → broadcast Arrow
+#      range table, probed per batch with vectorized pc.index_in.
+#   B. per-(key, bin) histogram counts (np.unique over a combined
+#      key_idx*bins+bin id — no per-key Python), merged distributed.
+#   C. candidate-bin location runs DISTRIBUTED (bucketed segment scan
+#      over the per-bin table), then ONE fetch scan pulls candidate-bin
+#      values and a DISTRIBUTED bucketed selection picks exact ranks.
+# Driver state is bounded by O(keys × len(ps)) rows, enforced via
+# ``max_keys`` (clear error beyond it — at higher cardinality use a
+# sketch/approx path instead). A pathological (key, bin) wider than
+# ``cap`` falls back to the global refinement machinery on that key's
+# rows alone.
+
+
+def _row_bins(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, nb: int) -> np.ndarray:
+    """Per-row bin with per-row [lo, hi) ranges — same formula as
+    ``_bin_of`` so count/fetch scans can never disagree."""
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = np.floor((v - lo) * (nb / span)).astype(np.int64)
+    return np.where(span > 0, np.clip(b, 0, nb - 1), 0)
+
+
+def _probe_str(col) -> pa.Array:
+    s = pc.fill_null(pc.cast(col, pa.string()), "\x00\x01")
+    return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
 
 
 def grouped_exact_quantiles(
@@ -209,109 +230,180 @@ def grouped_exact_quantiles(
     *,
     bins: int = 1024,
     cap: int = 2_000_000,
+    max_keys: int = 1_000_000,
 ):
     """One row per key with a column per requested quantile
-    (``p50``-style names), DuckDB ``quantile_disc`` rank rule."""
+    (``p50``-style names), DuckDB ``quantile_disc`` rank rule.
+
+    Driver memory is O(keys × len(ps)); ``max_keys`` (default 10^6)
+    enforces that bound with an explicit error."""
     import ray
 
     from vector_ray.stages.aggregate import grouped_aggregate
+    from vector_ray.stages.bucketed import bucketed_map_groups
 
-    stats_rows = grouped_aggregate(
+    stats = grouped_aggregate(
         ds, [key], {"n": ("count", col), "lo": ("min", col), "hi": ("max", col)}
-    ).take_all()
-    ranges = {
-        r[key]: (int(r["n"]), float(r["lo"]), float(r["hi"]))
-        for r in stats_rows if r["n"]
-    }
-    rref = ray.put(ranges)
+    ).materialize()
+    n_keys = stats.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"grouped_exact_quantiles: {n_keys} distinct keys exceeds "
+            f"max_keys={max_keys}; exact grouped quantiles keep O(keys) "
+            "candidate state — raise max_keys or use the histogram "
+            "sketch aggregate for approximate per-key quantiles"
+        )
+    blocks = ray.get(stats.to_arrow_refs())
+    rt = pa.concat_tables([b for b in blocks if len(b)]).combine_chunks()
+    rt = rt.filter(pc.greater(pc.fill_null(rt["n"], 0), 0))
+    if len(rt) == 0:
+        cols = {key: pa.array([], pa.string())}
+        for p in ps:
+            pct = round(p * 100, 6)
+            name = f"p{int(pct)}" if pct == int(pct) else f"p{p}"
+            cols[name] = pa.array([], pa.float64())
+        return pa.table(cols)
+    rt = rt.append_column("__pk", _probe_str(rt[key]))
+    rref = ray.put(rt)
+
+    def _match(t: pa.Table, rtab: pa.Table):
+        """Vectorized (key_idx, value, valid-mask) for a batch."""
+        idx = pc.index_in(_probe_str(t[key]), value_set=rtab["__pk"].combine_chunks())
+        ki = np.asarray(pc.fill_null(idx, -1).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        vals = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        m = (ki >= 0) & ~np.isnan(vals)
+        return ki[m], vals[m]
 
     def bin_counts(t: pa.Table) -> pa.Table:
-        # vectorized per DISTINCT key (dictionary codes), not per row
-        rr = ray.get(rref)
-        d = pc.dictionary_encode(t[key].combine_chunks())
-        codes = np.asarray(d.indices)
-        uniq = d.dictionary.to_pylist()
-        vals = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
-        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
-        out_k, out_b, out_n = [], [], []
-        for ci, kv in enumerate(uniq):
-            if kv not in rr:
-                continue
-            _n, lo, hi = rr[kv]
-            v = vals[(codes == ci) & valid]
-            counts = np.bincount(_bin_of(v, lo, hi, bins), minlength=bins)
-            nz = np.nonzero(counts)[0]
-            out_k.extend([kv] * len(nz))
-            out_b.extend(nz.tolist())
-            out_n.extend(counts[nz].tolist())
+        rtab = ray.get(rref)
+        if len(t) == 0:
+            return pa.table({"ki": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lo_np = rtab["lo"].to_numpy(zero_copy_only=False)
+        hi_np = rtab["hi"].to_numpy(zero_copy_only=False)
+        ki, v = _match(t, rtab)
+        b = _row_bins(v, lo_np[ki], hi_np[ki], bins)
+        combo, counts = np.unique(ki * bins + b, return_counts=True)
         return pa.table({
-            key: pa.array(out_k),
-            "bin": pa.array(out_b, pa.int64()),
-            "n": pa.array(out_n, pa.int64()),
+            "ki": pa.array(combo // bins, pa.int64()),
+            "bin": pa.array(combo % bins, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
     per_bin = grouped_aggregate(
         ds.map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True),
-        [key, "bin"], {"n": ("sum", "n")},
-    ).take_all()  # ≤ keys × bins tiny rows
-    hist: dict = {}
-    for r in per_bin:
-        hist.setdefault(r[key], {})[int(r["bin"])] = int(r["n"])
+        ["ki", "bin"], {"n": ("sum", "n")},
+    )
 
-    # locate the candidate bin per (key, p)
-    needed: dict = {}  # (key, bin) -> list of (p, rank_within)
-    fallbacks = []  # (key, p, global_rank) for over-cap bins
-    for kv, (n, lo, hi) in ranges.items():
-        counts = np.zeros(bins, np.int64)
-        for b, c in hist.get(kv, {}).items():
-            counts[b] = c
-        cum = np.cumsum(counts)
-        for p in ps:
-            k = max(1, math.ceil(p * n))
-            b = int(np.searchsorted(cum, k))
-            rank_within = k - (int(cum[b - 1]) if b > 0 else 0)
-            if counts[b] <= cap:
-                needed.setdefault((kv, b), []).append((p, rank_within))
-            else:
-                fallbacks.append((kv, p, k))
-    nref = ray.put(set(needed))
+    # locate the candidate bin per (key, p) — DISTRIBUTED segment scan
+    ps_l = list(ps)
+
+    def cand_fn(g: pa.Table) -> pa.Table:
+        rtab = ray.get(rref)
+        empty = pa.table({"ki": pa.array([], pa.int64()), "bin": pa.array([], pa.int64()),
+                          "pi": pa.array([], pa.int64()), "rw": pa.array([], pa.int64()),
+                          "over": pa.array([], pa.bool_())})
+        if len(g) == 0:
+            return empty
+        g = g.sort_by([("ki", "ascending"), ("bin", "ascending")])
+        ki = np.asarray(g["ki"]); cnt = np.asarray(g["n"], dtype=np.int64)
+        bn = np.asarray(g["bin"])
+        n_np = rtab["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nkey = n_np[ki]
+        new_run = np.ones(len(g), bool)
+        new_run[1:] = ki[1:] != ki[:-1]
+        run_starts = np.nonzero(new_run)[0]
+        run_id = np.cumsum(new_run) - 1
+        c = np.cumsum(cnt)
+        base = np.where(run_starts > 0, c[run_starts - 1], 0)
+        cum_within = c - base[run_id]
+        below = cum_within - cnt
+        outs = []
+        for pi, p in enumerate(ps_l):
+            ktarget = np.maximum(1, np.ceil(p * nkey)).astype(np.int64)
+            hit = (cum_within >= ktarget) & (below < ktarget)
+            outs.append(pa.table({
+                "ki": pa.array(ki[hit], pa.int64()),
+                "bin": pa.array(bn[hit], pa.int64()),
+                "pi": pa.array(np.full(int(hit.sum()), pi), pa.int64()),
+                "rw": pa.array((ktarget - below)[hit], pa.int64()),
+                "over": pa.array(cnt[hit] > cap),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    needed_rows = bucketed_map_groups(per_bin, ["ki"], cand_fn).take_all()
+    # bounded: ≤ keys × len(ps) rows (max_keys-enforced)
+    nd_ki = np.array([r["ki"] for r in needed_rows], np.int64)
+    nd_bin = np.array([r["bin"] for r in needed_rows], np.int64)
+    nd_pi = np.array([r["pi"] for r in needed_rows], np.int64)
+    nd_rw = np.array([r["rw"] for r in needed_rows], np.int64)
+    nd_over = np.array([r["over"] for r in needed_rows], bool)
+
+    fetchable = ~nd_over
+    combos = np.unique(nd_ki[fetchable] * bins + nd_bin[fetchable])
+    nref = ray.put({
+        "combos": combos,
+        "ki": nd_ki[fetchable], "bin": nd_bin[fetchable],
+        "pi": nd_pi[fetchable], "rw": nd_rw[fetchable],
+    })
 
     def fetch(t: pa.Table) -> pa.Table:
-        # vectorized per distinct key: bin every value at once, keep
-        # only the wanted (key, bin) members
-        rr = ray.get(rref)
-        want = ray.get(nref)
-        d = pc.dictionary_encode(t[key].combine_chunks())
-        codes = np.asarray(d.indices)
-        uniq = d.dictionary.to_pylist()
-        vals = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
-        valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
-        out_k, out_b, out_v = [], [], []
-        for ci, kv in enumerate(uniq):
-            want_bins = np.array(sorted(b for (k2, b) in want if k2 == kv), np.int64)
-            if kv not in rr or len(want_bins) == 0:
-                continue
-            _n, lo, hi = rr[kv]
-            mask = (codes == ci) & valid
-            v = vals[mask]
-            b = _bin_of(v, lo, hi, bins)
-            sel = np.isin(b, want_bins)
-            out_k.extend([kv] * int(sel.sum()))
-            out_b.extend(b[sel].tolist())
-            out_v.extend(v[sel].tolist())
-        return pa.table({key: pa.array(out_k), "bin": pa.array(out_b, pa.int64()),
-                         "v": pa.array(out_v, pa.float64())})
+        rtab = ray.get(rref)
+        nd = ray.get(nref)
+        empty = pa.table({"ki": pa.array([], pa.int64()), "bin": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.float64())})
+        if len(t) == 0 or len(nd["combos"]) == 0:
+            return empty
+        lo_np = rtab["lo"].to_numpy(zero_copy_only=False)
+        hi_np = rtab["hi"].to_numpy(zero_copy_only=False)
+        ki, v = _match(t, rtab)
+        b = _row_bins(v, lo_np[ki], hi_np[ki], bins)
+        combo = ki * bins + b
+        pos = np.searchsorted(nd["combos"], combo)
+        posc = np.clip(pos, 0, len(nd["combos"]) - 1)
+        sel = nd["combos"][posc] == combo
+        return pa.table({"ki": pa.array(ki[sel], pa.int64()),
+                         "bin": pa.array(b[sel], pa.int64()),
+                         "v": pa.array(v[sel], pa.float64())})
 
-    rows = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    buckets: dict = {}
-    for r in rows:
-        buckets.setdefault((r[key], int(r["bin"])), []).append(r["v"])
-    results: dict = {kv: {} for kv in ranges}
-    for (kv, b), targets in needed.items():
-        vs = sorted(buckets.get((kv, b), []))
-        for p, rank_within in targets:
-            results[kv][p] = vs[rank_within - 1]
-    for kv, p, k in fallbacks:
+    fetched = ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_fn(g: pa.Table) -> pa.Table:
+        nd = ray.get(nref)
+        empty = pa.table({"ki": pa.array([], pa.int64()), "pi": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.float64())})
+        if len(g) == 0:
+            return empty
+        g = g.sort_by([("ki", "ascending"), ("bin", "ascending"), ("v", "ascending")])
+        ki = np.asarray(g["ki"]); bn = np.asarray(g["bin"])
+        v = np.asarray(g["v"], dtype=np.float64)
+        combo = ki * bins + bn
+        new_run = np.ones(len(g), bool)
+        new_run[1:] = combo[1:] != combo[:-1]
+        seg_start = np.nonzero(new_run)[0]
+        uniq = combo[seg_start]
+        nd_combo = nd["ki"] * bins + nd["bin"]
+        pos = np.searchsorted(uniq, nd_combo)
+        posc = np.clip(pos, 0, len(uniq) - 1)
+        present = uniq[posc] == nd_combo
+        sel = seg_start[posc[present]] + nd["rw"][present] - 1
+        return pa.table({"ki": pa.array(nd["ki"][present], pa.int64()),
+                         "pi": pa.array(nd["pi"][present], pa.int64()),
+                         "v": pa.array(v[sel], pa.float64())})
+
+    picked = bucketed_map_groups(fetched, ["ki"], pick_fn).take_all()
+
+    key_vals = rt[key].to_pylist()
+    results: dict = {kv: {} for kv in key_vals}
+    for r in picked:
+        results[key_vals[r["ki"]]][ps_l[r["pi"]]] = float(r["v"])
+    # over-cap (pathological) bins: per-key global refinement fallback
+    n_np = rt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for i in np.nonzero(nd_over)[0]:
+        kv = key_vals[int(nd_ki[i])]
+        p = ps_l[int(nd_pi[i])]
+        k = max(1, math.ceil(p * int(n_np[int(nd_ki[i])])))
         sub = ds.map_batches(
             lambda t, kv=kv: t.filter(pc.equal(t[key], kv)),
             batch_format="pyarrow", zero_copy_batch=True,

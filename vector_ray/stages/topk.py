@@ -55,16 +55,12 @@ def grouped_topk(
         return _local_topk(t, keys, order_col, k, descending, tiebreak)
 
     pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    pre = pre.repartition(8)
 
     def merge(g: pa.Table) -> pa.Table:
         return _local_topk(g, keys, order_col, k, descending, tiebreak)
 
-    from vector_ray.stages.aggregate import _gk_batch
+    # bucketed final merge: one vectorized _local_topk per hash bucket
+    # (it already segments per key), not one Python call per key
+    from vector_ray.stages.bucketed import bucketed_map_groups
 
-    keyed = pre.map_batches(lambda t: _gk_batch(t, keys), batch_format="pyarrow",
-                            zero_copy_batch=True)
-    out = keyed.groupby("__gk").map_groups(
-        lambda g: merge(g.drop_columns(["__gk"])), batch_format="pyarrow"
-    )
-    return out
+    return bucketed_map_groups(pre, keys, merge)
