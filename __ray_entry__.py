@@ -307,6 +307,82 @@ def q_enrich_supplier_region(sf_dir):
     return _finish(out.select_columns(["s_suppkey", "n_name", "r_name"]))
 
 
+def q_stdlib_tail(sf_dir):
+    """Round-3 stdlib leaf tail in one oracle: reverse_dns (static PTR
+    table), parse_ruby_hash (round-trips props via '=>' rewrite),
+    tag_types_externally, compact (null member injected then dropped),
+    to_regex (invalid pattern → null)."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "event_type", "props"])
+
+    def xform(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = pc.cast(t["user_id"], pa.int64())
+        is_local = pc.equal(F.mod(uid, 50), 0)
+        ip = pc.if_else(
+            is_local, pa.scalar("127.0.0.1"),
+            pc.binary_join_element_wise(
+                pa.array(["10.0.0."] * n), pc.cast(F.mod(uid, 256), pa.string()), ""),
+        )
+        ruby = pc.replace_substring(t["props"], '":', '" =>')
+        with_null = pc.replace_substring(t["props"], '{"k"', '{"a": null, "k"')
+        bad_rx = pc.equal(F.mod(uid, 7), 0)
+        rx_src = pc.if_else(
+            bad_rx,
+            pc.binary_join_element_wise(t["event_type"], "(", ""),
+            t["event_type"],
+        )
+        return pa.table({
+            "event_id": t["event_id"],
+            "host": F.reverse_dns(ip),
+            "ruby_round": F.parse_ruby_hash(ruby),
+            "tagged": F.tag_types_externally(t["props"]),
+            "compacted": F.compact(with_null),
+            "rx": F.to_regex(rx_src),
+        })
+
+    return _finish(ds.map_batches(xform, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_enrich_find_ranges(sf_dir):
+    """Enrichment find-mode (0..N output rows per probe), exercising the
+    two §2.5 conditions that were pytest-only: case-insensitive key
+    compare (Case::Insensitive, lib/enrichment/src/lib.rs:30-33) and the
+    BetweenDates-style range condition (lib.rs:18-27) — probe key is
+    upper-case, table key lower-case, and each customer fans out to the
+    acctbal bands of its (synthetic) region."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vector_ray.stages import Enrich, EnrichmentTable
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    lo = pc.subtract(pc.multiply(pc.cast(nation["n_nationkey"], pa.float64()), 400.0), 1000.0)
+    small = pa.table({
+        "band_key": pc.binary_join_element_wise(
+            pa.array(["region_"] * len(nation)),
+            pc.cast(nation["n_regionkey"], pa.string()), ""),
+        "band_name": nation["n_name"],
+        "lo_bal": lo,
+        "hi_bal": pc.add(lo, 1999.99),
+    })
+    table = EnrichmentTable(small, key=["band_key"], case_insensitive=True)
+    ds = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def probe_key(t: pa.Table) -> pa.Table:
+        reg = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False)) % 5
+        keys = pa.array([f"REGION_{r}" for r in reg])  # case-flipped probe
+        return t.append_column("probe_key", keys)
+
+    ds = ds.map_batches(probe_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = Enrich(
+        table, key_map={"band_key": "probe_key"}, mode="find", miss_col=None,
+        between=("c_acctbal", "lo_bal", "hi_bal"), concurrency=2,
+    ).apply(ds)
+    return _finish(out.select_columns(["c_custkey", "c_acctbal", "band_name"]))
+
+
 def q_window_events(sf_dir):
     from vector_ray.stages import grouped_aggregate
 
@@ -1169,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": q_q1_lineitem,
         "enrich_customer": q_enrich_customer,
         "enrich_supplier_region": q_enrich_supplier_region,
+        "enrich_find_ranges": q_enrich_find_ranges,
+        "stdlib_tail": q_stdlib_tail,
         "window_events": q_window_events,
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1308,6 +1386,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, n_name, r_name FROM supplier "
             "LEFT JOIN nation ON n_nationkey = s_nationkey "
             "LEFT JOIN region ON r_regionkey = n_regionkey"
+        ),
+        "enrich_find_ranges": (
+            "SELECT c_custkey, c_acctbal, n_name AS band_name FROM customer "
+            "JOIN nation ON lower('REGION_' || CAST(c_nationkey % 5 AS VARCHAR)) = "
+            "lower('region_' || CAST(n_regionkey AS VARCHAR)) "
+            "AND c_acctbal BETWEEN (n_nationkey * 400.0 - 1000.0) "
+            "AND (n_nationkey * 400.0 - 1000.0 + 1999.99)"
+        ),
+        "stdlib_tail": (
+            "SELECT event_id, "
+            "CASE WHEN user_id % 50 = 0 THEN 'localhost' ELSE NULL END AS host, "
+            "props AS ruby_round, "
+            "'{\"k\": {\"integer\": ' || "
+            "CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) || '}}' AS tagged, "
+            "props AS compacted, "
+            "CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS rx "
+            "FROM events"
         ),
         "window_events": (
             "SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour, "

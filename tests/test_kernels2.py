@@ -336,3 +336,74 @@ class TestStdlibBatch3:
         kv = F.parse_query_string(row["extension"].replace(" ", "&"), "src")
         # (kv helper needs an array; just assert raw content here)
         assert row["extension"].startswith("src=10.0.0.1")
+
+
+class TestStdlibLeafTail:
+    def test_reverse_dns_static_table(self):
+        assert F.reverse_dns(pa.array(["127.0.0.1", "8.8.8.8", "::1", None])).to_pylist() == \
+            ["localhost", None, "localhost", None]
+        got = F.reverse_dns(pa.array(["10.0.0.7"]), table={"10.0.0.7": "db-7.internal"})
+        assert got.to_pylist() == ["db-7.internal"]
+
+    def test_parse_ruby_hash_reference_example(self):
+        src = '{ "test" => "value", "testNum" => 0.2, "testObj" => { "testBool" => true, "testNull" => nil } }'
+        import json
+
+        got = json.loads(F.parse_ruby_hash(pa.array([src]))[0].as_py())
+        assert got == {"test": "value", "testNum": 0.2,
+                       "testObj": {"testBool": True, "testNull": None}}
+        assert F.parse_ruby_hash(pa.array(["{ broken", None])).to_pylist() == [None, None]
+        # symbols and arrays
+        got2 = json.loads(F.parse_ruby_hash(pa.array(['{ :sym => [1, "a", nil] }']))[0].as_py())
+        assert got2 == {"sym": [1, "a", None]}
+
+    def test_to_regex(self):
+        assert F.to_regex(pa.array(["a+b", "(unclosed", None])).to_pylist() == \
+            ["a+b", None, None]
+
+    def test_compact_reference_example(self):
+        src = '{"a": {}, "b": null, "c": [null], "d": "", "e": "-", "f": true}'
+        assert F.compact(pa.array([src])).to_pylist() == ['{"e": "-", "f": true}']
+        # nullish additionally drops "-" and whitespace-only
+        assert F.compact(pa.array([src]), nullish=True).to_pylist() == ['{"f": true}']
+        # array input
+        assert F.compact(pa.array(['[null, 1, "", [], "x"]'])).to_pylist() == ['[1, "x"]']
+
+    def test_only_fields(self):
+        t = pa.table({"a": [1], "b": [2], "c": [3]})
+        assert F.only_fields(t, "a", "c", "missing").column_names == ["a", "c"]
+
+    def test_tag_types_externally_reference_examples(self):
+        got = F.tag_types_externally(pa.array([
+            "123", '{"message": "Hello world", "request": {"duration_ms": 67.9}}',
+            '["foo", "bar"]', "null", "plain", None,
+        ])).to_pylist()
+        assert got[0] == '{"integer": 123}'
+        import json
+
+        assert json.loads(got[1]) == {"message": {"string": "Hello world"},
+                                      "request": {"duration_ms": {"float": 67.9}}}
+        assert json.loads(got[2]) == [{"string": "foo"}, {"string": "bar"}]
+        assert got[3] == "null"
+        assert got[4] == '{"string": "plain"}'
+        assert got[5] is None
+
+    def test_push(self):
+        assert F.push(pa.array([["foo"], [], None, ["a", "b"]]), "bar").to_pylist() == \
+            [["foo", "bar"], ["bar"], None, ["a", "b", "bar"]]
+        ints = F.push(pa.array([[1, 2], []], pa.list_(pa.int32())), 9)
+        assert ints.to_pylist() == [[1, 2, 9], [9]]
+        # sliced input
+        s = pa.array([["x"], ["y"], ["z"]]).slice(1)
+        assert F.push(s, "w").to_pylist() == [["y", "w"], ["z", "w"]]
+
+    def test_remove_reference_examples(self):
+        assert F.remove(pa.array(['{"foo": "bar"}']), ["foo"]).to_pylist() == ["{}"]
+        assert F.remove(pa.array(['{"foo": "bar"}']), ["baz"]).to_pylist() == ['{"foo": "bar"}']
+        assert F.remove(pa.array(['{"foo": {"bar": true}}']), ["foo", "bar"]).to_pylist() == \
+            ['{"foo": {}}']
+        assert F.remove(pa.array(['{"foo": {"bar": true}}']), ["foo", "bar"],
+                        compact_=True).to_pylist() == ["{}"]
+        assert F.remove(pa.array(["[92, 42]"]), [0]).to_pylist() == ["[42]"]
+        assert F.remove(pa.array(['{"foo": {"bar": [92, 42]}}']),
+                        ["foo", "bar", 1]).to_pylist() == ['{"foo": {"bar": [92]}}']

@@ -1321,3 +1321,367 @@ def parse_cef(a):
     """CEF header → struct; the extension blob stays a raw string
     (parse its key=value pairs with the kv parser)."""
     return pc.extract_regex(pc.cast(_arr(a), pa.string()), _CEF_HEAD_RE)
+
+
+# --------------------------------------------------------------------------
+# stdlib leaf tail (round-3): reverse_dns, parse_ruby_hash, to_regex,
+# compact, only_fields, tag_types_externally, push, remove
+# (lib/vrl/stdlib/src/{reverse_dns,parse_ruby_hash,to_regex,compact,
+#  only_fields,tag_types_externally,push,remove}.rs)
+
+_PTR_DEFAULT = {"127.0.0.1": "localhost", "::1": "localhost"}
+
+
+def reverse_dns(a, table: dict | None = None):
+    """Offline reverse_dns: vectorized lookup in a static PTR-style
+    mapping table (this container has no resolver; the reference calls
+    the system resolver, reverse_dns.rs:47-57). Unmapped IPs → null
+    (the batch-engine error value)."""
+    mapping = dict(_PTR_DEFAULT)
+    if table:
+        mapping.update(table)
+    keys = pa.array(list(mapping.keys()), pa.string())
+    vals = pa.array(list(mapping.values()), pa.string())
+    idx = pc.index_in(pc.cast(_arr(a), pa.string()), value_set=keys)
+    return vals.take(idx)
+
+
+def _ruby_parse(s: str):
+    """Recursive-descent parser for Ruby hash literals:
+    { "k" => v, :sym => v, nil/true/false, numbers, strings, nested
+    hashes and arrays."""
+    i = 0
+    n = len(s)
+
+    def skip_ws():
+        nonlocal i
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+
+    def parse_value():
+        nonlocal i
+        skip_ws()
+        if i >= n:
+            raise ValueError("eof")
+        c = s[i]
+        if c == "{":
+            return parse_hash()
+        if c == "[":
+            return parse_array()
+        if c in "\"'":
+            return parse_string(c)
+        if c == ":":  # :symbol
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            sym = s[i + 1 : j]
+            i = j
+            return sym
+        m = _re.match(r"-?\d+\.\d+([eE][+-]?\d+)?", s[i:])
+        if m:
+            i += m.end()
+            return float(m.group(0))
+        m = _re.match(r"-?\d+", s[i:])
+        if m:
+            i += m.end()
+            return int(m.group(0))
+        for lit, val in (("nil", None), ("true", True), ("false", False)):
+            if s.startswith(lit, i):
+                i += len(lit)
+                return val
+        raise ValueError(f"unexpected char {c!r} at {i}")
+
+    def parse_string(q):
+        nonlocal i
+        i += 1
+        out = []
+        while i < n and s[i] != q:
+            if s[i] == "\\" and i + 1 < n:
+                out.append(s[i + 1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        if i >= n:
+            raise ValueError("unterminated string")
+        i += 1
+        return "".join(out)
+
+    def parse_hash():
+        nonlocal i
+        i += 1  # {
+        obj = {}
+        skip_ws()
+        if i < n and s[i] == "}":
+            i += 1
+            return obj
+        while True:
+            skip_ws()
+            if i < n and s[i] in "\"'":
+                key = parse_string(s[i])
+            elif i < n and s[i] == ":":
+                j = i + 1
+                while j < n and (s[j].isalnum() or s[j] == "_"):
+                    j += 1
+                key = s[i + 1 : j]
+                i = j
+            else:
+                raise ValueError("bad hash key")
+            skip_ws()
+            if not s.startswith("=>", i):
+                raise ValueError("expected =>")
+            i += 2
+            obj[key] = parse_value()
+            skip_ws()
+            if i < n and s[i] == ",":
+                i += 1
+                continue
+            if i < n and s[i] == "}":
+                i += 1
+                return obj
+            raise ValueError("bad hash sep")
+
+    def parse_array():
+        nonlocal i
+        i += 1  # [
+        arr = []
+        skip_ws()
+        if i < n and s[i] == "]":
+            i += 1
+            return arr
+        while True:
+            arr.append(parse_value())
+            skip_ws()
+            if i < n and s[i] == ",":
+                i += 1
+                continue
+            if i < n and s[i] == "]":
+                i += 1
+                return arr
+            raise ValueError("bad array sep")
+
+    v = parse_value()
+    skip_ws()
+    if i != n:
+        raise ValueError("trailing input")
+    return v
+
+
+def parse_ruby_hash(a):
+    """Ruby hash literal → JSON string (object-valued kernels emit JSON
+    for schema stability, like parse_xml/tally). Invalid → null."""
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(_json.dumps(_ruby_parse(v), sort_keys=True))
+        except (ValueError, RecursionError):
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+def to_regex(a):
+    """VRL to_regex: validate each string as a regex — the pattern
+    string passes through when it compiles, else null (a batch engine
+    has no first-class regex value type; downstream kernels take the
+    pattern string)."""
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            _re.compile(v)
+            out.append(v)
+        except _re.error:
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+def _is_nullish_scalar(v) -> bool:
+    return v is None or (isinstance(v, str) and (v.strip() == "" or v.strip() == "-"))
+
+
+def _compact_value(v, *, recursive, null, string, object_, array, nullish):
+    """None return means 'drop me' at the parent level."""
+    if isinstance(v, dict):
+        if recursive:
+            v = {
+                k: cv for k, cv in (
+                    (k, _compact_value(x, recursive=recursive, null=null,
+                                       string=string, object_=object_,
+                                       array=array, nullish=nullish))
+                    for k, x in v.items()
+                ) if cv is not _DROP
+            }
+        return _DROP if object_ and not v else v
+    if isinstance(v, list):
+        if recursive:
+            v = [
+                cv for cv in (
+                    _compact_value(x, recursive=recursive, null=null,
+                                   string=string, object_=object_,
+                                   array=array, nullish=nullish)
+                    for x in v
+                ) if cv is not _DROP
+            ]
+        return _DROP if array and not v else v
+    if v is None:
+        return _DROP if null else v
+    if isinstance(v, str):
+        if string and v == "":
+            return _DROP
+        if nullish and _is_nullish_scalar(v):
+            return _DROP
+        return v
+    return v
+
+
+_DROP = object()
+
+
+def compact(a, *, recursive: bool = True, null: bool = True,
+            string: bool = True, object_: bool = True, array: bool = True,
+            nullish: bool = False):
+    """VRL compact over JSON-string object/array rows (compact.rs):
+    drop null / empty-string / empty-object / empty-array members
+    (each togglable; ``nullish`` additionally drops "-" and
+    whitespace-only strings). Returns JSON strings."""
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            parsed = _json.loads(v)
+        except _json.JSONDecodeError:
+            out.append(None)
+            continue
+        res = _compact_value(parsed, recursive=recursive, null=null,
+                             string=string, object_=object_, array=array,
+                             nullish=nullish)
+        out.append(_json.dumps({} if res is _DROP else res, sort_keys=True))
+    return pa.array(out, pa.string())
+
+
+def only_fields(tbl: pa.Table, *names: str) -> pa.Table:
+    """Keep only the listed columns (only_fields.rs; the table-level
+    analogue of coercer drop_unspecified). Missing names are ignored."""
+    keep = [c for c in tbl.column_names if c in names]
+    return tbl.select(keep)
+
+
+def _tag_type(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return {"boolean": v}
+    if isinstance(v, int):
+        return {"integer": v}
+    if isinstance(v, float):
+        return {"float": v}
+    if isinstance(v, str):
+        return {"string": v}
+    if isinstance(v, dict):
+        return {k: _tag_type(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_tag_type(x) for x in v]
+    return {"string": str(v)}
+
+
+def tag_types_externally(a):
+    """tag_types_externally.rs: wrap every scalar leaf in a
+    {"<type>": value} object (objects keep their keys, arrays map
+    elementwise, null stays null). JSON-string in/out; a non-JSON
+    string row is treated as a string scalar."""
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            parsed = _json.loads(v)
+        except _json.JSONDecodeError:
+            parsed = v
+        out.append(_json.dumps(_tag_type(parsed), sort_keys=True))
+    return pa.array(out, pa.string())
+
+
+def push(a, value):
+    """VRL push: append ``value`` to every (non-null) list row —
+    vectorized offset arithmetic, no per-row Python."""
+    arr = _arr(a)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    n = len(arr)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    off0 = int(offs[0])
+    offs = offs - off0
+    flat = arr.values
+    if off0 or len(flat) > int(offs[-1]):
+        flat = flat.slice(off0, int(offs[-1]))
+    valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False), bool)
+    # null rows keep length 0 and stay null; each valid row gains 1 slot
+    gain = np.cumsum(valid)  # appended slots in rows 0..r
+    new_offs = offs + np.concatenate([[0], gain])
+    total = int(offs[-1])
+    # original value at flat pos i (in row r) shifts by gain[:r]
+    parents = np.asarray(pc.list_parent_indices(arr))
+    shift = np.concatenate([[0], gain])[parents] if total else np.empty(0, np.int64)
+    out_len = total + int(gain[-1]) if n else 0
+    pos_orig = np.arange(total) + shift
+    append_pos = (new_offs[1:] - 1)[valid]
+    take_idx = np.empty(out_len, dtype=np.int64)
+    take_idx[pos_orig] = np.arange(total)
+    take_idx[append_pos] = total  # the appended value, stored at the end
+    ext = pa.concat_arrays([
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+        pa.array([value], arr.type.value_type),
+    ])
+    new_flat = ext.take(pa.array(take_idx, pa.int64()))
+    mask = pa.array(~valid) if arr.null_count else None
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs.astype(np.int32)), new_flat, mask=mask
+    )
+
+
+def remove(a, path, *, compact_: bool = False):
+    """VRL remove: delete ``path`` (list of keys / int indexes) from
+    JSON-string object/array rows; ``compact_`` drops containers
+    emptied by the removal (remove.rs examples)."""
+    if isinstance(path, (str, int)):
+        path = [path]
+
+    def rm(v, parts):
+        head, rest = parts[0], parts[1:]
+        if isinstance(v, dict) and isinstance(head, str) and head in v:
+            if rest:
+                v[head] = rm(v[head], rest)
+                if compact_ and isinstance(v[head], (dict, list)) and not v[head]:
+                    del v[head]
+            else:
+                del v[head]
+        elif isinstance(v, list) and isinstance(head, int) and -len(v) <= head < len(v):
+            if rest:
+                v[head] = rm(v[head], rest)
+                if compact_ and isinstance(v[head], (dict, list)) and not v[head]:
+                    del v[head]
+            else:
+                del v[head]
+        return v
+
+    out = []
+    for v in pc.cast(_arr(a), pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            parsed = _json.loads(v)
+        except _json.JSONDecodeError:
+            out.append(None)
+            continue
+        out.append(_json.dumps(rm(parsed, list(path)), sort_keys=True))
+    return pa.array(out, pa.string())
