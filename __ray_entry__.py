@@ -307,6 +307,34 @@ def q_enrich_supplier_region(sf_dir):
     return _finish(out.select_columns(["s_suppkey", "n_name", "r_name"]))
 
 
+def q_config_syslog_metrics(sf_dir):
+    """End-to-end CONFIG-FILE oracle (round-3 verdict item 10): load
+    examples/syslog_metrics.yaml through the same registry the CLI
+    uses, run the full generator → regex → linux_auth → kv →
+    log_to_metric → aggregate graph, and emit the final metric series
+    table (golden-oracle checked; generator is deterministic)."""
+    import yaml as _yaml
+
+    from vector_ray.pipelines.config import load_config
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "syslog_metrics.yaml")
+    with open(path) as f:
+        topo = load_config(_yaml.safe_load(f))
+    ds = topo.node_dataset("agg")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": t["name"],
+            "metric_type": t["metric_type"],
+            "host": t["host"],
+            "status": t["status"],
+            "value": pc.cast(t["value"], pa.float64()),
+        })
+
+    return _finish(ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_stdlib_tail(sf_dir):
     """Round-3 stdlib leaf tail in one oracle: reverse_dns (static PTR
     table), parse_ruby_hash (round-trips props via '=>' rewrite),
@@ -1247,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_supplier_region": q_enrich_supplier_region,
         "enrich_find_ranges": q_enrich_find_ranges,
         "stdlib_tail": q_stdlib_tail,
+        "config_syslog_metrics": q_config_syslog_metrics,
         "window_events": q_window_events,
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1687,5 +1716,6 @@ def _golden_oracles() -> dict[str, str]:
         "token_near_dup": golden.token_near_dup_sql(),
         "approx_distinct_users": golden.approx_distinct_users_sql(),
         "media_features": golden.media_features_sql(),
+        "config_syslog_metrics": golden.config_syslog_metrics_sql(),
     })
     return _GOLDEN_CACHE

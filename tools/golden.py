@@ -258,3 +258,34 @@ def media_features_sql() -> str:
     cols = ["media_id", "media_type"] + [f"f{j}" for j in range(8)]
     types = ["VARCHAR", "VARCHAR"] + ["DOUBLE"] * 8
     return _values_sql(rows, cols, types)
+
+
+# ---------------------------------------------------------------------------
+# config_syslog_metrics — independent single-threaded reimplementation of
+# the examples/syslog_metrics.yaml topology over the deterministic
+# generator: 20000 syslog lines → parse → log_to_metric (row counter
+# tagged by host/status + set of procids) → aggregate by (host, status).
+
+
+def config_syslog_metrics_sql() -> str:
+    n = 20000
+    hosts_tab = ["alpha", "bravo", "citrus", "delta", "ember", "fjord", "gale", "hazel"]
+    statuses = [200, 200, 200, 301, 404, 500, 503]
+    counts: dict = {}
+    procids: set = set()
+    for i in range(n):
+        h = sm64_int(i ^ 42)
+        host = hosts_tab[h % 8]
+        status = statuses[(h >> 8) % 7]
+        counts[(host, str(status))] = counts.get((host, str(status)), 0) + 1
+        procids.add(str(100 + i % 900))
+    rows = [
+        ("requests", "counter", host, status, float(c))
+        for (host, status), c in sorted(counts.items())
+    ]
+    rows.append(("apps_seen", "set", None, None, float(len(procids))))
+    return _values_sql(
+        rows,
+        ["name", "metric_type", "host", "status", "value"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "DOUBLE"],
+    )

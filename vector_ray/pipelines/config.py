@@ -225,6 +225,19 @@ def _build_rename_fields(cfg):
     return RenameFields(cfg["fields"])
 
 
+@register_transform("add_tags")
+def _build_add_tags(cfg):
+    # metric tags are plain columns in the typed-table engine
+    # (src/transforms/add_tags.rs:12-18)
+    return AddFields(cfg["tags"], overwrite=cfg.get("overwrite", True))
+
+
+@register_transform("remove_tags")
+def _build_remove_tags(cfg):
+    # src/transforms/remove_tags.rs:11-15
+    return RemoveFields(cfg["tags"])
+
+
 @register_transform("concat")
 def _build_concat(cfg):
     return Concat(cfg["target"], cfg["items"], joiner=cfg.get("joiner", " "))
