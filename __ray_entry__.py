@@ -1257,7 +1257,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the r2 driver sweep recorded exactly the first 50
+    # registry entries, so queries without a prior CORRECTNESS row come
+    # FIRST (token_near_dup / flagship_tokenized had no r2 row; the
+    # round-3 additions are new) — any cap/cutoff then drops only
+    # queries with standing green rows from earlier rounds.
     return {
+        "token_near_dup": q_token_near_dup,
+        "flagship_tokenized": q_flagship_tokenized,
+        "enrich_find_ranges": q_enrich_find_ranges,
+        "stdlib_tail": q_stdlib_tail,
+        "config_syslog_metrics": q_config_syslog_metrics,
         "filter_events": q_filter_events,
         "route_events": q_route_events,
         "remap_fields": q_remap_fields,
@@ -1273,9 +1283,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": q_q1_lineitem,
         "enrich_customer": q_enrich_customer,
         "enrich_supplier_region": q_enrich_supplier_region,
-        "enrich_find_ranges": q_enrich_find_ranges,
-        "stdlib_tail": q_stdlib_tail,
-        "config_syslog_metrics": q_config_syslog_metrics,
         "window_events": q_window_events,
         "cardinality_limit": q_cardinality_limit,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1312,8 +1319,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "topk_users": q_topk_users,
         "log_to_metric_agg": q_log_to_metric_agg,
-        "token_near_dup": q_token_near_dup,
-        "flagship_tokenized": q_flagship_tokenized,
     }
 
 

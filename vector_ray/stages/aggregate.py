@@ -297,6 +297,18 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
     return pa.table(cols)
 
 
+def _final_merge_fn(keys, specs):
+    """Per-group merge callback for direct ``groupby(keys).map_groups``
+    use (flagship's ~150-group final merge): synthesizes ``__gk`` and
+    delegates to the vectorized bucket merge. For high-cardinality keys
+    use ``grouped_aggregate`` (bucketed) instead."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _merge_bucket(_gk_batch(g, keys), keys, specs)
+
+    return merge
+
+
 def grouped_aggregate(
     ds,
     keys: Sequence[str],
