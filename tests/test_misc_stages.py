@@ -221,3 +221,72 @@ class TestGeoipNested:
         t = pa.table({"ip": ["10.1.0.7", "10.0.63.9"]})
         out = g.probe_batch(t)
         assert [v["region"] for v in out["geoip"].to_pylist()] == ["parent", "c63"]
+
+
+class TestFileSink:
+    def _ds(self):
+        t = pa.table({
+            "source": ["web", "web", "db"],
+            "message": ["hello", "world", "query ok"],
+            "status": [200, 500, 200],
+        })
+        return rd.from_arrow(t).repartition(2)
+
+    def test_templated_ndjson(self, tmp_path):
+        import glob
+        import json
+
+        from vector_ray.sinks import FileSink
+
+        manifest = FileSink(str(tmp_path / "{{ source }}"), codec="ndjson").write(self._ds())
+        assert sum(r for _p, r in manifest) == 3
+        web_files = glob.glob(str(tmp_path / "web" / "*.ndjson"))
+        assert web_files
+        rows = []
+        for f in glob.glob(str(tmp_path / "*" / "*.ndjson")):
+            with open(f) as fh:
+                rows += [json.loads(line) for line in fh if line.strip()]
+        assert sorted(r["message"] for r in rows) == ["hello", "query ok", "world"]
+
+    def test_text_codec_gzip(self, tmp_path):
+        import glob
+        import gzip
+
+        from vector_ray.sinks import FileSink
+
+        FileSink(str(tmp_path / "out"), codec="text", compression="gzip").write(self._ds())
+        lines = []
+        for f in glob.glob(str(tmp_path / "out" / "*.log.gz")):
+            lines += gzip.decompress(open(f, "rb").read()).decode().strip().splitlines()
+        assert sorted(lines) == ["hello", "query ok", "world"]
+
+    def test_logfmt_codec(self, tmp_path):
+        import glob
+
+        from vector_ray.sinks import FileSink
+
+        FileSink(str(tmp_path / "out"), codec="logfmt").write(self._ds())
+        lines = []
+        for f in glob.glob(str(tmp_path / "out" / "*.log")):
+            lines += open(f).read().strip().splitlines()
+        assert any("status=200" in ln and "source=web" in ln for ln in lines)
+
+    def test_config_file_sink(self, tmp_path):
+        import glob
+
+        from vector_ray.pipelines.config import load_config
+
+        topo = load_config({
+            "sources": {"in": {"type": "generator", "format": "json", "count": 50}},
+            "transforms": {
+                "parsed": {"type": "json_parser", "inputs": ["in"]},
+            },
+            "sinks": {
+                "files": {"type": "file", "inputs": ["parsed"],
+                          "path": str(tmp_path / "{{ host }}"),
+                          "encoding": {"codec": "ndjson"}},
+            },
+        })
+        res = topo.run()
+        assert sum(r for _p, r in res["files"]) == 50
+        assert len(glob.glob(str(tmp_path / "*" / "*.ndjson"))) >= 2

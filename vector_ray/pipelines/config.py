@@ -710,6 +710,17 @@ class Topology:
             elif stype == "json":
                 ds.write_json(cfg["path"])
                 results[name] = cfg["path"]
+            elif stype == "file":
+                # src/sinks/file/mod.rs: templated path + codec + gzip
+                from vector_ray.sinks import FileSink
+
+                sink = FileSink(
+                    cfg["path"], codec=cfg.get("encoding", {}).get("codec", "ndjson")
+                    if isinstance(cfg.get("encoding"), dict) else cfg.get("encoding", "ndjson"),
+                    compression=cfg.get("compression", "none"),
+                    text_field=cfg.get("text_field", "message"),
+                )
+                results[name] = sink.write(ds)
             elif stype == "console":
                 results[name] = ds.take(cfg.get("limit", 20))
             elif stype == "blackhole":
