@@ -244,7 +244,14 @@ def minhash_lsh_dedup(
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
                          "est_jaccard": pa.array(est, pa.float64())})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
+    # segment grouping: mostly-unique docs mean mostly width-1 LSH
+    # buckets — one Python call per singleton bucket would be O(docs);
+    # bucketed_segment_groups calls `candidates` only on width≥2 buckets
+    from vector_ray.stages.bucketed import bucketed_segment_groups
+
+    _empty_jp = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+    pairs = bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_jp)
     if return_pairs:
         # distinct pairs (same pair can surface from multiple bands) —
         # bucketed keep-first, not one Python call per distinct pair
@@ -550,9 +557,11 @@ def embedding_dup_pairs(
         return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
                          "cosine": pa.array(sims[iu][mask].astype(np.float64))})
 
-    all_pairs = bucketed.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
-    from vector_ray.stages.bucketed import bucketed_first
+    from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
 
+    _empty_cp = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+    all_pairs = bucketed_segment_groups(bucketed, ["table", "bucket"], pairs, _empty_cp)
     return bucketed_first(all_pairs, ["a", "b"])
 
 
@@ -791,7 +800,9 @@ def token_minhash_pairs(
                          "b": pa.array(ids[iu[1][mask]], pa.string()),
                          "est_sim": pa.array(eq_frac[iu][mask].astype(np.float64))})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(candidates, batch_format="pyarrow")
-    from vector_ray.stages.bucketed import bucketed_first
+    from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
 
+    _empty_tp = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                          "est_sim": pa.array([], pa.float64())})
+    pairs = bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_tp)
     return bucketed_first(pairs, ["a", "b"])

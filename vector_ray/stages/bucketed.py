@@ -43,18 +43,28 @@ def _key_combo(t: pa.Table, key_cols: Sequence[str]) -> pa.Array:
     return combo.combine_chunks() if isinstance(combo, pa.ChunkedArray) else combo
 
 
+def _all_numeric(t: pa.Table, key_cols: Sequence[str]) -> bool:
+    return all(
+        (pa.types.is_integer(t[k].type) or pa.types.is_floating(t[k].type))
+        for k in key_cols
+    )
+
+
 def add_bucket(t: pa.Table, key_cols: Sequence[str], num_buckets: int) -> pa.Table:
     """Append ``__bkt = hash(key) % num_buckets`` (vectorized)."""
     if len(t) == 0:
         return t.append_column(_BKT, pa.array([], pa.int32()))
-    cols = [t[k] for k in key_cols]
-    if len(cols) == 1 and (
-        pa.types.is_integer(cols[0].type) or pa.types.is_floating(cols[0].type)
-    ):
+    if _all_numeric(t, key_cols):
+        # numeric keys: chained splitmix64, no string materialization
         from vector_ray.sources.synth import _splitmix64
 
-        raw = pc.fill_null(pc.cast(cols[0], pa.uint64(), safe=False), 0)
-        h = _splitmix64(np.asarray(raw.combine_chunks().to_numpy(zero_copy_only=False), np.uint64))
+        h = np.zeros(len(t), np.uint64)
+        with np.errstate(over="ignore"):
+            for k in key_cols:
+                raw = pc.fill_null(pc.cast(t[k], pa.uint64(), safe=False), 0)
+                h = _splitmix64(
+                    h ^ np.asarray(raw.combine_chunks().to_numpy(zero_copy_only=False), np.uint64)
+                )
     else:
         from vector_ray.expr import F
 
@@ -122,6 +132,70 @@ def bucketed_first(
         return g.drop_columns([c for c in to_drop if c in g.column_names])
 
     return keyed.groupby(_BKT).map_groups(bucket_first, batch_format="pyarrow")
+
+
+def _run_starts(t: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Boolean new-run mask over a table already SORTED by key_cols."""
+    n = len(t)
+    new_run = np.zeros(n, bool)
+    new_run[0] = True
+    # integer-only fast path: float→uint64 truncation could merge runs
+    if all(pa.types.is_integer(t[k].type) for k in key_cols) and all(
+        t[k].null_count == 0 for k in key_cols
+    ):
+        for k in key_cols:
+            v = np.asarray(
+                pc.cast(t[k], pa.uint64(), safe=False)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            new_run[1:] |= v[1:] != v[:-1]
+    else:
+        codes = np.asarray(pc.dictionary_encode(_key_combo(t, key_cols)).indices)
+        new_run[1:] = codes[1:] != codes[:-1]
+    return new_run
+
+
+def bucketed_segment_groups(
+    ds,
+    key_cols: Sequence[str],
+    seg_fn,
+    empty: pa.Table,
+    *,
+    min_rows: int = 2,
+    num_buckets: Optional[int] = None,
+):
+    """Per-key grouping where MOST keys are singletons (LSH buckets over
+    mostly-unique data): hash-bucket shuffle, sort each bucket by the
+    keys, slice contiguous per-key segments zero-copy, and call
+    ``seg_fn`` ONLY on segments with ≥ ``min_rows`` rows. Python calls:
+    O(num_buckets) + O(qualifying segments) — never one per singleton
+    key. ``empty`` supplies the schema-stable result when a bucket has
+    no qualifying segment."""
+    key_cols = list(key_cols)
+    nb = num_buckets or default_num_buckets()
+
+    keyed = ds.map_batches(
+        lambda t: add_bucket(t, key_cols, nb), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def run(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_BKT]).combine_chunks()
+        if len(g) < min_rows:
+            return empty
+        g = g.sort_by([(k, "ascending") for k in key_cols])
+        new_run = _run_starts(g, key_cols)
+        starts = np.nonzero(new_run)[0]
+        ends = np.concatenate([starts[1:], [len(g)]])
+        outs = [
+            seg_fn(g.slice(int(s), int(e - s)))
+            for s, e in zip(starts, ends)
+            if e - s >= min_rows
+        ]
+        outs = [o for o in outs if len(o)]
+        return pa.concat_tables(outs) if outs else empty
+
+    return keyed.groupby(_BKT).map_groups(run, batch_format="pyarrow")
 
 
 def bucketed_map_groups(
