@@ -407,3 +407,21 @@ class TestStdlibLeafTail:
         assert F.remove(pa.array(["[92, 42]"]), [0]).to_pylist() == ["[42]"]
         assert F.remove(pa.array(['{"foo": {"bar": [92, 42]}}']),
                         ["foo", "bar", 1]).to_pylist() == ['{"foo": {"bar": [92]}}']
+
+    def test_round3b_completion_kernels(self):
+        assert F.match_any(pa.array(["err: x", "ok", "warn!"]),
+                           [r"^err", r"warn"]).to_pylist() == [True, False, True]
+        assert F.is_nullish(pa.array(["", "-", "  ", "x", None])).to_pylist() == \
+            [True, True, True, False, True]
+        assert F.is_nullish(pa.array([1, None])).to_pylist() == [False, True]
+        assert F.is_regex(pa.array(["a+", "(bad"])).to_pylist() == [True, False]
+        assert F.is_array_type(pa.array([[1]], pa.list_(pa.int32())))
+        assert not F.is_array_type(pa.array(["x"]))
+        u = F.uuid_v4(3, seed=7).to_pylist()
+        assert len(set(u)) == 3 and all(v[14] == "4" for v in u)
+        assert F.uuid_v4(3, seed=7).to_pylist() == u  # deterministic
+        assert len(F.get_hostname(2)) == 2
+        import os
+        os.environ["VR_TEST_ENV"] = "zz"
+        assert F.get_env_var(1, "VR_TEST_ENV").to_pylist() == ["zz"]
+        assert F.get_env_var(1, "VR_MISSING_ENV", "d").to_pylist() == ["d"]

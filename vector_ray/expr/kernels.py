@@ -1685,3 +1685,70 @@ def remove(a, path, *, compact_: bool = False):
             continue
         out.append(_json.dumps(rm(parsed, list(path)), sort_keys=True))
     return pa.array(out, pa.string())
+
+
+# --------------------------------------------------------------------------
+# stdlib completion (round-3b): match_any, is_nullish, is_regex,
+# is_array/is_object type checks, uuid_v4, get_hostname, get_env_var
+# (lib/vrl/stdlib/src/{match_any,is_nullish,is_regex,is_array,is_object,
+#  uuid_v4,get_env_var,get_hostname}.rs)
+
+
+def match_any(a, patterns):
+    """True where the value matches ANY of the regex patterns — compiled
+    into one alternation, a single vectorized pass."""
+    pat = "|".join(f"(?:{p})" for p in patterns)
+    return pc.match_substring_regex(pc.cast(_arr(a), pa.string()), pat)
+
+
+def is_nullish(a):
+    """VRL is_nullish: null, empty string, "-", or whitespace-only."""
+    arr = _arr(a)
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return pc.is_null(arr)
+    s = pc.cast(arr, pa.string())
+    blank = pc.match_substring_regex(s, r"^(\s*|-)$")
+    return pc.or_(pc.is_null(s), pc.fill_null(blank, False))
+
+
+def is_regex(a):
+    """True where the string compiles as a regex (see to_regex)."""
+    return pc.is_valid(to_regex(a))
+
+
+def is_array_type(a):
+    """Typed-table engine: the column-level is_array check."""
+    t = _arr(a).type
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+
+
+def is_object_type(a):
+    t = _arr(a).type
+    return pa.types.is_struct(t) or pa.types.is_map(t)
+
+
+def uuid_v4(n: int, *, seed: int | None = None):
+    """n random v4 UUIDs as a string array. Deterministic when ``seed``
+    is given (the batch-engine default for reproducible runs); the
+    reference draws from the OS RNG (uuid_v4.rs)."""
+    import uuid as _uuid
+
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw[:, 6] = (raw[:, 6] & 0x0F) | 0x40  # version 4
+    raw[:, 8] = (raw[:, 8] & 0x3F) | 0x80  # variant 10
+    return pa.array([str(_uuid.UUID(bytes=bytes(r))) for r in raw], pa.string())
+
+
+def get_hostname(n: int):
+    """Resolve-once constant column (get_hostname.rs — like
+    aws_ec2_metadata, environment facts resolve at build time)."""
+    import socket
+
+    return pa.array([socket.gethostname()] * n, pa.string())
+
+
+def get_env_var(n: int, name: str, default: str | None = None):
+    import os as _os
+
+    return pa.array([_os.environ.get(name, default)] * n, pa.string())
