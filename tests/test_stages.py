@@ -313,6 +313,22 @@ class TestReduce:
 
 
 class TestAggregate:
+    def test_mean_and_all_null_group(self):
+        t = pa.table({
+            "k": ["a", "a", "b", "b", "c"],
+            "v": pa.array([1.0, 3.0, 10.0, None, None], pa.float64()),
+            "o": [1, 2, 3, 4, 5],
+        })
+        out = grouped_aggregate(
+            ds_of(t, blocks=2),
+            ["k"],
+            {"avg": ("mean", "v"), "last_v": ("last", "o"), "first_v": ("first", "o")},
+        ).take_all()
+        by = {r["k"]: r for r in out}
+        assert by["a"]["avg"] == 2.0
+        assert by["b"]["avg"] == 10.0
+        assert by["c"]["avg"] is None  # all-null group must not divide by zero
+
     def test_two_phase_grouped(self):
         t = synth_table(3000)
         ds = ds_of(t, blocks=4)
