@@ -45,3 +45,20 @@ class TestCli:
         r = run_cli("run", EXAMPLE, "--num-cpus", "2")
         assert r.returncode == 0, r.stdout + r.stderr
         assert "all_count: 10000" in r.stdout
+
+
+class TestTrainingDedupExample:
+    def test_runs_and_writes_templated_ndjson(self):
+        import glob
+        import json
+        import shutil
+
+        shutil.rmtree("/tmp/vr_training_dedup", ignore_errors=True)
+        shutil.rmtree("/tmp/vr_training_dedup_parquet", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "training_dedup.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_training_dedup/*/*.ndjson")
+        assert files
+        row = json.loads(open(files[0]).readline())
+        assert {"doc_id", "text", "quality", "lang_pred"} <= set(row)
