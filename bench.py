@@ -107,7 +107,10 @@ def run_minhash_bench(ncpu: int, rows: int, num_hashes: int = 32) -> float:
         num_hashes=num_hashes, bands=4,
     ).count()
 
-    per_file = int(os.environ.get("VR_BENCH_ROWS_PER_FILE", "62500"))
+    # ≥64 fragments: at the smaller minhash row count the flagship's
+    # 62.5k rows/file would give only ~8 blocks — the sig stage could
+    # never use 32 CPUs and the scaling number measured the file count
+    per_file = int(os.environ.get("VR_BENCH_MINHASH_ROWS_PER_FILE", str(max(4000, rows // 64))))
     tok_path = synth_parquet(rows, seed=42, rows_per_file=per_file)
     files = sorted(glob.glob(os.path.join(tok_path, "part-*.parquet")))
     _warm(tok_path)

@@ -725,11 +725,25 @@ def token_minhash_pairs(
     ngram: int = 4,
     sig_threshold: float = 0.75,
     max_bucket: int = 512,
+    max_candidates: int = 5_000_000,
 ):
-    """Near-duplicate PAIRS over a tokens:list<int32> column: TokenMinHash
-    signatures (one fused pass) → banded LSH buckets → within-bucket
-    signature-agreement verification. The shuffle moves only
-    (band, band_hash, id, sigs) rows — never the token payload."""
+    """Near-duplicate PAIRS over a tokens:list<int32> column.
+
+    Two-pass candidate/verify plan (the 100-TB LSH shape):
+
+    1. TokenMinHash (fused pass) → banded buckets; the all-to-all
+       shuffle moves ONLY (band:int32, band_hash:u64, id) rows — the
+       signature (num_hashes × 8 B, the dominant payload) never enters
+       the shuffle. Candidate pairs come from bucket membership alone.
+    2. Verify: signatures are recomputed for the candidate ids only
+       (a column-pruned second scan filtered by a broadcast id set —
+       candidates are rare over mostly-unique data) and the agreement
+       fraction is computed vectorized. Output identical to the
+       verify-in-bucket plan: a pair survives iff it shares ≥1 band
+       AND full-signature agreement ≥ ``sig_threshold``.
+
+    ``max_candidates`` bounds the broadcast candidate state with an
+    explicit error (raise the threshold or pre-dedup exactly first)."""
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
     mh = TokenMinHash(tokens_col, num_hashes=num_hashes, ngram=ngram)
@@ -761,23 +775,19 @@ def token_minhash_pairs(
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
                 "band_hash": pa.array(band_hashes.reshape(-1), pa.uint64()),
                 id_col: pa.array(ids),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.uint64()), num_hashes
-                ),
             }
         )
 
     exploded = ds.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def candidates(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
-                          "est_sim": pa.array([], pa.float64())})
+        empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
         if len(g) < 2:
             return empty
         if len(g) > max_bucket:
             # degenerate bucket (many identical signatures): cap the
-            # O(width²) verification to the lowest ids; capped sequences
-            # can still pair via their other bands
+            # O(width²) pair fan-out to the lowest ids; capped rows can
+            # still pair via their other bands
             import logging
 
             logging.getLogger("vector_ray.dedup").warning(
@@ -788,21 +798,69 @@ def token_minhash_pairs(
             )
             g = g.append_column("__ids", pc.cast(g[id_col], pa.string()))
             g = g.sort_by("__ids").slice(0, max_bucket).drop_columns(["__ids"])
-        ids = np.asarray([str(v) for v in g[id_col].to_pylist()])
-        sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        # vectorized pairwise signature agreement: (W,W) fraction matrix
-        eq_frac = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        ids = np.sort(np.asarray([str(v) for v in g[id_col].to_pylist()]))
         iu = np.triu_indices(len(ids), k=1)
-        mask = eq_frac[iu] >= sig_threshold
-        return pa.table({"a": pa.array(ids[iu[0][mask]], pa.string()),
-                         "b": pa.array(ids[iu[1][mask]], pa.string()),
-                         "est_sim": pa.array(eq_frac[iu][mask].astype(np.float64))})
+        return pa.table({"a": pa.array(ids[iu[0]], pa.string()),
+                         "b": pa.array(ids[iu[1]], pa.string())})
 
     from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
 
-    _empty_tp = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+    _empty_cand = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    cand = bucketed_first(
+        bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_cand),
+        ["a", "b"],
+    ).materialize()
+    n_cand = cand.count()
+    empty_out = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
                           "est_sim": pa.array([], pa.float64())})
-    pairs = bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_tp)
-    return bucketed_first(pairs, ["a", "b"])
+    if n_cand == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty_out)
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"token_minhash_pairs: {n_cand} candidate pairs exceeds "
+            f"max_candidates={max_candidates}; raise sig_threshold/bands "
+            "or run exact dedup first"
+        )
+    import ray as _ray
+
+    cand_rows = cand.take_all()
+    need = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
+    need_ref = _ray.put(pa.array(need, pa.string()))
+
+    def sigs_for_candidates(t: pa.Table) -> pa.Table:
+        want = _ray.get(need_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.string()), value_set=want)
+        sub = t.filter(pc.fill_null(mask, False))
+        if len(sub) == 0:
+            out = {id_col: pa.array([], pa.string())}
+            out.update({c: pa.array([], pa.uint64()) for c in sig_cols})
+            return pa.table(out)
+        sub = mh(sub)
+        out = {id_col: pc.cast(sub[id_col], pa.string())}
+        out.update({c: sub[c] for c in sig_cols})
+        return pa.table(out)
+
+    sig_rows = ds.map_batches(
+        sigs_for_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    sig_map = {
+        r[id_col]: np.array([r[c] for c in sig_cols], np.uint64) for r in sig_rows
+    }
+    out_a, out_b, out_est = [], [], []
+    for r in cand_rows:
+        sa, sb = sig_map.get(r["a"]), sig_map.get(r["b"])
+        if sa is None or sb is None:
+            continue
+        est = float((sa == sb).mean())
+        if est >= sig_threshold:
+            out_a.append(r["a"])
+            out_b.append(r["b"])
+            out_est.append(est)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string()),
+        "est_sim": pa.array(out_est, pa.float64()),
+    }) if out_a else empty_out)
