@@ -60,6 +60,55 @@ def exact_dedup(ds, field: str = "text", *, id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# two-pass LSH shared machinery: candidates from bucket membership only
+# (the shuffle never carries signatures), then a distributed vectorized
+# verify against signatures recomputed for candidate ids alone.
+
+
+def _collect_arrow(ds) -> pa.Table:
+    import ray
+
+    blocks = ray.get(ds.to_arrow_refs())
+    blocks = [b for b in blocks if len(b)]
+    if not blocks:
+        return None
+    return pa.concat_tables(blocks).combine_chunks()
+
+
+def _verify_candidate_pairs(cand_ds, sig_tbl: pa.Table, *, est_name: str,
+                            threshold: float, num_hashes: int):
+    """Distributed verify: ``cand_ds`` has (a, b); ``sig_tbl`` has
+    (id, sig:FixedSizeList<u64>) for every candidate id, sorted by id.
+    The sig table is broadcast ONCE (ray.put); each batch looks pairs up
+    via searchsorted and computes the agreement fraction vectorized."""
+    import ray
+
+    sig_tbl = sig_tbl.sort_by("id")
+    ref = ray.put(sig_tbl)
+    id_is_str = pa.types.is_string(sig_tbl["id"].type)
+
+    def verify(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        ids = np.asarray(st["id"].to_pylist()) if id_is_str else np.asarray(st["id"])
+        sig = np.asarray(st["sig"].combine_chunks().flatten()).reshape(len(st), num_hashes)
+        a = np.asarray(t["a"].to_pylist()) if id_is_str else np.asarray(t["a"])
+        b = np.asarray(t["b"].to_pylist()) if id_is_str else np.asarray(t["b"])
+        ai = np.clip(np.searchsorted(ids, a), 0, len(ids) - 1)
+        bi = np.clip(np.searchsorted(ids, b), 0, len(ids) - 1)
+        ok = (ids[ai] == a) & (ids[bi] == b)
+        est = (sig[ai] == sig[bi]).mean(axis=1)
+        keep = ok & (est >= threshold)
+        typ = pa.string() if id_is_str else pa.int64()
+        return pa.table({
+            "a": pa.array(a[keep].tolist(), typ),
+            "b": pa.array(b[keep].tolist(), typ),
+            est_name: pa.array(est[keep].astype(np.float64)),
+        })
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # minhash
 
 
@@ -162,14 +211,17 @@ def minhash_lsh_dedup(
     components: str = "distributed",
     max_bucket: int = 512,
     broadcast_limit: int = 5_000_000,
+    max_candidates: int = 2_000_000,
 ):
     """MinHash+LSH near-dup. Emits either the deduped dataset (keep
     lowest id per duplicate cluster) or the verified duplicate pairs.
 
-    Pipeline: signature map_batches → explode to (band, band_hash,
-    id, sig) → groupby(band, band_hash) → candidate pairs verified by
-    signature-estimated Jaccard → duplicate edges → connected
-    components → filter.
+    Two-pass candidate/verify plan: signature map_batches → explode to
+    (band, band_hash, id) — the signature (num_hashes × 8 B, the
+    dominant payload) NEVER enters the all-to-all — → candidate pairs
+    from bucket membership → signatures recomputed for candidate ids
+    only (pruned second scan) → distributed vectorized Jaccard-estimate
+    verify → duplicate edges → connected components → filter.
 
     Scale guards:
     - ``components="distributed"`` (default) labels duplicate clusters
@@ -180,10 +232,15 @@ def minhash_lsh_dedup(
       docs) are capped to the ``max_bucket`` lowest ids before the
       O(width²) pairing, with a logged warning — per the no-silent-caps
       rule. Capped docs still pair through their other bands.
+    - ``max_candidates`` bounds the candidate-id broadcast with an
+      explicit error (raise bands/threshold or exact-dedup first).
     - The final filter broadcasts the duplicate-id set when it is under
       ``broadcast_limit`` ids, else falls back to a bucketed anti-join
       so no unbounded set crosses the driver.
     """
+    import ray
+    import ray.data as rd
+
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
 
@@ -201,25 +258,17 @@ def minhash_lsh_dedup(
         n = len(texts)
         ids = np.repeat(np.asarray(t[id_col]), bands)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        bh = band_hashes.reshape(-1)
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.uint64()), num_hashes
-        )
         return pa.table(
             {
                 "band": pa.array(band_ids),
-                "band_hash": pa.array(bh, pa.uint64()),
+                "band_hash": pa.array(band_hashes.reshape(-1), pa.uint64()),
                 id_col: pa.array(ids),
-                "sig": sig_list,
             }
         )
 
     exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     def candidates(g: pa.Table) -> pa.Table:
-        if len(g) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
         if len(g) > max_bucket:
             import logging
 
@@ -229,35 +278,62 @@ def minhash_lsh_dedup(
                 len(g), max_bucket, g["band"][0].as_py() if "band" in g.column_names else "?",
             )
             g = g.sort_by(id_col).slice(0, max_bucket)
-        ids = np.asarray(g[id_col])
-        sig = np.asarray(g["sig"].combine_chunks().flatten()).reshape(len(g), num_hashes)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            hit = np.nonzero(eq >= jaccard_threshold)[0]
-            for h in hit:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + h]))
-                est.append(float(eq[h]))
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
+        ids = np.sort(np.asarray(g[id_col]))
+        iu = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[iu[0]], pa.int64()),
+                         "b": pa.array(ids[iu[1]], pa.int64())})
 
     # segment grouping: mostly-unique docs mean mostly width-1 LSH
     # buckets — one Python call per singleton bucket would be O(docs);
     # bucketed_segment_groups calls `candidates` only on width≥2 buckets
-    from vector_ray.stages.bucketed import bucketed_segment_groups
+    from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
 
+    _empty_cand = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    cand = bucketed_first(
+        bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_cand),
+        ["a", "b"],
+    ).materialize()
     _empty_jp = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "est_jaccard": pa.array([], pa.float64())})
-    pairs = bucketed_segment_groups(exploded, ["band", "band_hash"], candidates, _empty_jp)
-    if return_pairs:
-        # distinct pairs (same pair can surface from multiple bands) —
-        # bucketed keep-first, not one Python call per distinct pair
-        from vector_ray.stages.bucketed import bucketed_first
+    n_cand = cand.count()
+    if n_cand == 0:
+        pairs = rd.from_arrow(_empty_jp)
+        if return_pairs:
+            return pairs
+        return ds
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"minhash_lsh_dedup: {n_cand} candidate pairs exceeds "
+            f"max_candidates={max_candidates}; raise bands/threshold or "
+            "run exact dedup first"
+        )
+    cand_t = _collect_arrow(cand)
+    need = np.unique(np.concatenate([np.asarray(cand_t["a"]), np.asarray(cand_t["b"])]))
+    need_ref = ray.put(pa.array(need, pa.int64()))
 
-        return bucketed_first(pairs, ["a", "b"])
+    def sigs_for_candidates(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=want)
+        sub = t.filter(pc.fill_null(mask, False))
+        if len(sub) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.uint64(), num_hashes))})
+        sig = minhash_signature(sub[field].to_pylist(), num_hashes=num_hashes, k=k)
+        return pa.table({
+            "id": pc.cast(sub[id_col], pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), num_hashes),
+        })
+
+    sig_tbl = _collect_arrow(
+        ds.map_batches(sigs_for_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    pairs = _verify_candidate_pairs(
+        cand, sig_tbl, est_name="est_jaccard",
+        threshold=jaccard_threshold, num_hashes=num_hashes,
+    )
+    if return_pairs:
+        return pairs
 
     if components == "driver":
         # r1 path, for tiny jobs: edge set → driver union-find
@@ -825,8 +901,8 @@ def token_minhash_pairs(
         )
     import ray as _ray
 
-    cand_rows = cand.take_all()
-    need = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
+    cand_t = _collect_arrow(cand)
+    need = sorted(set(cand_t["a"].to_pylist()) | set(cand_t["b"].to_pylist()))
     need_ref = _ray.put(pa.array(need, pa.string()))
 
     def sigs_for_candidates(t: pa.Table) -> pa.Table:
@@ -834,33 +910,23 @@ def token_minhash_pairs(
         mask = pc.is_in(pc.cast(t[id_col], pa.string()), value_set=want)
         sub = t.filter(pc.fill_null(mask, False))
         if len(sub) == 0:
-            out = {id_col: pa.array([], pa.string())}
-            out.update({c: pa.array([], pa.uint64()) for c in sig_cols})
-            return pa.table(out)
+            return pa.table({"id": pa.array([], pa.string()),
+                             "sig": pa.array([], pa.list_(pa.uint64(), num_hashes))})
         sub = mh(sub)
-        out = {id_col: pc.cast(sub[id_col], pa.string())}
-        out.update({c: sub[c] for c in sig_cols})
-        return pa.table(out)
+        sig = np.stack(
+            [np.asarray(sub[c].combine_chunks() if isinstance(sub[c], pa.ChunkedArray)
+                        else sub[c]) for c in sig_cols], axis=1
+        ).astype(np.uint64)
+        return pa.table({
+            "id": pc.cast(sub[id_col], pa.string()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), num_hashes),
+        })
 
-    sig_rows = ds.map_batches(
-        sigs_for_candidates, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    sig_map = {
-        r[id_col]: np.array([r[c] for c in sig_cols], np.uint64) for r in sig_rows
-    }
-    out_a, out_b, out_est = [], [], []
-    for r in cand_rows:
-        sa, sb = sig_map.get(r["a"]), sig_map.get(r["b"])
-        if sa is None or sb is None:
-            continue
-        est = float((sa == sb).mean())
-        if est >= sig_threshold:
-            out_a.append(r["a"])
-            out_b.append(r["b"])
-            out_est.append(est)
-    import ray.data as _rd
-
-    return _rd.from_arrow(pa.table({
-        "a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string()),
-        "est_sim": pa.array(out_est, pa.float64()),
-    }) if out_a else empty_out)
+    sig_tbl = _collect_arrow(
+        ds.map_batches(sigs_for_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _verify_candidate_pairs(
+        cand, sig_tbl, est_name="est_sim",
+        threshold=sig_threshold, num_hashes=num_hashes,
+    )
