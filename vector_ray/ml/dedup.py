@@ -552,6 +552,7 @@ def embedding_dup_pairs(
     cosine_threshold: float = 0.95,
     seed: int = 3,
     max_bucket: int = 512,
+    max_candidates: int = 2_000_000,
 ):
     """Near-dup pairs over an embedding column: multi-table
     random-hyperplane LSH (sign bits of `planes` projections per table,
@@ -591,28 +592,25 @@ def embedding_dup_pairs(
                 key = key << np.uint64(8) | bucket_id[:, j]
             keys[:, tb] = key
         ids_rep = np.repeat(np.asarray(t[id_col]), tables)
-        vec_rep = np.repeat(m, tables, axis=0)
         return pa.table(
             {
                 "table": pa.array(np.tile(np.arange(tables, dtype=np.int32), n)),
                 "bucket": pa.array(keys.reshape(-1), pa.uint64()),
                 id_col: pa.array(ids_rep),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vec_rep.reshape(-1), pa.float32()), dim),
             }
         )
 
+    # two-pass candidate/verify: the shuffle moves (table, bucket, id)
+    # rows only — the vector payload (dim × 4 B × tables per row) never
+    # enters the all-to-all; candidates from bucket membership, cosine
+    # verified distributed against vectors re-read for candidate ids
     bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        if len(g) < 2:
-            return empty
+    def cand_fn(g: pa.Table) -> pa.Table:
         if len(g) > max_bucket:
             # degenerate bucket (e.g. many identical embeddings): the
-            # O(width²) cosine blows up one task — cap to the lowest ids;
-            # capped vectors can still pair via their other tables
+            # O(width²) fan-out blows up one task — cap to the lowest
+            # ids; capped vectors can still pair via their other tables
             import logging
 
             logging.getLogger("vector_ray.dedup").warning(
@@ -622,23 +620,72 @@ def embedding_dup_pairs(
                 g["table"][0].as_py() if "table" in g.column_names else "?",
             )
             g = g.sort_by(id_col).slice(0, max_bucket)
-        ids = np.asarray(g[id_col])
-        flat = np.asarray(g["vec"].combine_chunks().flatten(), dtype=np.float32)
-        m = flat.reshape(len(g), flat.size // len(g))
-        sims = m @ m.T
-        iu = np.triu_indices(len(g), k=1)
-        mask = sims[iu] >= cosine_threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
-                         "cosine": pa.array(sims[iu][mask].astype(np.float64))})
+        ids = np.sort(np.asarray(g[id_col]))
+        iu = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[iu[0]], pa.int64()),
+                         "b": pa.array(ids[iu[1]], pa.int64())})
+
+    import ray
+    import ray.data as rd
 
     from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
 
-    _empty_cp = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    _empty_cand = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    cand = bucketed_first(
+        bucketed_segment_groups(bucketed, ["table", "bucket"], cand_fn, _empty_cand),
+        ["a", "b"],
+    ).materialize()
+    empty_out = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
-    all_pairs = bucketed_segment_groups(bucketed, ["table", "bucket"], pairs, _empty_cp)
-    return bucketed_first(all_pairs, ["a", "b"])
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(empty_out)
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"embedding_dup_pairs: {n_cand} candidate pairs exceeds "
+            f"max_candidates={max_candidates}; raise planes/threshold or "
+            "run exact dedup first"
+        )
+    cand_t = _collect_arrow(cand)
+    need = np.unique(np.concatenate([np.asarray(cand_t["a"]), np.asarray(cand_t["b"])]))
+    need_ref = ray.put(pa.array(need, pa.int64()))
+
+    def vecs_for_candidates(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=want)
+        sub = t.filter(pc.fill_null(mask, False))
+        if len(sub) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float32()))})
+        vecs = np.asarray(sub[vec_col].combine_chunks().flatten(), dtype=np.float32)
+        m = vecs.reshape(len(sub), vecs.size // len(sub))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "id": pc.cast(sub[id_col], pa.int64()),
+            "vec": pa.array([row for row in m.tolist()], pa.list_(pa.float32())),
+        })
+
+    vec_tbl = _collect_arrow(
+        ds.map_batches(vecs_for_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("id")
+    vref = ray.put(vec_tbl)
+
+    def verify(t: pa.Table) -> pa.Table:
+        vt = ray.get(vref)
+        ids = np.asarray(vt["id"])
+        flat = np.asarray(vt["vec"].combine_chunks().flatten(), dtype=np.float32)
+        m = flat.reshape(len(vt), flat.size // max(len(vt), 1))
+        a = np.asarray(t["a"]); b = np.asarray(t["b"])
+        ai = np.clip(np.searchsorted(ids, a), 0, len(ids) - 1)
+        bi = np.clip(np.searchsorted(ids, b), 0, len(ids) - 1)
+        ok = (ids[ai] == a) & (ids[bi] == b)
+        cos = (m[ai] * m[bi]).sum(axis=1)
+        keep = ok & (cos >= cosine_threshold)
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "cosine": pa.array(cos[keep].astype(np.float64))})
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
