@@ -73,7 +73,24 @@ def salted_group_reduce(
     keys = list(keys)
     merge_fn = merge_fn or reduce_fn
     salted = add_salt(ds, keys, buckets=buckets, salt_source=salt_source)
-    phase1 = salted.groupby(keys + ["__salt"]).map_groups(
-        lambda g: reduce_fn(g.drop(columns="__salt")), batch_format="pandas"
+
+    # hash-bucketed phases: Ray invokes ONE Python callback per bucket
+    # (stages/bucketed.py); the per-(key,salt) reduce loop runs inside
+    # it as a plain pandas groupby iteration — no per-group block
+    # slicing/scheduling in the Ray layer.
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    def _per_group(t: pa.Table, group_cols, fn, drop_cols) -> pa.Table:
+        df = t.to_pandas()
+        outs = []
+        for _k, sub in df.groupby(group_cols, sort=False, dropna=False):
+            outs.append(fn(sub.drop(columns=list(drop_cols))))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True), preserve_index=False)
+
+    phase1 = bucketed_map_groups(
+        salted, keys + ["__salt"],
+        lambda t: _per_group(t, keys + ["__salt"], reduce_fn, ["__salt"]),
     )
-    return phase1.groupby(keys).map_groups(merge_fn, batch_format="pandas")
+    return bucketed_map_groups(
+        phase1, keys, lambda t: _per_group(t, keys, merge_fn, [])
+    )

@@ -196,20 +196,84 @@ class SessionWindow(Step):
         out[self.session_col] = out[self.session_col].astype(np.int64)
         return out[self.keys + [self.session_col] + list(self.aggs)]
 
+    # -- whole-bucket vectorized variants (many keys per Python call) -----
+
+    def _summaries_all(self, t: pa.Table) -> pa.Table:
+        """Phase 1 over a WHOLE hash bucket: one sort + one pandas
+        groupby covers every (key, time-bucket) inside — no per-key
+        Python callback."""
+        df = t.to_pandas()
+        df = df.sort_values(self.keys + ["__bucket", self.ts_col], kind="mergesort")
+        ts = df[self.ts_col].astype("int64").to_numpy()
+        boundary = np.zeros(len(df), bool)
+        boundary[0] = True
+        for k in self.keys + ["__bucket"]:
+            v = df[k].to_numpy()
+            boundary[1:] |= v[1:] != v[:-1]
+        gap = np.zeros(len(df), bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > self.gap_us
+        df = df.assign(__sid=np.cumsum(boundary | gap), __tsi=ts)
+        named = {"__first_ts": ("__tsi", "min"), "__last_ts": ("__tsi", "max")}
+        for name, (kind, col) in self.aggs.items():
+            if kind == "count":
+                named[name] = ("__sid", "size")
+            elif kind in ("sum", "min", "max"):
+                named[name] = (col, kind)
+            else:
+                raise ValueError(kind)
+        for k in self.keys:
+            named[k] = (k, "first")
+        out = df.groupby("__sid", sort=True).agg(**named).reset_index(drop=True)
+        out = out[self.keys + ["__first_ts", "__last_ts"] + list(self.aggs)]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge_all(self, t: pa.Table) -> pa.Table:
+        """Phase 2 over a whole hash bucket of summaries: sessionize all
+        keys in one vectorized pass; ``session_id`` restarts at 1 per
+        key (ascending by first event time)."""
+        m = t.to_pandas()
+        m = m.sort_values(self.keys + ["__first_ts"], kind="mergesort")
+        first = m["__first_ts"].to_numpy()
+        last = m["__last_ts"].to_numpy()
+        key_change = np.zeros(len(m), bool)
+        key_change[0] = True
+        for k in self.keys:
+            v = m[k].to_numpy()
+            key_change[1:] |= v[1:] != v[:-1]
+        gap = np.zeros(len(m), bool)
+        gap[1:] = (first[1:] - last[:-1]) > self.gap_us
+        sid = np.cumsum(key_change | gap)
+        # per-key renumber: session_id = sid - sid@key_start + 1
+        krun = np.cumsum(key_change) - 1
+        key_start_sid = sid[np.nonzero(key_change)[0]]
+        m = m.assign(**{self.session_col: sid - key_start_sid[krun] + 1}, __sid=sid)
+        named = {}
+        for name, (kind, _col) in self.aggs.items():
+            named[name] = (name, "sum" if kind in ("count", "sum") else kind)
+        for k in self.keys:
+            named[k] = (k, "first")
+        named[self.session_col] = (self.session_col, "first")
+        out = m.groupby("__sid", sort=True).agg(**named).reset_index(drop=True)
+        out[self.session_col] = out[self.session_col].astype(np.int64)
+        out = out[self.keys + [self.session_col] + list(self.aggs)]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def apply(self, ds):
         if self.mode == "group":
             return ds.groupby(self.keys).map_groups(self._sessions, batch_format="pandas")
         bucket_us, ts_col = self.bucket_us, self.ts_col
 
-        def add_bucket(t: pa.Table) -> pa.Table:
+        def add_time_bucket(t: pa.Table) -> pa.Table:
             ts = pc.cast(t[ts_col], pa.int64())
             return t.append_column("__bucket", pc.multiply(pc.divide(ts, bucket_us), bucket_us))
 
-        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        summaries = bucketed.groupby(self.keys + ["__bucket"]).map_groups(
-            lambda g: self._bucket_summaries(g.drop(columns="__bucket")),
-            batch_format="pandas",
+        from vector_ray.stages.bucketed import bucketed_map_groups
+
+        bucketed = ds.map_batches(add_time_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        # phase 1 buckets by (key, time-bucket) so a hot key's timeline
+        # still splits across tasks; phase 2 buckets by key over the
+        # (tiny) summary rows — both are ONE vectorized call per bucket
+        summaries = bucketed_map_groups(
+            bucketed, self.keys + ["__bucket"], self._summaries_all
         )
-        return summaries.groupby(self.keys).map_groups(
-            self._merge_summaries, batch_format="pandas"
-        )
+        return bucketed_map_groups(summaries, self.keys, self._merge_all)
