@@ -307,6 +307,26 @@ def q_enrich_supplier_region(sf_dir):
     return _finish(out.select_columns(["s_suppkey", "n_name", "r_name"]))
 
 
+def q_simhash_pairs(sf_dir):
+    """SimHash banded hamming near-dup pairs over documents + 50 planted
+    exact duplicates (hamming 0) — pigeonhole over 4×16-bit chunks makes
+    recall exact for hamming ≤ 3 (ml/dedup.simhash_dup_pairs)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import simhash_dup_pairs
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    base = pa.table({"doc_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]})
+    dup = pa.table({
+        "doc_id": pa.array([f"shdup-{i:04d}" for i in range(50)]),
+        "text": t["text"].slice(0, 50).combine_chunks(),
+    })
+    full = pa.concat_tables([base, dup])
+    return simhash_dup_pairs(rd.from_arrow(full).repartition(4))
+
+
 def q_config_syslog_metrics(sf_dir):
     """End-to-end CONFIG-FILE oracle (round-3 verdict item 10): load
     examples/syslog_metrics.yaml through the same registry the CLI
@@ -1268,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_find_ranges": q_enrich_find_ranges,
         "stdlib_tail": q_stdlib_tail,
         "config_syslog_metrics": q_config_syslog_metrics,
+        "simhash_pairs": q_simhash_pairs,
         "filter_events": q_filter_events,
         "route_events": q_route_events,
         "remap_fields": q_remap_fields,
@@ -1722,5 +1743,6 @@ def _golden_oracles() -> dict[str, str]:
         "approx_distinct_users": golden.approx_distinct_users_sql(),
         "media_features": golden.media_features_sql(),
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
+        "simhash_pairs": golden.simhash_pairs_sql(),
     })
     return _GOLDEN_CACHE

@@ -403,3 +403,40 @@ class TestAudioDecode:
 
         with pytest.raises(NotImplementedError):
             AudioDecode()
+
+
+class TestSimhashPairs:
+    def test_planted_exact_dups_found(self):
+        from vector_ray.ml.dedup import simhash_dup_pairs
+        from vector_ray.sources.synth import generator_lines
+
+        t = generator_lines(300, "shuffle")
+        base = pa.table({"doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+                         "text": t["message"]})
+        dup = pa.table({"doc_id": pa.array(["dup-a", "dup-b"]),
+                        "text": t["message"].slice(0, 2).combine_chunks()})
+        full = pa.concat_tables([base, dup])
+        pairs = simhash_dup_pairs(rd.from_arrow(full).repartition(3)).take_all()
+        found = {tuple(sorted((r["a"], r["b"]))) for r in pairs}
+        assert ("d0000", "dup-a") in found
+        assert ("d0001", "dup-b") in found
+        assert all(r["hamming"] <= 3 for r in pairs)
+
+    def test_recall_matches_bruteforce(self):
+        import numpy as np
+
+        from vector_ray.ml.dedup import _hamming64, simhash_batch, simhash_dup_pairs
+        from vector_ray.sources.synth import generator_lines
+
+        t = generator_lines(400, "shuffle", seed=9)
+        ids = [f"x{i:04d}" for i in range(400)]
+        full = pa.table({"doc_id": pa.array(ids), "text": t["message"]})
+        got = {tuple(sorted((r["a"], r["b"])))
+               for r in simhash_dup_pairs(rd.from_arrow(full).repartition(4)).take_all()}
+        sig = simhash_batch(t["message"].to_pylist())
+        want = set()
+        for i in range(len(sig)):
+            hm = _hamming64(sig, np.repeat(sig[i], len(sig)))
+            for j in np.nonzero((hm <= 3) & (np.arange(len(sig)) > i))[0]:
+                want.add(tuple(sorted((ids[i], ids[int(j)]))))
+        assert got == want  # banding recall is exact at hamming <= bands-1

@@ -289,3 +289,51 @@ def config_syslog_metrics_sql() -> str:
         ["name", "metric_type", "host", "status", "value"],
         ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "DOUBLE"],
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs — brute-force hamming ≤ 3 over documents + 50 planted
+# exact duplicates, using this module's OWN simhash reimplementation
+# (per-word crc32 → splitmix64 → majority vote; proven bit-identical to
+# the engine by simhash_docs). Banding with 4×16-bit chunks has exact
+# recall at hamming ≤ 3 (pigeonhole), so brute force IS the truth.
+
+
+def _simhash_golden(text: str) -> int:
+    word_re = re.compile(r"\w+")
+    words = word_re.findall((text or "").lower())
+    if not words:
+        return 0
+    votes = [0] * 64
+    for w in words:
+        h = sm64_int((zlib.crc32(w.encode()) ^ 1) & M64)
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    n = len(words)
+    val = 0
+    for b in range(64):
+        if 2 * votes[b] > n:
+            val |= 1 << b
+    return val
+
+
+def simhash_pairs_sql() -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = [str(x) for x in t["doc_id"].to_pylist()]
+    texts = t["text"].to_pylist()
+    ids += [f"shdup-{i:04d}" for i in range(50)]
+    texts += texts[:50]
+    sigs = np.array([_simhash_golden(x) for x in texts], dtype=np.uint64)
+    pop = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+    rows = []
+    n = len(sigs)
+    order = np.arange(n)
+    for i in range(n):
+        d = (sigs ^ sigs[i]).view(np.uint8).reshape(n, 8)
+        hm = pop[d].sum(axis=1)
+        for j in np.nonzero((hm <= 3) & (order > i))[0]:
+            a, b = sorted((ids[i], ids[int(j)]))
+            rows.append((a, b, int(hm[int(j)])))
+    rows.sort()
+    return _values_sql(rows, ["a", "b", "hamming"], ["VARCHAR", "VARCHAR", "BIGINT"])

@@ -977,3 +977,130 @@ def token_minhash_pairs(
         cand, sig_tbl, est_name="est_sim",
         threshold=sig_threshold, num_hashes=num_hashes,
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup pairs — banded hamming search over the 64-bit
+# signature: pigeonhole over `bands` equal bit-chunks (hamming ≤
+# bands-1 ⇒ at least one chunk identical, so recall is EXACT for the
+# default max_hamming=3 / bands=4). Two-pass candidate/verify like the
+# minhash flavors: the shuffle moves (band, chunk, id) rows only.
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64))
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(
+    ds,
+    field: str = "text",
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 512,
+    max_candidates: int = 2_000_000,
+):
+    """Pairs of docs whose SimHash signatures differ in ≤ ``max_hamming``
+    bits. Exact recall requires ``max_hamming <= bands - 1``."""
+    if max_hamming > bands - 1:
+        import logging
+
+        logging.getLogger("vector_ray.dedup").warning(
+            "simhash_dup_pairs: max_hamming=%d > bands-1=%d — banding can "
+            "miss pairs whose differing bits touch every chunk",
+            max_hamming, bands - 1,
+        )
+    chunk_bits = 64 // bands
+    mask = np.uint64((1 << chunk_bits) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sig = simhash_batch(t[field].to_pylist())
+        n = len(sig)
+        chunks = np.empty((n, bands), np.uint64)
+        for b in range(bands):
+            chunks[:, b] = (sig >> np.uint64(chunk_bits * b)) & mask
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "chunk": pa.array(chunks.reshape(-1), pa.uint64()),
+            id_col: pa.array(np.repeat(np.asarray(t[id_col]), bands)),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cand_fn(g: pa.Table) -> pa.Table:
+        if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger("vector_ray.dedup").warning(
+                "simhash chunk bucket of width %d capped to %d lowest ids",
+                len(g), max_bucket,
+            )
+            g = g.append_column("__ids", pc.cast(g[id_col], pa.string()))
+            g = g.sort_by("__ids").slice(0, max_bucket).drop_columns(["__ids"])
+        ids = np.sort(np.asarray([str(v) for v in g[id_col].to_pylist()]))
+        iu = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[iu[0]], pa.string()),
+                         "b": pa.array(ids[iu[1]], pa.string())})
+
+    import ray
+    import ray.data as rd
+
+    from vector_ray.stages.bucketed import bucketed_first, bucketed_segment_groups
+
+    _empty_cand = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    cand = bucketed_first(
+        bucketed_segment_groups(exploded, ["band", "chunk"], cand_fn, _empty_cand),
+        ["a", "b"],
+    ).materialize()
+    empty_out = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())})
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(empty_out)
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"simhash_dup_pairs: {n_cand} candidate pairs exceeds "
+            f"max_candidates={max_candidates}; lower max_hamming or run "
+            "exact dedup first"
+        )
+    cand_t = _collect_arrow(cand)
+    need = sorted(set(cand_t["a"].to_pylist()) | set(cand_t["b"].to_pylist()))
+    need_ref = ray.put(pa.array(need, pa.string()))
+
+    def sigs_for_candidates(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        m = pc.is_in(pc.cast(t[id_col], pa.string()), value_set=want)
+        sub = t.filter(pc.fill_null(m, False))
+        if len(sub) == 0:
+            return pa.table({"id": pa.array([], pa.string()),
+                             "sig": pa.array([], pa.uint64())})
+        return pa.table({
+            "id": pc.cast(sub[id_col], pa.string()),
+            "sig": pa.array(simhash_batch(sub[field].to_pylist()), pa.uint64()),
+        })
+
+    sig_tbl = _collect_arrow(
+        ds.map_batches(sigs_for_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("id")
+    sref = ray.put(sig_tbl)
+
+    def verify(t: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        ids = np.asarray(st["id"].to_pylist())
+        sig = np.asarray(st["sig"])
+        a = np.asarray(t["a"].to_pylist())
+        b = np.asarray(t["b"].to_pylist())
+        ai = np.clip(np.searchsorted(ids, a), 0, len(ids) - 1)
+        bi = np.clip(np.searchsorted(ids, b), 0, len(ids) - 1)
+        ok = (ids[ai] == a) & (ids[bi] == b)
+        hm = _hamming64(sig[ai], sig[bi])
+        keep = ok & (hm <= max_hamming)
+        return pa.table({"a": pa.array(a[keep].tolist(), pa.string()),
+                         "b": pa.array(b[keep].tolist(), pa.string()),
+                         "hamming": pa.array(hm[keep], pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
