@@ -440,3 +440,27 @@ class TestSimhashPairs:
             for j in np.nonzero((hm <= 3) & (np.arange(len(sig)) > i))[0]:
                 want.add(tuple(sorted((ids[i], ids[int(j)]))))
         assert got == want  # banding recall is exact at hamming <= bands-1
+
+
+class TestTokenDedup:
+    def test_planted_dups_removed_min_id_survives(self):
+        from vector_ray.ml.dedup import token_minhash_dedup
+        from vector_ray.sources.synth import synth_table
+
+        t = synth_table(300)
+        n_tok = t["n_tok"].to_pylist()
+        long_idx = [i for i, n in enumerate(n_tok) if n >= 16][:3]
+        dup = pa.table({
+            "doc_id": pa.array([f"zzz-dup-{i}" for i in range(3)]),
+            "tokens": t["tokens"].take(pa.array(long_idx)).combine_chunks(),
+            "n_tok": t["n_tok"].take(pa.array(long_idx)).combine_chunks(),
+            "source": t["source"].take(pa.array(long_idx)).combine_chunks(),
+        })
+        full = pa.concat_tables([t, dup])
+        kept = token_minhash_dedup(rd.from_arrow(full).repartition(3)).take_all()
+        ids = {r["doc_id"] for r in kept}
+        originals = {t["doc_id"][i].as_py() for i in long_idx}
+        # the zzz- copies sort AFTER the originals → originals survive
+        assert originals <= ids
+        assert not any(i.startswith("zzz-dup-") for i in ids)
+        assert len(kept) == 300

@@ -1104,3 +1104,45 @@ def simhash_dup_pairs(
                          "hamming": pa.array(hm[keep], pa.int64())})
 
     return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_minhash_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    **pair_kw,
+):
+    """Remove near-duplicate token sequences: ``token_minhash_pairs``
+    edges → union-find over the verified pair set (already
+    ``max_candidates``-bounded, so the driver never sees more than that)
+    → keep the lexicographically smallest id per duplicate cluster and
+    stream-filter the rest out (broadcast drop set)."""
+    import ray
+
+    pairs = token_minhash_pairs(ds, id_col=id_col, tokens_col=tokens_col, **pair_kw)
+    rows = pairs.take_all()
+    if not rows:
+        return ds
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = sorted(x for x in parent if find(x) != x)
+    dref = ray.put(pa.array(drop, pa.string()))
+
+    def flt(t: pa.Table) -> pa.Table:
+        arr = ray.get(dref)
+        return t.filter(
+            pc.invert(pc.is_in(pc.cast(t[id_col], pa.string()), value_set=arr))
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
