@@ -200,6 +200,28 @@ class TestEnrich:
         out = e.probe_batch(t)
         assert out["v"].to_pylist() == [1, None]
 
+    def test_between_real_date_types(self):
+        # BetweenDates (lib/enrichment/src/lib.rs:18-27) with actual
+        # Arrow date32 bounds, find-mode fan-out
+        import datetime as dt
+
+        d = dt.date
+        small = pa.table({
+            "k": ["a", "a"],
+            "period": ["q1", "q2"],
+            "lo": pa.array([d(2024, 1, 1), d(2024, 4, 1)], pa.date32()),
+            "hi": pa.array([d(2024, 3, 31), d(2024, 6, 30)], pa.date32()),
+        })
+        t = pa.table({
+            "k": ["a", "a", "a"],
+            "ts": pa.array([d(2024, 2, 10), d(2024, 5, 5), d(2024, 8, 1)], pa.date32()),
+        })
+        e = Enrich(EnrichmentTable(small, key=["k"]), mode="find",
+                   miss_col=None, between=("ts", "lo", "hi"))
+        out = e.probe_batch(t)
+        got = {(str(r["ts"]), r["period"]) for r in out.to_pylist()}
+        assert got == {("2024-02-10", "q1"), ("2024-05-05", "q2")}
+
 
 class TestDedupe:
     def test_exact_first_wins(self):
