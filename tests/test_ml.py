@@ -464,3 +464,31 @@ class TestTokenDedup:
         assert originals <= ids
         assert not any(i.startswith("zzz-dup-") for i in ids)
         assert len(kept) == 300
+
+
+class TestImageResize:
+    def test_fake_resize_plumbing(self):
+        from vector_ray.ml.multimodal import ImageDecode, ImageResize, synth_media_table
+
+        media = synth_media_table(30)
+        ds = rd.from_arrow(media).repartition(2)
+        out = ds.map_batches(ImageResize, fn_constructor_kwargs={"target": (64, 64), "fake": True},
+                             batch_format="pyarrow", concurrency=2)
+        rows = out.take_all()
+        assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+        assert all(len(r["payload"]) == max(8, 64 * 64 // 256) for r in rows)
+        # deterministic + composes with decode
+        rows2 = ds.map_batches(ImageResize, fn_constructor_kwargs={"target": (64, 64), "fake": True},
+                               batch_format="pyarrow", concurrency=2).take_all()
+        assert {r["media_id"]: r["payload"] for r in rows} == \
+               {r["media_id"]: r["payload"] for r in rows2}
+        feats = rd.from_arrow(pa.Table.from_pylist(rows)).map_batches(
+            ImageDecode, fn_constructor_kwargs={"fake": True}, batch_format="pyarrow",
+            concurrency=2).take_all()
+        assert all(len(r["image_features"]) == 8 for r in feats)
+
+    def test_real_path_gated(self):
+        from vector_ray.ml.multimodal import ImageResize
+
+        with pytest.raises(NotImplementedError):
+            ImageResize(fake=False)

@@ -131,6 +131,54 @@ class AudioDecode:
         return t.append_column("audio_features", emb)
 
 
+class ImageResize:
+    """Actor-pool stage: resize image payloads to ``target`` (w, h),
+    updating the width/height metadata columns — binary in, binary out,
+    so downstream stages (decode, feature-extract) see the same schema.
+
+    Real path requires PIL (NOT in this container) — raises
+    NotImplementedError unless ``fake=True``: the deterministic stub
+    re-derives a payload whose length scales with the target pixel
+    count (seeded from the original bytes), exercising the identical
+    actor-pool plumbing and binary-column round trip."""
+
+    def __init__(self, target: tuple = (224, 224), *, fake: bool = False):
+        self.target = tuple(target)
+        self.fake = fake
+        if not fake:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "image resize requires PIL, which is not available in this "
+                    "container; construct with fake=True for the deterministic stub"
+                ) from e
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tw, th = self.target
+        payloads = t["payload"].to_pylist()
+        out = []
+        # stub payload: ~1 byte per 256 target pixels, deterministic
+        target_len = max(8, (tw * th) // 256)
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            if self.fake:
+                src = np.frombuffer(p, dtype=np.uint8)
+                idx = (np.arange(target_len) * max(len(src), 1)) // target_len
+                out.append(src[np.minimum(idx, len(src) - 1)].tobytes())
+            else:  # pragma: no cover - real resize path stub
+                raise NotImplementedError("real image resize not available in this container")
+        n = len(t)
+        t = t.set_column(t.column_names.index("payload"), "payload",
+                         pa.array(out, pa.binary()))
+        t = t.set_column(t.column_names.index("width"), "width",
+                         pa.array([tw] * n, pa.int32()))
+        return t.set_column(t.column_names.index("height"), "height",
+                            pa.array([th] * n, pa.int32()))
+
+
 class FrameSample:
     """Video frame-sampling stage signature: emits one row per sampled
     frame index (1→N explode) with deterministic frame positions; the
