@@ -644,3 +644,53 @@ class TestSessionWindowBucketed:
         rows = sw.apply(ds_of(t, blocks=4)).take_all()
         assert len(rows) == 1
         assert rows[0]["n"] == 5000 and rows[0]["session_id"] == 1
+
+
+class TestReduceFastPath:
+    def _data(self, n=4000, keys=37):
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        order = rng.permutation(n)  # unique order values → deterministic
+        return pa.table({
+            "k": pa.array([f"req{i % keys}" for i in range(n)]),
+            "seq": pa.array(order, pa.int64()),
+            "bytes": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "msg": pa.array([f"m{i}" for i in range(n)]),
+            "code": pa.array([None if i % 11 == 0 else int(i % 7) for i in range(n)],
+                             pa.int64()),
+        })
+
+    def test_matches_general_path(self):
+        t = self._data()
+        strategies = {"bytes": "sum", "msg": "retain", "code": "max"}
+        fast = Reduce(["k"], merge_strategies=strategies, order_by="seq")
+        assert fast._fast_eligible()
+        general = Reduce(["k"], merge_strategies=strategies, order_by="seq",
+                         salted=False)
+        a = {r["k"]: r for r in fast.apply(ds_of(t, blocks=5)).take_all()}
+        b = {r["k"]: r for r in general.apply(ds_of(t, blocks=5)).take_all()}
+        assert set(a) == set(b)
+        for k in a:
+            for col in ("bytes", "msg", "code", "seq", "n_rows"):
+                assert a[k][col] == b[k][col], (k, col, a[k][col], b[k][col])
+
+    def test_discard_default_and_null_first_row(self):
+        # default strategy (discard) keeps the value at MIN order even
+        # when that value is null (skip_nulls=False semantics)
+        t = pa.table({"k": ["a", "a", "b"], "seq": [2, 1, 5],
+                      "v": pa.array([10, None, 7], pa.int64())})
+        r = Reduce(["k"], order_by="seq")
+        assert r._fast_eligible()
+        out = {x["k"]: x for x in r.apply(ds_of(t, blocks=2)).take_all()}
+        assert out["a"]["v"] is None  # seq=1 row has null v
+        assert out["a"]["n_rows"] == 2
+        assert out["b"]["v"] == 7
+
+    def test_ineligible_configs_fall_back(self):
+        r1 = Reduce(["k"], merge_strategies={"v": "concat"}, order_by="seq")
+        assert not r1._fast_eligible()
+        r2 = Reduce(["k"], order_by=None)
+        assert not r2._fast_eligible()
+        r3 = Reduce(["k"], order_by="seq", ends_when=C.eq("done", True))
+        assert not r3._fast_eligible()

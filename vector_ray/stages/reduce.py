@@ -24,6 +24,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from vector_ray.expr import Cond
 from vector_ray.stages.base import Step
@@ -258,7 +259,104 @@ class Reduce(Step):
             row[self.count_col] = int(m[self.count_col].sum())
         return pd.DataFrame([row])
 
+    # -- fully vectorized fast path ---------------------------------------
+    # strategies ⊆ {sum, min, max, discard, retain} with an order_by and
+    # no ends/starts_when (the common telemetry-reduce shape): per-BATCH
+    # Arrow hash-agg partials (implicit block salt — a hot key emits one
+    # row per block) + a bucketed vectorized merge. Zero per-key Python.
+
+    _FAST = ("sum", "min", "max", "discard", "retain")
+
+    def _fast_eligible(self) -> bool:
+        return (
+            self.salted
+            and self.order_by is not None
+            and self.ends_when is None
+            and self.starts_when is None
+            and all(s in self._FAST for s in self.merge_strategies.values())
+        )
+
+    def _fast_partial(self, t: pa.Table) -> pa.Table:
+        ob = self.order_by
+        t = t.sort_by(ob)
+        data_cols = [c for c in t.column_names if c not in self.group_by]
+        keep_null = pc.ScalarAggregateOptions(skip_nulls=False)
+        aggs = []
+        for c in data_cols:
+            s = self._strategy(c)
+            if s in ("sum", "min", "max"):
+                aggs.append((c, s))
+            elif s == "discard":
+                aggs.append((c, "first", keep_null))
+            else:  # retain
+                aggs.append((c, "last", keep_null))
+        t = t.append_column("__one", pa.array(np.ones(len(t), np.int64)))
+        t = t.append_column("__obc", t[ob])
+        aggs += [("__one", "sum"), ("__obc", "min"), ("__obc", "max")]
+        raw = pa.TableGroupBy(t, self.group_by).aggregate(aggs)
+        cols = {k: raw[k] for k in self.group_by}
+        for c in data_cols:
+            s = self._strategy(c)
+            fn = s if s in ("sum", "min", "max") else ("first" if s == "discard" else "last")
+            cols[c] = raw[f"{c}_{fn}"]
+        cols["__of"] = raw["__obc_min"]
+        cols["__ol"] = raw["__obc_max"]
+        cols["__n"] = raw["__one_sum"]
+        return pa.table(cols)
+
+    def _fast_merge(self, g: pa.Table) -> pa.Table:
+        """One vectorized merge over a whole hash bucket of partials."""
+        from vector_ray.stages.bucketed import _key_combo
+
+        data_cols = [c for c in g.column_names
+                     if c not in self.group_by and c not in ("__of", "__ol", "__n")]
+        g = g.append_column("__gk", _key_combo(g, self.group_by))
+        disc = [c for c in data_cols if self._strategy(c) == "discard"]
+        ret = [c for c in data_cols if self._strategy(c) == "retain"]
+        aggs = [(k, "first") for k in self.group_by] + [("__n", "sum")]
+        for c in data_cols:
+            s = self._strategy(c)
+            if s in ("sum", "min", "max"):
+                aggs.append((c, s))
+        raw = pa.TableGroupBy(
+            g.select(["__gk"] + sorted({c for c, *_ in aggs})), "__gk"
+        ).aggregate(aggs).sort_by("__gk")
+
+        def pick(cols, order_col, descending):
+            sub = g.select(["__gk", order_col] + cols).sort_by(
+                [("__gk", "ascending"), (order_col, "descending" if descending else "ascending")]
+            )
+            codes = np.asarray(pc.dictionary_encode(sub["__gk"].combine_chunks()).indices)
+            first = np.ones(len(sub), bool)
+            first[1:] = codes[1:] != codes[:-1]
+            return sub.filter(pa.array(first))
+
+        out = {k: raw[f"{k}_first"] for k in self.group_by}
+        disc_t = pick(disc, "__of", False) if disc else None
+        ret_t = pick(ret, "__ol", True) if ret else None
+        for c in data_cols:
+            s = self._strategy(c)
+            if s in ("sum", "min", "max"):
+                out[c] = raw[f"{c}_{s}"]
+            elif s == "discard":
+                out[c] = disc_t[c]
+            else:
+                out[c] = ret_t[c]
+        if self.count_col:
+            out[self.count_col] = raw["__n_sum"]
+        return pa.table(out)
+
+    def _apply_fast(self, ds):
+        from vector_ray.stages.bucketed import bucketed_map_groups
+
+        partial = ds.map_batches(
+            self._fast_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return bucketed_map_groups(partial, self.group_by, self._fast_merge)
+
     def apply(self, ds):
+        if self._fast_eligible():
+            return self._apply_fast(ds)
         if self.salted and self.ends_when is None and self.starts_when is None:
             from vector_ray.stages.salt import salted_group_reduce
 
