@@ -1252,6 +1252,108 @@ def q_flagship_tokenized(sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_vocab_topk(sf_dir):
+    """Corpus vocabulary top-k (ml/corpus.py vocab_topk): per-batch
+    value_counts partials → bucketed sum per word → two-phase global
+    top-k. Oracle: UNNEST word count ORDER BY cnt DESC LIMIT k."""
+    from vector_ray.ml.corpus import vocab_topk
+
+    ds = _rp(sf_dir, "documents", columns=["text"])
+    return vocab_topk(ds, col="text", k=40)
+
+
+def q_repetition_docs(sf_dir):
+    """Per-document Gopher-style repetition metrics (ml/corpus.py
+    repetition_stats) — one vectorized lexsort/reduceat pass per batch,
+    no shuffle. Float columns are exact int-ratio divisions so the
+    DuckDB oracle is bit-identical."""
+    from vector_ray.ml.corpus import repetition_stats
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_stats(t), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_TOKENS_Q_ROWS = 4_000
+
+
+def _tokens_q_path() -> str:
+    from vector_ray.sources.synth import synth_parquet
+
+    return synth_parquet(_TOKENS_Q_ROWS, seed=11, rows_per_file=1_000)
+
+
+def q_pack_sequences(sf_dir):
+    """Greedy sequence packing into ≤2048-token training examples
+    (ml/tokens.py pack_sequences) over the north-rule tokenized table.
+    Columns pruned at the read — packing needs lengths, not tokens.
+    Oracle: independent row-loop reimplementation (tools/golden.py)."""
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import pack_sequences
+
+    ds = rd.read_parquet(_tokens_q_path(), columns=["doc_id", "n_tok", "source"])
+    out = pack_sequences(ds, 2048)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("shard"), "shard",
+            pc.cast(t["shard"], pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_chunk_sequences(sf_dir):
+    """Split sequences into 512-token windows with 64-token overlap
+    (ml/tokens.py chunk_sequences) — stateless vectorized 1→N, no
+    shuffle. Compared by per-chunk length + token checksum (the SQL
+    list_slice oracle recomputes both)."""
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import chunk_sequences
+
+    ds = rd.read_parquet(_tokens_q_path(), columns=["doc_id", "tokens"])
+    out = chunk_sequences(ds, 512, overlap=64)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks()
+        vals = np.asarray(toks.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+        offs = np.asarray(toks.offsets, np.int64)
+        rel = offs - offs[0]
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        sums = cs[rel[1:]] - cs[rel[:-1]]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chunk_id": t["chunk_id"],
+            "n_tok": t["n_tok"],
+            "tok_sum": pa.array(sums),
+        })
+
+    return out.map_batches(checksum, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decontam_bench_table():
+    """Benchmark = 30 corpus rows (ids 100..129) → those docs are
+    contaminated by construction; short rows (n_tok < 8) stay clean."""
+    from vector_ray.sources.synth import synth_table
+
+    return synth_table(np.arange(100, 130), seed=11)
+
+
+def q_decontaminate(sf_dir):
+    """Eval-set decontamination (ml/tokens.py decontaminate): flag docs
+    sharing any 8-token n-gram with the benchmark. Benchmark hashes
+    broadcast once; one vectorized rolling-hash probe per batch.
+    Oracle: exact list_slice n-gram SEMI JOIN in DuckDB."""
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import decontaminate
+
+    ds = rd.read_parquet(_tokens_q_path(), columns=["doc_id", "tokens"])
+    out = decontaminate(ds, _decontam_bench_table(), n=8, mode="flag")
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def entry() -> Any:
     """Flagship-shaped pipeline over sf0.001 documents: regex-parse →
     enrich → route(copy) → per-lane aggregate. Returns the aggregate
@@ -1283,6 +1385,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "vocab_topk": q_vocab_topk,
+        "repetition_docs": q_repetition_docs,
+        "pack_sequences": q_pack_sequences,
+        "chunk_sequences": q_chunk_sequences,
+        "decontaminate": q_decontaminate,
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
         "enrich_find_ranges": q_enrich_find_ranges,
@@ -1373,7 +1480,49 @@ def _flagship_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    tokp = _tokens_q_path()
+    bench_ids = ", ".join(
+        f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
+    )
     return {
+        "vocab_topk": (
+            r"WITH w AS (SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w "
+            "WHERE word <> '' GROUP BY 1) "
+            "SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 40"
+        ),
+        "repetition_docs": (
+            r"WITH w AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY 1, 2), "
+            "s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(cnt) AS top_cnt FROM c GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(s.n_words, 0) AS n_words, "
+            "COALESCE(s.n_distinct, 0) AS n_distinct, "
+            "COALESCE(1 - (s.n_distinct / CAST(s.n_words AS DOUBLE)), 0.0) AS dup_word_frac, "
+            "COALESCE(s.top_cnt / CAST(s.n_words AS DOUBLE), 0.0) AS top_word_frac "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "chunk_sequences": (
+            f"WITH tok AS (SELECT * FROM read_parquet('{tokp}/part-*.parquet')), "
+            "c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "list_slice(tokens, CAST(i*448 + 1 AS BIGINT), CAST(i*448 + 512 AS BIGINT)) AS ch "
+            "FROM tok, UNNEST(range(0, CASE WHEN len(tokens) <= 512 THEN 1 "
+            "ELSE 1 + CAST(CEIL((len(tokens) - 512)::DOUBLE / 448) AS BIGINT) END)) AS u(i)) "
+            "SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tok, "
+            "CAST(list_aggregate(ch, 'sum') AS BIGINT) AS tok_sum FROM c"
+        ),
+        "decontaminate": (
+            f"WITH tok AS (SELECT * FROM read_parquet('{tokp}/part-*.parquet')), "
+            f"bench AS (SELECT tokens FROM tok WHERE doc_id IN ({bench_ids})), "
+            "bg AS (SELECT DISTINCT list_slice(tokens, CAST(i AS BIGINT), CAST(i + 7 AS BIGINT)) AS ng "
+            "FROM bench, UNNEST(range(1, len(tokens) - 6)) AS u(i)), "
+            "cg AS (SELECT doc_id, list_slice(tokens, CAST(i AS BIGINT), CAST(i + 7 AS BIGINT)) AS ng "
+            "FROM tok, UNNEST(range(1, len(tokens) - 6)) AS u(i)) "
+            "SELECT doc_id, doc_id IN (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (ng)) "
+            "AS contaminated FROM tok"
+        ),
         "filter_events": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'error' AND value > 100"
@@ -1744,5 +1893,6 @@ def _golden_oracles() -> dict[str, str]:
         "media_features": golden.media_features_sql(),
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
         "simhash_pairs": golden.simhash_pairs_sql(),
+        "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
     })
     return _GOLDEN_CACHE

@@ -1,0 +1,153 @@
+"""Tests for ml/corpus.py (vocab_topk, repetition_stats) and
+ml/tokens.py (pack_sequences, chunk_sequences, decontaminate)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.ml.corpus import repetition_stats, vocab_topk
+from vector_ray.ml.tokens import (
+    chunk_sequences,
+    decontaminate,
+    ngram_hashes,
+    pack_sequences,
+)
+
+
+def ds_of(tbl, blocks=2):
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def tok_tbl(rows):
+    """rows: list of (doc_id, tokens, source)."""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+        "source": pa.array([r[2] for r in rows]),
+    })
+
+
+class TestVocabTopk:
+    def test_words_topk(self):
+        t = pa.table({"text": ["a b a", "b c b b", None, "  a  "]})
+        out = vocab_topk(ds_of(t, blocks=3), col="text", k=2).take_all()
+        assert [(r["word"], r["cnt"]) for r in out] == [("b", 4), ("a", 3)]
+
+    def test_token_mode(self):
+        t = pa.table({"tokens": pa.array([[5, 5, 1], [5, 2], [2]], pa.list_(pa.int32()))})
+        out = vocab_topk(ds_of(t, blocks=2), col="tokens", k=10, mode="tokens").take_all()
+        assert [(r["token"], r["cnt"]) for r in out] == [(5, 3), (2, 2), (1, 1)]
+
+    def test_tie_break_is_term_ascending(self):
+        t = pa.table({"text": ["x y", "y x", "z"]})
+        out = vocab_topk(ds_of(t), col="text", k=2).take_all()
+        assert [r["word"] for r in out] == ["x", "y"]
+
+
+class TestRepetitionStats:
+    def test_fractions(self):
+        t = pa.table({"doc_id": [1, 2], "text": ["a a a b", "u v w"]})
+        out = repetition_stats(t).to_pydict()
+        assert out["n_words"] == [4, 3]
+        assert out["n_distinct"] == [2, 3]
+        assert out["dup_word_frac"] == [1 - 2 / 4.0, 0.0]
+        assert out["top_word_frac"] == [3 / 4.0, 1 / 3.0]
+
+    def test_empty_and_null(self):
+        t = pa.table({"doc_id": [1, 2], "text": ["", None]})
+        out = repetition_stats(t).to_pydict()
+        assert out["n_words"] == [0, 0]
+        assert out["dup_word_frac"] == [0.0, 0.0]
+        assert out["top_word_frac"] == [0.0, 0.0]
+
+
+class TestPackSequences:
+    def test_greedy_first_fit(self):
+        rows = [(f"d{i}", list(range(n)), "s") for i, n in
+                enumerate([3, 4, 5, 10, 2])]
+        out = pack_sequences(ds_of(tok_tbl(rows), blocks=3), 8,
+                             num_shards=1).take_all()
+        packs = sorted((r["pack_id"], r["n_seqs"], r["n_tok"]) for r in out)
+        # doc order d0(3) d1(4) d2(5) d3(10) d4(2):
+        # [d0,d1]=7, [d2,d4]? no — first-fit IN ORDER: [d0,d1]=7, [d2]=5+d4? d3 comes
+        # before d4: [d2]=5 (d3 won't fit), [d3]=10 oversize alone, [d4]=2
+        assert packs == [(0, 2, 7), (1, 1, 5), (2, 1, 10), (3, 1, 2)]
+
+    def test_packs_never_cross_shards_or_groups(self):
+        rng = np.random.default_rng(3)
+        rows = [(f"d{i:03d}", list(range(int(rng.integers(1, 30)))),
+                 f"s{i % 3}") for i in range(200)]
+        out = pack_sequences(ds_of(tok_tbl(rows), blocks=4), 64,
+                             num_shards=4).take_all()
+        # every (source, shard) has contiguous pack_ids from 0 and all
+        # packs within max_len unless single oversize
+        seen = {}
+        for r in out:
+            assert r["n_tok"] <= 64 or r["n_seqs"] == 1
+            seen.setdefault((r["source"], r["shard"]), []).append(r["pack_id"])
+        for ids in seen.values():
+            assert sorted(ids) == list(range(len(ids)))
+        assert sum(r["n_seqs"] for r in out) == 200
+
+    def test_deterministic_across_block_layouts(self):
+        rows = [(f"d{i:03d}", list(range(1 + i % 17)), f"s{i % 2}")
+                for i in range(120)]
+        a = sorted(map(tuple, (r.values() for r in pack_sequences(
+            ds_of(tok_tbl(rows), blocks=2), 32).take_all())))
+        b = sorted(map(tuple, (r.values() for r in pack_sequences(
+            ds_of(tok_tbl(rows), blocks=7), 32).take_all())))
+        assert a == b
+
+
+class TestChunkSequences:
+    def test_shapes_and_overlap(self):
+        t = tok_tbl([("a", list(range(7)), "s"), ("b", [9], "s")])
+        out = chunk_sequences(ds_of(t), 4, overlap=2).take_all()
+        by = {(r["doc_id"], r["chunk_id"]): r["tokens"] for r in out}
+        assert by[("a", 0)] == [0, 1, 2, 3]
+        assert by[("a", 1)] == [2, 3, 4, 5]
+        assert by[("a", 2)] == [4, 5, 6]
+        assert by[("b", 0)] == [9]
+        assert len(out) == 4
+
+    def test_no_overlap_covers_exactly(self):
+        t = tok_tbl([("a", list(range(10)), "s")])
+        out = chunk_sequences(ds_of(t, blocks=1), 4).take_all()
+        cat = [x for r in sorted(out, key=lambda r: r["chunk_id"])
+               for x in r["tokens"]]
+        assert cat == list(range(10))
+
+    def test_bad_overlap_raises(self):
+        t = tok_tbl([("a", [1], "s")])
+        with pytest.raises(ValueError):
+            chunk_sequences(ds_of(t), 4, overlap=4)
+
+
+class TestDecontaminate:
+    def test_flags_exact_ngram_overlap(self):
+        corpus = tok_tbl([
+            ("clean", [1, 2, 3, 4, 5], "s"),
+            ("dirty", [9, 9, 10, 11, 12, 13, 9], "s"),
+            ("short", [10, 11], "s"),
+        ])
+        bench = tok_tbl([("b", [10, 11, 12], "s")])
+        out = decontaminate(ds_of(corpus), bench, n=3).take_all()
+        got = {r["doc_id"]: r["contaminated"] for r in out}
+        assert got == {"clean": False, "dirty": True, "short": False}
+
+    def test_drop_mode(self):
+        corpus = tok_tbl([("a", [1, 2, 3], "s"), ("b", [4, 5, 6], "s")])
+        bench = tok_tbl([("x", [1, 2, 3], "s")])
+        out = decontaminate(ds_of(corpus), bench, n=3, mode="drop").take_all()
+        assert [r["doc_id"] for r in out] == ["b"]
+
+    def test_ngram_hashes_respect_row_boundaries(self):
+        toks = pa.array([[1, 2, 3], [3, 1, 2]], pa.list_(pa.int32()))
+        h, rows = ngram_hashes(toks, 3)
+        assert len(h) == 2 and list(rows) == [0, 1]
+        assert h[0] != h[1]  # (1,2,3) vs (3,1,2): order matters
+        single = pa.array([[1, 2, 3]], pa.list_(pa.int32()))
+        h2, _ = ngram_hashes(single, 3)
+        assert h2[0] == h[0]  # no cross-row window ever formed

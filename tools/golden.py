@@ -337,3 +337,44 @@ def simhash_pairs_sql() -> str:
             rows.append((a, b, int(hm[int(j)])))
     rows.sort()
     return _values_sql(rows, ["a", "b", "hamming"], ["VARCHAR", "VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — independent greedy first-fit reimplementation
+# (plain row loop; the engine under test uses searchsorted jumps)
+
+
+def pack_sequences_sql(n_rows: int = 4000, seed: int = 11, max_len: int = 2048,
+                       num_shards: int = 8) -> str:
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(n_rows, seed=seed)
+    src = t["source"].to_pylist()
+    docs = t["doc_id"].to_pylist()
+    ntoks = t["n_tok"].to_pylist()
+    recs = sorted(
+        (s, fnv1a_int(str(d)) % num_shards, str(d), int(nt))
+        for s, d, nt in zip(src, docs, ntoks)
+    )
+    out = []
+    i = 0
+    while i < len(recs):
+        s, sh = recs[i][0], recs[i][1]
+        pid = 0
+        while i < len(recs) and recs[i][0] == s and recs[i][1] == sh:
+            first = recs[i][2]
+            tot = recs[i][3]
+            nseq = 1
+            i += 1
+            while (i < len(recs) and recs[i][0] == s and recs[i][1] == sh
+                   and tot + recs[i][3] <= max_len):
+                tot += recs[i][3]
+                nseq += 1
+                i += 1
+            out.append((s, sh, pid, nseq, tot, first, recs[i - 1][2]))
+            pid += 1
+    return _values_sql(
+        out,
+        ["source", "shard", "pack_id", "n_seqs", "n_tok", "doc_first", "doc_last"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"],
+    )

@@ -1,0 +1,230 @@
+"""Token-sequence operators for training-data preparation over the
+north-rule input shape (doc_id:string, tokens:list<int32>, n_tok:int32,
+source:string):
+
+  pack_sequences   greedy first-fit packing of sequences into fixed-
+                   length training examples (shard-local, deterministic)
+  chunk_sequences  split long sequences into max_len windows with
+                   overlap (stateless 1→N, fully vectorized)
+  decontaminate    drop/flag documents sharing any token n-gram with a
+                   benchmark set (broadcast hash membership)
+
+All three are Ray-Data-first: chunking is a pure ``map_batches``
+expansion (no shuffle); packing shuffles only (group, shard) buckets and
+does O(#packs) Python work per bucket (searchsorted jumps, never
+per-row); decontamination broadcasts the benchmark n-gram hashes once
+via ``ray.put`` and filters with one vectorized membership probe per
+batch. Capabilities absent in the reference (event topology, not corpus
+prep; SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+import vector_ray.expr.kernels as F
+from vector_ray.stages.bucketed import bucketed_map_groups
+
+_P = np.uint64(0x100000001B3)  # FNV prime as the rolling-hash multiplier
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+
+def _assign_shard(t: pa.Table, id_col: str, num_shards: int) -> pa.Table:
+    fp = np.asarray(F.fingerprint(t[id_col]).to_numpy(zero_copy_only=False), np.uint64)
+    return t.append_column("shard", pa.array((fp % np.uint64(num_shards)).astype(np.int32)))
+
+
+def _pack_bucket(g: pa.Table, group_col: str, id_col: str, tok_col: str,
+                 max_len: int) -> pa.Table:
+    """Greedy first-fit packing over one bucket of (group, shard)
+    segments: sort, then jump pack boundaries via searchsorted on the
+    token cumsum — O(#packs log n) work, no per-row Python."""
+    g = g.sort_by([(group_col, "ascending"), ("shard", "ascending"),
+                   (id_col, "ascending")])
+    lens = np.asarray(pc.cast(g[tok_col], pa.int64()).to_numpy(zero_copy_only=False))
+    grp = np.asarray(pc.dictionary_encode(
+        g[group_col].combine_chunks() if isinstance(g[group_col], pa.ChunkedArray)
+        else g[group_col]).indices)
+    shd = np.asarray(g["shard"].to_numpy(zero_copy_only=False))
+    seg_start = np.ones(len(g), bool)
+    seg_start[1:] = (grp[1:] != grp[:-1]) | (shd[1:] != shd[:-1])
+    seg_bounds = np.append(np.nonzero(seg_start)[0], len(g))
+    c = np.zeros(len(g) + 1, np.int64)
+    np.cumsum(lens, out=c[1:])
+
+    pack_starts, pack_ends, pack_ids = [], [], []
+    for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+        start, pid = int(s), 0
+        while start < e:
+            end = int(np.searchsorted(c, c[start] + max_len, side="right")) - 1
+            end = min(max(end, start + 1), int(e))  # oversize row → own pack
+            pack_starts.append(start)
+            pack_ends.append(end)
+            pack_ids.append(pid)
+            pid += 1
+            start = end
+    ps = np.array(pack_starts, np.int64)
+    pe = np.array(pack_ends, np.int64)
+    ids = g[id_col].combine_chunks() if isinstance(g[id_col], pa.ChunkedArray) else g[id_col]
+    return pa.table({
+        group_col: g[group_col].take(pa.array(ps)),
+        "shard": g["shard"].take(pa.array(ps)),
+        "pack_id": pa.array(np.array(pack_ids, np.int64)),
+        "n_seqs": pa.array(pe - ps),
+        "n_tok": pa.array(c[pe] - c[ps]),
+        "doc_first": ids.take(pa.array(ps)),
+        "doc_last": ids.take(pa.array(pe - 1)),
+    })
+
+
+def pack_sequences(ds, max_len: int, *, group_col: str = "source",
+                   id_col: str = "doc_id", tok_col: str = "n_tok",
+                   num_shards: int = 8):
+    """Pack sequences into training examples of ≤ ``max_len`` tokens.
+
+    Deterministic contract: rows are sharded by
+    ``fnv1a(doc_id) % num_shards``; within each (group, shard), rows
+    ordered by ``doc_id`` are packed greedily first-fit in order (a row
+    longer than ``max_len`` becomes its own pack, untruncated). Packs
+    never cross shards — the shard is the unit of parallelism, so the
+    plan scales by raising ``num_shards``, and a resumable run can
+    re-pack any shard independently.
+
+    Returns one row per pack: (group, shard, pack_id, n_seqs, n_tok,
+    doc_first, doc_last).
+    """
+    sharded = ds.map_batches(
+        lambda t: _assign_shard(t, id_col, num_shards),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return bucketed_map_groups(
+        sharded, [group_col, "shard"],
+        lambda g: _pack_bucket(g, group_col, id_col, tok_col, max_len),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk_sequences
+
+
+def _chunk_batch(t: pa.Table, tok_col: str, id_col: str, max_len: int,
+                 stride: int) -> pa.Table:
+    toks = t[tok_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    lens = np.diff(offs)
+    # 1 chunk if len ≤ max_len, else 1 + ceil((len - max_len) / stride)
+    n_chunks = np.where(
+        lens <= max_len, 1, 1 + (np.maximum(lens - max_len, 0) + stride - 1) // stride
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    row_of = np.repeat(np.arange(len(t)), n_chunks)
+    chunk_id = (np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+    starts = offs[:-1][row_of] + chunk_id * stride
+    ends = np.minimum(starts + max_len, offs[1:][row_of])
+    out_lens = ends - starts
+    # gather flat values: repeat(starts) + intra-offset
+    out_offs = np.zeros(total + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    gather = (np.repeat(starts, out_lens)
+              + (np.arange(int(out_offs[-1])) - np.repeat(out_offs[:-1], out_lens)))
+    values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    base = offs[0]
+    chunk_vals = values[gather - base]
+    chunks = pa.ListArray.from_arrays(
+        pa.array(out_offs, pa.int32()), pa.array(chunk_vals)
+    )
+    ids = t[id_col].take(pa.array(row_of))
+    return pa.table({
+        id_col: ids,
+        "chunk_id": pa.array(chunk_id),
+        "tokens": chunks,
+        "n_tok": pa.array(out_lens),
+    })
+
+
+def chunk_sequences(ds, max_len: int, *, overlap: int = 0,
+                    tok_col: str = "tokens", id_col: str = "doc_id"):
+    """Split each sequence into windows of ``max_len`` tokens advancing
+    by ``max_len - overlap``; the final window may be shorter, and a
+    sequence ≤ ``max_len`` yields exactly one chunk. Stateless per-row
+    1→N expansion — no shuffle, vectorized gather over the flat token
+    buffer."""
+    if not 0 <= overlap < max_len:
+        raise ValueError("require 0 <= overlap < max_len")
+    stride = max_len - overlap
+    return ds.map_batches(
+        lambda t: _chunk_batch(t, tok_col, id_col, max_len, stride),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+
+
+def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All length-``n`` token windows as u64 polynomial hashes.
+    Returns (hashes, row_id) — vectorized: ``n`` shifted multiply-adds
+    over the flat value buffer, windows crossing row boundaries masked
+    out."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    lens = np.diff(offs)
+    values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False)).astype(np.uint64)
+    total = len(values)
+    if total < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    w = total - n + 1
+    acc = np.zeros(w, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = acc * _P + values[j:j + w]
+    row_of_pos = np.repeat(np.arange(len(lens)), lens)
+    valid = row_of_pos[:w] == row_of_pos[n - 1:]
+    return acc[valid], row_of_pos[:w][valid]
+
+
+def benchmark_ngram_set(bench: pa.Table, *, tok_col: str = "tokens",
+                        n: int = 8) -> np.ndarray:
+    """Sorted unique n-gram hashes of a (small) benchmark table."""
+    h, _ = ngram_hashes(bench[tok_col], n)
+    return np.unique(h)
+
+
+def decontaminate(ds, bench: pa.Table, *, n: int = 8, tok_col: str = "tokens",
+                  id_col: str = "doc_id", mode: str = "flag"):
+    """Mark (``mode="flag"``) or drop (``mode="drop"``) documents that
+    share any token ``n``-gram with the benchmark table — the standard
+    eval-decontamination pass. The benchmark hash set is built once on
+    the driver (benchmarks are small by definition) and broadcast via
+    ``ray.put``; each batch does one vectorized rolling-hash +
+    searchsorted membership probe. Sequences shorter than ``n`` cannot
+    be contaminated."""
+    bset = benchmark_ngram_set(bench, tok_col=tok_col, n=n)
+    bref = ray.put(bset)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        h, rows = ngram_hashes(t[tok_col], n)
+        contaminated = np.zeros(len(t), bool)
+        if len(h) and len(bs):
+            pos = np.searchsorted(bs, h)
+            pos[pos == len(bs)] = 0
+            hit = bs[pos] == h
+            contaminated[np.unique(rows[hit])] = True
+        if mode == "drop":
+            return t.filter(pa.array(~contaminated))
+        return t.append_column("contaminated", pa.array(contaminated))
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
