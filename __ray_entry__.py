@@ -1252,6 +1252,35 @@ def q_flagship_tokenized(sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_token_dedup_collapse(sf_dir):
+    """Near-dup CLUSTER COLLAPSE over tokenized sequences
+    (ml/dedup.py token_minhash_dedup): LSH pairs → union-find → keep
+    the lexicographically smallest id per cluster, broadcast drop set.
+    Same planted-dup input as token_near_dup; oracle is an independent
+    pairs+union-find reimplementation (tools/golden.py)."""
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import token_minhash_dedup
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table({
+        "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+        "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+        "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+        "source": t["source"].slice(0, 100).combine_chunks(),
+    })
+    full = pa.concat_tables([t, dup])
+    kept = token_minhash_dedup(rd.from_arrow(full).repartition(4))
+    return kept.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_vocab_topk(sf_dir):
     """Corpus vocabulary top-k (ml/corpus.py vocab_topk): per-batch
     value_counts partials → bucketed sum per word → two-phase global
@@ -1385,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "token_dedup_collapse": q_token_dedup_collapse,
         "vocab_topk": q_vocab_topk,
         "repetition_docs": q_repetition_docs,
         "pack_sequences": q_pack_sequences,
@@ -1894,5 +1924,6 @@ def _golden_oracles() -> dict[str, str]:
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
+        "token_dedup_collapse": golden.token_dedup_collapse_sql(),
     })
     return _GOLDEN_CACHE

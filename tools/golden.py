@@ -378,3 +378,52 @@ def pack_sequences_sql(n_rows: int = 4000, seed: int = 11, max_len: int = 2048,
         ["source", "shard", "pack_id", "n_seqs", "n_tok", "doc_first", "doc_last"],
         ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT", "VARCHAR", "VARCHAR"],
     )
+
+
+# ---------------------------------------------------------------------------
+# token_dedup_collapse — pairs (as token_near_dup) → union-find →
+# survivors; independent single-threaded reimplementation
+
+
+def token_dedup_collapse_sql() -> str:
+    import pyarrow as pa
+
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table({
+        "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+        "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+        "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+        "source": t["source"].slice(0, 100).combine_chunks(),
+    })
+    full = pa.concat_tables([t, dup])
+    seeds = [(17 + h * 2_654_435_761) & M64 for h in range(8)]
+    ids, sigs = [], []
+    for doc_id, toks in zip(full["doc_id"].to_pylist(), full["tokens"].to_pylist()):
+        v = np.asarray(toks, np.int64).astype(np.uint32).astype(np.uint64)
+        sig = _window_sig(v, 4, np.array(seeds, np.uint64))
+        if sig[0] == U64MAX:
+            continue
+        ids.append(str(doc_id))
+        sigs.append(sig)
+    pairs = _lsh_pairs(ids, sigs, bands=4, num_hashes=8, threshold=0.75)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    kept = [
+        (str(d), int(nt))
+        for d, nt in zip(full["doc_id"].to_pylist(), full["n_tok"].to_pylist())
+        if str(d) not in drop
+    ]
+    return _values_sql(kept, ["doc_id", "n_tok"], ["VARCHAR", "BIGINT"])
