@@ -124,6 +124,72 @@ def run_minhash_bench(ncpu: int, rows: int, num_hashes: int = 32) -> float:
     return sec
 
 
+def run_curation_bench(ncpu: int, rows: int) -> float:
+    """Timed corpus-curation pipeline: decontaminate (broadcast n-gram
+    probe, drop) → chunk_sequences (vectorized 1→N window split) over
+    the tokenized table — the map-only token-payload shape touching
+    every token twice. Ray must already be initialised."""
+    import glob
+
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import chunk_sequences, decontaminate
+    from vector_ray.sources.synth import synth_parquet, synth_table
+
+    wsrc = synth_parquet(64_000, seed=13, rows_per_file=1_000)
+    wfiles = sorted(glob.glob(os.path.join(wsrc, "part-*.parquet")))
+    bench_tbl = synth_table(np.arange(100, 130), seed=42)
+    chunk_sequences(
+        decontaminate(rd.read_parquet(wfiles, override_num_blocks=len(wfiles)),
+                      bench_tbl, n=8, mode="drop"),
+        512, overlap=64,
+    ).count()
+
+    files, tok_path = _flagship_files(rows)
+    _warm(tok_path)
+    t0 = time.time()
+    n = chunk_sequences(
+        decontaminate(rd.read_parquet(files, override_num_blocks=len(files)),
+                      bench_tbl, n=8, mode="drop"),
+        512, overlap=64,
+    ).count()
+    sec = time.time() - t0
+    assert n > 0
+    return sec
+
+
+def run_pack_bench(ncpu: int, rows: int) -> float:
+    """Timed pack_sequences over (doc_id, n_tok, source) — columns
+    pruned at the read; the cost is the (source, shard) bucket shuffle
+    plus O(#packs) searchsorted jumps."""
+    import glob
+
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import pack_sequences
+    from vector_ray.sources.synth import synth_parquet
+
+    wsrc = synth_parquet(64_000, seed=13, rows_per_file=1_000)
+    wfiles = sorted(glob.glob(os.path.join(wsrc, "part-*.parquet")))
+    pack_sequences(
+        rd.read_parquet(wfiles, columns=["doc_id", "n_tok", "source"],
+                        override_num_blocks=len(wfiles)), 2048,
+    ).count()
+
+    files, tok_path = _flagship_files(rows)
+    _warm(tok_path)
+    t0 = time.time()
+    n = pack_sequences(
+        rd.read_parquet(files, columns=["doc_id", "n_tok", "source"],
+                        override_num_blocks=len(files)),
+        2048, num_shards=max(64, 4 * ncpu),
+    ).count()
+    sec = time.time() - t0
+    assert n > 0
+    return sec
+
+
 def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     import ray
 
@@ -142,6 +208,12 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     flagship_reps = int(os.environ.get("VR_BENCH_FLAGSHIP_REPS", "3"))
     flagship_sec = min(run_flagship_bench(ncpu, bench_rows) for _ in range(flagship_reps))
     queries["flagship"] = round(flagship_sec, 3)
+    queries["curation"] = round(
+        min(run_curation_bench(ncpu, bench_rows) for _ in range(flagship_reps)), 3
+    )
+    queries["pack"] = round(
+        min(run_pack_bench(ncpu, bench_rows) for _ in range(flagship_reps)), 3
+    )
 
     # ---- sf-dir pipelines (reuse the driver-contract queries) ----
     import __ray_entry__ as entrymod

@@ -62,3 +62,29 @@ class TestTrainingDedupExample:
         assert files
         row = json.loads(open(files[0]).readline())
         assert {"doc_id", "text", "quality", "lang_pred"} <= set(row)
+
+
+class TestTrainingCurationExample:
+    def test_runs_decontaminate_chunk_pack(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_training_curation", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "training_curation.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        chunk_files = glob.glob("/tmp/vr_training_curation/chunks/**/*.parquet",
+                                recursive=True)
+        pack_files = glob.glob("/tmp/vr_training_curation/packs/**/*.parquet",
+                               recursive=True)
+        assert chunk_files and pack_files
+        chunks = pq.read_table(chunk_files)
+        assert {"doc_id", "chunk_id", "tokens", "n_tok"} <= set(chunks.column_names)
+        assert max(chunks["n_tok"].to_pylist()) <= 512
+        packs = pq.read_table(pack_files)
+        n_seqs = sum(packs["n_seqs"].to_pylist())
+        # all 20k sequences assigned to exactly one pack; contaminated
+        # docs were only dropped on the chunk branch
+        assert n_seqs == 20000

@@ -99,6 +99,25 @@ def vocab_topk(ds, *, col: str = "text", k: int = 50, mode: str = "words"):
     )
 
 
+class RepetitionStats:
+    """BatchStep-style wrapper: per-doc repetition metrics appended as
+    columns is NOT what the metric table needs — this emits the compact
+    (id, metrics) table per batch; fusable with neighbouring maps."""
+
+    fusable = True
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def apply(self, ds):
+        col, id_col = self.col, self.id_col
+        return ds.map_batches(
+            lambda t: repetition_stats(t, col=col, id_col=id_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+
 def repetition_stats(t: pa.Table, *, col: str = "text", id_col: str = "doc_id",
                      round_to: Optional[int] = None) -> pa.Table:
     """Per-document word-repetition metrics (one vectorized pass):

