@@ -1252,6 +1252,57 @@ def q_flagship_tokenized(sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_MIXTURE_RATES = {
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 15)},
+}
+
+
+def q_mixture_sample(sf_dir):
+    """Per-domain mixture sampling (ml/sampling.py mixture_sample):
+    keep each doc with its source's rate, deterministically by
+    fnv1a(doc_id|seed). Oracle: independent pure-Python FNV-1a
+    reimplementation over the same parquet (tools/golden.py)."""
+    from vector_ray.ml.sampling import mixture_sample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mixture_sample(
+        ds, _MIXTURE_RATES, key_col="source", id_col="doc_id",
+        default_rate=0.05, seed=7,
+    )
+    return _finish(out.select_columns(["doc_id", "source"]))
+
+
+def q_per_key_cap(sf_dir):
+    """Domain quota capping (ml/sampling.py per_key_cap): uniform
+    k-without-replacement per source via hash-min reservoir — the k
+    smallest salted id-hashes per key, two-phase grouped top-k plan.
+    Oracle: per-key sort of pure-Python FNV hashes (tools/golden.py)."""
+    from vector_ray.ml.sampling import per_key_cap
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    out = per_key_cap(ds, "source", 5, id_col="doc_id", seed=3)
+    return _finish(out.select_columns(["doc_id", "source"]))
+
+
+def q_shuffle_order(sf_dir):
+    """Reproducible global shuffle (ml/sampling.py
+    deterministic_shuffle): range-partitioned sort by fnv1a(id|seed);
+    first 64 rows returned with their position so the ORDER (not just
+    the set) is hash-checked. Oracle: pure-Python argsort of the same
+    hashes (tools/golden.py)."""
+    from vector_ray.ml.sampling import deterministic_shuffle
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    out = deterministic_shuffle(ds, id_col="doc_id", seed=5)
+    head = out.limit(64).to_pandas()
+    return pa.table({
+        "pos": pa.array(range(len(head)), pa.int64()),
+        "doc_id": pa.array(head["doc_id"].astype("int64"), pa.int64()),
+    })
+
+
 def q_token_dedup_collapse(sf_dir):
     """Near-dup CLUSTER COLLAPSE over tokenized sequences
     (ml/dedup.py token_minhash_dedup): LSH pairs → union-find → keep
@@ -1414,6 +1465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "mixture_sample": q_mixture_sample,
+        "per_key_cap": q_per_key_cap,
+        "shuffle_order": q_shuffle_order,
         "token_dedup_collapse": q_token_dedup_collapse,
         "vocab_topk": q_vocab_topk,
         "repetition_docs": q_repetition_docs,
@@ -1925,5 +1979,8 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
+        "mixture_sample": golden.mixture_sample_sql(_MIXTURE_RATES, 0.05, 7),
+        "per_key_cap": golden.per_key_cap_sql(5, 3),
+        "shuffle_order": golden.shuffle_order_sql(5, 64),
     })
     return _GOLDEN_CACHE

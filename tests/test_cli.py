@@ -88,3 +88,28 @@ class TestTrainingCurationExample:
         # all 20k sequences assigned to exactly one pack; contaminated
         # docs were only dropped on the chunk branch
         assert n_seqs == 20000
+
+
+class TestCorpusMixtureExample:
+    def test_runs_mixture_cap_shuffle(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_corpus_mixture", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "corpus_mixture.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_corpus_mixture/out/**/*.parquet", recursive=True)
+        assert files
+        t = pq.read_table(files)
+        per = {}
+        for s in t["source"].to_pylist():
+            per[s] = per.get(s, 0) + 1
+        # the hot source was downweighted to 0.1 then capped like the rest
+        assert max(per.values()) <= 200
+        # sources with < cap rows survive whole; at least one hit the cap
+        assert max(per.values()) == 200
+        # deterministic: rerun produces the identical kept set
+        assert len(set(t["doc_id"].to_pylist())) == t.num_rows

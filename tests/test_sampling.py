@@ -1,0 +1,118 @@
+"""Sampling / mixture operator tests (ml/sampling.py): determinism,
+rate accuracy, quota uniformity, split complementarity, shuffle
+permutation + seed sensitivity + block-layout invariance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.ml.sampling import (
+    deterministic_shuffle,
+    mixture_sample,
+    per_key_cap,
+    split_holdout,
+)
+
+
+def _docs(n=2000, n_src=8):
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % n_src}" for i in range(n)]),
+    })
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self):
+        t = _docs()
+        rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+        a = mixture_sample(rd.from_arrow(t).repartition(4), rates,
+                           key_col="source", default_rate=0.25, seed=1).take_all()
+        b = mixture_sample(rd.from_arrow(t).repartition(7), rates,
+                           key_col="source", default_rate=0.25, seed=1).take_all()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        per = {}
+        for r in a:
+            per[r["source"]] = per.get(r["source"], 0) + 1
+        assert per["s0"] == 250          # rate 1.0 keeps everything
+        assert "s2" not in per           # rate 0.0 keeps nothing
+        assert 85 <= per["s1"] <= 165    # ~125 expected
+        assert 30 <= per.get("s3", 0) <= 95  # default 0.25 → ~62
+
+    def test_seed_changes_selection(self):
+        t = _docs(500, 1)
+        a = {r["doc_id"] for r in mixture_sample(
+            rd.from_arrow(t), {}, default_rate=0.5, seed=1).take_all()}
+        b = {r["doc_id"] for r in mixture_sample(
+            rd.from_arrow(t), {}, default_rate=0.5, seed=2).take_all()}
+        assert a != b
+
+    def test_null_key_uses_default(self):
+        t = pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "source": pa.array([None] * 100, pa.string()),
+        })
+        out = mixture_sample(rd.from_arrow(t), {"s0": 1.0},
+                             default_rate=0.0, seed=1).take_all()
+        assert out == []
+
+
+class TestSplitHoldout:
+    def test_complementary_and_sized(self):
+        t = _docs(1000, 1)
+        tr = {r["doc_id"] for r in split_holdout(
+            rd.from_arrow(t).repartition(3), 0.1, seed=4, which="train").take_all()}
+        ho = {r["doc_id"] for r in split_holdout(
+            rd.from_arrow(t).repartition(5), 0.1, seed=4, which="holdout").take_all()}
+        assert tr | ho == set(range(1000)) and not (tr & ho)
+        assert 60 <= len(ho) <= 145  # ~100 expected
+
+
+class TestPerKeyCap:
+    def test_cap_and_determinism_across_layout(self):
+        t = _docs(1600, 4)
+        a = per_key_cap(rd.from_arrow(t).repartition(2), "source", 10, seed=2).take_all()
+        b = per_key_cap(rd.from_arrow(t).repartition(9), "source", 10, seed=2).take_all()
+        assert sorted((r["source"], r["doc_id"]) for r in a) == \
+            sorted((r["source"], r["doc_id"]) for r in b)
+        per = {}
+        for r in a:
+            per.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) == 10 for v in per.values())
+        # hash-min reservoir is a uniform sample: ids should not be the
+        # first 10 of any key (probability ~ (10/400)^10)
+        assert any(max(v) > 100 for v in per.values())
+
+    def test_small_groups_kept_whole(self):
+        t = _docs(12, 6)  # 2 rows per key < k
+        out = per_key_cap(rd.from_arrow(t), "source", 5, seed=0).take_all()
+        assert len(out) == 12
+
+
+class TestDeterministicShuffle:
+    def test_permutation_reproducible_and_seeded(self):
+        t = _docs(800, 1)
+        a = [r["doc_id"] for r in
+             deterministic_shuffle(rd.from_arrow(t).repartition(4), seed=9)
+             .take_all()]
+        b = [r["doc_id"] for r in
+             deterministic_shuffle(rd.from_arrow(t).repartition(6), seed=9)
+             .take_all()]
+        c = [r["doc_id"] for r in
+             deterministic_shuffle(rd.from_arrow(t).repartition(4), seed=10)
+             .take_all()]
+        assert a == b                      # layout-invariant order
+        assert sorted(a) == list(range(800))  # a permutation
+        assert a != c                      # seed changes the order
+        assert a != list(range(800))       # actually shuffled
+        # no serial correlation worth worrying about: mean |step| of a
+        # uniform permutation is ~n/3
+        steps = np.abs(np.diff(np.array(a)))
+        assert steps.mean() > 800 / 6
+
+    def test_keep_key_column(self):
+        t = _docs(50, 1)
+        out = deterministic_shuffle(rd.from_arrow(t), seed=1,
+                                    keep_key="shuffle_key").take_all()
+        assert all("shuffle_key" in r for r in out)
+        ks = [r["shuffle_key"] for r in out]
+        assert ks == sorted(ks)

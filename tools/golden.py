@@ -427,3 +427,44 @@ def token_dedup_collapse_sql() -> str:
         if str(d) not in drop
     ]
     return _values_sql(kept, ["doc_id", "n_tok"], ["VARCHAR", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# sampling / mixture operators (ml/sampling.py) — pure-Python FNV-1a
+# over "id|seed", independent of the vectorized kernel
+
+
+def _docs_id_source():
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "source"])
+    return list(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+
+
+def mixture_sample_sql(rates: dict, default_rate: float, seed: int) -> str:
+    scale = 1_000_000
+    rows = [
+        (i, s)
+        for i, s in _docs_id_source()
+        if fnv1a_int(f"{i}|{seed}") % scale
+        < int(round(rates.get(s, default_rate) * scale))
+    ]
+    return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
+
+
+def per_key_cap_sql(k: int, seed: int) -> str:
+    per: dict = {}
+    for i, s in _docs_id_source():
+        per.setdefault(s, []).append((fnv1a_int(f"{i}|{seed}"), i))
+    rows = []
+    for s in sorted(per):
+        for _, i in sorted(per[s])[:k]:
+            rows.append((i, s))
+    return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
+
+
+def shuffle_order_sql(seed: int, limit: int) -> str:
+    order = sorted(
+        (fnv1a_int(f"{i}|{seed}"), i) for i, _ in _docs_id_source()
+    )[:limit]
+    rows = [(pos, i) for pos, (_, i) in enumerate(order)]
+    return _values_sql(rows, ["pos", "doc_id"], ["BIGINT", "BIGINT"])

@@ -558,6 +558,74 @@ def _build_pack_sequences(cfg):
     return _Pack()
 
 
+@register_transform("mixture_sample")
+def _build_mixture_sample(cfg):
+    from vector_ray.ml.sampling import mixture_sample
+    from vector_ray.stages.base import Step
+
+    class _Mixture(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return mixture_sample(ds, dict(cfg.get("rates", {})),
+                                  key_col=cfg.get("key_field", "source"),
+                                  id_col=cfg.get("id_field", "doc_id"),
+                                  default_rate=cfg.get("default_rate", 1.0),
+                                  seed=cfg.get("seed", 0))
+
+    return _Mixture()
+
+
+@register_transform("per_key_cap")
+def _build_per_key_cap(cfg):
+    from vector_ray.ml.sampling import per_key_cap
+    from vector_ray.stages.base import Step
+
+    class _Cap(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return per_key_cap(ds, cfg.get("key_field", "source"), cfg["k"],
+                               id_col=cfg.get("id_field", "doc_id"),
+                               seed=cfg.get("seed", 0))
+
+    return _Cap()
+
+
+@register_transform("split_holdout")
+def _build_split_holdout(cfg):
+    from vector_ray.ml.sampling import split_holdout
+    from vector_ray.stages.base import Step
+
+    class _Split(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return split_holdout(ds, cfg["frac"],
+                                 id_col=cfg.get("id_field", "doc_id"),
+                                 seed=cfg.get("seed", 0),
+                                 which=cfg.get("which", "train"))
+
+    return _Split()
+
+
+@register_transform("deterministic_shuffle")
+def _build_deterministic_shuffle(cfg):
+    from vector_ray.ml.sampling import deterministic_shuffle
+    from vector_ray.stages.base import Step
+
+    class _Shuffle(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return deterministic_shuffle(ds,
+                                         id_col=cfg.get("id_field", "doc_id"),
+                                         seed=cfg.get("seed", 0),
+                                         keep_key=cfg.get("keep_key"))
+
+    return _Shuffle()
+
+
 @register_transform("decontaminate")
 def _build_decontaminate(cfg):
     from vector_ray.ml.tokens import decontaminate
