@@ -1364,6 +1364,54 @@ def _tokens_q_path() -> str:
     return synth_parquet(_TOKENS_Q_ROWS, seed=11, rows_per_file=1_000)
 
 
+def _passages_q_path() -> str:
+    """Tokenized corpus with PLANTED shared passages: for the first 60
+    base docs with ≥64 tokens, add a new doc whose tokens are a 48-token
+    span of base doc 2i followed by a 32-token span of base doc 2i+1 —
+    so 'found no duplicate passages' fails the oracle."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.sources.synth import synth_table
+
+    path = "/tmp/vr_oracle_passages"
+    fp = os.path.join(path, "part-0.parquet")
+    if not os.path.exists(fp):
+        t = synth_table(1_200, seed=23)
+        toks = t["tokens"].combine_chunks()
+        long_idx = [i for i, nt in enumerate(t["n_tok"].to_pylist()) if nt >= 64][:120]
+        ids, planted = [], []
+        for i in range(60):
+            a = toks[long_idx[2 * i]].as_py()[:48]
+            b = toks[long_idx[2 * i + 1]].as_py()[:32]
+            ids.append(f"pas-{i:03d}")
+            planted.append(a + b)
+        extra = pa.table({
+            "doc_id": pa.array(ids),
+            "tokens": pa.array(planted, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(p) for p in planted], pa.int32()),
+            "source": pa.array(["planted"] * 60),
+        })
+        full = pa.concat_tables([t, extra.cast(t.schema)])
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(full, fp)
+    return fp
+
+
+def q_dup_passages(sf_dir):
+    """Intra-corpus duplicate-passage detection (ml/tokens.py
+    dup_passages): distinct 16-gram windows per doc that occur in ≥2
+    docs — the Lee-et-al substring-dedup signal. Two shuffles: (whash,
+    id) pairs bucketed by hash, then per-doc partial sums. Oracle: the
+    same spec in DuckDB over n-gram VALUES (list_slice windows joined
+    on content, not hash)."""
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import dup_passages
+
+    ds = rd.read_parquet(_passages_q_path(), columns=["doc_id", "tokens"])
+    return _finish(dup_passages(ds, n=16))
+
+
 def q_pack_sequences(sf_dir):
     """Greedy sequence packing into ≤2048-token training examples
     (ml/tokens.py pack_sequences) over the north-rule tokenized table.
@@ -1465,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "dup_passages": q_dup_passages,
         "mixture_sample": q_mixture_sample,
         "per_key_cap": q_per_key_cap,
         "shuffle_order": q_shuffle_order,
@@ -1606,6 +1655,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok, UNNEST(range(1, len(tokens) - 6)) AS u(i)) "
             "SELECT doc_id, doc_id IN (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (ng)) "
             "AS contaminated FROM tok"
+        ),
+        "dup_passages": (
+            f"WITH tok AS (SELECT * FROM read_parquet('{_passages_q_path()}')), "
+            "d AS (SELECT DISTINCT doc_id, "
+            "list_slice(tokens, CAST(i AS BIGINT), CAST(i + 15 AS BIGINT)) AS ng "
+            "FROM tok, UNNEST(range(1, len(tokens) - 14)) AS u(i)), "
+            "c AS (SELECT ng, COUNT(*) AS ndocs FROM d GROUP BY ng), "
+            "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+            "CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+            "FROM d JOIN c USING (ng) GROUP BY doc_id) "
+            "SELECT doc_id, n_windows, n_dup, "
+            "n_dup / CAST(n_windows AS DOUBLE) AS dup_frac FROM per"
         ),
         "filter_events": (
             "SELECT event_id, user_id, value FROM events "

@@ -10,6 +10,7 @@ from vector_ray.ml.corpus import repetition_stats, vocab_topk
 from vector_ray.ml.tokens import (
     chunk_sequences,
     decontaminate,
+    dup_passages,
     ngram_hashes,
     pack_sequences,
 )
@@ -151,3 +152,48 @@ class TestDecontaminate:
         single = pa.array([[1, 2, 3]], pa.list_(pa.int32()))
         h2, _ = ngram_hashes(single, 3)
         assert h2[0] == h[0]  # no cross-row window ever formed
+
+
+class TestDupPassages:
+    def _corpus(self):
+        rng = np.random.default_rng(0)
+        docs = [rng.integers(0, 50_000, rng.integers(20, 120)).astype(np.int32)
+                for _ in range(200)]
+        span = rng.integers(0, 50_000, 40).astype(np.int32)
+        docs[0] = np.concatenate([docs[0][:10], span, docs[0][10:]])
+        docs[1] = np.concatenate([span, docs[1]])
+        return pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(200)]),
+            "tokens": pa.array([d.tolist() for d in docs], pa.list_(pa.int32())),
+        })
+
+    def test_planted_span_found_exactly(self):
+        t = self._corpus()
+        out = dup_passages(rd.from_arrow(t).repartition(4), n=16).take_all()
+        by = {r["doc_id"]: r for r in out}
+        # a 40-token shared span has exactly 40-16+1 = 25 shared windows
+        assert by["d0"]["n_dup"] == 25 and by["d1"]["n_dup"] == 25
+        assert by["d1"]["dup_frac"] == 25 / by["d1"]["n_windows"]
+        assert all(r["n_dup"] == 0 for r in out
+                   if r["doc_id"] not in ("d0", "d1"))
+        # docs shorter than n have no windows and no row
+        assert all(r["n_windows"] > 0 for r in out)
+
+    def test_sample_mod_is_content_consistent(self):
+        t = self._corpus()
+        full = {r["doc_id"]: r for r in
+                dup_passages(rd.from_arrow(t).repartition(3), n=16).take_all()}
+        samp = {r["doc_id"]: r for r in
+                dup_passages(rd.from_arrow(t).repartition(3), n=16,
+                             sample_mod=4).take_all()}
+        # sampled counts are subsets, and the shared span is still seen
+        # identically from both docs (selection by content hash)
+        for d, r in samp.items():
+            assert r["n_windows"] <= full[d]["n_windows"]
+            assert r["n_dup"] <= full[d]["n_dup"]
+        assert samp["d0"]["n_dup"] == samp["d1"]["n_dup"] > 0
+
+    def test_min_docs_threshold(self):
+        t = self._corpus()
+        out = dup_passages(rd.from_arrow(t), n=16, min_docs=3).take_all()
+        assert all(r["n_dup"] == 0 for r in out)

@@ -242,3 +242,85 @@ def decontaminate(ds, bench: pa.Table, *, n: int = 8, tok_col: str = "tokens",
         return t.append_column("contaminated", pa.array(contaminated))
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_passages(ds, *, n: int = 16, tok_col: str = "tokens",
+                 id_col: str = "doc_id", min_docs: int = 2,
+                 sample_mod: int = 1):
+    """Intra-corpus duplicate-passage detection (repeated token
+    ``n``-grams across documents — the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022): for each document, how many of its distinct token
+    ``n``-gram windows also occur in at least ``min_docs - 1`` OTHER
+    documents. Returns (id, n_windows, n_dup, dup_frac) for every doc
+    with ≥1 window (docs shorter than ``n`` have none).
+
+    Plan — two shuffles, no materialization, window payloads never
+    move: (1) map_batches emits DISTINCT (whash, id) pairs per doc
+    (u64 rolling hash, per-row sort + run-dedup); (2) hash-bucket by
+    whash, one vectorized pass per bucket run-segments equal hashes
+    and bincounts per-doc window/dup partials — windows partition
+    across buckets by hash, so per-(doc, bucket) partials sum exactly;
+    (3) groupby(id).sum of the ≤ num_buckets partial rows per doc.
+
+    ``sample_mod`` > 1 keeps only windows with whash % sample_mod == 0
+    — selection by CONTENT hash, so a shared passage is sampled
+    identically in every doc containing it (a stride would misalign);
+    dup_frac then estimates over ~1/sample_mod of the windows.
+    """
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h, rows = ngram_hashes(t[tok_col], n)
+        if sample_mod > 1:
+            keep = h % np.uint64(sample_mod) == 0
+            h, rows = h[keep], rows[keep]
+        # distinct (row, hash): rows is nondecreasing, sort hashes per row
+        order = np.lexsort((h, rows))
+        h, rows = h[order], rows[order]
+        keep = np.ones(len(h), bool)
+        keep[1:] = (h[1:] != h[:-1]) | (rows[1:] != rows[:-1])
+        h, rows = h[keep], rows[keep]
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"whash": pa.array(h, pa.uint64()),
+                         id_col: ids.take(pa.array(rows))})
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("whash", "ascending")])
+        h = np.asarray(g["whash"].to_numpy(zero_copy_only=False), np.uint64)
+        starts = np.ones(len(h), bool)
+        starts[1:] = h[1:] != h[:-1]
+        bounds = np.append(np.nonzero(starts)[0], len(h))
+        widths = np.diff(bounds)
+        dup_rows = np.repeat(widths >= min_docs, widths)
+        ids = g[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        d = ids.dictionary_encode()
+        codes = np.asarray(d.indices.to_numpy(zero_copy_only=False))
+        nd = len(d.dictionary)
+        return pa.table({
+            id_col: d.dictionary,
+            "n_windows": pa.array(np.bincount(codes, minlength=nd), pa.int64()),
+            "n_dup": pa.array(np.bincount(codes[dup_rows], minlength=nd), pa.int64()),
+        })
+
+    partials = bucketed_map_groups(pair_ds, ["whash"], bucket_fn)
+    summed = partials.groupby(id_col).sum(["n_windows", "n_dup"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = pc.cast(t["sum(n_windows)"], pa.int64())
+        ndup = pc.cast(t["sum(n_dup)"], pa.int64())
+        return pa.table({
+            id_col: t[id_col],
+            "n_windows": nw,
+            "n_dup": ndup,
+            "dup_frac": pc.divide(pc.cast(ndup, pa.float64()),
+                                  pc.cast(nw, pa.float64())),
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

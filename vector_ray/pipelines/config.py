@@ -558,6 +558,24 @@ def _build_pack_sequences(cfg):
     return _Pack()
 
 
+@register_transform("dup_passages")
+def _build_dup_passages(cfg):
+    from vector_ray.ml.tokens import dup_passages
+    from vector_ray.stages.base import Step
+
+    class _DupPassages(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return dup_passages(ds, n=cfg.get("ngram", 16),
+                                tok_col=cfg.get("field", "tokens"),
+                                id_col=cfg.get("id_field", "doc_id"),
+                                min_docs=cfg.get("min_docs", 2),
+                                sample_mod=cfg.get("sample_mod", 1))
+
+    return _DupPassages()
+
+
 @register_transform("mixture_sample")
 def _build_mixture_sample(cfg):
     from vector_ray.ml.sampling import mixture_sample
