@@ -255,72 +255,99 @@ def dup_passages(ds, *, n: int = 16, tok_col: str = "tokens",
     documents. Returns (id, n_windows, n_dup, dup_frac) for every doc
     with ≥1 window (docs shorter than ``n`` have none).
 
-    Plan — two shuffles, no materialization, window payloads never
-    move: (1) map_batches emits DISTINCT (whash, id) pairs per doc
-    (u64 rolling hash, per-row sort + run-dedup); (2) hash-bucket by
-    whash, one vectorized pass per bucket run-segments equal hashes
-    and bincounts per-doc window/dup partials — windows partition
-    across buckets by hash, so per-(doc, bucket) partials sum exactly;
-    (3) groupby(id).sum of the ≤ num_buckets partial rows per doc.
+    Plan — the two-pass candidate/verify shape (same as the LSH
+    pipelines): (1) COUNT pass — per batch, distinct window hashes
+    with their in-batch doc counts (whash, cnt) — pre-aggregated, so
+    the groupby-sum shuffle moves one row per distinct whash per
+    block, never one per (doc, window); a window shared by 10^8 docs
+    is a handful of partial-count rows, not a 10^8-row group. (2) The
+    dup-hash set (global count ≥ ``min_docs``) is pulled to the driver
+    and broadcast via ``ray.put`` (it is bounded by the volume of
+    ACTUALLY duplicated text, not corpus size — ``max_dup_hashes``
+    guards the assumption and fails loudly). (3) PROBE pass — map-only
+    second scan recomputes each row's window hashes and bincounts hits
+    against the broadcast sorted array. Token payloads never shuffle.
 
     ``sample_mod`` > 1 keeps only windows with whash % sample_mod == 0
     — selection by CONTENT hash, so a shared passage is sampled
     identically in every doc containing it (a stride would misalign);
     dup_frac then estimates over ~1/sample_mod of the windows.
     """
-    from vector_ray.stages.bucketed import bucketed_map_groups
+    return _dup_passages_impl(ds, n=n, tok_col=tok_col, id_col=id_col,
+                              min_docs=min_docs, sample_mod=sample_mod)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        h, rows = ngram_hashes(t[tok_col], n)
-        if sample_mod > 1:
-            keep = h % np.uint64(sample_mod) == 0
-            h, rows = h[keep], rows[keep]
-        # distinct (row, hash): rows is nondecreasing, sort hashes per row
-        order = np.lexsort((h, rows))
-        h, rows = h[order], rows[order]
-        keep = np.ones(len(h), bool)
-        keep[1:] = (h[1:] != h[:-1]) | (rows[1:] != rows[:-1])
+
+def _row_distinct_hashes(t: pa.Table, tok_col: str, n: int,
+                         sample_mod: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (whash, row) pairs of a batch, row-major."""
+    h, rows = ngram_hashes(t[tok_col], n)
+    if sample_mod > 1:
+        keep = h % np.uint64(sample_mod) == 0
         h, rows = h[keep], rows[keep]
-        ids = t[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table({"whash": pa.array(h, pa.uint64()),
-                         id_col: ids.take(pa.array(rows))})
+    order = np.lexsort((h, rows))
+    h, rows = h[order], rows[order]
+    keep = np.ones(len(h), bool)
+    keep[1:] = (h[1:] != h[:-1]) | (rows[1:] != rows[:-1])
+    return h[keep], rows[keep]
 
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_fn(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("whash", "ascending")])
-        h = np.asarray(g["whash"].to_numpy(zero_copy_only=False), np.uint64)
-        starts = np.ones(len(h), bool)
-        starts[1:] = h[1:] != h[:-1]
-        bounds = np.append(np.nonzero(starts)[0], len(h))
-        widths = np.diff(bounds)
-        dup_rows = np.repeat(widths >= min_docs, widths)
-        ids = g[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        d = ids.dictionary_encode()
-        codes = np.asarray(d.indices.to_numpy(zero_copy_only=False))
-        nd = len(d.dictionary)
+def _dup_passages_impl(ds, *, n, tok_col, id_col, min_docs, sample_mod,
+                       max_dup_hashes: int = 50_000_000):
+    # whash travels through groupby/broadcast as an int64 REINTERPRETATION
+    # of the u64 rolling hash (Ray Data's aggregate key path round-trips
+    # through Python ints, which overflow for u64 > 2^63). Equality is
+    # bit-identical under the view; both sides of the probe searchsorted
+    # use the same int64 view, so ordering stays consistent too.
+    def count_partial(t: pa.Table) -> pa.Table:
+        h, _ = _row_distinct_hashes(t, tok_col, n, sample_mod)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({"whash": pa.array(uh.view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    summed = counts.groupby("whash").sum("cnt")
+
+    def threshold(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["sum(cnt)"], pa.scalar(min_docs))
+        return t.filter(mask).select(["whash"])
+
+    dup_ds = summed.map_batches(threshold, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    parts, total = [], 0
+    for b in dup_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        parts.append(np.asarray(b["whash"].to_numpy(zero_copy_only=False),
+                                np.int64))
+        total += len(parts[-1])
+        if total > max_dup_hashes:
+            raise ValueError(
+                f"dup_passages: >{max_dup_hashes} duplicated window hashes; "
+                "raise sample_mod / n, or raise max_dup_hashes if the "
+                "driver has memory for the broadcast")
+    dup_sorted = (np.sort(np.concatenate(parts)) if parts
+                  else np.empty(0, np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    def probe(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        h, rows = _row_distinct_hashes(t, tok_col, n, sample_mod)
+        h = h.view(np.int64)
+        nw = np.bincount(rows, minlength=len(t)).astype(np.int64)
+        if len(dups) and len(h):
+            pos = np.searchsorted(dups, h)
+            pos[pos == len(dups)] = 0
+            hit = dups[pos] == h
+            ndup = np.bincount(rows[hit], minlength=len(t)).astype(np.int64)
+        else:
+            ndup = np.zeros(len(t), np.int64)
+        has = nw > 0  # docs shorter than n have no windows and no row
+        with np.errstate(invalid="ignore"):
+            frac = ndup / np.where(nw == 0, 1, nw)
         return pa.table({
-            id_col: d.dictionary,
-            "n_windows": pa.array(np.bincount(codes, minlength=nd), pa.int64()),
-            "n_dup": pa.array(np.bincount(codes[dup_rows], minlength=nd), pa.int64()),
+            id_col: t[id_col].filter(pa.array(has)),
+            "n_windows": pa.array(nw[has]),
+            "n_dup": pa.array(ndup[has]),
+            "dup_frac": pa.array(frac[has].astype(np.float64)),
         })
 
-    partials = bucketed_map_groups(pair_ds, ["whash"], bucket_fn)
-    summed = partials.groupby(id_col).sum(["n_windows", "n_dup"])
-
-    def finish(t: pa.Table) -> pa.Table:
-        nw = pc.cast(t["sum(n_windows)"], pa.int64())
-        ndup = pc.cast(t["sum(n_dup)"], pa.int64())
-        return pa.table({
-            id_col: t[id_col],
-            "n_windows": nw,
-            "n_dup": ndup,
-            "dup_frac": pc.divide(pc.cast(ndup, pa.float64()),
-                                  pc.cast(nw, pa.float64())),
-        })
-
-    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
