@@ -763,6 +763,30 @@ def q_embedding_dup_pairs(sf_dir):
     return _finish(pairs.select_columns(["a", "b"]))
 
 
+def q_semantic_dedup(sf_dir):
+    """SemDeDup-style keep/drop decision (ml/semdedup.semantic_dedup):
+    k-means cluster assignment (broadcast centroids) + ascending-id
+    greedy leader dedup within each cluster, same planted-copy corpus
+    as embedding_dup_pairs (vec_id<25 re-appended as +10000). Expected:
+    exactly the 25 copies get keep=false. Oracle: independent
+    single-threaded SemDeDup reimplementation (tools/golden.py)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.semdedup import semantic_dedup
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    planted = emb.filter(pc.less(emb["vec_id"], 25))
+    planted = pa.table({
+        "vec_id": pc.add(planted["vec_id"], 10_000),
+        "embedding": planted["embedding"],
+    })
+    ds = rd.from_arrow(pa.concat_tables([emb, planted])).repartition(4)
+    out = semantic_dedup(ds, tau=0.9, n_clusters=8, sample_size=1024)
+    return _finish(out.select_columns(["vec_id", "keep"]))
+
+
 def q_ann_ivf(sf_dir):
     """IVF top-k with FULL probing (n_probe = n_clusters): exercises the
     whole IVF machinery — sampled k-means centroids, per-batch cluster
@@ -1513,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "semantic_dedup": q_semantic_dedup,
         "dup_passages": q_dup_passages,
         "mixture_sample": q_mixture_sample,
         "per_key_cap": q_per_key_cap,
@@ -2043,5 +2068,6 @@ def _golden_oracles() -> dict[str, str]:
         "mixture_sample": golden.mixture_sample_sql(_MIXTURE_RATES, 0.05, 7),
         "per_key_cap": golden.per_key_cap_sql(5, 3),
         "shuffle_order": golden.shuffle_order_sql(5, 64),
+        "semantic_dedup": golden.semantic_dedup_sql(),
     })
     return _GOLDEN_CACHE

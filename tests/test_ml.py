@@ -492,3 +492,74 @@ class TestImageResize:
 
         with pytest.raises(NotImplementedError):
             ImageResize(fake=False)
+
+
+class TestSemanticDedup:
+    @staticmethod
+    def _corpus(n=200, dim=16, n_dup=10, seed=3):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, dim)).astype(np.float32)
+        # plant exact copies of the first n_dup rows with high ids
+        ids = list(range(n)) + [10_000 + i for i in range(n_dup)]
+        mat = np.concatenate([m, m[:n_dup]])
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        })
+
+    def test_planted_copies_dropped(self):
+        from vector_ray.ml.semdedup import semantic_dedup
+
+        t = self._corpus()
+        out = semantic_dedup(rd.from_arrow(t).repartition(4), tau=0.9,
+                             n_clusters=6, sample_size=512).take_all()
+        by_id = {r["vec_id"]: r["keep"] for r in out}
+        assert len(by_id) == len(t)
+        assert all(not by_id[10_000 + i] for i in range(10))
+        assert all(by_id[i] for i in range(200))
+
+    def test_partition_independent(self):
+        from vector_ray.ml.semdedup import semantic_dedup
+
+        t = self._corpus()
+        a = {(r["vec_id"], r["cluster"], r["keep"]) for r in semantic_dedup(
+            rd.from_arrow(t).repartition(3), tau=0.9, n_clusters=6,
+            sample_size=512).take_all()}
+        b = {(r["vec_id"], r["cluster"], r["keep"]) for r in semantic_dedup(
+            rd.from_arrow(t).repartition(7), tau=0.9, n_clusters=6,
+            sample_size=512).take_all()}
+        assert a == b
+
+    def test_degenerate_cluster_capped(self, caplog):
+        from vector_ray.ml.semdedup import semantic_dedup
+
+        # 300 identical vectors: one cluster, width 300 > max_cluster=64
+        v = np.ones(8, np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([list(v)] * 300, pa.list_(pa.float32())),
+        })
+        out = semantic_dedup(rd.from_arrow(t).repartition(2), tau=0.9,
+                             n_clusters=4, sample_size=512,
+                             max_cluster=64).take_all()
+        by_id = {r["vec_id"]: r["keep"] for r in out}
+        assert len(by_id) == 300
+        # inside the cap: leader kept, rest dropped; past the cap: kept
+        assert by_id[0] and not by_id[1] and not by_id[63]
+        assert by_id[64] and by_id[299]
+
+    def test_greedy_keep_matches_naive(self):
+        from vector_ray.ml.semdedup import _greedy_keep
+
+        rng = np.random.default_rng(11)
+        m = rng.normal(size=(700, 8)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        tau = 0.6
+        got = _greedy_keep(m, tau, chunk=64)
+        kept = []
+        want = np.zeros(len(m), bool)
+        for i in range(len(m)):
+            if not kept or (m[kept] @ m[i]).max() < tau:
+                want[i] = True
+                kept.append(i)
+        assert (got == want).all()

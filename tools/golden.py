@@ -468,3 +468,64 @@ def shuffle_order_sql(seed: int, limit: int) -> str:
     )[:limit]
     rows = [(pos, i) for pos, (_, i) in enumerate(order)]
     return _values_sql(rows, ["pos", "doc_id"], ["BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (ml/semdedup.py) — single-threaded SemDeDup reference:
+# normalize, driver-style Lloyd k-means on the full (sub-cap) table,
+# float64 argmax assignment, ascending-id greedy leader per cluster.
+# Planted copies (vec_id < 25 re-appended as +10000) are the expected
+# drops; the base table's max off-diagonal cosine is ~0.51 << tau.
+
+
+def semantic_dedup_sql(tau: float = 0.9, n_clusters: int = 8,
+                       iters: int = 10, seed: int = 5) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    base_ids = t["vec_id"].to_pylist()
+    base_m = np.array(t["embedding"].to_pylist(), np.float32)
+    planted = [i for i in base_ids if i < 25]
+    ids = np.array(base_ids + [i + 10_000 for i in planted], np.int64)
+    m = np.concatenate([base_m, base_m[[base_ids.index(i) for i in planted]]])
+
+    x = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mem = x[assign == c]
+            if len(mem):
+                v = mem.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    a = np.argmax(x.astype(np.float64) @ cent.T.astype(np.float64), axis=1)
+
+    def greedy(mat: np.ndarray, chunk: int = 256) -> np.ndarray:
+        w = len(mat)
+        keep = np.zeros(w, bool)
+        kept = np.empty((0, mat.shape[1]), mat.dtype)
+        for s in range(0, w, chunk):
+            c = mat[s:s + chunk]
+            vs = (c @ kept.T).max(axis=1) if len(kept) else np.full(
+                len(c), -2.0, np.float32)
+            g = c @ c.T
+            loc = []
+            for i in range(len(c)):
+                smax = vs[i]
+                if loc:
+                    smax = max(smax, g[i, loc].max())
+                if smax < tau:
+                    keep[s + i] = True
+                    loc.append(i)
+            kept = np.concatenate([kept, c[loc]]) if loc else kept
+        return keep
+
+    keep = np.ones(len(ids), bool)
+    for c in np.unique(a):
+        sel = np.nonzero(a == c)[0]
+        order = sel[np.argsort(ids[sel], kind="stable")]
+        if len(order) >= 2:
+            keep[order] = greedy(x[order])
+    rows = [(int(i), bool(k)) for i, k in zip(ids, keep)]
+    return _values_sql(rows, ["vec_id", "keep"], ["BIGINT", "BOOLEAN"])
