@@ -763,6 +763,20 @@ def q_embedding_dup_pairs(sf_dir):
     return _finish(pairs.select_columns(["a", "b"]))
 
 
+def q_lm_perplexity(sf_dir):
+    """CCNet-style LM quality scoring (ml/lm_score): char-trigram model
+    trained on the id-hash quarter-sample of documents, broadcast once,
+    scored map-only. Integer micro-nat NLLs make the result exact and
+    partition-independent. Oracle: independent per-doc single-threaded
+    reimplementation of the same spec (tools/golden.py)."""
+    from vector_ray.ml.lm_score import perplexity_score, train_char_lm
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    model = train_char_lm(ds, sample_mod=4)
+    out = perplexity_score(ds, model, keep_cols=("doc_id",))
+    return _finish(out.select_columns(["doc_id", "n_tri", "nll_micro"]))
+
+
 def q_semantic_dedup(sf_dir):
     """SemDeDup-style keep/drop decision (ml/semdedup.semantic_dedup):
     k-means cluster assignment (broadcast centroids) + ascending-id
@@ -1537,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
         "dup_passages": q_dup_passages,
         "mixture_sample": q_mixture_sample,
@@ -2069,5 +2084,6 @@ def _golden_oracles() -> dict[str, str]:
         "per_key_cap": golden.per_key_cap_sql(5, 3),
         "shuffle_order": golden.shuffle_order_sql(5, 64),
         "semantic_dedup": golden.semantic_dedup_sql(),
+        "lm_perplexity": golden.lm_perplexity_sql(),
     })
     return _GOLDEN_CACHE

@@ -563,3 +563,44 @@ class TestSemanticDedup:
                 want[i] = True
                 kept.append(i)
         assert (got == want).all()
+
+
+class TestLmScore:
+    def test_in_domain_scores_lower(self):
+        from vector_ray.ml.lm_score import perplexity_score, train_char_lm
+
+        train = ["the quick brown fox jumps over the lazy dog. " * 10] * 20
+        t = pa.table({
+            "doc_id": pa.array(range(23), pa.int64()),
+            "text": pa.array(train + [
+                "the quick brown fox jumps again.",
+                "zzqxj zzqxj qqxjz xjqqz zxqjz!",
+                "ab",  # < 3 symbols: no trigrams
+            ]),
+        })
+        ds = rd.from_arrow(t).repartition(3)
+        model = train_char_lm(ds, sample_mod=1)
+        out = {r["doc_id"]: r for r in perplexity_score(
+            ds, model, keep_cols=("doc_id",)).take_all()}
+        assert out[20]["ppl"] < out[21]["ppl"]
+        assert out[22]["n_tri"] == 0 and out[22]["ppl"] is None
+        assert out[22]["nll_micro"] == 0
+
+    def test_exact_and_partition_independent(self):
+        from vector_ray.ml.lm_score import perplexity_score, train_char_lm
+
+        rng = np.random.default_rng(4)
+        texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, size=80))
+                 for _ in range(60)]
+        t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                      "text": pa.array(texts)})
+        model = train_char_lm(rd.from_arrow(t).repartition(5), sample_mod=2)
+        a = sorted((r["doc_id"], r["n_tri"], r["nll_micro"]) for r in
+                   perplexity_score(rd.from_arrow(t).repartition(2), model,
+                                    keep_cols=("doc_id",)).take_all())
+        b = sorted((r["doc_id"], r["n_tri"], r["nll_micro"]) for r in
+                   perplexity_score(rd.from_arrow(t).repartition(9), model,
+                                    keep_cols=("doc_id",)).take_all())
+        assert a == b
+        # n_tri = len - 2 for pure-ascii rows
+        assert all(n == 78 for _, n, _ in a)

@@ -529,3 +529,55 @@ def semantic_dedup_sql(tau: float = 0.9, n_clusters: int = 8,
             keep[order] = greedy(x[order])
     rows = [(int(i), bool(k)) for i, k in zip(ids, keep)]
     return _values_sql(rows, ["vec_id", "keep"], ["BIGINT", "BOOLEAN"])
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity (ml/lm_score.py) — single-threaded char-trigram LM:
+# same 33-symbol byte-class spec, FNV id-hash sample, add-alpha
+# smoothing, integer micro-nat log-probs; per-doc NLL is an exact
+# integer sum so ordering/partitioning can't perturb it.
+
+
+def lm_perplexity_sql(sample_mod: int = 4, alpha: float = 0.5) -> str:
+    V = 33
+    cls = [32] * 256
+    for k in range(26):
+        cls[ord("a") + k] = k
+        cls[ord("A") + k] = k
+    for d in range(10):
+        cls[ord("0") + d] = 26
+    for b in b" \t\n\r":
+        cls[b] = 27
+    for b in b".,;:":
+        cls[b] = 28
+    for b in b"!?":
+        cls[b] = 29
+    for b in b"'\"":
+        cls[b] = 30
+    for b in b"()[]{}<>-_/":
+        cls[b] = 31
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def tris(s: str):
+        syms = [cls[x] for x in s.encode("utf-8")]
+        return [syms[j] * V * V + syms[j + 1] * V + syms[j + 2]
+                for j in range(max(len(syms) - 2, 0))]
+
+    counts = np.zeros(V ** 3, np.int64)
+    for i, s in docs:
+        if fnv1a_int(str(i)) % sample_mod == 0:
+            for g in tris(s):
+                counts[g] += 1
+    ctx = counts.reshape(V * V, V).sum(axis=1, keepdims=True)
+    logp = np.log(counts.reshape(V * V, V) + alpha) - np.log(ctx + alpha * V)
+    q = np.round(logp.reshape(-1) * 1e6).astype(np.int64)
+
+    rows = []
+    for i, s in docs:
+        g = tris(s)
+        rows.append((i, len(g), -int(sum(int(q[x]) for x in g))))
+    return _values_sql(rows, ["doc_id", "n_tri", "nll_micro"],
+                       ["BIGINT", "BIGINT", "BIGINT"])
