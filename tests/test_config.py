@@ -256,3 +256,32 @@ class TestInsertAtBypassesUpstream:
         ]
         results = run_unit_tests(cfg, tests)
         assert all(r["passed"] for r in results), results
+
+
+class TestCurationTransforms:
+    def test_semantic_dedup_and_lm_score_registered(self):
+        import numpy as np
+        import ray.data as rd
+
+        from vector_ray.pipelines.config import TRANSFORMS
+
+        rng = np.random.default_rng(2)
+        m = rng.normal(size=(60, 8)).astype(np.float32)
+        emb = pa.table({
+            "vec_id": pa.array(list(range(60)) + [9000, 9001], pa.int64()),
+            "embedding": pa.array(list(np.concatenate([m, m[:2]])),
+                                  pa.list_(pa.float32())),
+        })
+        sd = TRANSFORMS["semantic_dedup"]({"n_clusters": 4, "sample_size": 128})
+        out = sd.apply(rd.from_arrow(emb).repartition(3)).take_all()
+        keep = {r["vec_id"]: r["keep"] for r in out}
+        assert not keep[9000] and not keep[9001] and keep[0] and keep[1]
+
+        docs = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(["hello world this is doc %d" % i for i in range(30)]),
+        })
+        lm = TRANSFORMS["lm_score"]({"sample_mod": 2})
+        rows = lm.apply(rd.from_arrow(docs).repartition(2)).take_all()
+        assert len(rows) == 30
+        assert all(r["n_tri"] > 0 and r["nll_micro"] > 0 for r in rows)

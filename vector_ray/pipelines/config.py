@@ -673,6 +673,52 @@ def _build_decontaminate(cfg):
     return _Decontam()
 
 
+@register_transform("semantic_dedup")
+def _build_semantic_dedup(cfg):
+    from vector_ray.ml.semdedup import semantic_dedup
+    from vector_ray.stages.base import Step
+
+    class _SemDedup(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return semantic_dedup(
+                ds,
+                tau=cfg.get("threshold", 0.9),
+                n_clusters=cfg.get("n_clusters", 64),
+                vec_col=cfg.get("field", "embedding"),
+                id_col=cfg.get("id_field", "vec_id"),
+                sample_size=cfg.get("sample_size", 8192),
+                max_cluster=cfg.get("max_cluster", 8192),
+            )
+
+    return _SemDedup()
+
+
+@register_transform("lm_score")
+def _build_lm_score(cfg):
+    from vector_ray.ml.lm_score import perplexity_score, train_char_lm
+    from vector_ray.stages.base import Step
+
+    class _LmScore(Step):
+        fusable = False
+
+        def apply(self, ds):
+            model = train_char_lm(
+                ds,
+                text_col=cfg.get("field", "text"),
+                id_col=cfg.get("id_field", "doc_id"),
+                sample_mod=cfg.get("sample_mod", 1),
+                alpha=cfg.get("alpha", 0.5),
+            )
+            keep = tuple(cfg.get("keep_fields", ("doc_id",)))
+            return perplexity_score(
+                ds, model, text_col=cfg.get("field", "text"), keep_cols=keep
+            )
+
+    return _LmScore()
+
+
 def _preset_parser(kernel_name: str):
     """Preset single-regex log-format parsers (apache/nginx/glog/klog/
     linux-auth/user-agent/vpc-flow): parse `field`, unpack the result
