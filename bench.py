@@ -233,6 +233,8 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "hopping_window",
         "dd_search_events",
         "apache_log_parse",
+        "semantic_dedup",
+        "lm_perplexity",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
