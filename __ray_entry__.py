@@ -763,6 +763,27 @@ def q_embedding_dup_pairs(sf_dir):
     return _finish(pairs.select_columns(["a", "b"]))
 
 
+def q_pii_redact(sf_dir):
+    """VRL `redact` as a corpus-scrubbing stage
+    (lib/vrl/stdlib/src/redact.rs): every match of each pattern masked,
+    patterns applied in order. Both the kernel
+    (pc.replace_substring_regex) and the DuckDB oracle
+    (regexp_replace 'g') are RE2, so semantics line up exactly."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "redacted": F.redact(
+                t["text"], [r"customer\w*", r"\b(?:fast|slow)\b"],
+                replacement="[X]"),
+        })
+
+    return _finish(ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_lm_perplexity(sf_dir):
     """CCNet-style LM quality scoring (ml/lm_score): char-trigram model
     trained on the id-hash quarter-sample of documents, broadcast once,
@@ -1551,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "pii_redact": q_pii_redact,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
         "dup_passages": q_dup_passages,
@@ -1998,6 +2020,11 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(x.embedding, y.embedding) AS c "
             "FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id) "
             "SELECT a, b FROM p WHERE c >= 0.9"
+        ),
+        "pii_redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace(text, "
+            "'customer\\w*', '[X]', 'g'), '\\b(?:fast|slow)\\b', '[X]', 'g') "
+            "AS redacted FROM documents"
         ),
         "dd_search_events": (
             "SELECT event_id FROM events WHERE event_type = 'error' "
