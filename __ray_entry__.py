@@ -763,6 +763,72 @@ def q_embedding_dup_pairs(sf_dir):
     return _finish(pairs.select_columns(["a", "b"]))
 
 
+def q_field_shaping(sf_dir):
+    """The field-shaping transform chain in one pipeline: concat (with
+    substring ranges, src/transforms/concat.rs), templated add_fields,
+    coercer cast, rename_fields, remove_fields — all plain-SQL
+    expressible, so the oracle is direct."""
+    from vector_ray.stages.base import ChainStep
+    from vector_ray.stages.fields import (
+        AddFields,
+        Coercer,
+        Concat,
+        RemoveFields,
+        RenameFields,
+    )
+
+    ds = _rp(sf_dir, "documents")
+    chain = ChainStep([
+        Concat("head", ["lang[0..1]", "source[3..5]"], joiner="-"),
+        AddFields({"tag": "{{lang}}:{{source}}", "v": 3}),
+        Coercer({"n_chars": "float"}),
+        RenameFields({"lang": "language"}),
+        RemoveFields(["text"]),
+    ])
+    return _finish(chain.apply(ds))
+
+
+def q_ansi_logfmt_roundtrip(sf_dir):
+    """ansi_stripper + logfmt_parser round trip: render ANSI-colored
+    logfmt lines from events columns, strip the escapes
+    (src/transforms/ansi_stripper.rs), parse the logfmt back out
+    (logfmt_parser.rs) with a float coercion. The oracle derives the
+    fields straight from the source columns, so strip+parse must
+    exactly invert the render."""
+    from vector_ray.expr import F
+    from vector_ray.stages.base import ChainStep, FnStep
+    from vector_ray.stages.fields import AnsiStripper
+    from vector_ray.stages.parsers import LogfmtParser
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    esc = "\x1b"
+
+    def build(t: pa.Table) -> pa.Table:
+        msg = F.render(
+            t, esc + "[1;32mtype={{event_type}}" + esc + "[0m val={{value}}"
+        )
+        return pa.table({"event_id": t["event_id"], "message": msg})
+
+    chain = ChainStep([
+        FnStep(build),
+        AnsiStripper("message"),
+        LogfmtParser("message", fields=["type", "val"], types={"val": "float"}),
+    ])
+    return _finish(chain.apply(ds))
+
+
+def q_split_fields(sf_dir):
+    """split transform (src/transforms/split.rs): whitespace-split the
+    doc text, assign the first three tokens positionally. Oracle:
+    split_part — documents always have ≥3 words so positional
+    assignment is total."""
+    from vector_ray.stages.parsers import SplitParser
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    parser = SplitParser("text", ["w1", "w2", "w3"])
+    return _finish(parser.apply(ds))
+
+
 def q_pii_redact(sf_dir):
     """VRL `redact` as a corpus-scrubbing stage
     (lib/vrl/stdlib/src/redact.rs): every match of each pattern masked,
@@ -1572,6 +1638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "field_shaping": q_field_shaping,
+        "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
+        "split_fields": q_split_fields,
         "pii_redact": q_pii_redact,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
@@ -2020,6 +2089,22 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(x.embedding, y.embedding) AS c "
             "FROM all_v x JOIN all_v y ON x.vec_id < y.vec_id) "
             "SELECT a, b FROM p WHERE c >= 0.9"
+        ),
+        "field_shaping": (
+            "SELECT doc_id, lang AS language, source, "
+            "CAST(n_chars AS DOUBLE) AS n_chars, "
+            "substr(lang, 1, 1) || '-' || substr(source, 4, 2) AS head, "
+            "lang || ':' || source AS tag, CAST(3 AS BIGINT) AS v "
+            "FROM documents"
+        ),
+        "ansi_logfmt_roundtrip": (
+            "SELECT event_id, event_type AS type, "
+            "CAST(value AS DOUBLE) AS val FROM events"
+        ),
+        "split_fields": (
+            "SELECT doc_id, split_part(text, ' ', 1) AS w1, "
+            "split_part(text, ' ', 2) AS w2, split_part(text, ' ', 3) AS w3 "
+            "FROM documents"
         ),
         "pii_redact": (
             "SELECT doc_id, regexp_replace(regexp_replace(text, "
