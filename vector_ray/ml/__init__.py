@@ -1,4 +1,6 @@
 """Large-scale training-data operators beyond the reference's inventory:
 deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
-cosine), ANN similarity search, text analysis (language-ID, quality,
-token counts, fingerprints), and multimodal column plumbing."""
+cosine, SemDeDup semantic), ANN similarity search, text analysis
+(language-ID, quality, LM perplexity, token counts, fingerprints),
+corpus assembly (packing, chunking, decontamination, mixture sampling),
+and multimodal column plumbing."""
