@@ -817,6 +817,35 @@ def q_ansi_logfmt_roundtrip(sf_dir):
     return _finish(chain.apply(ds))
 
 
+def q_compound_route(sf_dir):
+    """Config-macro oracle: a compound (serial) macro feeding a route
+    with a named lane port, all through the registry
+    (src/config/compiler.rs:105-146 expansion semantics,
+    src/transforms/route.rs named outputs). Reads the real parquet
+    source; the `en` lane port must equal the plain SQL filter."""
+    from vector_ray.pipelines.config import load_config
+
+    cfg = {
+        "sources": {"docs": {
+            "type": "parquet",
+            "path": os.path.join(sf_dir, "documents.parquet"),
+        }},
+        "transforms": {
+            "pipe": {"type": "compound", "inputs": ["docs"], "steps": [
+                {"type": "add_fields",
+                 "fields": {"bucket": "{{lang}}-{{source}}"}},
+                {"type": "remove_fields", "fields": ["text"]},
+            ]},
+            "lanes": {"type": "route", "inputs": ["pipe"], "route": {
+                "en": {"op": "eq", "field": "lang", "value": "en"},
+                "big": {"op": "gte", "field": "n_chars", "value": 300},
+            }, "unmatched_lane": "rest"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["lanes.en"]}},
+    }
+    return _finish(load_config(cfg).node_dataset("lanes.en"))
+
+
 def q_split_fields(sf_dir):
     """split transform (src/transforms/split.rs): whitespace-split the
     doc text, assign the first three tokens positionally. Oracle:
@@ -1640,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "field_shaping": q_field_shaping,
         "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
+        "compound_route": q_compound_route,
         "split_fields": q_split_fields,
         "pii_redact": q_pii_redact,
         "lm_perplexity": q_lm_perplexity,
@@ -2100,6 +2130,11 @@ def oracle_sql() -> dict[str, str]:
         "ansi_logfmt_roundtrip": (
             "SELECT event_id, event_type AS type, "
             "CAST(value AS DOUBLE) AS val FROM events"
+        ),
+        "compound_route": (
+            "SELECT doc_id, lang, source, n_chars, "
+            "lang || '-' || source AS bucket "
+            "FROM documents WHERE lang = 'en'"
         ),
         "split_fields": (
             "SELECT doc_id, split_part(text, ' ', 1) AS w1, "
