@@ -817,6 +817,29 @@ def q_ansi_logfmt_roundtrip(sf_dir):
     return _finish(chain.apply(ds))
 
 
+def q_stdlib_hashes(sf_dir):
+    """VRL crypto/codec/string leaf kernels vs DuckDB built-ins:
+    md5, sha2(-256), encode_base64, upcase, truncate,
+    strip_whitespace (lib/vrl/stdlib/src/{md5,sha2,encode_base64,
+    upcase,truncate}.rs)."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        head = F.truncate(t["text"], 12)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h_md5": F.md5(t["source"]),
+            "h_sha2": F.sha2(t["source"]),
+            "b64": F.encode_base64(head),
+            "up": F.upcase(t["source"]),
+            "head": F.strip_whitespace(head),
+        })
+
+    return _finish(ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_compound_route(sf_dir):
     """Config-macro oracle: a compound (serial) macro feeding a route
     with a named lane port, all through the registry
@@ -1669,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "field_shaping": q_field_shaping,
         "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
+        "stdlib_hashes": q_stdlib_hashes,
         "compound_route": q_compound_route,
         "split_fields": q_split_fields,
         "pii_redact": q_pii_redact,
@@ -2130,6 +2154,11 @@ def oracle_sql() -> dict[str, str]:
         "ansi_logfmt_roundtrip": (
             "SELECT event_id, event_type AS type, "
             "CAST(value AS DOUBLE) AS val FROM events"
+        ),
+        "stdlib_hashes": (
+            "SELECT doc_id, md5(source) AS h_md5, sha256(source) AS h_sha2, "
+            "to_base64(encode(left(text, 12))) AS b64, upper(source) AS up, "
+            "trim(left(text, 12)) AS head FROM documents"
         ),
         "compound_route": (
             "SELECT doc_id, lang, source, n_chars, "
