@@ -138,9 +138,12 @@ def _chunk_batch(t: pa.Table, tok_col: str, id_col: str, max_len: int,
     np.cumsum(out_lens, out=out_offs[1:])
     base = offs[0]
     n_out = int(out_offs[-1])
-    gather = np.repeat((starts - base).astype(np.int32), out_lens)
+    # gather[i] = start_of_chunk + (i - chunk_out_start): ONE repeat of
+    # the fused per-chunk shift, not one per term (token-volume passes
+    # are the cost here)
+    shift = (starts - base - out_offs[:-1]).astype(np.int32)
+    gather = np.repeat(shift, out_lens)
     gather += np.arange(n_out, dtype=np.int32)
-    gather -= np.repeat(out_offs[:-1].astype(np.int32), out_lens)
     values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
     chunk_vals = values[gather]
     chunks = pa.ListArray.from_arrays(
