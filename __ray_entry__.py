@@ -1463,6 +1463,23 @@ def q_per_key_cap(sf_dir):
     return _finish(out.select_columns(["doc_id", "source"]))
 
 
+def q_token_budget_cap(sf_dir):
+    """Per-domain token-budget sampling (ml/sampling.py
+    token_budget_cap): per source keep the maximal salted-id-hash-order
+    prefix with inclusive n_chars sum <= budget — the "mix N tokens per
+    domain" step of corpus assembly. Two-phase: blocks prune rows whose
+    LOCAL prefix already overflows and forward one first-overflow
+    marker per (key, block); phase 2 cuts at the smallest marker, bit-
+    equal to a global single pass. Oracle: pure-Python FNV strict-
+    prefix reimplementation (tools/golden.py)."""
+    from vector_ray.ml.sampling import token_budget_cap
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = token_budget_cap(ds, "source", 4000, weight_col="n_chars",
+                           id_col="doc_id", seed=11)
+    return _finish(out.select_columns(["doc_id", "source", "n_chars"]))
+
+
 def q_shuffle_order(sf_dir):
     """Reproducible global shuffle (ml/sampling.py
     deterministic_shuffle): range-partitioned sort by fnv1a(id|seed);
@@ -1690,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "token_budget_cap": q_token_budget_cap,
         "field_shaping": q_field_shaping,
         "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
         "stdlib_hashes": q_stdlib_hashes,
@@ -2256,6 +2274,7 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
+        "token_budget_cap": golden.token_budget_cap_sql(4000, 11),
         "mixture_sample": golden.mixture_sample_sql(_MIXTURE_RATES, 0.05, 7),
         "per_key_cap": golden.per_key_cap_sql(5, 3),
         "shuffle_order": golden.shuffle_order_sql(5, 64),

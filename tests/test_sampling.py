@@ -8,6 +8,7 @@ import ray.data as rd
 
 from vector_ray.ml.sampling import (
     deterministic_shuffle,
+    token_budget_cap,
     mixture_sample,
     per_key_cap,
     split_holdout,
@@ -116,3 +117,63 @@ class TestDeterministicShuffle:
         assert all("shuffle_key" in r for r in out)
         ks = [r["shuffle_key"] for r in out]
         assert ks == sorted(ks)
+
+
+class TestTokenBudgetCap:
+    @staticmethod
+    def _ref_keep(tbl, budget, seed):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from golden import fnv1a_int
+
+        per = {}
+        for rid, key, w in zip(tbl["doc_id"].to_pylist(),
+                               tbl["source"].to_pylist(),
+                               tbl["w"].to_pylist()):
+            per.setdefault(key, []).append((fnv1a_int(f"{rid}|{seed}"), rid, w))
+        kept = set()
+        for lst in per.values():
+            tot = 0
+            for _, rid, w in sorted(lst):
+                tot += w
+                if tot > budget:
+                    break
+                kept.add(rid)
+        return kept
+
+    def _wdocs(self, n=600, n_src=5, seed=0):
+        rng = np.random.default_rng(seed)
+        t = _docs(n, n_src)
+        return t.append_column("w", pa.array(rng.integers(1, 50, n), pa.int64()))
+
+    def test_matches_reference_and_layout_invariant(self):
+        t = self._wdocs()
+        want = self._ref_keep(t, 400, seed=3)
+        for parts in (1, 4, 9):
+            out = token_budget_cap(
+                rd.from_arrow(t).repartition(parts), "source", 400,
+                weight_col="w", id_col="doc_id", seed=3,
+            ).take_all()
+            assert {r["doc_id"] for r in out} == want, f"parts={parts}"
+            assert all("__vr_ovf" not in r and "__vr_hkey" not in r for r in out)
+
+    def test_budget_is_strict_prefix(self):
+        t = self._wdocs(300, 3, seed=1)
+        out = token_budget_cap(rd.from_arrow(t).repartition(5), "source", 250,
+                               weight_col="w", id_col="doc_id", seed=7).take_all()
+        per = {}
+        for r in out:
+            per.setdefault(r["source"], 0)
+            per[r["source"]] += r["w"]
+        assert per and all(v <= 250 for v in per.values())
+
+    def test_zero_budget_and_oversize_rows(self):
+        t = self._wdocs(50, 2, seed=2)
+        assert token_budget_cap(rd.from_arrow(t), "source", 0,
+                                weight_col="w", id_col="doc_id").count() == 0
+        # budget below every weight → nothing kept (strict prefix, no skip)
+        big = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                        "source": pa.array(["a", "a", "b"]),
+                        "w": pa.array([100, 100, 100], pa.int64())})
+        assert token_budget_cap(rd.from_arrow(big), "source", 99,
+                                weight_col="w", id_col="doc_id").count() == 0

@@ -462,6 +462,28 @@ def per_key_cap_sql(k: int, seed: int) -> str:
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
 
 
+def token_budget_cap_sql(budget: int, seed: int) -> str:
+    """Strict-prefix per-key budget (ml/sampling.py token_budget_cap):
+    per source, in (fnv1a(doc_id|seed), doc_id) order, keep rows while
+    the inclusive n_chars prefix sum stays <= budget."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "source", "n_chars"])
+    per: dict = {}
+    for i, s, w in zip(t["doc_id"].to_pylist(), t["source"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        per.setdefault(s, []).append((fnv1a_int(f"{i}|{seed}"), i, int(w)))
+    rows = []
+    for s in sorted(per):
+        tot = 0
+        for _, i, w in sorted(per[s]):
+            tot += w
+            if tot > budget:
+                break
+            rows.append((i, s, w))
+    return _values_sql(rows, ["doc_id", "source", "n_chars"],
+                       ["BIGINT", "VARCHAR", "BIGINT"])
+
+
 def shuffle_order_sql(seed: int, limit: int) -> str:
     order = sorted(
         (fnv1a_int(f"{i}|{seed}"), i) for i, _ in _docs_id_source()

@@ -138,6 +138,110 @@ def per_key_cap(
     return out.drop_columns([_HKEY])
 
 
+_OVF = "__vr_ovf"
+
+
+def _budget_pass(t: pa.Table, key_col: str, weight_col: str, id_col: str,
+                 budget: int, *, emit_markers: bool) -> pa.Table:
+    """One strict-prefix budget pass over a table carrying ``_HKEY``:
+    sort by (key, hash, id), keep rows whose per-key inclusive prefix
+    sum of ``weight_col`` is ≤ ``budget``. With ``emit_markers`` the
+    FIRST overflowing row per key is kept too, flagged ``_OVF=True`` —
+    the phase-1 → phase-2 cutoff signal (see ``token_budget_cap``).
+    Without markers, rows at/after any incoming ``_OVF`` row are
+    dropped before the prefix test (phase 2)."""
+    if len(t) == 0:
+        if emit_markers and _OVF not in t.column_names:
+            return t.append_column(_OVF, pa.array([], pa.bool_()))
+        if not emit_markers and _OVF in t.column_names:
+            return t.drop_columns([_OVF])
+        return t
+    t = t.sort_by([(key_col, "ascending"), (_HKEY, "ascending"),
+                   (id_col, "ascending")])
+    from vector_ray.stages.bucketed import _run_starts
+
+    new_run = _run_starts(t, [key_col])
+    w = np.asarray(
+        pc.cast(t[weight_col], pa.int64()).combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        if isinstance(t[weight_col], pa.ChunkedArray)
+        else pc.cast(t[weight_col], pa.int64()).to_numpy(zero_copy_only=False),
+        np.int64,
+    )
+    if _OVF in t.column_names:
+        ovf_in = np.asarray(t[_OVF].combine_chunks().to_numpy(zero_copy_only=False)
+                            if isinstance(t[_OVF], pa.ChunkedArray)
+                            else t[_OVF].to_numpy(zero_copy_only=False), bool)
+    else:
+        ovf_in = np.zeros(len(t), bool)
+    starts = np.nonzero(new_run)[0]
+    seg_id = np.cumsum(new_run) - 1
+    # rows at/after a key's first marker are globally past the cutoff
+    mcum = np.cumsum(ovf_in)
+    blocked = (mcum - (mcum[starts] - ovf_in[starts])[seg_id]) >= 1
+    live_w = np.where(blocked, 0, w)
+    c = np.cumsum(live_w)
+    prefix = c - (c[starts] - live_w[starts])[seg_id]
+    keep = ~blocked & (prefix <= budget)
+    if not emit_markers:
+        out = t.filter(pa.array(keep))
+        return out.drop_columns([_OVF]) if _OVF in out.column_names else out
+    # first overflow per key = first ~keep row of each segment
+    over = ~keep
+    ocum = np.cumsum(over)
+    first_over = over & ((ocum - (ocum[starts] - over[starts])[seg_id]) == 1)
+    out = t.filter(pa.array(keep | first_over))
+    return out.append_column(_OVF, pa.array(first_over[keep | first_over]))
+
+
+def token_budget_cap(
+    ds,
+    key_col: str,
+    budget: int,
+    *,
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_buckets: Optional[int] = None,
+):
+    """Per-key token-budget sampling — "mix N tokens per domain": keep,
+    per key, the maximal prefix in salted-id-hash order whose inclusive
+    ``weight_col`` sum is ≤ ``budget`` (strict prefix: the first
+    overflowing row and everything after it are dropped, so the kept
+    set is a uniform hash-prefix of the key and is deterministic on any
+    cluster shape).
+
+    Two-phase scale plan (weights are nonnegative, so the per-key
+    prefix sum is monotone): a row whose LOCAL in-block prefix already
+    exceeds the budget can only be further along in the global order —
+    phase 1 drops it before the shuffle, bounding each block's shuffle
+    contribution to ~``budget`` weight per key. Because a survivor may
+    still be past the TRUE cutoff (rows of other blocks interleave
+    ahead of it), phase 1 also forwards the first overflowing row per
+    (key, block) as an ``_OVF`` marker; in phase 2 any row at/after the
+    smallest marker of its key is dropped before the exact prefix test
+    — bit-equal to a single global pass. Call on a narrow projection
+    (key, id, weight) and semi-join when rows carry token payloads.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    def phase1(t: pa.Table) -> pa.Table:
+        t = t.append_column(_HKEY, pa.array(_salted_hash(t, id_col, seed), pa.uint64()))
+        return _budget_pass(t, key_col, weight_col, id_col, budget,
+                            emit_markers=True)
+
+    pruned = ds.map_batches(phase1, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_map_groups(
+        pruned, [key_col],
+        lambda g: _budget_pass(g, key_col, weight_col, id_col, budget,
+                               emit_markers=False),
+        num_buckets=num_buckets,
+    )
+    return out.drop_columns([_HKEY])
+
+
 def deterministic_shuffle(
     ds,
     *,

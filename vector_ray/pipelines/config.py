@@ -610,6 +610,24 @@ def _build_per_key_cap(cfg):
     return _Cap()
 
 
+@register_transform("token_budget_cap")
+def _build_token_budget_cap(cfg):
+    from vector_ray.ml.sampling import token_budget_cap
+    from vector_ray.stages.base import Step
+
+    class _Budget(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return token_budget_cap(ds, cfg.get("key_field", "source"),
+                                    cfg["budget"],
+                                    weight_col=cfg.get("weight_field", "n_tok"),
+                                    id_col=cfg.get("id_field", "doc_id"),
+                                    seed=cfg.get("seed", 0))
+
+    return _Budget()
+
+
 @register_transform("split_holdout")
 def _build_split_holdout(cfg):
     from vector_ray.ml.sampling import split_holdout
