@@ -1463,6 +1463,26 @@ def q_per_key_cap(sf_dir):
     return _finish(out.select_columns(["doc_id", "source"]))
 
 
+def q_stdlib_arrays(sf_dir):
+    """Array/regex stdlib leaves in one oracle: parse_regex_all (all
+    whole-match hits per row as list<string>, parse_regex_all.rs) and
+    append (list ⊕ k items, append.rs — vectorized offset arithmetic)
+    vs DuckDB regexp_extract_all / list_concat."""
+    from vector_ray.expr import F
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "nums": F.parse_regex_all(t["text"], "[0-9]+"),
+            "appended": F.append(F.split(t["source"], "c"), ["x", "y"]),
+        })
+
+    return _finish(ds.map_batches(xform, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+
+
 def q_token_budget_cap(sf_dir):
     """Per-domain token-budget sampling (ml/sampling.py
     token_budget_cap): per source keep the maximal salted-id-hash-order
@@ -1707,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "stdlib_arrays": q_stdlib_arrays,
         "token_budget_cap": q_token_budget_cap,
         "field_shaping": q_field_shaping,
         "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
@@ -2274,6 +2295,11 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
+        "stdlib_arrays": (
+            "SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums, "
+            "list_concat(string_split(source, 'c'), ['x', 'y']) AS appended "
+            "FROM documents"
+        ),
         "token_budget_cap": golden.token_budget_cap_sql(4000, 11),
         "mixture_sample": golden.mixture_sample_sql(_MIXTURE_RATES, 0.05, 7),
         "per_key_cap": golden.per_key_cap_sql(5, 3),

@@ -397,6 +397,25 @@ class TestStdlibLeafTail:
         s = pa.array([["x"], ["y"], ["z"]]).slice(1)
         assert F.push(s, "w").to_pylist() == [["y", "w"], ["z", "w"]]
 
+    def test_append(self):
+        a = pa.array([["a", "b"], None, ["c"], []])
+        assert F.append(a, ["X", "Y"]).to_pylist() == \
+            [["a", "b", "X", "Y"], None, ["c", "X", "Y"], ["X", "Y"]]
+        assert F.append(a, []).to_pylist() == a.to_pylist()
+        ints = F.append(pa.array([[1, 2], [3]], pa.list_(pa.int32())), [9, 10])
+        assert ints.to_pylist() == [[1, 2, 9, 10], [3, 9, 10]]
+        assert F.append(a.slice(1), ["Z"]).to_pylist() == [None, ["c", "Z"], ["Z"]]
+
+    def test_parse_regex_all(self):
+        got = F.parse_regex_all(pa.array(["a1 b22 c333", None, "xyz", ""]), r"\d+")
+        assert got.to_pylist() == [["1", "22", "333"], None, [], []]
+
+    def test_type_guards(self):
+        assert F.is_boolean_type(pa.array([True]))
+        assert not F.is_boolean_type(pa.array([1]))
+        assert F.is_timestamp_type(pa.array([0], pa.timestamp("us")))
+        assert not F.is_timestamp_type(pa.array(["x"]))
+
     def test_remove_reference_examples(self):
         assert F.remove(pa.array(['{"foo": "bar"}']), ["foo"]).to_pylist() == ["{}"]
         assert F.remove(pa.array(['{"foo": "bar"}']), ["baz"]).to_pylist() == ['{"foo": "bar"}']

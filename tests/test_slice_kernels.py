@@ -56,6 +56,8 @@ CASES = {
     "join": (LISTS, (",",)), "array_contains": (LISTS, ("a",)),
     "array_length": (LISTS, ()), "match_array": (LISTS, ("a",)),
     "push": (LISTS, ("NEW",)),
+    "append": (LISTS, (["X", "Y"],)),
+    "parse_regex_all": (GEN, (r"\w+",)),
     "array_unique": (pa.array([["a", "b", "a"], None, ["c"],
                                ["d", "e", "d"], None, []]), ()),
     "tally": (pa.array([["a", "b", "a"], None, ["c"],

@@ -1648,6 +1648,62 @@ def push(a, value):
     )
 
 
+def append(a, items):
+    """VRL append: concatenate the ``items`` sequence to every non-null
+    list row (append.rs — ``push`` generalized to k items; same
+    vectorized offset arithmetic, no per-row Python)."""
+    items = list(items)
+    arr = _arr(a)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if not items:
+        return arr
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    n = len(arr)
+    k = len(items)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    off0 = int(offs[0])
+    offs = offs - off0
+    flat = arr.values
+    if off0 or len(flat) > int(offs[-1]):
+        flat = flat.slice(off0, int(offs[-1]))
+    valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False), bool)
+    gain = np.cumsum(valid) * k  # appended slots in rows 0..r
+    new_offs = offs + np.concatenate([[0], gain])
+    total = int(offs[-1])
+    parents = np.asarray(pc.list_parent_indices(arr))
+    shift = np.concatenate([[0], gain])[parents] if total else np.empty(0, np.int64)
+    out_len = total + (int(gain[-1]) if n else 0)
+    take_idx = np.empty(out_len, dtype=np.int64)
+    take_idx[np.arange(total) + shift] = np.arange(total)
+    for j in range(k):
+        take_idx[(new_offs[1:] - k + j)[valid]] = total + j
+    ext = pa.concat_arrays([
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+        pa.array(items, arr.type.value_type),
+    ])
+    new_flat = ext.take(pa.array(take_idx, pa.int64()))
+    mask = pa.array(~valid) if arr.null_count else None
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs.astype(np.int32)), new_flat, mask=mask
+    )
+
+
+def parse_regex_all(a, pattern):
+    """ALL matches of ``pattern`` per row as a list<string> column
+    (parse_regex_all.rs; whole-match text per hit, null row → null).
+    Inherently irregular output — compiled regex + per-row findall,
+    same non-hot-path class as parse_ruby_hash/compact."""
+    rx = _re.compile(pattern)
+    out = []
+    for v in _arr(a).to_pylist():
+        if v is None:
+            out.append(None)
+        else:
+            out.append([m.group(0) for m in rx.finditer(v)])
+    return pa.array(out, pa.list_(pa.string()))
+
+
 def remove(a, path, *, compact_: bool = False):
     """VRL remove: delete ``path`` (list of keys / int indexes) from
     JSON-string object/array rows; ``compact_`` drops containers
@@ -1725,6 +1781,15 @@ def is_array_type(a):
 def is_object_type(a):
     t = _arr(a).type
     return pa.types.is_struct(t) or pa.types.is_map(t)
+
+
+def is_boolean_type(a):
+    return pa.types.is_boolean(_arr(a).type)
+
+
+def is_timestamp_type(a):
+    t = _arr(a).type
+    return pa.types.is_timestamp(t) or pa.types.is_date(t)
 
 
 def uuid_v4(n: int, *, seed: int | None = None):
