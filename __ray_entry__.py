@@ -1463,6 +1463,18 @@ def q_per_key_cap(sf_dir):
     return _finish(out.select_columns(["doc_id", "source"]))
 
 
+def q_tfidf_docs(sf_dir):
+    """Per-doc TF-IDF quality score (ml/corpus.py tfidf_score):
+    distributed document-frequency pass (distinct-(word,doc) partials →
+    bucketed sum), integer micro-idf broadcast, one map-only scoring
+    pass. Oracle: independent single-threaded reimplementation
+    (tools/golden.py tfidf_sql) — exact by the integer-sum contract."""
+    from vector_ray.ml.corpus import tfidf_score
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return _finish(tfidf_score(ds, col="text", id_col="doc_id"))
+
+
 def q_stdlib_arrays(sf_dir):
     """Array/regex stdlib leaves in one oracle: parse_regex_all (all
     whole-match hits per row as list<string>, parse_regex_all.rs) and
@@ -1727,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "tfidf_docs": q_tfidf_docs,
         "stdlib_arrays": q_stdlib_arrays,
         "token_budget_cap": q_token_budget_cap,
         "field_shaping": q_field_shaping,
@@ -2295,6 +2308,7 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
+        "tfidf_docs": golden.tfidf_sql(),
         "stdlib_arrays": (
             "SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums, "
             "list_concat(string_split(source, 'c'), ['x', 'y']) AS appended "

@@ -197,3 +197,46 @@ class TestDupPassages:
         t = self._corpus()
         out = dup_passages(rd.from_arrow(t), n=16, min_docs=3).take_all()
         assert all(r["n_dup"] == 0 for r in out)
+
+
+class TestTfIdf:
+    def _tbl(self):
+        return pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["the cat sat", "the the dog", "", "cat"]),
+        })
+
+    def test_doc_frequency(self):
+        from vector_ray.ml.corpus import doc_frequency
+
+        out = {r["word"]: r["df"] for r in
+               doc_frequency(ds_of(self._tbl(), 3), col="text").take_all()}
+        assert out == {"the": 2, "cat": 2, "sat": 1, "dog": 1}
+
+    def test_tfidf_matches_reference(self):
+        from vector_ray.ml.corpus import tfidf_score
+
+        n = 4
+        df = {"the": 2, "cat": 2, "sat": 1, "dog": 1}
+        idf = {w: int(np.round(1e6 * np.log((n + 1) / (np.array([c + 1.0])))[0]))
+               for w, c in df.items()}
+        out = {r["doc_id"]: r for r in
+               tfidf_score(ds_of(self._tbl(), 2), col="text",
+                           id_col="doc_id").take_all()}
+        assert out[1]["tfidf_micro"] == idf["the"] + idf["cat"] + idf["sat"]
+        assert out[2]["tfidf_micro"] == 2 * idf["the"] + idf["dog"]
+        assert out[1]["n_words"] == 3
+        # empty doc: zero words, null mean
+        assert out[3]["n_words"] == 0 and out[3]["tfidf"] is None
+        assert out[4]["tfidf_micro"] == idf["cat"]
+        # layout invariance
+        out2 = {r["doc_id"]: r["tfidf_micro"] for r in
+                tfidf_score(ds_of(self._tbl(), 4), col="text",
+                            id_col="doc_id").take_all()}
+        assert out2 == {k: v["tfidf_micro"] for k, v in out.items()}
+
+    def test_max_vocab_guard(self):
+        from vector_ray.ml.corpus import tfidf_score
+
+        with pytest.raises(ValueError, match="max_vocab"):
+            tfidf_score(ds_of(self._tbl(), 1), col="text", max_vocab=2)

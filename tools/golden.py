@@ -74,7 +74,11 @@ def _values_sql(rows: list, cols: list[str], types: list[str]) -> str:
         if ty == "VARCHAR":
             return "'" + str(v).replace("'", "''") + "'"
         if ty == "DOUBLE":
-            return repr(float(v))
+            # string-literal cast: a bare decimal literal in a VALUES
+            # list unifies to DECIMAL across rows first and the
+            # DECIMAL->DOUBLE conversion can be off by an ulp; the
+            # string->double parse is correctly rounded
+            return f"CAST('{repr(float(v))}' AS DOUBLE)"
         return f"{int(v)}::{ty}"
 
     body = ", ".join(
@@ -460,6 +464,35 @@ def per_key_cap_sql(k: int, seed: int) -> str:
         for _, i in sorted(per[s])[:k]:
             rows.append((i, s))
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
+
+
+def tfidf_sql() -> str:
+    """Single-threaded TF-IDF reference (ml/corpus.py tfidf_score):
+    integer micro-idf sums over word positions; float mean derived
+    last with the same double ops as the engine."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    docs = [(i, (txt or "").split())
+            for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    n = len(docs)
+    df: dict = {}
+    for _, ws in docs:
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    # idf through the same ARRAY np.log as the engine: numpy's SIMD
+    # log over arrays is not bit-identical to its scalar path
+    ws_sorted = sorted(df)
+    dfa = np.array([df[w] for w in ws_sorted], np.int64)
+    idfa = np.round(1e6 * np.log((n + 1) / (dfa + 1.0))).astype(np.int64)
+    idf = {w: int(v) for w, v in zip(ws_sorted, idfa)}
+    rows = []
+    for i, ws in docs:
+        micro = sum(idf[w] for w in ws)
+        nw = len(ws)
+        mean = micro / nw / 1e6 if nw else None
+        rows.append((i, nw, micro, mean))
+    return _values_sql(rows, ["doc_id", "n_words", "tfidf_micro", "tfidf"],
+                       ["BIGINT", "BIGINT", "BIGINT", "DOUBLE"])
 
 
 def token_budget_cap_sql(budget: int, seed: int) -> str:

@@ -99,6 +99,132 @@ def vocab_topk(ds, *, col: str = "text", k: int = 50, mode: str = "words"):
     )
 
 
+def _distinct_word_doc_partial(t: pa.Table, col: str) -> pa.Table:
+    """Per-batch (word, in-batch doc count) over DISTINCT (word, doc)
+    pairs — the document-frequency partial. A doc's rows live in one
+    batch, so summing these per word gives the exact global df."""
+    words = t[col] if not isinstance(t[col], pa.ChunkedArray) else t[col].combine_chunks()
+    words = _split_words(words)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = np.asarray(pc.list_parent_indices(words).to_numpy(zero_copy_only=False))
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    d = flat.dictionary_encode()
+    codes = np.asarray(d.indices.to_numpy(zero_copy_only=False))
+    m = np.asarray(pc.not_equal(flat, "").fill_null(False)
+                   .to_numpy(zero_copy_only=False), bool)
+    codes, rows = codes[m], parents[m]
+    if len(codes) == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    order = np.lexsort((codes, rows))
+    c, r = codes[order], rows[order]
+    keep = np.ones(len(c), bool)
+    keep[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
+    uq, cnt = np.unique(c[keep], return_counts=True)
+    return pa.table({
+        "word": d.dictionary.take(pa.array(uq)),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def doc_frequency(ds, *, col: str = "text"):
+    """Global document frequency per word: Dataset of (word, df) —
+    two-phase: per-batch distinct-(word, doc) partials (≤ |batch vocab|
+    rows shuffle per block), bucketed vectorized sum. The df table is
+    bounded by corpus vocabulary, not corpus size."""
+    partial = ds.map_batches(
+        lambda t: _distinct_word_doc_partial(t, col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    summed = bucketed_map_groups(partial, ["word"],
+                                 lambda g: _sum_per_term(g, "word"))
+    return summed.map_batches(
+        lambda t: t.rename_columns(["word", "df"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def tfidf_score(ds, *, col: str = "text", id_col: str = "doc_id",
+                keep_cols: tuple = (), max_vocab: int = 20_000_000):
+    """Per-document TF-IDF quality score (raw-tf · smoothed idf summed
+    over word positions).
+
+    Determinism contract (oracle-able, mirroring ml/lm_score.py): idf
+    is quantized to INTEGER micro-units in the broadcast table —
+    ``idf_micro[w] = round(1e6 · ln((N+1)/(df[w]+1)))`` — so the
+    per-doc score ``tfidf_micro = Σ_positions idf_micro[word]`` is an
+    exact integer sum, independent of batch shape and summation order;
+    the float ``tfidf`` column (= micro / n_words / 1e6) is derived at
+    the end. Emits (keep_cols..., id_col, n_words, tfidf_micro, tfidf
+    — null when the doc has no words).
+
+    Plan: one df pass (see ``doc_frequency``), vocabulary pulled once
+    to the driver (guarded by ``max_vocab`` — vocabulary grows ~O(√N)
+    by Heaps' law, but fail loudly rather than silently OOM), broadcast
+    via ``ray.put``, then ONE map-only scoring pass: ``pc.index_in``
+    hash lookup + weighted bincount per batch.
+    """
+    import ray
+
+    n_docs = ds.count()
+    parts_w, parts_d, total = [], [], 0
+    for b in doc_frequency(ds, col=col).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        w = b["word"]
+        parts_w.append(w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w)
+        parts_d.append(np.asarray(pc.cast(b["df"], pa.int64())
+                                  .to_numpy(zero_copy_only=False), np.int64))
+        total += len(parts_w[-1])
+        if total > max_vocab:
+            raise ValueError(
+                f"tfidf_score: vocabulary exceeds max_vocab={max_vocab}; "
+                "pre-filter (min length / frequency) or raise the bound")
+    if parts_w:
+        vocab = pa.concat_arrays(parts_w)
+        df = np.concatenate(parts_d)
+    else:
+        vocab, df = pa.array([], pa.string()), np.empty(0, np.int64)
+    idf_micro = np.round(1e6 * np.log((n_docs + 1) / (df + 1.0))).astype(np.int64)
+    ref = ray.put((vocab, idf_micro))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, idf = ray.get(ref)
+        wcol = t[col] if not isinstance(t[col], pa.ChunkedArray) else t[col].combine_chunks()
+        words = _split_words(wcol)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = np.asarray(pc.list_parent_indices(words)
+                             .to_numpy(zero_copy_only=False))
+        nr = len(t)
+        if len(flat):
+            m = np.asarray(pc.not_equal(flat, "").fill_null(False)
+                           .to_numpy(zero_copy_only=False), bool)
+            idx = np.asarray(pc.index_in(flat, value_set=voc).fill_null(-1)
+                             .to_numpy(zero_copy_only=False), np.int64)
+            w = np.where(idx >= 0, idf[np.maximum(idx, 0)], 0)
+            micro = np.bincount(parents[m], weights=w[m].astype(np.float64),
+                                minlength=nr).astype(np.int64)
+            nw = np.bincount(parents[m], minlength=nr).astype(np.int64)
+        else:
+            micro = np.zeros(nr, np.int64)
+            nw = np.zeros(nr, np.int64)
+        mean = micro / np.maximum(nw, 1) / 1e6
+        cols = {c: t[c] for c in keep_cols if c in t.column_names}
+        cols[id_col] = t[id_col]
+        cols["n_words"] = pa.array(nw)
+        cols["tfidf_micro"] = pa.array(micro)
+        cols["tfidf"] = pa.array(np.where(nw > 0, mean, np.nan), pa.float64(),
+                                 from_pandas=True)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class RepetitionStats:
     """BatchStep-style wrapper: per-doc repetition metrics appended as
     columns is NOT what the metric table needs — this emits the compact

@@ -610,6 +610,23 @@ def _build_per_key_cap(cfg):
     return _Cap()
 
 
+@register_transform("tfidf_score")
+def _build_tfidf_score(cfg):
+    from vector_ray.ml.corpus import tfidf_score
+    from vector_ray.stages.base import Step
+
+    class _TfIdf(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return tfidf_score(ds, col=cfg.get("field", "text"),
+                               id_col=cfg.get("id_field", "doc_id"),
+                               keep_cols=tuple(cfg.get("keep_fields", ())),
+                               max_vocab=cfg.get("max_vocab", 20_000_000))
+
+    return _TfIdf()
+
+
 @register_transform("token_budget_cap")
 def _build_token_budget_cap(cfg):
     from vector_ray.ml.sampling import token_budget_cap
