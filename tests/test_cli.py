@@ -105,11 +105,14 @@ class TestCorpusMixtureExample:
         assert files
         t = pq.read_table(files)
         per = {}
-        for s in t["source"].to_pylist():
+        toks = {}
+        for s, n in zip(t["source"].to_pylist(), t["n_tok"].to_pylist()):
             per[s] = per.get(s, 0) + 1
+            toks[s] = toks.get(s, 0) + n
         # the hot source was downweighted to 0.1 then capped like the rest
         assert max(per.values()) <= 200
-        # sources with < cap rows survive whole; at least one hit the cap
-        assert max(per.values()) == 200
+        # the token budget binds every source and at least one is near it
+        assert max(toks.values()) <= 40000
+        assert max(toks.values()) > 38000
         # deterministic: rerun produces the identical kept set
         assert len(set(t["doc_id"].to_pylist())) == t.num_rows
