@@ -694,3 +694,22 @@ class TestReduceFastPath:
         assert not r2._fast_eligible()
         r3 = Reduce(["k"], order_by="seq", ends_when=C.eq("done", True))
         assert not r3._fast_eligible()
+
+
+class TestWindowPreEpoch:
+    def test_tumbling_floors_negative_timestamps(self):
+        import ray.data as rd
+        from vector_ray.stages.window import TumblingWindow
+
+        t = pa.table({
+            "k": pa.array(["a"] * 5),
+            "ts": pa.array([-1, -10_000_000, -10_000_001, 9_999_999, 10_000_000],
+                           pa.int64()),
+            "v": pa.array([1.0] * 5),
+        })
+        out = TumblingWindow(["k"], "ts", 10.0, {"n": ("count", "v")}) \
+            .apply(rd.from_arrow(t)).take_all()
+        got = {r["window_start"]: r["n"] for r in out}
+        # floor semantics: -1 and -10s belong to [-10s, 0); -10.000001s
+        # to [-20s, -10s); 9.999999s to [0, 10s); 10s to [10s, 20s)
+        assert got == {-10_000_000: 2, -20_000_000: 1, 0: 1, 10_000_000: 1}

@@ -43,9 +43,13 @@ class TumblingWindow(Step):
         ts_col, wcol = self.ts_col, self.window_col
 
         def bucket(t: pa.Table) -> pa.Table:
-            ts = pc.cast(t[ts_col], pa.int64())
-            start = pc.multiply(pc.divide(ts, size), size)
-            return t.append_column(wcol, start)
+            # numpy floor division, NOT pc.divide: Arrow int division
+            # truncates toward zero, putting pre-epoch timestamps in the
+            # wrong window (ts=-1 → 0 instead of -size). HoppingWindow
+            # already floors; keep both consistent.
+            ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            start = (np.asarray(ts, np.int64) // size) * size
+            return t.append_column(wcol, pa.array(start, pa.int64()))
 
         bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
         return grouped_aggregate(bucketed, self.keys + [wcol], self.specs)
