@@ -235,6 +235,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "apache_log_parse",
         "semantic_dedup",
         "lm_perplexity",
+        "tfidf_docs",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
