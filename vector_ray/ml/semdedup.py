@@ -122,7 +122,7 @@ def semantic_dedup(
         if len(g) == 0:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], g.schema.field(id_col).type),
                     "cluster": pa.array([], pa.int32()),
                     "keep": pa.array([], pa.bool_()),
                 }
