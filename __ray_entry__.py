@@ -1638,6 +1638,24 @@ def q_dup_passages(sf_dir):
     return _finish(dup_passages(ds, n=16))
 
 
+def q_strip_dup_passages(sf_dir):
+    """Duplicate-passage REMOVAL (ml/tokens.py strip_dup_passages —
+    the curation action behind dup_passages's score): drop every token
+    covered by a 16-gram window shared by ≥2 docs; same planted-passage
+    corpus, same two-pass plan (shuffle moves (whash, cnt) partials
+    only). Oracle: independent brute-force reimplementation with a
+    per-row polynomial checksum of the stripped sequence
+    (tools/golden.py strip_dup_passages_sql)."""
+    import ray.data as rd
+
+    from vector_ray.ml.tokens import strip_dup_passages
+
+    ds = rd.read_parquet(_passages_q_path(), columns=["doc_id", "tokens"])
+    out = strip_dup_passages(ds, n=16, min_docs=2)
+    return _finish(out.select_columns(["doc_id", "n_tok", "n_removed",
+                                       "tok_hash"]))
+
+
 def q_pack_sequences(sf_dir):
     """Greedy sequence packing into ≤2048-token training examples
     (ml/tokens.py pack_sequences) over the north-rule tokenized table.
@@ -1739,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "strip_dup_passages": q_strip_dup_passages,
         "tfidf_docs": q_tfidf_docs,
         "stdlib_arrays": q_stdlib_arrays,
         "token_budget_cap": q_token_budget_cap,
@@ -2308,6 +2327,8 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
+        "strip_dup_passages": golden.strip_dup_passages_sql(
+            _passages_q_path(), 16, 2),
         "tfidf_docs": golden.tfidf_sql(),
         "stdlib_arrays": (
             "SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums, "

@@ -240,3 +240,66 @@ class TestTfIdf:
 
         with pytest.raises(ValueError, match="max_vocab"):
             tfidf_score(ds_of(self._tbl(), 1), col="text", max_vocab=2)
+
+
+class TestStripDupPassages:
+    def test_matches_bruteforce_and_layout_invariant(self):
+        from vector_ray.ml.tokens import row_token_hash, strip_dup_passages
+
+        rng = np.random.default_rng(5)
+        n = 4
+        span = rng.integers(1000, 2000, 10).astype(np.int32)
+        docs = []
+        for i in range(30):
+            base = rng.integers(0, 500, rng.integers(3, 25)).astype(np.int32)
+            if i % 3 == 0:
+                k = rng.integers(0, len(base) + 1)
+                base = np.concatenate([base[:k], span, base[k:]])
+            docs.append(base.tolist())
+        t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(30)]),
+                      "tokens": pa.array(docs, pa.list_(pa.int32()))})
+
+        P, M = 0x100000001B3, (1 << 64) - 1
+
+        def wh(d, s):
+            h = 0
+            for j in range(n):
+                h = (h * P + d[s + j]) & M
+            return h
+
+        cnt = {}
+        for d in docs:
+            for x in {wh(d, s) for s in range(max(0, len(d) - n + 1))}:
+                cnt[x] = cnt.get(x, 0) + 1
+        dups = {x for x, c in cnt.items() if c >= 2}
+        want = {}
+        for i, d in enumerate(docs):
+            cov = np.zeros(len(d), bool)
+            for s in range(max(0, len(d) - n + 1)):
+                if wh(d, s) in dups:
+                    cov[s:s + n] = True
+            want[f"d{i}"] = [v for v, c in zip(d, cov) if not c]
+
+        for parts in (1, 4):
+            out = strip_dup_passages(ds_of(t, parts), n=n,
+                                     min_docs=2).take_all()
+            assert len(out) == 30
+            for r in out:
+                assert list(r["tokens"]) == want[r["doc_id"]], r["doc_id"]
+                assert r["n_removed"] == len(docs[int(r["doc_id"][1:])]) - r["n_tok"]
+        assert sum(r["n_removed"] for r in out) > 0
+
+    def test_row_token_hash_matches_fold(self):
+        from vector_ray.ml.tokens import row_token_hash
+
+        P, M = 0x100000001B3, (1 << 64) - 1
+        rows = [[1, 2, 3], [], [7], [2**31 - 1, 0, 5, 5]]
+        got = row_token_hash(pa.array(rows, pa.list_(pa.int32())))
+        for i, r in enumerate(rows):
+            h = 0
+            for v in r:
+                h = (h * P + (v & M)) & M
+            assert int(got[i]) == h
+        # slice safety
+        a = pa.array(rows, pa.list_(pa.int32()))
+        assert row_token_hash(a.slice(1)).tolist() == got[1:].tolist()

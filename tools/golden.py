@@ -466,6 +466,52 @@ def per_key_cap_sql(k: int, seed: int) -> str:
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
 
 
+def strip_dup_passages_sql(parquet_path: str, n: int = 16,
+                           min_docs: int = 2) -> str:
+    """Single-threaded reference for ml/tokens.py strip_dup_passages:
+    brute-force window hashes, coverage by interval union, per-row
+    polynomial checksum of the stripped sequence (mod 2^64, rendered
+    as the int64 bit pattern)."""
+    t = pq.read_table(parquet_path, columns=["doc_id", "tokens"])
+    ids = t["doc_id"].to_pylist()
+    docs = t["tokens"].to_pylist()
+    P = 0x100000001B3
+    M = (1 << 64) - 1
+
+    def whashes(d):
+        out = []
+        for s0 in range(max(0, len(d) - n + 1)):
+            h = 0
+            for j in range(n):
+                h = (h * P + (d[s0 + j] & M)) & M
+            out.append(h)
+        return out
+
+    from collections import Counter
+    cnt = Counter()
+    per_doc = [whashes(d) for d in docs]
+    for ws in per_doc:
+        for x in set(ws):
+            cnt[x] += 1
+    dups = {x for x, c in cnt.items() if c >= min_docs}
+    rows = []
+    for i, d in enumerate(docs):
+        cov = [False] * len(d)
+        for s0, h in enumerate(per_doc[i]):
+            if h in dups:
+                for j in range(s0, s0 + n):
+                    cov[j] = True
+        kept = [v for v, c in zip(d, cov) if not c]
+        tok_hash = 0
+        for v in kept:
+            tok_hash = (tok_hash * P + (v & M)) & M
+        if tok_hash >= 1 << 63:
+            tok_hash -= 1 << 64
+        rows.append((ids[i], len(kept), len(d) - len(kept), tok_hash))
+    return _values_sql(rows, ["doc_id", "n_tok", "n_removed", "tok_hash"],
+                       ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"])
+
+
 def tfidf_sql() -> str:
     """Single-threaded TF-IDF reference (ml/corpus.py tfidf_score):
     integer micro-idf sums over word positions; float mean derived

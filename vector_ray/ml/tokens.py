@@ -178,11 +178,13 @@ def chunk_sequences(ds, max_len: int, *, overlap: int = 0,
 # decontaminate
 
 
-def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int, *,
+                 return_pos: bool = False):
     """All length-``n`` token windows as u64 polynomial hashes.
     Returns (hashes, row_id) — vectorized: ``n`` shifted multiply-adds
     over the flat value buffer, windows crossing row boundaries masked
-    out."""
+    out. With ``return_pos`` also returns each window's start position
+    in the (rebased) flat token buffer."""
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offs = np.asarray(toks.offsets, np.int64)
@@ -190,7 +192,8 @@ def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, 
     values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False)).astype(np.uint64)
     total = len(values)
     if total < n:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+        return empty + (np.empty(0, np.int64),) if return_pos else empty
     w = total - n + 1
     acc = values[:w].copy()
     with np.errstate(over="ignore"):
@@ -199,6 +202,8 @@ def ngram_hashes(toks: pa.Array | pa.ChunkedArray, n: int) -> tuple[np.ndarray, 
             acc += values[j:j + w]
     row_of_pos = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
     valid = row_of_pos[:w] == row_of_pos[n - 1:]
+    if return_pos:
+        return acc[valid], row_of_pos[:w][valid], np.nonzero(valid)[0]
     return acc[valid], row_of_pos[:w][valid]
 
 
@@ -294,8 +299,12 @@ def _row_distinct_hashes(t: pa.Table, tok_col: str, n: int,
     return h[keep], rows[keep]
 
 
-def _dup_passages_impl(ds, *, n, tok_col, id_col, min_docs, sample_mod,
-                       max_dup_hashes: int = 50_000_000):
+def _dup_hash_broadcast(ds, *, n, tok_col, min_docs, sample_mod,
+                        max_dup_hashes: int, op_name: str):
+    """COUNT pass + threshold + driver pull + ``ray.put``: the sorted
+    int64 array of window hashes occurring in ≥ ``min_docs`` docs.
+    Shared by ``dup_passages`` (scoring) and ``strip_dup_passages``
+    (rewriting)."""
     # whash travels through groupby/broadcast as an int64 REINTERPRETATION
     # of the u64 rolling hash (Ray Data's aggregate key path round-trips
     # through Python ints, which overflow for u64 > 2^63). Equality is
@@ -324,12 +333,19 @@ def _dup_passages_impl(ds, *, n, tok_col, id_col, min_docs, sample_mod,
         total += len(parts[-1])
         if total > max_dup_hashes:
             raise ValueError(
-                f"dup_passages: >{max_dup_hashes} duplicated window hashes; "
+                f"{op_name}: >{max_dup_hashes} duplicated window hashes; "
                 "raise sample_mod / n, or raise max_dup_hashes if the "
                 "driver has memory for the broadcast")
     dup_sorted = (np.sort(np.concatenate(parts)) if parts
                   else np.empty(0, np.int64))
-    dup_ref = ray.put(dup_sorted)
+    return ray.put(dup_sorted)
+
+
+def _dup_passages_impl(ds, *, n, tok_col, id_col, min_docs, sample_mod,
+                       max_dup_hashes: int = 50_000_000):
+    dup_ref = _dup_hash_broadcast(
+        ds, n=n, tok_col=tok_col, min_docs=min_docs, sample_mod=sample_mod,
+        max_dup_hashes=max_dup_hashes, op_name="dup_passages")
 
     def probe(t: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
@@ -354,3 +370,104 @@ def _dup_passages_impl(ds, *, n, tok_col, id_col, min_docs, sample_mod,
         })
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def row_token_hash(toks: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Order-sensitive u64 checksum per row of a list<int> column:
+    ``h(row) = Σ_i tok_i · P^(L-1-i)  (mod 2^64)`` — the same
+    polynomial family as ``ngram_hashes`` over the whole row.
+    Vectorized: one power-table gather + int64 wraparound multiply
+    (two's-complement multiply is bit-equal to u64 mod 2^64; numpy's
+    native u64 array×array multiply is ~20× slower) + a cumsum
+    range-difference per row (exact under wraparound)."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    n_rows = len(lens)
+    values = np.asarray(toks.flatten().to_numpy(zero_copy_only=False)).astype(np.int64)
+    total = len(values)
+    if total == 0:
+        return np.zeros(n_rows, np.uint64)
+    maxlen = int(lens.max())
+    with np.errstate(over="ignore"):
+        powp = np.ones(maxlen, np.int64)
+        for i in range(1, maxlen):
+            powp[i] = powp[i - 1] * np.int64(_P)
+        pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        from_end = np.repeat(lens, lens) - 1 - pos_in_row
+        prod = values * powp[from_end]
+        c = np.zeros(total + 1, np.int64)
+        np.cumsum(prod, out=c[1:])
+        out = c[offs[1:]] - c[offs[:-1]]
+    return out.view(np.uint64)
+
+
+def strip_dup_passages(ds, *, n: int = 16, tok_col: str = "tokens",
+                       id_col: str = "doc_id", min_docs: int = 2,
+                       max_dup_hashes: int = 50_000_000,
+                       emit_hash: bool = True):
+    """Remove duplicated passages from the corpus — the curation ACTION
+    behind ``dup_passages``'s score (Lee et al. 2022 exact-substring
+    dedup, in its boilerplate-removal form): every token covered by a
+    length-``n`` window whose distinct-doc count is ≥ ``min_docs`` is
+    dropped from EVERY document containing it. Removing all occurrences
+    (rather than all-but-one) keeps the rewrite deterministic and
+    partition-independent — no global "first copy" election is needed.
+
+    Same two-pass plan as ``dup_passages`` (shared
+    ``_dup_hash_broadcast``): the shuffle moves only pre-aggregated
+    (whash, cnt) partials; the rewrite pass is map-only — window-hash
+    membership probe, interval coverage by bincount cumsum over the
+    flat buffer, one vectorized gather of surviving tokens. Emits
+    (id_col, tokens, n_tok, n_removed[, tok_hash]) — ``tok_hash`` is
+    ``row_token_hash`` of the stripped sequence, the compact per-row
+    equality witness used by the golden oracle.
+    """
+    dup_ref = _dup_hash_broadcast(
+        ds, n=n, tok_col=tok_col, min_docs=min_docs, sample_mod=1,
+        max_dup_hashes=max_dup_hashes, op_name="strip_dup_passages")
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        col = t[tok_col]
+        toks = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.asarray(toks.offsets, np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        flat = toks.flatten()
+        values = np.asarray(flat.to_numpy(zero_copy_only=False))
+        total = len(values)
+        h, _, pos = ngram_hashes(toks, n, return_pos=True)
+        covered = np.zeros(total, bool)
+        if len(h) and len(dups):
+            hi = h.view(np.int64)
+            loc = np.searchsorted(dups, hi)
+            loc[loc == len(dups)] = 0
+            starts = pos[dups[loc] == hi]
+            if len(starts):
+                inc = np.bincount(starts, minlength=total + n)
+                dec = np.bincount(starts + n, minlength=total + n)
+                covered = np.cumsum(inc - dec)[:total] > 0
+        keep = ~covered
+        rows_flat = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        new_lens = np.bincount(rows_flat[keep], minlength=len(lens)).astype(np.int64)
+        new_offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        stripped = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            pa.array(values[keep], flat.type),
+        )
+        cols = {
+            id_col: t[id_col],
+            tok_col: stripped,
+            "n_tok": pa.array(new_lens),
+            "n_removed": pa.array(lens - new_lens),
+        }
+        if emit_hash:
+            cols["tok_hash"] = pa.array(
+                row_token_hash(stripped).view(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

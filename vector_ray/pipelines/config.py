@@ -610,6 +610,24 @@ def _build_per_key_cap(cfg):
     return _Cap()
 
 
+@register_transform("strip_dup_passages")
+def _build_strip_dup_passages(cfg):
+    from vector_ray.ml.tokens import strip_dup_passages
+    from vector_ray.stages.base import Step
+
+    class _Strip(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return strip_dup_passages(ds, n=cfg.get("n", 16),
+                                      tok_col=cfg.get("field", "tokens"),
+                                      id_col=cfg.get("id_field", "doc_id"),
+                                      min_docs=cfg.get("min_docs", 2),
+                                      emit_hash=cfg.get("emit_hash", False))
+
+    return _Strip()
+
+
 @register_transform("tfidf_score")
 def _build_tfidf_score(cfg):
     from vector_ray.ml.corpus import tfidf_score
