@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -260,7 +261,9 @@ def ivf_search(
 
     def topk(t: pa.Table) -> pa.Table:
         qm, pr = ray.get(state)
-        cents = np.asarray(t["centroid_id"].to_pylist(), dtype=np.int64)
+        cc = t["centroid_id"]
+        cc = cc.combine_chunks() if isinstance(cc, pa.ChunkedArray) else cc
+        cents = np.asarray(pc.cast(cc, pa.int64()).to_numpy(zero_copy_only=False))
         m = _normalize(_as_matrix(t[vec_col]))
         ids = np.asarray(t[id_col])
         out = {"query_idx": [], id_col: [], "cosine": []}
