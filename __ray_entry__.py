@@ -1750,6 +1750,35 @@ def entry() -> Any:
     )
 
 
+def q_uniform_sample_docs(sf_dir):
+    """Global exactly-k uniform sample (ml/sampling.py uniform_sample_k):
+    bottom-k of sm64(fnv1a(doc_id|seed)) — per-block local bottom-k then
+    one ≤ k×blocks-row merge, no shuffle of the raw data. Oracle:
+    pure-Python salted-hash sort (tools/golden.py uniform_sample_k_sql)."""
+    from vector_ray.ml.sampling import uniform_sample_k
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    out = uniform_sample_k(ds.repartition(6), 37, id_col="doc_id", seed=5)
+    return _finish(out.select_columns(["doc_id", "source"]))
+
+
+def q_heavy_hitters(sf_dir):
+    """Misra-Gries heavy hitters (ml/corpus.py heavy_hitters) over the
+    synthetic pre-tokenized corpus (50k-id vocabulary, ~1M tokens):
+    mergeable bounded-memory summaries — ≤ capacity counters leave each
+    block. capacity ≥ global distinct here, so the sketch is provably
+    exact and the plain SQL GROUP BY top-k is a valid oracle; the
+    sketch path (capacity < distinct) is property-tested in
+    tests/test_corpus_tokens.py against the n/(capacity+1) MG bound."""
+    import ray.data as rd
+
+    from vector_ray.ml.corpus import heavy_hitters
+
+    ds = rd.read_parquet(_tokens_q_path(), columns=["tokens"])
+    return _finish(heavy_hitters(ds, col="tokens", k=25, capacity=60_000,
+                                 mode="tokens"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the r2 driver sweep recorded exactly the first 50
     # registry entries, so queries without a prior CORRECTNESS row come
@@ -1757,6 +1786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "uniform_sample_docs": q_uniform_sample_docs,
+        "heavy_hitters": q_heavy_hitters,
         "strip_dup_passages": q_strip_dup_passages,
         "tfidf_docs": q_tfidf_docs,
         "stdlib_arrays": q_stdlib_arrays,
@@ -2317,7 +2348,16 @@ def _golden_oracles() -> dict[str, str]:
     spec = importlib.util.spec_from_file_location("vr_golden", path)
     golden = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(golden)
+    tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "uniform_sample_docs": golden.uniform_sample_k_sql(37, 5),
+        "heavy_hitters": (
+            f"WITH f AS (SELECT UNNEST(tokens) AS token "
+            f"FROM read_parquet('{tokp}/part-*.parquet')), "
+            "c AS (SELECT CAST(token AS BIGINT) AS token, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
+            "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
+        ),
         "simhash_docs": golden.simhash_docs_sql(),
         "minhash_pairs": golden.minhash_pairs_sql(),
         "token_near_dup": golden.token_near_dup_sql(),

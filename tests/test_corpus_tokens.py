@@ -303,3 +303,68 @@ class TestStripDupPassages:
         # slice safety
         a = pa.array(rows, pa.list_(pa.int32()))
         assert row_token_hash(a.slice(1)).tolist() == got[1:].tolist()
+
+
+class TestHeavyHitters:
+    def _corpus(self):
+        # skewed: term f"t{i}" appears (60 - i) times, i in 0..59
+        words = []
+        for i in range(60):
+            words += [f"t{i:02d}"] * (60 - i)
+        rng = np.random.default_rng(7)
+        rng.shuffle(words)
+        docs = [" ".join(words[i::20]) for i in range(20)]
+        return pa.table({"text": pa.array(docs)})
+
+    def test_exact_when_capacity_large(self):
+        from vector_ray.ml.corpus import heavy_hitters, vocab_topk
+
+        t = self._corpus()
+        hh = heavy_hitters(rd.from_arrow(t).repartition(5), col="text",
+                           k=10, capacity=1000).take_all()
+        exact = vocab_topk(rd.from_arrow(t).repartition(5), col="text",
+                           k=10).take_all()
+        assert [(r["word"], r["cnt"]) for r in hh] == \
+               [(r["word"], r["cnt"]) for r in exact]
+        assert hh[0] == {"word": "t00", "cnt": 60}
+
+    def test_mg_guarantee_small_capacity(self):
+        from vector_ray.ml.corpus import heavy_hitters
+
+        t = self._corpus()
+        n_total = sum(60 - i for i in range(60))  # 1830
+        cap = 16
+        out = heavy_hitters(rd.from_arrow(t).repartition(6), col="text",
+                            k=cap, capacity=cap).take_all()
+        got = {r["word"]: r["cnt"] for r in out}
+        thresh = n_total / (cap + 1)
+        for i in range(60):
+            true = 60 - i
+            w = f"t{i:02d}"
+            if true > thresh:
+                # any term above n/(cap+1) must be present
+                assert w in got, (w, true, thresh)
+            if w in got:
+                # counts are lower bounds within the summed error
+                assert true - thresh <= got[w] <= true, (w, got[w], true)
+
+    def test_token_mode(self):
+        from vector_ray.ml.corpus import heavy_hitters
+
+        t = pa.table({"tokens": pa.array(
+            [[1, 1, 2], [1, 3, 3], [3, 3, 4]], pa.list_(pa.int32()))})
+        out = heavy_hitters(rd.from_arrow(t).repartition(2), col="tokens",
+                            k=2, capacity=100, mode="tokens").take_all()
+        assert [(r["token"], r["cnt"]) for r in out] == [(3, 4), (1, 3)]
+
+    def test_compress_is_deterministic_by_value(self):
+        from vector_ray.ml.corpus import _mg_compress
+
+        t = pa.table({"word": pa.array(["a", "b", "c", "d"]),
+                      "cnt": pa.array([10, 7, 3, 3], pa.int64())})
+        out = _mg_compress(t, "word", 2)
+        assert out.to_pylist() == [{"word": "a", "cnt": 7}, {"word": "b", "cnt": 4}]
+        # permuted input gives the same surviving set
+        t2 = t.take(pa.array([3, 1, 0, 2]))
+        out2 = _mg_compress(t2, "word", 2)
+        assert sorted(out2.to_pylist(), key=lambda r: r["word"]) == out.to_pylist()

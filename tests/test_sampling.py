@@ -124,13 +124,13 @@ class TestTokenBudgetCap:
     def _ref_keep(tbl, budget, seed):
         import sys, os
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-        from golden import fnv1a_int
+        from golden import salted_int
 
         per = {}
         for rid, key, w in zip(tbl["doc_id"].to_pylist(),
                                tbl["source"].to_pylist(),
                                tbl["w"].to_pylist()):
-            per.setdefault(key, []).append((fnv1a_int(f"{rid}|{seed}"), rid, w))
+            per.setdefault(key, []).append((salted_int(rid, seed), rid, w))
         kept = set()
         for lst in per.values():
             tot = 0
@@ -177,3 +177,36 @@ class TestTokenBudgetCap:
                         "w": pa.array([100, 100, 100], pa.int64())})
         assert token_budget_cap(rd.from_arrow(big), "source", 99,
                                 weight_col="w", id_col="doc_id").count() == 0
+
+
+class TestUniformSampleK:
+    def test_exact_k_uniform_and_layout_invariant(self):
+        from vector_ray.ml.sampling import uniform_sample_k
+
+        t = _docs(500)
+        a = uniform_sample_k(rd.from_arrow(t).repartition(7), 37, seed=5).take_all()
+        b = uniform_sample_k(rd.from_arrow(t).repartition(2), 37, seed=5).take_all()
+        assert len(a) == len(b) == 37
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        # brute-force reference: k smallest sm64(fnv1a(id|seed))
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from golden import salted_int
+        h = [salted_int(i, 5) for i in range(500)]
+        want = sorted(sorted(range(500), key=lambda i: (h[i], i))[:37])
+        assert sorted(r["doc_id"] for r in a) == want
+
+    def test_k_exceeds_n_returns_all(self):
+        from vector_ray.ml.sampling import uniform_sample_k
+
+        t = _docs(20)
+        out = uniform_sample_k(rd.from_arrow(t).repartition(3), 100).take_all()
+        assert sorted(r["doc_id"] for r in out) == list(range(20))
+
+    def test_seed_changes_selection(self):
+        from vector_ray.ml.sampling import uniform_sample_k
+
+        t = _docs(800)
+        a = {r["doc_id"] for r in uniform_sample_k(rd.from_arrow(t), 50, seed=1).take_all()}
+        b = {r["doc_id"] for r in uniform_sample_k(rd.from_arrow(t), 50, seed=2).take_all()}
+        assert a != b

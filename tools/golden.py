@@ -66,6 +66,14 @@ def fnv1a_int(s: str) -> int:
     return h
 
 
+def salted_int(i, seed: int) -> int:
+    """sm64(fnv1a("id|seed")) — mirrors ml/sampling._salted_hash. The
+    sm64 finalizer is load-bearing: without it a seed suffix only
+    perturbs the FNV hash by O(prime), so orderings barely change
+    across seeds."""
+    return sm64_int(fnv1a_int(f"{i}|{seed}"))
+
+
 def _values_sql(rows: list, cols: list[str], types: list[str]) -> str:
     """Render rows as a DuckDB VALUES literal."""
     def lit(v, ty):
@@ -449,7 +457,7 @@ def mixture_sample_sql(rates: dict, default_rate: float, seed: int) -> str:
     rows = [
         (i, s)
         for i, s in _docs_id_source()
-        if fnv1a_int(f"{i}|{seed}") % scale
+        if salted_int(i, seed) % scale
         < int(round(rates.get(s, default_rate) * scale))
     ]
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
@@ -458,11 +466,19 @@ def mixture_sample_sql(rates: dict, default_rate: float, seed: int) -> str:
 def per_key_cap_sql(k: int, seed: int) -> str:
     per: dict = {}
     for i, s in _docs_id_source():
-        per.setdefault(s, []).append((fnv1a_int(f"{i}|{seed}"), i))
+        per.setdefault(s, []).append((salted_int(i, seed), i))
     rows = []
     for s in sorted(per):
         for _, i in sorted(per[s])[:k]:
             rows.append((i, s))
+    return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
+
+
+def uniform_sample_k_sql(k: int, seed: int) -> str:
+    """Global bottom-k of sm64(fnv1a(id|seed)) — mirrors
+    ml/sampling.uniform_sample_k (k smallest salted hashes, ties by id)."""
+    ranked = sorted((salted_int(i, seed), i, s) for i, s in _docs_id_source())
+    rows = [(i, s) for _, i, s in ranked[:k]]
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
 
 
@@ -550,7 +566,7 @@ def token_budget_cap_sql(budget: int, seed: int) -> str:
     per: dict = {}
     for i, s, w in zip(t["doc_id"].to_pylist(), t["source"].to_pylist(),
                        t["n_chars"].to_pylist()):
-        per.setdefault(s, []).append((fnv1a_int(f"{i}|{seed}"), i, int(w)))
+        per.setdefault(s, []).append((salted_int(i, seed), i, int(w)))
     rows = []
     for s in sorted(per):
         tot = 0
@@ -565,7 +581,7 @@ def token_budget_cap_sql(budget: int, seed: int) -> str:
 
 def shuffle_order_sql(seed: int, limit: int) -> str:
     order = sorted(
-        (fnv1a_int(f"{i}|{seed}"), i) for i, _ in _docs_id_source()
+        (salted_int(i, seed), i) for i, _ in _docs_id_source()
     )[:limit]
     rows = [(pos, i) for pos, (_, i) in enumerate(order)]
     return _values_sql(rows, ["pos", "doc_id"], ["BIGINT", "BIGINT"])

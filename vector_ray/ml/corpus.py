@@ -99,6 +99,74 @@ def vocab_topk(ds, *, col: str = "text", k: int = 50, mode: str = "words"):
     )
 
 
+def _mg_compress(t: pa.Table, term_col: str, capacity: int) -> pa.Table:
+    """Misra-Gries summary compression: keep at most ``capacity``
+    counters by decrementing every count by the (capacity+1)-th largest
+    and dropping the non-positive remainder. Deterministic regardless
+    of input order (threshold is by value). No-op when the table
+    already fits — so with ``capacity ≥ distinct`` the summary is an
+    exact histogram."""
+    if t.num_rows <= capacity:
+        return t
+    cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64)
+    d = np.partition(cnt, -(capacity + 1))[-(capacity + 1)]
+    mask = cnt > d
+    kept = t.filter(pa.array(mask))
+    return kept.set_column(
+        kept.schema.get_field_index("cnt"), "cnt",
+        pa.array(cnt[mask] - d, pa.int64()),
+    )
+
+
+def heavy_hitters(ds, *, col: str = "text", k: int = 20,
+                  capacity: int = 4096, mode: str = "words"):
+    """Approximate global top-k terms (heavy hitters) via mergeable
+    Misra-Gries summaries — the bounded-memory scale path for
+    ``vocab_topk`` when the distinct-term universe (token n-grams,
+    URLs, 10^12-token vocabularies) doesn't fit a shuffle.
+
+    Plan: per-block ``value_counts`` → MG-compress to ``capacity``
+    (≤ capacity rows leave each block no matter how wide its local
+    vocabulary) → bucketed per-term sum → per-block local top-k → one
+    final ≤ k×blocks-row merge. No stage ever holds more than
+    ``capacity`` counters per block.
+
+    Guarantees (standard MG merge bounds): reported counts are lower
+    bounds undercounting by at most ``n_total/(capacity+1)`` in sum,
+    and every term with true frequency > ``n_total/(capacity+1)`` is
+    present in the summary. With ``capacity ≥`` the global distinct
+    count nothing is ever compressed and the result is the exact
+    top-k (ties broken by term ascending), equal to a SQL
+    GROUP BY / ORDER BY oracle.
+
+    Capability absent in the reference (closest is
+    tag_cardinality_limit's per-tag budget,
+    src/transforms/tag_cardinality_limit.rs); sketch per Misra &
+    Gries 1982 / Agarwal et al. "Mergeable Summaries" (PODS'12).
+    """
+    term = "word" if mode == "words" else "token"
+    part = _word_count_partial if mode == "words" else _token_count_partial
+
+    partial = ds.map_batches(
+        lambda t: _mg_compress(part(t, col), term, capacity),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    summed = bucketed_map_groups(partial, [term], lambda g: _sum_per_term(g, term))
+    local = summed.map_batches(
+        lambda t: _local_global_topk(t, term, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    withk = local.map_batches(
+        lambda t: t.append_column("__g", pa.array(np.zeros(len(t), np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return withk.groupby("__g").map_groups(
+        lambda g: _local_global_topk(g.drop_columns(["__g"]), term, k),
+        batch_format="pyarrow",
+    )
+
+
 def _distinct_word_doc_partial(t: pa.Table, col: str) -> pa.Table:
     """Per-batch (word, in-batch doc count) over DISTINCT (word, doc)
     pairs — the document-frequency partial. A doc's rows live in one

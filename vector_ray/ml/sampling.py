@@ -3,13 +3,16 @@ over any keyed table (documents, tokenized sequences):
 
   mixture_sample        per-domain sampling rates (the "data mixture
                         weights" step of corpus assembly) — keep a row
-                        iff fnv1a(id|seed) % SCALE < rate[key]*SCALE
+                        iff sm64(fnv1a(id|seed)) % SCALE < rate[key]*SCALE
   split_holdout         deterministic train/holdout split on the same
                         hash predicate (complementary, seed-stable)
   per_key_cap           uniform k-without-replacement per key via
                         hash-min reservoir (domain quota capping):
                         the k rows with the smallest salted id-hash
                         per key ARE a uniform sample of that key
+  uniform_sample_k      exactly-k uniform global sample via bottom-k
+                        of the salted id-hash — shuffle-free (≤k rows
+                        leave each block)
   deterministic_shuffle reproducible global shuffle: sort by the
                         salted id-hash (a range-partitioned sort —
                         the scale path; ``random_shuffle`` would
@@ -41,13 +44,29 @@ import vector_ray.expr.kernels as F
 _SCALE = np.uint64(1_000_000)
 
 
+def _sm64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized). FNV-1a alone is NOT enough
+    here: the seed is a short suffix, and a last-byte change only
+    perturbs the hash by O(prime) ≈ 2^42 — adjacent seeds would give
+    nearly identical ORDERINGS, so every order-based sampler
+    (per_key_cap, uniform_sample_k, deterministic_shuffle,
+    token_budget_cap) would barely re-sample across seeds. The
+    finalizer decorrelates them."""
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def _salted_hash(t: pa.Table, id_col: str, seed: int) -> np.ndarray:
-    """fnv1a(str(id) + '|' + str(seed)) per row, vectorized, as u64."""
+    """sm64(fnv1a(str(id) + '|' + str(seed))) per row, vectorized, u64."""
     ids = t[id_col]
     if not pa.types.is_string(ids.type) and not pa.types.is_large_string(ids.type):
         ids = pc.cast(ids, pa.string())
     salted = pc.binary_join_element_wise(ids, pa.scalar(str(seed)), pa.scalar("|"))
-    return np.asarray(F.fingerprint(salted).to_numpy(zero_copy_only=False), np.uint64)
+    return _sm64(np.asarray(F.fingerprint(salted).to_numpy(zero_copy_only=False), np.uint64))
 
 
 def mixture_sample(
@@ -240,6 +259,34 @@ def token_budget_cap(
         num_buckets=num_buckets,
     )
     return out.drop_columns([_HKEY])
+
+
+def uniform_sample_k(
+    ds,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Exactly ``min(k, n)`` rows chosen uniformly without replacement
+    over the WHOLE dataset: the k smallest salted id-hashes globally
+    (bottom-k reservoir). Shuffle-free heavy path — every block
+    forwards at most k rows (its local bottom-k) into one final
+    ≤ k×blocks-row merge; the raw data never moves. Deterministic and
+    stable across cluster shape / block layout, unlike
+    ``Dataset.random_sample`` (rate-based, no exact count) or
+    ``limit`` (first-blocks bias)."""
+    from vector_ray.stages.topk import grouped_topk
+
+    _ALL = "__vr_all"
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = t.append_column(_ALL, pa.array(np.zeros(len(t), np.int8)))
+        return t.append_column(_HKEY, pa.array(_salted_hash(t, id_col, seed), pa.uint64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(keyed, [_ALL], _HKEY, k, descending=False, tiebreak=id_col)
+    return out.drop_columns([_HKEY, _ALL])
 
 
 def deterministic_shuffle(

@@ -523,6 +523,39 @@ def _build_vocab_topk(cfg):
     return _VocabTopK()
 
 
+@register_transform("heavy_hitters")
+def _build_heavy_hitters(cfg):
+    from vector_ray.ml.corpus import heavy_hitters
+    from vector_ray.stages.base import Step
+
+    class _HeavyHitters(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return heavy_hitters(ds, col=cfg.get("field", "text"),
+                                 k=cfg.get("k", 20),
+                                 capacity=cfg.get("capacity", 4096),
+                                 mode=cfg.get("mode", "words"))
+
+    return _HeavyHitters()
+
+
+@register_transform("uniform_sample_k")
+def _build_uniform_sample_k(cfg):
+    from vector_ray.ml.sampling import uniform_sample_k
+    from vector_ray.stages.base import Step
+
+    class _SampleK(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return uniform_sample_k(ds, cfg["k"],
+                                    id_col=cfg.get("id_field", "doc_id"),
+                                    seed=cfg.get("seed", 0))
+
+    return _SampleK()
+
+
 @register_transform("chunk_sequences")
 def _build_chunk_sequences(cfg):
     from vector_ray.ml.tokens import chunk_sequences
