@@ -1750,6 +1750,19 @@ def entry() -> Any:
     )
 
 
+def q_row_number_docs(sf_dir):
+    """Distributed ROW_NUMBER (stages/rownum.py global_row_number):
+    one range-partitioned sort, per-block (first-key, count) stats —
+    O(#blocks) driver state — then offset+arange per block. Oracle:
+    ANSI ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 1."""
+    from vector_ray.stages.rownum import global_row_number
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = global_row_number(ds.repartition(5), ["n_chars", "doc_id"],
+                            descending=True)
+    return _finish(out)
+
+
 def q_uniform_sample_docs(sf_dir):
     """Global exactly-k uniform sample (ml/sampling.py uniform_sample_k):
     bottom-k of sm64(fnv1a(doc_id|seed)) — per-block local bottom-k then
@@ -1786,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
         "heavy_hitters": q_heavy_hitters,
         "strip_dup_passages": q_strip_dup_passages,
@@ -2350,6 +2364,11 @@ def _golden_oracles() -> dict[str, str]:
     spec.loader.exec_module(golden)
     tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "row_number_docs": (
+            "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY n_chars DESC, doc_id DESC) - 1 AS BIGINT) AS row_id "
+            "FROM documents"
+        ),
         "uniform_sample_docs": golden.uniform_sample_k_sql(37, 5),
         "heavy_hitters": (
             f"WITH f AS (SELECT UNNEST(tokens) AS token "

@@ -1,0 +1,65 @@
+"""global_row_number (stages/rownum.py): distributed ROW_NUMBER."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.stages.rownum import global_row_number
+
+
+def _t(n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in ids]),
+    })
+
+
+class TestGlobalRowNumber:
+    def test_matches_rank_and_layout_invariant(self):
+        t = _t(200)
+        for parts in (1, 7):
+            out = global_row_number(
+                rd.from_arrow(t).repartition(parts), "doc_id").take_all()
+            got = {r["doc_id"]: r["row_id"] for r in out}
+            assert got == {i: i for i in range(200)}
+
+    def test_multi_column_and_descending(self):
+        t = _t(60, seed=1)
+        out = global_row_number(
+            rd.from_arrow(t).repartition(4), "source",
+            tiebreak="doc_id", descending=False).take_all()
+        ranked = sorted(out, key=lambda r: (r["source"], r["doc_id"]))
+        assert [r["row_id"] for r in ranked] == list(range(60))
+
+        out_d = global_row_number(
+            rd.from_arrow(t).repartition(4), "doc_id",
+            descending=True).take_all()
+        got = {r["doc_id"]: r["row_id"] for r in out_d}
+        assert got == {i: 59 - i for i in range(60)}
+
+    def test_string_keys(self):
+        t = pa.table({"k": pa.array([f"k{i:03d}" for i in (5, 1, 9, 0, 3)])})
+        out = global_row_number(rd.from_arrow(t).repartition(2), "k").take_all()
+        got = {r["k"]: r["row_id"] for r in out}
+        assert got == {"k000": 0, "k001": 1, "k003": 2, "k005": 3, "k009": 4}
+
+    def test_pairs_with_deterministic_shuffle(self):
+        from vector_ray.ml.sampling import deterministic_shuffle
+
+        t = _t(80, seed=2)
+        ds = deterministic_shuffle(rd.from_arrow(t).repartition(3),
+                                   id_col="doc_id", seed=4, keep_key="h")
+        out = global_row_number(ds, "h", tiebreak="doc_id").take_all()
+        # positions are a contiguous permutation and follow hash order
+        assert sorted(r["row_id"] for r in out) == list(range(80))
+        by_pos = sorted(out, key=lambda r: r["row_id"])
+        hs = [r["h"] for r in by_pos]
+        assert hs == sorted(hs)
+
+    def test_empty(self):
+        t = pa.table({"doc_id": pa.array([], pa.int64())})
+        out = global_row_number(rd.from_arrow(t), "doc_id").take_all()
+        assert out == []

@@ -523,6 +523,23 @@ def _build_vocab_topk(cfg):
     return _VocabTopK()
 
 
+@register_transform("row_number")
+def _build_row_number(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.rownum import global_row_number
+
+    class _RowNumber(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return global_row_number(ds, cfg["order_by"],
+                                     tiebreak=cfg.get("tiebreak"),
+                                     out=cfg.get("out", "row_id"),
+                                     descending=cfg.get("descending", False))
+
+    return _RowNumber()
+
+
 @register_transform("heavy_hitters")
 def _build_heavy_hitters(cfg):
     from vector_ray.ml.corpus import heavy_hitters
