@@ -1750,6 +1750,18 @@ def entry() -> Any:
     )
 
 
+def q_quantile_band(sf_dir):
+    """Quantile-band filter (stages/quantile.py quantile_band_filter):
+    CCNet-style keep-the-middle-band selection on a score column —
+    exact quantile_disc edges via the shuffle-free histogram-refinement
+    plan, then a stateless map-only filter. Oracle: scalar-subquery
+    quantile_disc bounds."""
+    from vector_ray.stages.quantile import quantile_band_filter
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return _finish(quantile_band_filter(ds, "value", 0.25, 0.75))
+
+
 def q_row_number_docs(sf_dir):
     """Distributed ROW_NUMBER (stages/rownum.py global_row_number):
     one range-partitioned sort, per-block (first-key, count) stats —
@@ -1799,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
         "heavy_hitters": q_heavy_hitters,
@@ -2364,6 +2377,11 @@ def _golden_oracles() -> dict[str, str]:
     spec.loader.exec_module(golden)
     tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "quantile_band": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value >= (SELECT quantile_disc(value, 0.25) FROM events) "
+            "AND value <= (SELECT quantile_disc(value, 0.75) FROM events)"
+        ),
         "row_number_docs": (
             "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
             "(ORDER BY n_chars DESC, doc_id DESC) - 1 AS BIGINT) AS row_id "

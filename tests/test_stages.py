@@ -456,6 +456,37 @@ class TestTagCardinality:
         assert out1 != [f"v{i}" for i in range(10)]
 
 
+class TestQuantileBandFilter:
+    def test_band_matches_brute_force(self):
+        import math
+
+        from vector_ray.stages.quantile import quantile_band_filter
+
+        np = __import__("numpy")
+        rng = np.random.default_rng(3)
+        vals = rng.normal(50, 20, 5_000)
+        t = pa.table({"v": pa.array(vals, pa.float64()),
+                      "i": pa.array(range(5_000), pa.int64())})
+        out = quantile_band_filter(ds_of(t, blocks=6), "v", 0.25, 0.75).take_all()
+        s = sorted(vals)
+        lo = s[max(1, math.ceil(0.25 * len(s))) - 1]
+        hi = s[max(1, math.ceil(0.75 * len(s))) - 1]
+        want = {i for i, v in enumerate(vals) if lo <= v <= hi}
+        assert {r["i"] for r in out} == want
+
+    def test_one_sided_and_nulls(self):
+        from vector_ray.stages.quantile import quantile_band_filter
+
+        t = pa.table({"v": pa.array([1.0, None, 3.0, 9.0, 5.0]),
+                      "i": pa.array(range(5), pa.int64())})
+        out = quantile_band_filter(ds_of(t), "v", hi_q=0.5).take_all()
+        # quantile_disc(0.5) over 4 non-nulls -> rank 2 -> 3.0
+        assert sorted(r["i"] for r in out) == [0, 2]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            quantile_band_filter(ds_of(t), "v")
+
+
 class TestExactQuantiles:
     def test_matches_numpy_rank(self):
         from vector_ray.stages.quantile import exact_quantiles
@@ -581,6 +612,7 @@ class TestWindowAndTopk:
 
         from vector_ray.stages.topk import grouped_topk
 
+        np = __import__("numpy")
         rng = np.random.default_rng(3)
         n = 5000
         t = pa.table({

@@ -523,6 +523,22 @@ def _build_vocab_topk(cfg):
     return _VocabTopK()
 
 
+@register_transform("quantile_band_filter")
+def _build_quantile_band(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.quantile import quantile_band_filter
+
+    class _Band(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return quantile_band_filter(ds, cfg["field"],
+                                        lo_q=cfg.get("lo_q"),
+                                        hi_q=cfg.get("hi_q"))
+
+    return _Band()
+
+
 @register_transform("row_number")
 def _build_row_number(cfg):
     from vector_ray.stages.base import Step

@@ -416,3 +416,44 @@ def grouped_exact_quantiles(
         name = f"p{int(pct)}" if pct == int(pct) else f"p{p}"
         cols[name] = pa.array([results[kv][p] for kv in sorted(results)], pa.float64())
     return pa.table(cols)
+
+
+def quantile_band_filter(
+    ds,
+    col: str,
+    lo_q: float | None = None,
+    hi_q: float | None = None,
+    **kw,
+):
+    """Keep rows whose ``col`` lies inside the [lo_q, hi_q] quantile
+    band of the WHOLE dataset (either bound optional) — the CCNet-style
+    "keep the middle-perplexity band" curation step (Wenzek et al.
+    2020 §4.3), applicable to any score column (lm_perplexity output,
+    quality scores, lengths).
+
+    The band edges are exact quantiles (``quantile_disc`` rank rule)
+    via the shuffle-free histogram-refinement plan (2-3 column scans,
+    driver sees two scalars); the filter itself is a stateless map-only
+    pass. Rows with null ``col`` never pass. Total cost: one extra
+    pruned-column scan over the quantile passes; no shuffle anywhere."""
+    ps = []
+    if lo_q is not None:
+        ps.append(lo_q)
+    if hi_q is not None:
+        ps.append(hi_q)
+    if not ps:
+        raise ValueError("quantile_band_filter: need lo_q and/or hi_q")
+    vals = exact_quantiles(ds, col, ps, **kw)
+    lo = vals[0] if lo_q is not None else None
+    hi = vals[-1] if hi_q is not None else None
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = t[col]
+        mask = pc.is_valid(c)
+        if lo is not None:
+            mask = pc.and_kleene(mask, pc.greater_equal(c, lo))
+        if hi is not None:
+            mask = pc.and_kleene(mask, pc.less_equal(c, hi))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
