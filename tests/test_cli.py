@@ -116,3 +116,10 @@ class TestCorpusMixtureExample:
         assert max(toks.values()) > 38000
         # deterministic: rerun produces the identical kept set
         assert len(set(t["doc_id"].to_pylist())) == t.num_rows
+        # row_number assigned contiguous example ids in shuffle_key order
+        ids = sorted(t["example_id"].to_pylist())
+        assert ids == list(range(t.num_rows))
+        pairs = sorted(zip(t["example_id"].to_pylist(),
+                           t["shuffle_key"].to_pylist()))
+        keys = [k for _, k in pairs]
+        assert keys == sorted(keys)
