@@ -1766,12 +1766,13 @@ def q_row_number_docs(sf_dir):
     """Distributed ROW_NUMBER (stages/rownum.py global_row_number):
     one range-partitioned sort, per-block (first-key, count) stats —
     O(#blocks) driver state — then offset+arange per block. Oracle:
-    ANSI ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 1."""
+    ANSI ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 1.
+    Also emits ``shard = row_id // 1000`` (fixed-size training shards)."""
     from vector_ray.stages.rownum import global_row_number
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
     out = global_row_number(ds.repartition(5), ["n_chars", "doc_id"],
-                            descending=True)
+                            descending=True, shard_size=1000)
     return _finish(out)
 
 
@@ -2384,8 +2385,10 @@ def _golden_oracles() -> dict[str, str]:
         ),
         "row_number_docs": (
             "SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER "
-            "(ORDER BY n_chars DESC, doc_id DESC) - 1 AS BIGINT) AS row_id "
-            "FROM documents"
+            "(ORDER BY n_chars DESC, doc_id DESC) - 1 AS BIGINT) AS row_id, "
+            "CAST((ROW_NUMBER() OVER "
+            "(ORDER BY n_chars DESC, doc_id DESC) - 1) // 1000 AS BIGINT) "
+            "AS shard FROM documents"
         ),
         "uniform_sample_docs": golden.uniform_sample_k_sql(37, 5),
         "heavy_hitters": (

@@ -63,3 +63,13 @@ class TestGlobalRowNumber:
         t = pa.table({"doc_id": pa.array([], pa.int64())})
         out = global_row_number(rd.from_arrow(t), "doc_id").take_all()
         assert out == []
+
+    def test_shard_assignment(self):
+        t = _t(100, seed=3)
+        out = global_row_number(rd.from_arrow(t).repartition(4), "doc_id",
+                                shard_size=30).take_all()
+        for r in out:
+            assert r["shard"] == r["row_id"] // 30
+        from collections import Counter
+        sizes = Counter(r["shard"] for r in out)
+        assert sizes == {0: 30, 1: 30, 2: 30, 3: 10}

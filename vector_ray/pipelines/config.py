@@ -551,7 +551,9 @@ def _build_row_number(cfg):
             return global_row_number(ds, cfg["order_by"],
                                      tiebreak=cfg.get("tiebreak"),
                                      out=cfg.get("out", "row_id"),
-                                     descending=cfg.get("descending", False))
+                                     descending=cfg.get("descending", False),
+                                     shard_size=cfg.get("shard_size"),
+                                     shard_col=cfg.get("shard_col", "shard"))
 
     return _RowNumber()
 

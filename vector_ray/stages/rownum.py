@@ -45,10 +45,17 @@ def global_row_number(
     tiebreak: Optional[str] = None,
     out: str = "row_id",
     descending: bool = False,
+    shard_size: Optional[int] = None,
+    shard_col: str = "shard",
 ):
     """Append ``out``: the row's global 0-based rank in
     ``(order_by, tiebreak)`` order. The combined key must be unique
-    and non-null."""
+    and non-null.
+
+    ``shard_size`` additionally appends ``shard_col = out // shard_size``
+    — fixed-size training shards (every shard but the last has exactly
+    ``shard_size`` rows); pass ``shard_col`` to the parquet sink's
+    ``partition_cols`` for one directory per shard."""
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if tiebreak and tiebreak not in cols:
         cols.append(tiebreak)
@@ -83,11 +90,14 @@ def global_row_number(
 
     def add_index(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column(out, pa.array([], pa.int64()))
-        first = repr(tuple(t[c][0].as_py() for c in cols))
-        off = offsets[first]
-        return t.append_column(
-            out, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64)))
+            idx = np.empty(0, np.int64)
+        else:
+            off = offsets[repr(tuple(t[c][0].as_py() for c in cols))]
+            idx = np.arange(off, off + t.num_rows, dtype=np.int64)
+        t = t.append_column(out, pa.array(idx))
+        if shard_size:
+            t = t.append_column(shard_col, pa.array(idx // shard_size))
+        return t
 
     return srt.map_batches(add_index, batch_size=None,
                            batch_format="pyarrow", zero_copy_batch=True)
