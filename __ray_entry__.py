@@ -975,6 +975,30 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_repetition_signals(sf_dir):
+    """Gopher-style repetition counters (Rae et al. 2021, A1.1) —
+    dup-line / top-2-gram / dup-5-gram coverage, all integer-exact.
+    The raw word-soup text has single-line docs (zero line signal), so
+    the corpus is deterministically replanted (golden.rep_corpus: 7-word
+    lines, every 3rd doc repeats a line, every 4th plants a duplicated
+    5-gram); the shared builder is INPUT construction, not the operator
+    under test. Oracle: plain-Python content-compared reimplementation
+    (tools/golden.py rep_signals_py) rendered as VALUES."""
+    import ray.data as rd
+
+    from tools.golden import rep_corpus
+    from vector_ray.ml.text import RepetitionSignals
+
+    ids, texts = rep_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = RepetitionSignals("text").apply(rd.from_arrow(tbl).repartition(4))
+    return _finish(out.select_columns([
+        "doc_id", "n_lines", "dup_line_cnt", "line_chars",
+        "dup_line_chars", "word_chars", "top2_cnt", "top2_chars",
+        "dup5_chars"]))
+
+
 def q_media_features(sf_dir):
     """Multimodal decode plumbing (deterministic fake decoder over the
     seeded synthetic media table — scale-free, sf-independent). Features
@@ -1812,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "repetition_signals": q_repetition_signals,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2405,6 +2430,7 @@ def _golden_oracles() -> dict[str, str]:
         "media_features": golden.media_features_sql(),
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
         "simhash_pairs": golden.simhash_pairs_sql(),
+        "repetition_signals": golden.repetition_signals_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

@@ -604,3 +604,50 @@ class TestLmScore:
         assert a == b
         # n_tri = len - 2 for pure-ascii rows
         assert all(n == 78 for _, n, _ in a)
+
+
+class TestRepetitionSignals:
+    CASES = [
+        "",
+        "one",
+        "a b c d e\na b c d e",                      # dup line == dup 5-gram
+        "x y\nx y\nx y\n\n\nz",                      # empty lines ignored
+        "w1 w2 w1 w2 w1 w2",                         # top 2-gram (w2,w1) vs (w1,w2) tie
+        "héllo wörld héllo wörld héllo wörld wörld", # multi-byte utf-8
+        "a b c d e f g h a b c d e x y",             # overlapping dup-5gram union
+        "line one\r\nline one\r\nother",             # \r kept in line content
+        "UPPER lower UPPER lower",                   # lowercased first
+        "t1 t2 t3 t4 t5 q t1 t2 t3 t4 t5",           # dup 5-gram split by filler
+    ]
+
+    def _golden(self, texts):
+        from tools.golden import rep_signals_py
+        keys = ("n_lines", "dup_line_cnt", "line_chars", "dup_line_chars",
+                "word_chars", "top2_cnt", "top2_chars", "dup5_chars")
+        cols = list(zip(*[rep_signals_py(t) for t in texts]))
+        return {k: list(v) for k, v in zip(keys, cols)}
+
+    def test_matches_plain_python(self):
+        from vector_ray.ml.text import repetition_signals_batch
+        got = repetition_signals_batch(self.CASES)
+        want = self._golden(self.CASES)
+        for k in want:
+            assert got[k].tolist() == want[k], k
+
+    def test_batch_invariance(self):
+        # per-doc results must not depend on batch composition
+        from vector_ray.ml.text import repetition_signals_batch
+        whole = repetition_signals_batch(self.CASES)
+        for i, t in enumerate(self.CASES):
+            single = repetition_signals_batch([t])
+            for k in whole:
+                assert single[k][0] == whole[k][i], (k, i)
+
+    def test_stage_appends_int64_columns(self):
+        from vector_ray.ml.text import RepetitionSignals
+        tbl = pa.table({"doc_id": [1, 2], "text": ["a b a b", "x\nx"]})
+        out = RepetitionSignals("text").apply(rd.from_arrow(tbl)).take_all()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["top2_cnt"] == 1 or by_id[1]["top2_cnt"] == 2
+        assert by_id[2]["dup_line_cnt"] == 1
+        assert isinstance(by_id[2]["n_lines"], int)

@@ -698,3 +698,71 @@ def lm_perplexity_sql(sample_mod: int = 4, alpha: float = 0.5) -> str:
         rows.append((i, len(g), -int(sum(int(q[x]) for x in g))))
     return _values_sql(rows, ["doc_id", "n_tri", "nll_micro"],
                        ["BIGINT", "BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals — Gopher-style repetition counters (Rae et al.
+# 2021 A1.1). The raw documents text is single-line word soup, so line
+# repetition is PLANTED deterministically per doc index (the corpus
+# builder below is the shared INPUT construction, imported by
+# q_repetition_signals — not the operator under test).
+
+
+def rep_corpus(parquet_dir: str, n_docs: int = 400):
+    """Deterministic replanted corpus: first n_docs documents, words
+    wrapped into 7-word lines; every 3rd doc repeats its first line,
+    every 4th doc appends its first 5 words twice (a guaranteed
+    duplicated 5-gram)."""
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()[:n_docs]
+    out = []
+    for i, txt in enumerate(t["text"].to_pylist()[:n_docs]):
+        words = (txt or "").split()[:48]
+        lines = [" ".join(words[j:j + 7]) for j in range(0, len(words), 7)]
+        if i % 3 == 0 and lines:
+            lines.append(lines[0])
+        if i % 4 == 0 and len(words) >= 5:
+            lines.append(" ".join(words[:5] + words[:5]))
+        out.append("\n".join(lines))
+    return ids, out
+
+
+def rep_signals_py(text: str) -> tuple:
+    """Plain-Python single-doc reference for
+    ml/text.py repetition_signals_batch (content-compared where the
+    engine hashes; definitions in that docstring)."""
+    from collections import Counter
+
+    b = (text or "").lower().encode("utf-8", "ignore")
+    lines = [ln for ln in b.split(b"\n") if ln]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_cnt = sum(c - 1 for c in lc.values())
+    dup_line_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+    words = re.findall(rb"[A-Za-z0-9_\x80-\xff]+", b)
+    word_chars = sum(len(w) for w in words)
+    g2 = Counter(zip(words, words[1:]))
+    top2_cnt = max(g2.values()) if g2 else 0
+    top2_chars = max(
+        (c * (len(a) + len(bb)) for (a, bb), c in g2.items() if c == top2_cnt),
+        default=0)
+    g5 = Counter(tuple(words[j:j + 5]) for j in range(len(words) - 4))
+    cov = [False] * len(words)
+    for j in range(len(words) - 4):
+        if g5[tuple(words[j:j + 5])] >= 2:
+            for p in range(j, j + 5):
+                cov[p] = True
+    dup5_chars = sum(len(w) for w, c in zip(words, cov) if c)
+    return (n_lines, dup_line_cnt, line_chars, dup_line_chars,
+            word_chars, top2_cnt, top2_chars, dup5_chars)
+
+
+def repetition_signals_sql() -> str:
+    ids, texts = rep_corpus(sf_dir())
+    rows = [(i,) + rep_signals_py(t) for i, t in zip(ids, texts)]
+    cols = ["doc_id", "n_lines", "dup_line_cnt", "line_chars",
+            "dup_line_chars", "word_chars", "top2_cnt", "top2_chars",
+            "dup5_chars"]
+    return _values_sql(rows, cols, ["BIGINT"] * 9)

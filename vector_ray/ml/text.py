@@ -133,3 +133,167 @@ class Fingerprint(BatchStep):
 
     def transform(self, tbl: pa.Table) -> pa.Table:
         return doc_fingerprint(tbl, self.field, self.out)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1 quality filters — public spec). Reference has
+# no counterpart; this is part of the training-data toolkit layered on
+# the engine (SURVEY §2 "beyond the reference" operators).
+
+
+def repetition_signals_batch(texts: list) -> dict:
+    """Per-doc repetition counters, fully vectorized (one flat byte
+    buffer for the whole batch; word/line runs via diff; per-doc
+    aggregation via bincount/reduceat — no per-row Python).
+
+    Definitions (exact, integer-valued — oracle-hashable):
+
+    - *words*: maximal runs of word bytes (``[a-z0-9_]``/``A-Z``/
+      ``>=0x80``) in the utf-8 encoding of the lowercased text (the
+      ``simhash_batch`` convention). ``word_chars`` = total word bytes.
+    - *lines*: maximal runs of non-``\\n`` bytes (empty lines ignored),
+      compared by exact content (engine: crc32 of the slice).
+      ``n_lines``; ``line_chars`` = total line bytes;
+      ``dup_line_cnt`` = occurrences beyond the first of each repeated
+      line; ``dup_line_chars`` = those occurrences' bytes.
+    - *2-grams*: adjacent word pairs in the doc's word stream (line
+      breaks do not break adjacency). ``top2_cnt`` = occurrence count
+      of the most frequent 2-gram; ``top2_chars`` = max over 2-grams
+      with that count of ``count * (len(w1)+len(w2))`` (character
+      coverage of the most frequent 2-gram; deterministic tiebreak).
+    - *5-grams*: ``dup5_chars`` = word bytes covered by at least one
+      occurrence of a 5-gram that occurs >= 2 times in the doc
+      (interval union over word positions).
+
+    Fractions (Gopher thresholds: dup_line_frac 0.30, dup_line_char_
+    frac 0.20, top2 char frac 0.20, dup 5-gram char frac 0.15) are for
+    the caller: e.g. ``dup_line_cnt * 10 > 3 * n_lines`` — exact
+    integer comparisons, no float wobble.
+    """
+    from vector_ray.ml.dedup import _crc32_words, _sm64
+
+    n = len(texts)
+    out = {k: np.zeros(n, np.int64) for k in (
+        "n_lines", "dup_line_cnt", "line_chars", "dup_line_chars",
+        "word_chars", "top2_cnt", "top2_chars", "dup5_chars")}
+    if n == 0:
+        return out
+    bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
+    flat = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum([len(b) + 1 for b in bufs[:-1]], out=doc_starts[1:])
+
+    def _runs(mask):
+        d = np.diff(mask.astype(np.int8), prepend=np.int8(0))
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        if len(ends) < len(starts):
+            ends = np.append(ends, len(flat))
+        return starts, ends - starts
+
+    # ---- lines: runs of non-\n bytes (doc separator IS \n, so runs
+    # never cross docs)
+    l_starts, l_lens = _runs(flat != 0x0A)
+    if len(l_starts):
+        doc_of_line = np.searchsorted(doc_starts, l_starts, side="right") - 1
+        np.add.at(out["n_lines"], doc_of_line, 1)
+        np.add.at(out["line_chars"], doc_of_line, l_lens)
+        lh = _crc32_words(flat, l_starts, l_lens).astype(np.uint64)
+        order = np.lexsort((lh, doc_of_line))
+        sd, sh, sl = doc_of_line[order], lh[order], l_lens[order]
+        new = np.empty(len(sd), bool)
+        new[0] = True
+        new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+        # every non-first occurrence in its (doc, line) run is a dup
+        dup = ~new
+        np.add.at(out["dup_line_cnt"], sd[dup], 1)
+        np.add.at(out["dup_line_chars"], sd[dup], sl[dup])
+
+    # ---- words
+    wc = (
+        ((flat >= 97) & (flat <= 122))
+        | ((flat >= 48) & (flat <= 57))
+        | (flat == 95)
+        | (flat >= 128)
+        | ((flat >= 65) & (flat <= 90))
+    )
+    w_starts, w_lens = _runs(wc)
+    if len(w_starts) == 0:
+        return out
+    doc_of_word = np.searchsorted(doc_starts, w_starts, side="right") - 1
+    np.add.at(out["word_chars"], doc_of_word, w_lens)
+    wh = _crc32_words(flat, w_starts, w_lens).astype(np.uint64)
+
+    def _gram_runs(k):
+        """Sorted (doc, gram-id) runs over k-gram start positions.
+        Returns (starts_idx sorted, run_offs, run_doc, run_cnt,
+        run_charlen)."""
+        if len(wh) < k:
+            return None
+        valid = doc_of_word[: len(wh) - k + 1] == doc_of_word[k - 1:]
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            return None
+        with np.errstate(over="ignore"):
+            g = wh[idx].copy()
+            for j in range(1, k):
+                g = _sm64(g * np.uint64(0x100000001B3) ^ wh[idx + j])
+        charlen = w_lens[idx].copy()
+        for j in range(1, k):
+            charlen = charlen + w_lens[idx + j]
+        d = doc_of_word[idx]
+        order = np.lexsort((g, d))
+        sd, sg = d[order], g[order]
+        new = np.empty(len(sd), bool)
+        new[0] = True
+        new[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+        run_offs = np.nonzero(new)[0]
+        run_cnt = np.diff(np.append(run_offs, len(sd)))
+        return idx[order], run_offs, sd[run_offs], run_cnt, charlen[order][run_offs]
+
+    # ---- top 2-gram coverage
+    r2 = _gram_runs(2)
+    if r2 is not None:
+        _, run_offs, run_doc, run_cnt, run_charlen = r2
+        doc_new = np.empty(len(run_doc), bool)
+        doc_new[0] = True
+        doc_new[1:] = run_doc[1:] != run_doc[:-1]
+        doc_offs = np.nonzero(doc_new)[0]
+        docs2 = run_doc[doc_offs]
+        maxc = np.maximum.reduceat(run_cnt, doc_offs)
+        out["top2_cnt"][docs2] = maxc
+        is_top = run_cnt == np.repeat(maxc, np.diff(np.append(doc_offs, len(run_cnt))))
+        cover = np.where(is_top, run_cnt * run_charlen, 0)
+        out["top2_chars"][docs2] = np.maximum.reduceat(cover, doc_offs)
+
+    # ---- duplicated 5-gram coverage (interval union over word positions)
+    r5 = _gram_runs(5)
+    if r5 is not None:
+        sidx, run_offs, _, run_cnt, _ = r5
+        in_dup_run = np.repeat(run_cnt >= 2, run_cnt)
+        starts5 = sidx[in_dup_run]
+        if len(starts5):
+            diff = np.zeros(len(wh) + 5, np.int32)
+            np.add.at(diff, starts5, 1)
+            np.add.at(diff, starts5 + 5, -1)
+            covered = np.cumsum(diff[: len(wh)]) > 0
+            np.add.at(out["dup5_chars"], doc_of_word[covered], w_lens[covered])
+    return out
+
+
+class RepetitionSignals(BatchStep):
+    """Append Gopher-style repetition counters (see
+    ``repetition_signals_batch``) as int64 columns. Compose with
+    ``C.expr`` / ``quantile_band_filter`` to drop repetitive docs,
+    e.g. keep ``dup_line_cnt * 10 <= 3 * n_lines``."""
+
+    def __init__(self, field: str = "text", prefix: str = ""):
+        self.field = field
+        self.prefix = prefix
+
+    def transform(self, tbl: pa.Table) -> pa.Table:
+        sig = repetition_signals_batch(tbl[self.field].to_pylist())
+        for k, v in sig.items():
+            tbl = F.set_(tbl, self.prefix + k, pa.array(v, pa.int64()))
+        return tbl

@@ -493,6 +493,14 @@ def _build_langid(cfg):
     return LangId(cfg.get("field", "text"))
 
 
+@register_transform("repetition_signals")
+def _build_repetition(cfg):
+    from vector_ray.ml.text import RepetitionSignals
+
+    return RepetitionSignals(cfg.get("field", "text"),
+                             prefix=cfg.get("prefix", ""))
+
+
 @register_transform("fingerprint")
 def _build_fingerprint(cfg):
     from vector_ray.ml.text import Fingerprint
