@@ -975,6 +975,27 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_url_dedup_docs(sf_dir):
+    """C4/RefinedWeb-style URL canonicalization + URL-level exact dedup
+    (ml/urls.py): 200 canonical URLs each planted as 3 raw variants
+    (case/www/default-port/tracking-params/param-order/trailing-slash/
+    fragment) that must collapse to one kept row each — keep-first by
+    doc_id, vectorized bucketed_first plan (no per-key Python). Oracle:
+    independent urllib.parse reimplementation (tools/golden.py
+    norm_url_py) rendered as VALUES."""
+    import ray.data as rd
+
+    from tools.golden import url_corpus
+    from vector_ray.ml.urls import url_dedup
+
+    ids, urls = url_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "url": pa.array(urls, pa.string())})
+    out = url_dedup(rd.from_arrow(tbl).repartition(4), "url")
+    return _finish(out.select_columns(["doc_id", "norm_url",
+                                       "norm_url_domain"]))
+
+
 def q_repetition_signals(sf_dir):
     """Gopher-style repetition counters (Rae et al. 2021, A1.1) —
     dup-line / top-2-gram / dup-5-gram coverage, all integer-exact.
@@ -1836,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "url_dedup_docs": q_url_dedup_docs,
         "repetition_signals": q_repetition_signals,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
@@ -2431,6 +2453,7 @@ def _golden_oracles() -> dict[str, str]:
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
         "simhash_pairs": golden.simhash_pairs_sql(),
         "repetition_signals": golden.repetition_signals_sql(),
+        "url_dedup_docs": golden.url_dedup_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

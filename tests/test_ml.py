@@ -651,3 +651,60 @@ class TestRepetitionSignals:
         assert by_id[1]["top2_cnt"] == 1 or by_id[1]["top2_cnt"] == 2
         assert by_id[2]["dup_line_cnt"] == 1
         assert isinstance(by_id[2]["n_lines"], int)
+
+
+class TestUrls:
+    WELL_FORMED = [
+        "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag",
+        "https://example.com:443/a/b",
+        "https://example.com:8443/a/b",
+        "http://sub.example.co.uk/Path/",
+        "http://example.com/?utm_campaign=z&gclid=1",
+        "http://example.com",
+        "http://example.com/x?a=1&a=0&ref=t",
+        "http://www.example.com/CaseSensitive",
+        "https://example.com/p?ref=abc&refx=keep&fbclid=1&z=9",
+        "http://example.com/deep///",
+    ]
+
+    def test_matches_urllib_reference(self):
+        from tools.golden import norm_url_py
+        from vector_ray.ml.urls import normalize_urls
+        got = normalize_urls(pa.array(self.WELL_FORMED)).to_pylist()
+        want = [norm_url_py(u) for u in self.WELL_FORMED]
+        assert got == want
+
+    def test_unparsable_and_null_passthrough(self):
+        from vector_ray.ml.urls import normalize_urls
+        got = normalize_urls(pa.array(["not a url", None, ""])).to_pylist()
+        assert got == ["not a url", None, ""]
+
+    def test_registered_domains(self):
+        from vector_ray.ml.urls import normalize_urls, registered_domains
+        urls = ["http://a.b.example.co.uk/x", "https://example.com/",
+                "http://localhost/x", "http://site.gov.br/x"]
+        d = registered_domains(normalize_urls(pa.array(urls))).to_pylist()
+        assert d == ["example.co.uk", "example.com", None, "site.gov.br"]
+
+    def test_url_dedup_collapses_variants(self):
+        from vector_ray.ml.urls import url_dedup
+        tbl = pa.table({
+            "doc_id": pa.array([3, 1, 2, 10], pa.int64()),
+            "url": pa.array([
+                "http://example.com/x?a=1",
+                "HTTP://WWW.EXAMPLE.COM:80/x/?utm_s=1&a=1#f",
+                "http://example.com/x?a=1&gclid=z",
+                "http://example.com/y",
+            ]),
+        })
+        out = url_dedup(rd.from_arrow(tbl).repartition(2), "url").take_all()
+        kept = sorted((r["doc_id"], r["norm_url"]) for r in out)
+        assert kept == [(1, "http://example.com/x?a=1"),
+                        (10, "http://example.com/y")]
+
+    def test_slice_invariance(self):
+        from vector_ray.ml.urls import normalize_urls
+        arr = pa.array(self.WELL_FORMED + [None] + self.WELL_FORMED[::-1])
+        whole = normalize_urls(arr).to_pylist()
+        sliced = normalize_urls(arr.slice(3, 10)).to_pylist()
+        assert sliced == whole[3:13]

@@ -766,3 +766,88 @@ def repetition_signals_sql() -> str:
             "dup_line_chars", "word_chars", "top2_cnt", "top2_chars",
             "dup5_chars"]
     return _values_sql(rows, cols, ["BIGINT"] * 9)
+
+
+# ---------------------------------------------------------------------------
+# url_dedup — C4/RefinedWeb-style URL canonicalization + URL-level
+# exact dedup (ml/urls.py). Documents carry no URL column, so the
+# corpus is built deterministically: 200 canonical URLs, each emitted
+# as 3 raw variants (case/www/default-port/tracking-param/param-order/
+# trailing-slash/fragment decorations) that must all collapse. The
+# builder below is shared INPUT construction (imported by
+# q_url_dedup_docs); the normalizer here is an INDEPENDENT
+# urllib.parse reimplementation of the spec in ml/urls.py.
+
+_URL_TRACKING_RE = re.compile(r"^(?:utm_[^=&]*|fbclid|gclid|msclkid|ref)(?:=|$)")
+_URL_SLDS = {"co", "com", "org", "net", "ac", "gov", "edu"}
+
+
+def url_corpus(parquet_dir: str, n_docs: int = 600):
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()[:n_docs]
+    n = len(ids)
+    urls = []
+    for i in range(n):
+        k = i % 200
+        rep = i // 200
+        scheme = "http" if k % 2 else "https"
+        host = f"site{k % 7}.example." + ("co.uk" if k % 5 == 0 else "com")
+        path = f"/docs/{k}" if k % 3 else f"/Docs/{k}"
+        params = [f"q={k % 13}", "lang=en"] if k % 4 else [f"q={k % 13}"]
+        raw_host = ("WWW." + host.upper()) if rep == 1 else (
+            "www." + host if rep == 2 else host)
+        port = {"http": ":80", "https": ":443"}[scheme] if rep == 1 else ""
+        extra = ["utm_source=feed", "gclid=g1"] if rep >= 1 else []
+        q = (params[::-1] + extra) if rep == 2 else (params + extra)
+        frag = "#top" if rep == 2 else ""
+        trail = "/" if rep == 1 else ""
+        urls.append(f"{scheme}://{raw_host}{port}{path}{trail}"
+                    + ("?" + "&".join(q) if q else "") + frag)
+    return ids, urls
+
+
+def norm_url_py(u: str) -> str:
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    scheme = sp.scheme.lower()
+    netloc = sp.netloc.lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    if scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    path = sp.path.rstrip("/")
+    params = sorted(p for p in sp.query.split("&")
+                    if p and not _URL_TRACKING_RE.match(p))
+    q = "&".join(params)
+    return f"{scheme}://{netloc}{path}" + (f"?{q}" if q else "")
+
+
+def url_domain_py(norm: str):
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", norm)
+    if not m:
+        return None
+    host = m.group(1)
+    if host.startswith("www."):
+        host = host[4:]
+    labels = host.split(".")
+    if len(labels) < 2:
+        return None
+    if len(labels) >= 3 and labels[-2] in _URL_SLDS:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def url_dedup_sql() -> str:
+    ids, urls = url_corpus(sf_dir())
+    best: dict = {}
+    for i, u in zip(ids, urls):
+        c = norm_url_py(u)
+        if c not in best or i < best[c]:
+            best[c] = i
+    rows = sorted((i, c, url_domain_py(c)) for c, i in best.items())
+    return _values_sql(rows, ["doc_id", "norm_url", "norm_url_domain"],
+                       ["BIGINT", "VARCHAR", "VARCHAR"])

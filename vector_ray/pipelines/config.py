@@ -493,6 +493,14 @@ def _build_langid(cfg):
     return LangId(cfg.get("field", "text"))
 
 
+@register_transform("normalize_urls")
+def _build_normurls(cfg):
+    from vector_ray.ml.urls import NormalizeUrls
+
+    return NormalizeUrls(cfg.get("field", "url"),
+                         out=cfg.get("out", "norm_url"))
+
+
 @register_transform("repetition_signals")
 def _build_repetition(cfg):
     from vector_ray.ml.text import RepetitionSignals
