@@ -975,6 +975,29 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_c4_clean_docs(sf_dir):
+    """C4-style line/document cleaning (Raffel et al. 2020 §2.2,
+    ml/clean.py): terminal-punctuation / min-words / javascript line
+    rules, brace + lorem-ipsum + min-sentences doc rules, and the
+    text REWRITE itself (kept lines rejoined) — all over one flat byte
+    buffer per batch with a fused gather into a zero-copy StringArray.
+    Corpus replants lines/punctuation deterministically
+    (golden.clean_corpus — shared INPUT construction); oracle is an
+    independent plain-Python reimplementation rendered as VALUES."""
+    import ray.data as rd
+
+    from tools.golden import clean_corpus
+    from vector_ray.ml.clean import C4Clean
+
+    ids, texts = clean_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = C4Clean("text").apply(rd.from_arrow(tbl).repartition(4))
+    return _finish(out.select_columns([
+        "doc_id", "text_clean", "n_lines", "n_lines_kept",
+        "n_sentences", "doc_kept"]))
+
+
 def q_url_dedup_docs(sf_dir):
     """C4/RefinedWeb-style URL canonicalization + URL-level exact dedup
     (ml/urls.py): 200 canonical URLs each planted as 3 raw variants
@@ -1857,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "c4_clean_docs": q_c4_clean_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "repetition_signals": q_repetition_signals,
         "quantile_band": q_quantile_band,
@@ -2454,6 +2478,7 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "repetition_signals": golden.repetition_signals_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
+        "c4_clean_docs": golden.c4_clean_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

@@ -708,3 +708,50 @@ class TestUrls:
         whole = normalize_urls(arr).to_pylist()
         sliced = normalize_urls(arr.slice(3, 10)).to_pylist()
         assert sliced == whole[3:13]
+
+
+class TestC4Clean:
+    CASES = [
+        "",
+        "no punctuation line here at all",
+        "one two three four five six.",
+        "short line.",                                   # < 5 words
+        "enable JavaScript to view this content here.",  # js rule
+        'he said "quote line ending with a quote"',      # " terminal
+        "a { brace } drops the whole doc even here.",    # doc rule
+        "first good line one two three.\nsecond good line four five six!\nthird good line seven eight nine?",
+        "Lorem ipsum dolor sit amet consectetur elite.",
+        "multi. punct! in? one line counts them all.",
+        "tab\tseparated words count as five words.",
+        "unicodé wörds also count fine as words.",
+        "ends mid\nway. no\n\n\nblank lines kept here ok.",
+    ]
+
+    def test_matches_plain_python(self):
+        from tools.golden import c4_clean_py
+        from vector_ray.ml.clean import c4_clean_batch
+        got = c4_clean_batch(self.CASES)
+        for i, t in enumerate(self.CASES):
+            clean, nl, nk, ns, kept = c4_clean_py(t)
+            assert got["text_clean"][i].as_py() == clean, (i, t)
+            assert int(got["n_lines"][i]) == nl, (i, t)
+            assert int(got["n_lines_kept"][i]) == nk, (i, t)
+            assert int(got["n_sentences"][i]) == ns, (i, t)
+            assert bool(got["doc_kept"][i]) == kept, (i, t)
+
+    def test_batch_invariance(self):
+        from vector_ray.ml.clean import c4_clean_batch
+        whole = c4_clean_batch(self.CASES)
+        for i, t in enumerate(self.CASES):
+            one = c4_clean_batch([t])
+            assert one["text_clean"][0].as_py() == whole["text_clean"][i].as_py()
+            assert bool(one["doc_kept"][0]) == bool(whole["doc_kept"][i])
+
+    def test_drop_filters(self):
+        from vector_ray.ml.clean import C4Clean
+        tbl = pa.table({"doc_id": [1, 2],
+                        "text": ["one two three four five.\nsix seven eight nine ten!\na b c d e?",
+                                 "nothing kept here"]})
+        out = C4Clean("text", drop=True).apply(rd.from_arrow(tbl)).take_all()
+        assert [r["doc_id"] for r in out] == [1]
+        assert out[0]["text_clean"].count("\n") == 2

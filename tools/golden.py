@@ -851,3 +851,73 @@ def url_dedup_sql() -> str:
     rows = sorted((i, c, url_domain_py(c)) for c, i in best.items())
     return _values_sql(rows, ["doc_id", "norm_url", "norm_url_domain"],
                        ["BIGINT", "VARCHAR", "VARCHAR"])
+
+
+# ---------------------------------------------------------------------------
+# c4_clean — C4-style line/doc cleaning (ml/clean.py). Word-soup docs
+# are single-line and punctuation-free, so the corpus replants lines
+# with deterministic terminal punctuation / short-line / javascript /
+# brace / lorem-ipsum decorations (shared INPUT construction, imported
+# by q_c4_clean_docs). The cleaner here is an independent plain-Python
+# reimplementation of the spec.
+
+
+def clean_corpus(parquet_dir: str, n_docs: int = 500):
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()[:n_docs]
+    out = []
+    for i, txt in enumerate(t["text"].to_pylist()[:n_docs]):
+        words = (txt or "").split()[:60]
+        lines = []
+        for j in range(0, len(words), 6):
+            chunk = words[j:j + 6]
+            r = (i + j // 6) % 5
+            if r == 0:
+                lines.append(" ".join(chunk) + ".")
+            elif r == 1:
+                lines.append(" ".join(chunk) + "!")
+            elif r == 2:
+                lines.append(" ".join(chunk) + " JavaScript required.")
+            elif r == 3:
+                lines.append(" ".join(chunk[:3]) + "?")
+            else:
+                lines.append(" ".join(chunk))
+        if i % 11 == 0:
+            lines.append("template { placeholder } artifact.")
+        if i % 13 == 0:
+            lines.append("filler Lorem Ipsum dolor sit amet text.")
+        out.append("\n".join(lines))
+    return ids, out
+
+
+def c4_clean_py(text: str, min_words: int = 5, min_sentences: int = 3):
+    lines = [ln for ln in (text or "").split("\n") if ln]
+    kept = []
+    for ln in lines:
+        if ln[-1] not in '.!?"':
+            continue
+        if len([w for w in re.split(r"[ \t\r]+", ln) if w]) < min_words:
+            continue
+        if "javascript" in ln.lower():
+            continue
+        kept.append(ln)
+    clean = "\n".join(kept)
+    n_sent = sum(clean.count(c) for c in ".!?")
+    doc_kept = (n_sent >= min_sentences
+                and "{" not in (text or "")
+                and "lorem ipsum" not in (text or "").lower())
+    return clean, len(lines), len(kept), n_sent, doc_kept
+
+
+def c4_clean_sql() -> str:
+    ids, texts = clean_corpus(sf_dir())
+    rows = []
+    for i, t in zip(ids, texts):
+        clean, nl, nk, ns, kept = c4_clean_py(t)
+        rows.append((i, clean, nl, nk, ns, kept))
+    return _values_sql(
+        rows,
+        ["doc_id", "text_clean", "n_lines", "n_lines_kept",
+         "n_sentences", "doc_kept"],
+        ["BIGINT", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BOOLEAN"])

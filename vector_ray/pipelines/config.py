@@ -493,6 +493,16 @@ def _build_langid(cfg):
     return LangId(cfg.get("field", "text"))
 
 
+@register_transform("c4_clean")
+def _build_c4clean(cfg):
+    from vector_ray.ml.clean import C4Clean
+
+    return C4Clean(cfg.get("field", "text"),
+                   min_words=int(cfg.get("min_words", 5)),
+                   min_sentences=int(cfg.get("min_sentences", 3)),
+                   drop=bool(cfg.get("drop", False)))
+
+
 @register_transform("normalize_urls")
 def _build_normurls(cfg):
     from vector_ray.ml.urls import NormalizeUrls
