@@ -59,23 +59,21 @@ def c4_clean_batch(texts: list, *, min_words: int = 5,
     bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
     flat = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
     doc_starts = np.zeros(n, dtype=np.int64)
-    np.cumsum([len(b) + 1 for b in bufs[:-1]], out=doc_starts[1:])
+    np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
+                          count=n - 1), out=doc_starts[1:])
     doc_ends = np.append(doc_starts[1:], len(flat)) - 1  # excl. sep \n
 
     def _runs(mask):
-        d = np.diff(mask.astype(np.int8), prepend=np.int8(0))
-        starts = np.nonzero(d == 1)[0]
-        ends = np.nonzero(d == -1)[0]
-        if len(ends) < len(starts):
-            ends = np.append(ends, len(flat))
-        return starts, ends - starts
+        # boundaries via shifted boolean views (no int8 temp + diff)
+        starts = np.nonzero(mask & ~np.concatenate(([False], mask[:-1])))[0]
+        ends = np.nonzero(mask & ~np.concatenate((mask[1:], [False])))[0]
+        return starts, ends - starts + 1
 
     l_starts, l_lens = _runs(flat != 0x0A)
     if len(l_starts) == 0:
         return empty
     doc_of_line = np.searchsorted(doc_starts, l_starts, side="right") - 1
-    n_lines = np.zeros(n, np.int64)
-    np.add.at(n_lines, doc_of_line, 1)
+    n_lines = np.bincount(doc_of_line, minlength=n).astype(np.int64)
 
     # (a) terminal-punctuation last byte
     term_lut = np.zeros(256, bool)
@@ -107,17 +105,19 @@ def c4_clean_batch(texts: list, *, min_words: int = 5,
             &= False
 
     # sentence-punct prefix sums (shared by per-line counts below)
-    sent_lut = np.zeros(256, np.int64)
+    sent_lut = np.zeros(256, np.uint8)
     for b in _SENTENCE:
         sent_lut[b] = 1
-    cs = np.concatenate(([0], np.cumsum(sent_lut[flat])))
+    cs = np.empty(len(flat) + 1, np.int64)
+    cs[0] = 0
+    np.cumsum(sent_lut[flat], dtype=np.int64, out=cs[1:])
 
     k_starts, k_lens = l_starts[keep], l_lens[keep]
     k_doc = doc_of_line[keep]
-    n_kept = np.zeros(n, np.int64)
-    np.add.at(n_kept, k_doc, 1)
-    n_sent = np.zeros(n, np.int64)
-    np.add.at(n_sent, k_doc, cs[k_starts + k_lens] - cs[k_starts])
+    n_kept = np.bincount(k_doc, minlength=n).astype(np.int64)
+    n_sent = np.bincount(
+        k_doc, weights=(cs[k_starts + k_lens] - cs[k_starts]),
+        minlength=n).astype(np.int64)
 
     # rewrite: gather kept line bytes + their following \n, trimming
     # the trailing \n of each doc's LAST kept line
@@ -133,16 +133,17 @@ def c4_clean_batch(texts: list, *, min_words: int = 5,
     gather = np.repeat(shift, out_lens)
     gather += np.arange(total, dtype=np.int64)
     values = flat[gather] if total else np.empty(0, np.uint8)
-    doc_out_lens = np.zeros(n, np.int64)
-    np.add.at(doc_out_lens, k_doc, out_lens)
+    doc_out_lens = np.bincount(k_doc, weights=out_lens, minlength=n)
     doc_offs = np.zeros(n + 1, np.int64)
-    np.cumsum(doc_out_lens, out=doc_offs[1:])
+    np.cumsum(doc_out_lens.astype(np.int64), out=doc_offs[1:])
     text_clean = pa.StringArray.from_buffers(
         n, pa.py_buffer(doc_offs.astype(np.int32).tobytes()),
         pa.py_buffer(values.tobytes()))
 
     # doc-level rules on the ORIGINAL text
-    brace_cs = np.concatenate(([0], np.cumsum(flat == 0x7B)))
+    brace_cs = np.empty(len(flat) + 1, np.int64)
+    brace_cs[0] = 0
+    np.cumsum(flat == 0x7B, dtype=np.int64, out=brace_cs[1:])
     has_brace = (brace_cs[doc_ends] - brace_cs[doc_starts]) > 0
     lorem_pos = np.fromiter(
         (m.start() for m in _LOREM_RE.finditer(lbytes)), np.int64)
