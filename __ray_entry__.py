@@ -975,6 +975,29 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_bloom_seen(sf_dir):
+    """Mergeable Bloom membership (ml/bloom.py): distributed build over
+    an 80% 'previous snapshot' of documents (per-block bitmap partials
+    → sharded groupby OR → driver OR), then a map-only probe of ALL
+    docs. Oracle: independent plain-Python python-int bitset
+    reimplementation — flags match bit-for-bit including any false
+    positives; false negatives are impossible by construction, so all
+    400 snapshot docs must be seen=true."""
+    from vector_ray.expr import C
+    from vector_ray.ml.bloom import bloom_build, bloom_probe
+    from vector_ray.stages import Filter
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    def _is_snap(t):
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.array(ids % 5 != 0)
+
+    snap = Filter(C.expr(_is_snap)).apply(ds)
+    bloom = bloom_build(snap, "text", m_bits=1 << 16, k=4)
+    out = bloom_probe(ds, "text", bloom, out="seen")
+    return _finish(out.select_columns(["doc_id", "seen"]))
+
+
 def q_c4_clean_docs(sf_dir):
     """C4-style line/document cleaning (Raffel et al. 2020 §2.2,
     ml/clean.py): terminal-punctuation / min-words / javascript line
@@ -1880,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "bloom_seen": q_bloom_seen,
         "c4_clean_docs": q_c4_clean_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "repetition_signals": q_repetition_signals,
@@ -2479,6 +2503,7 @@ def _golden_oracles() -> dict[str, str]:
         "repetition_signals": golden.repetition_signals_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
+        "bloom_seen": golden.bloom_seen_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

@@ -755,3 +755,53 @@ class TestC4Clean:
         out = C4Clean("text", drop=True).apply(rd.from_arrow(tbl)).take_all()
         assert [r["doc_id"] for r in out] == [1]
         assert out[0]["text_clean"].count("\n") == 2
+
+
+class TestBloom:
+    def test_no_false_negatives_and_bitexact(self):
+        from vector_ray.ml.bloom import Bloom
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2**63, 5_000).astype(np.uint64)
+        b = Bloom(1 << 14, 4)
+        b.add_hashes(keys)
+        assert b.contains_hashes(keys).all()
+
+    def test_merge_equals_union(self):
+        from vector_ray.ml.bloom import Bloom
+        rng = np.random.default_rng(8)
+        a_keys = rng.integers(0, 2**63, 1000).astype(np.uint64)
+        b_keys = rng.integers(0, 2**63, 1000).astype(np.uint64)
+        a = Bloom(1 << 12, 3); a.add_hashes(a_keys)
+        b = Bloom(1 << 12, 3); b.add_hashes(b_keys)
+        u = Bloom(1 << 12, 3); u.add_hashes(np.concatenate([a_keys, b_keys]))
+        assert (a.merge(b).words == u.words).all()
+
+    def test_fp_rate_in_range(self):
+        from vector_ray.ml.bloom import Bloom
+        rng = np.random.default_rng(9)
+        b = Bloom(1 << 16, 4)
+        b.add_hashes(rng.integers(0, 2**63, 4_000).astype(np.uint64))
+        probe = rng.integers(0, 2**63, 20_000).astype(np.uint64)
+        fp = b.contains_hashes(probe).mean()
+        # theoretical ~ (1-e^{-kn/m})^k = (1-e^{-0.244})^4 ~ 2.2e-3
+        assert fp < 0.01
+
+    def test_distributed_build_matches_local(self):
+        from vector_ray.ml.bloom import Bloom, bloom_build, bloom_probe, _key_hashes
+        tbl = pa.table({"k": pa.array([f"key-{i}" for i in range(2000)])})
+        ds = rd.from_arrow(tbl).repartition(8)
+        dist = bloom_build(ds, "k", m_bits=1 << 12, k=3, reducers=4)
+        local = Bloom(1 << 12, 3)
+        local.add_hashes(_key_hashes(tbl["k"]))
+        assert (dist.words == local.words).all()
+        out = bloom_probe(rd.from_arrow(tbl), "k", dist, mode="keep_seen")
+        assert out.count() == 2000
+
+    def test_int_keys(self):
+        from vector_ray.ml.bloom import Bloom, _key_hashes
+        tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        h = _key_hashes(tbl["k"])
+        b = Bloom(1 << 10, 2)
+        b.add_hashes(h[:2])
+        got = b.contains_hashes(h)
+        assert got[0] and got[1]

@@ -921,3 +921,33 @@ def c4_clean_sql() -> str:
         ["doc_id", "text_clean", "n_lines", "n_lines_kept",
          "n_sentences", "doc_kept"],
         ["BIGINT", "VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BOOLEAN"])
+
+
+# ---------------------------------------------------------------------------
+# bloom_seen — mergeable Bloom membership (ml/bloom.py). Independent
+# plain-Python bit-for-bit reimplementation (python-int bitset), so the
+# flags match EXACTLY including any false positives.
+
+
+def bloom_seen_sql(m_bits: int = 1 << 16, k: int = 4) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+
+    def positions(h):
+        h1 = sm64_int(h)
+        h2 = sm64_int(h ^ GOLD) | 1
+        return [((h1 + i * h2) & M64) & (m_bits - 1) for i in range(k)]
+
+    bits = 0
+    for i, txt in zip(ids, texts):
+        if i % 5 != 0:  # snapshot = 80% of docs
+            for p in positions(fnv1a_int(txt or "")):
+                bits |= 1 << p
+    rows = []
+    for i, txt in zip(ids, texts):
+        seen = all((bits >> p) & 1
+                   for p in positions(fnv1a_int(txt or "")))
+        rows.append((i, seen))
+    return _values_sql(rows, ["doc_id", "seen"], ["BIGINT", "BOOLEAN"])
