@@ -123,3 +123,31 @@ class TestCorpusMixtureExample:
                            t["shuffle_key"].to_pylist()))
         keys = [k for _, k in pairs]
         assert keys == sorted(keys)
+
+
+class TestWebCurationExample:
+    def test_runs_clean_signals_urldedup(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_web_curation", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "web_curation.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_web_curation/out/**/*.parquet", recursive=True)
+        assert files
+        t = pq.read_table(files)
+        assert {"doc_id", "norm_url", "norm_url_domain", "text_clean",
+                "doc_kept", "dup_line_cnt"} <= set(t.column_names)
+        # C4 drop + repetition filter really fired
+        assert all(t["doc_kept"].to_pylist())
+        assert max(t["dup_line_cnt"].to_pylist()) == 0
+        # URL variants collapsed: canonical URLs are unique, and fewer
+        # rows than the 1000 canonicals (some dropped by cleaning)
+        urls = t["norm_url"].to_pylist()
+        assert len(urls) == len(set(urls))
+        assert 0 < len(urls) <= 1000
+        for u in urls:
+            assert "utm_" not in u and "#" not in u and "WWW" not in u

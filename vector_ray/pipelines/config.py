@@ -66,7 +66,8 @@ from vector_ray.stages.base import Step, apply_chain
 
 _OPS = {
     "eq": C.eq, "equals": C.eq, "neq": C.neq, "not_equals": C.neq,
-    "gt": C.gt, "gte": C.ge, "lt": C.lt, "lte": C.le,
+    "gt": C.gt, "gte": C.ge, "ge": C.ge, "lt": C.lt, "lte": C.le,
+    "le": C.le,
     "contains": C.contains, "prefix": C.prefix, "starts_with": C.prefix,
     "suffix": C.suffix, "ends_with": C.suffix, "regex": C.regex,
     "is_in": C.is_in, "length_eq": C.length_eq,
@@ -984,6 +985,15 @@ class Topology:
             tbl = generator_lines(cfg.get("count", 1000), cfg.get("format", "apache"),
                                   seed=cfg.get("seed", 42))
             return rd.from_arrow(tbl)
+        if stype == "web_docs":
+            # deterministic multi-line web-page corpus (doc_id, url,
+            # text) with planted curation signals — self-contained
+            # web-curation examples (sources/synth.py web_docs_table)
+            from vector_ray.sources.synth import web_docs_table
+
+            tbl = web_docs_table(cfg.get("count", 2000),
+                                 seed=cfg.get("seed", 5))
+            return rd.from_arrow(tbl).repartition(cfg.get("blocks", 8))
         if stype == "tokens_synth":
             # deterministic north-rule tokenized table (doc_id, tokens,
             # n_tok, source) — self-contained token-pipeline examples

@@ -205,3 +205,63 @@ def generator_lines(n: int, fmt: str = "apache", seed: int = 42) -> pa.Table:
         words = np.array(["alpha", "beta", "gamma", "delta", "epsilon"])
         lines = [" ".join(words[(int(h[i]) >> (4 * k)) % 5] for k in range(6)) for i in range(n)]
     return pa.table({"message": pa.array(lines), "row_id": pa.array(ids)})
+
+
+_WEB_WORDS = np.array(
+    "data stream table merge sort index shard block cache query filter "
+    "window batch token model train sample graph node edge vector".split())
+
+
+def web_docs_table(n: int = 2000, seed: int = 5) -> pa.Table:
+    """Deterministic multi-line 'web page' corpus (doc_id, url, text)
+    with planted curation signals for the web-curation operators:
+    lines cycle through C4 outcomes (terminal punct / short / no punct
+    / javascript), every 9th doc repeats a line, every 17th carries a
+    brace artifact; URLs come as 3 raw variants per canonical
+    (case / www / default port / tracking params / fragment) that must
+    collapse under ml/urls normalization. Counter-based like every
+    synth source — identical at any parallelism."""
+    texts, urls = [], []
+    ncanon = max(n // 3, 1)
+    for i in range(n):
+        lines = []
+        for j in range(3 + i % 5):
+            wl = [_WEB_WORDS[(i * 13 + j * 7 + w * 3 + seed) % len(_WEB_WORDS)]
+                  for w in range(6)]
+            r = (i + j) % 6
+            if r == 0:
+                lines.append(" ".join(wl) + ".")
+            elif r == 1:
+                lines.append(" ".join(wl) + "!")
+            elif r == 2:
+                lines.append(" ".join(wl[:3]))
+            elif r == 3:
+                lines.append("please enable javascript to continue.")
+            elif r == 4:
+                lines.append(" ".join(wl) + "?")
+            else:
+                lines.append(" ".join(wl))
+        if i % 9 == 0:
+            lines.append(lines[0])
+        if i % 17 == 0:
+            lines.append("warning { token } artifact.")
+        texts.append("\n".join(lines))
+
+        k = i % ncanon
+        rep = i // ncanon
+        scheme = "http" if k % 2 else "https"
+        host = f"site{k % 11}.example.com"
+        path = f"/page/{k}"
+        if rep == 1:
+            port = ":80" if scheme == "http" else ":443"
+            urls.append(f"{scheme}://WWW.{host.upper()}{port}{path}/"
+                        f"?utm_source=gen&id={k}")
+        elif rep == 2:
+            urls.append(f"{scheme}://www.{host}{path}?id={k}&gclid=x#top")
+        else:
+            urls.append(f"{scheme}://{host}{path}?id={k}")
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "url": pa.array(urls),
+        "text": pa.array(texts),
+    })
