@@ -975,6 +975,29 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_cms_counts(sf_dir):
+    """Count-Min frequency estimation (ml/cms.py): distributed build
+    over events.user_id (per-block matrix partials → sharded groupby
+    SUM → driver SUM), map-only estimate pass, probe subset
+    event_id%20==0. Width 2^8 is deliberately below the distinct-user
+    count so collision overcounts are part of the checked surface.
+    Oracle: independent plain-Python CMS — estimates bit-for-bit."""
+    from vector_ray.expr import C
+    from vector_ray.ml.cms import cms_build, cms_estimate
+    from vector_ray.stages import Filter
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id"])
+    cms = cms_build(ds, "user_id", width=1 << 8, depth=4)
+    out = cms_estimate(ds, "user_id", cms)
+
+    def _probe(t):
+        ids = np.asarray(t["event_id"].to_numpy(zero_copy_only=False))
+        return pa.array(ids % 20 == 0)
+
+    out = Filter(C.expr(_probe)).apply(out)
+    return _finish(out.select_columns(["event_id", "user_id", "est_count"]))
+
+
 def q_bloom_seen(sf_dir):
     """Mergeable Bloom membership (ml/bloom.py): distributed build over
     an 80% 'previous snapshot' of documents (per-block bitmap partials
@@ -1903,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "cms_counts": q_cms_counts,
         "bloom_seen": q_bloom_seen,
         "c4_clean_docs": q_c4_clean_docs,
         "url_dedup_docs": q_url_dedup_docs,
@@ -2504,6 +2528,7 @@ def _golden_oracles() -> dict[str, str]:
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
+        "cms_counts": golden.cms_counts_sql(),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

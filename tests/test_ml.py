@@ -805,3 +805,48 @@ class TestBloom:
         b.add_hashes(h[:2])
         got = b.contains_hashes(h)
         assert got[0] and got[1]
+
+
+class TestCountMin:
+    def test_upper_bound_and_exact_when_wide(self):
+        from vector_ray.ml.cms import CountMin
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 50, 10_000).astype(np.uint64)
+        c = CountMin(1 << 14, 4)
+        c.add_hashes(keys)
+        import collections
+        true = collections.Counter(keys.tolist())
+        probe = np.arange(50, dtype=np.uint64)
+        est = c.estimate_hashes(probe).astype(np.int64)
+        want = np.array([true.get(int(k), 0) for k in probe])
+        assert (est >= want).all()
+        assert (est == want).all()  # wide sketch, 50 keys: no collisions
+
+    def test_merge_equals_union(self):
+        from vector_ray.ml.cms import CountMin
+        rng = np.random.default_rng(12)
+        a_k = rng.integers(0, 2**62, 3000).astype(np.uint64)
+        b_k = rng.integers(0, 2**62, 3000).astype(np.uint64)
+        a = CountMin(1 << 8, 3); a.add_hashes(a_k)
+        b = CountMin(1 << 8, 3); b.add_hashes(b_k)
+        u = CountMin(1 << 8, 3); u.add_hashes(np.concatenate([a_k, b_k]))
+        assert (a.merge(b).counts == u.counts).all()
+
+    def test_weighted(self):
+        from vector_ray.ml.cms import CountMin
+        keys = np.array([7, 7, 9], np.uint64)
+        w = np.array([10, 5, 2], np.uint64)
+        c = CountMin(1 << 10, 3)
+        c.add_hashes(keys, w)
+        est = c.estimate_hashes(np.array([7, 9], np.uint64))
+        assert est.tolist() == [15, 2]
+
+    def test_distributed_build_matches_local(self):
+        from vector_ray.ml.bloom import _key_hashes
+        from vector_ray.ml.cms import CountMin, cms_build
+        tbl = pa.table({"k": pa.array([f"u{i % 40}" for i in range(4000)])})
+        dist = cms_build(rd.from_arrow(tbl).repartition(8), "k",
+                         width=1 << 10, depth=3, reducers=4)
+        local = CountMin(1 << 10, 3)
+        local.add_hashes(_key_hashes(tbl["k"]))
+        assert (dist.counts == local.counts).all()

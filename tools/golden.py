@@ -951,3 +951,34 @@ def bloom_seen_sql(m_bits: int = 1 << 16, k: int = 4) -> str:
                    for p in positions(fnv1a_int(txt or "")))
         rows.append((i, seen))
     return _values_sql(rows, ["doc_id", "seen"], ["BIGINT", "BOOLEAN"])
+
+
+# ---------------------------------------------------------------------------
+# cms_counts — Count-Min frequency estimates (ml/cms.py). Independent
+# plain-Python reimplementation; estimates (including collision
+# overcounts at the deliberately small width) match bit-for-bit.
+
+
+def cms_counts_sql(width: int = 1 << 8, depth: int = 4) -> str:
+    # width 2^8 < 150 distinct users => real collisions: the oracle
+    # checks the exact collision overcounts, not just true counts
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["event_id", "user_id"])
+    eids = t["event_id"].to_pylist()
+    uids = t["user_id"].to_pylist()
+
+    def cols(h):
+        return [sm64_int((h ^ ((GOLD * (i + 1)) & M64)) & M64) & (width - 1)
+                for i in range(depth)]
+
+    counts = [[0] * width for _ in range(depth)]
+    for u in uids:
+        for i, c in enumerate(cols(u & M64)):
+            counts[i][c] += 1
+    rows = []
+    for e, u in zip(eids, uids):
+        if e % 20 == 0:
+            est = min(counts[i][c] for i, c in enumerate(cols(u & M64)))
+            rows.append((e, u, est))
+    return _values_sql(rows, ["event_id", "user_id", "est_count"],
+                       ["BIGINT", "BIGINT", "BIGINT"])
