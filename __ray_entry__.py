@@ -975,6 +975,35 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_semi_anti_join(sf_dir):
+    """Distributed SEMI + ANTI join (stages/join.py bucketed plan,
+    Arrow 'left semi'/'left anti' inside each hash bucket): orders of
+    BUILDING-segment customers (lane='in') unioned with orders of
+    everyone else (lane='out') — both probe paths in one checked
+    result. Oracle: EXISTS / NOT EXISTS."""
+    from vector_ray.stages.join import join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    from vector_ray.expr import C
+    from vector_ray.stages import Filter
+
+    bldg = Filter(C.eq("c_mktsegment", "BUILDING")).apply(cust)
+
+    def lane(v):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("lane", pa.array([v] * len(t)))
+        return f
+
+    semi = join(orders, bldg, ["o_custkey"], right_on=["c_custkey"],
+                join_type="semi").map_batches(
+        lane("in"), batch_format="pyarrow", zero_copy_batch=True)
+    anti = join(orders, bldg, ["o_custkey"], right_on=["c_custkey"],
+                join_type="anti").map_batches(
+        lane("out"), batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(semi.union(anti))
+
+
 def q_cms_counts(sf_dir):
     """Count-Min frequency estimation (ml/cms.py): distributed build
     over events.user_id (per-block matrix partials → sharded groupby
@@ -1926,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "semi_anti_join": q_semi_anti_join,
         "cms_counts": q_cms_counts,
         "bloom_seen": q_bloom_seen,
         "c4_clean_docs": q_c4_clean_docs,
@@ -2529,6 +2559,15 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "semi_anti_join": (
+            "SELECT o_orderkey, o_custkey, 'in' AS lane FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM customer c WHERE "
+            "c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING') "
+            "UNION ALL "
+            "SELECT o_orderkey, o_custkey, 'out' AS lane FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE "
+            "c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')"
+        ),
         "pack_sequences": golden.pack_sequences_sql(_TOKENS_Q_ROWS, 11, 2048, 8),
         "token_dedup_collapse": golden.token_dedup_collapse_sql(),
         "strip_dup_passages": golden.strip_dup_passages_sql(

@@ -53,3 +53,37 @@ class TestAsofJoin:
         assert got[("x", 10)] == 0.9
         assert got[("x", 20)] == 1.9
         assert got[("y", 15)] == 8.5
+
+
+class TestSemiAntiJoin:
+    def _sides(self):
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(list("abcde")),
+        })).repartition(2)
+        right = rd.from_arrow(pa.table({
+            "rk": pa.array([2, 4, 4, 9], pa.int64()),
+            "w": pa.array(list("xyzq")),
+        })).repartition(2)
+        return left, right
+
+    def test_semi(self):
+        from vector_ray.stages.join import join
+        left, right = self._sides()
+        out = join(left, right, ["k"], right_on=["rk"], join_type="semi").take_all()
+        assert sorted(r["k"] for r in out) == [2, 4]  # no dup from 4,4
+        assert set(out[0]) == {"k", "v"}
+
+    def test_anti(self):
+        from vector_ray.stages.join import join
+        left, right = self._sides()
+        out = join(left, right, ["k"], right_on=["rk"], join_type="anti").take_all()
+        assert sorted(r["k"] for r in out) == [1, 3, 5]
+
+    def test_anti_empty_right(self):
+        from vector_ray.stages.join import join
+        left, _ = self._sides()
+        right = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64()),
+                                        "w": pa.array([], pa.string())}))
+        out = join(left, right, ["k"], right_on=["rk"], join_type="anti").take_all()
+        assert sorted(r["k"] for r in out) == [1, 2, 3, 4, 5]

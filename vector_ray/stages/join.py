@@ -42,7 +42,12 @@ def join(
     num_partitions: int = 16,
     right_on: Optional[Sequence[str]] = None,
 ):
-    """Native hash join when the installed Ray has Dataset.join."""
+    """Native hash join when the installed Ray has Dataset.join.
+    Semi/anti always route through the bucketed plan (Ray's native join
+    doesn't expose them)."""
+    if join_type in ("semi", "left semi", "anti", "left anti"):
+        return bucketed_join(left, right, on, join_type=join_type,
+                             buckets=num_partitions, right_on=right_on)
     if hasattr(left, "join"):
         return left.join(
             right,
@@ -114,10 +119,16 @@ def bucketed_join(
     l = _with_bucket(left, on, buckets, 0, schema)
     r = _with_bucket(right, r_on, buckets, 1, schema)
     both = l.union(r)
-    jt = {"inner": "inner", "left": "left outer", "left outer": "left outer"}[join_type]
+    jt = {"inner": "inner", "left": "left outer", "left outer": "left outer",
+          "semi": "left semi", "left semi": "left semi",
+          "anti": "left anti", "left anti": "left anti"}[join_type]
     l_cols = list(l_names)
     r_cols = [c for c in r_names if c in r_on or c not in l_names]
     out_cols = l_cols + [c for c in r_cols if c not in r_on]
+    if jt in ("left semi", "left anti"):
+        # Arrow emits only left columns; the right side still needs the
+        # key columns for the probe
+        out_cols = l_cols
 
     def join_bucket(g: pa.Table) -> pa.Table:
         sides = g[_SIDE]
