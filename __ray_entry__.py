@@ -975,6 +975,31 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_full_outer_join(sf_dir):
+    """Distributed FULL OUTER join (stages/join.py bucketed plan,
+    Arrow 'full outer' per bucket — key column coalesced into the left
+    name): every order keeps its customer segment, customers with no
+    orders appear with null o_orderkey. Oracle: ANSI FULL OUTER JOIN
+    with COALESCE on the key."""
+    from vector_ray.stages.join import join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def _sub(t: pa.Table) -> pa.Table:
+        # keep 1/7 of orders so some customers lose ALL their orders
+        # and surface as unmatched right rows (null o_orderkey)
+        ids = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(ids % 7 == 0))
+
+    orders = orders.map_batches(_sub, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = join(orders, cust, ["o_custkey"], right_on=["c_custkey"],
+               join_type="full outer")
+    return _finish(out.select_columns(["o_orderkey", "o_custkey",
+                                       "c_mktsegment"]))
+
+
 def q_semi_anti_join(sf_dir):
     """Distributed SEMI + ANTI join (stages/join.py bucketed plan,
     Arrow 'left semi'/'left anti' inside each hash bucket): orders of
@@ -1955,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
         "cms_counts": q_cms_counts,
         "bloom_seen": q_bloom_seen,
@@ -2559,6 +2585,13 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "full_outer_join": (
+            "WITH o7 AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0) "
+            "SELECT o.o_orderkey, "
+            "COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "c.c_mktsegment FROM o7 o FULL OUTER JOIN customer c "
+            "ON o.o_custkey = c.c_custkey"
+        ),
         "semi_anti_join": (
             "SELECT o_orderkey, o_custkey, 'in' AS lane FROM orders o "
             "WHERE EXISTS (SELECT 1 FROM customer c WHERE "

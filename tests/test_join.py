@@ -87,3 +87,33 @@ class TestSemiAntiJoin:
                                         "w": pa.array([], pa.string())}))
         out = join(left, right, ["k"], right_on=["rk"], join_type="anti").take_all()
         assert sorted(r["k"] for r in out) == [1, 2, 3, 4, 5]
+
+
+class TestOuterJoins:
+    def _sides(self):
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array(list("abc")),
+        })).repartition(2)
+        right = rd.from_arrow(pa.table({
+            "rk": pa.array([2, 4], pa.int64()),
+            "w": pa.array(list("xy")),
+        })).repartition(2)
+        return left, right
+
+    def test_right_outer(self):
+        from vector_ray.stages.join import join
+        left, right = self._sides()
+        out = join(left, right, ["k"], right_on=["rk"],
+                   join_type="right outer").take_all()
+        rows = sorted((r["rk"], r.get("v"), r["w"]) for r in out)
+        assert rows == [(2, "b", "x"), (4, None, "y")]
+
+    def test_full_outer_coalesces_key(self):
+        from vector_ray.stages.join import join
+        left, right = self._sides()
+        out = join(left, right, ["k"], right_on=["rk"],
+                   join_type="full outer").take_all()
+        rows = sorted((r["k"], r.get("v"), r.get("w")) for r in out)
+        assert rows == [(1, "a", None), (2, "b", "x"),
+                        (3, "c", None), (4, None, "y")]

@@ -43,9 +43,11 @@ def join(
     right_on: Optional[Sequence[str]] = None,
 ):
     """Native hash join when the installed Ray has Dataset.join.
-    Semi/anti always route through the bucketed plan (Ray's native join
-    doesn't expose them)."""
-    if join_type in ("semi", "left semi", "anti", "left anti"):
+    Semi/anti/right/full always route through the bucketed plan (Ray's
+    native join doesn't expose them or names them differently)."""
+    if join_type in ("semi", "left semi", "anti", "left anti",
+                     "right", "right outer", "full", "full outer",
+                     "outer"):
         return bucketed_join(left, right, on, join_type=join_type,
                              buckets=num_partitions, right_on=right_on)
     if hasattr(left, "join"):
@@ -121,7 +123,10 @@ def bucketed_join(
     both = l.union(r)
     jt = {"inner": "inner", "left": "left outer", "left outer": "left outer",
           "semi": "left semi", "left semi": "left semi",
-          "anti": "left anti", "left anti": "left anti"}[join_type]
+          "anti": "left anti", "left anti": "left anti",
+          "right": "right outer", "right outer": "right outer",
+          "full": "full outer", "full outer": "full outer",
+          "outer": "full outer"}[join_type]
     l_cols = list(l_names)
     r_cols = [c for c in r_names if c in r_on or c not in l_names]
     out_cols = l_cols + [c for c in r_cols if c not in r_on]
@@ -129,6 +134,11 @@ def bucketed_join(
         # Arrow emits only left columns; the right side still needs the
         # key columns for the probe
         out_cols = l_cols
+    elif jt == "right outer":
+        # Arrow drops the left keys and emits the RIGHT key names
+        out_cols = [c for c in l_cols if c not in on] + r_cols
+    # full outer: Arrow coalesces into the LEFT key names — the default
+    # out_cols already matches
 
     def join_bucket(g: pa.Table) -> pa.Table:
         sides = g[_SIDE]
