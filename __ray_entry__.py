@@ -975,6 +975,52 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_window_shift(sf_dir):
+    """Per-key ordered window functions (stages/shift.py): LAG/LEAD/
+    delta/cumsum/ROW_NUMBER over (user_id, ORDER BY ts,event_id) — one
+    hash-bucket shuffle, one sort per bucket, vectorized run-masked
+    gathers (O(buckets) Python calls, skew-safe). Float arithmetic
+    limited to single exact ops (lag/lead copy values; delta is one
+    subtraction; the running sum is over int event_id) so the hash is
+    association-order-independent. Oracle: ANSI window functions."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"])
+    out = partitioned_shift(ds, ["user_id"], ["ts", "event_id"], {
+        "prev_value": ("lag", "value"),
+        "next_value": ("lead", "value"),
+        "dvalue": ("delta", "value"),
+        "cum_eid": ("cumsum", "event_id"),
+        "rn": ("row_number", "event_id"),
+    })
+    return _finish(out.select_columns(
+        ["event_id", "user_id", "prev_value", "next_value", "dvalue",
+         "cum_eid", "rn"]))
+
+
+def q_rollup_orders(sf_dir):
+    """GROUP BY ROLLUP (stages/rollup.py): one two-phase pass at the
+    finest (priority, status) level, coarser levels re-aggregate the
+    tiny finest RESULT (counts re-sum, mean carried as sum+count) —
+    D-level rollup = 1 real shuffle + D-1 aggregate-table shuffles.
+    Oracle: ANSI GROUP BY ROLLUP with GROUPING()-derived level. Float
+    sums avoided (integer sums + one final division) so the hash is
+    order-independent."""
+    from vector_ray.stages.rollup import rollup_aggregate
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderstatus", "o_orderkey",
+                      "o_totalprice"])
+    out = rollup_aggregate(ds, ["o_orderpriority", "o_orderstatus"], {
+        "n": ("count", "o_orderkey"),
+        "key_sum": ("sum", "o_orderkey"),
+        "max_price": ("max", "o_totalprice"),
+        "mean_key": ("mean", "o_orderkey"),
+    })
+    return _finish(out)
+
+
 def q_full_outer_join(sf_dir):
     """Distributed FULL OUTER join (stages/join.py bucketed plan,
     Arrow 'full outer' per bucket — key column coalesced into the left
@@ -1980,6 +2026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "window_shift": q_window_shift,
+        "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
         "cms_counts": q_cms_counts,
@@ -2585,6 +2633,28 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "window_shift": (
+            "SELECT event_id, user_id, "
+            "LAG(value) OVER w AS prev_value, "
+            "LEAD(value) OVER w AS next_value, "
+            "value - LAG(value) OVER w AS dvalue, "
+            "CAST(SUM(event_id) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_eid, "
+            "ROW_NUMBER() OVER w AS rn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "rollup_orders": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "count(o_orderkey) AS n, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+            "max(o_totalprice) AS max_price, "
+            "CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) "
+            "AS mean_key, "
+            "2 - GROUPING(o_orderpriority) - GROUPING(o_orderstatus) "
+            "AS grouping_level "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
         "full_outer_join": (
             "WITH o7 AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0) "
             "SELECT o.o_orderkey, "

@@ -745,3 +745,73 @@ class TestWindowPreEpoch:
         # floor semantics: -1 and -10s belong to [-10s, 0); -10.000001s
         # to [-20s, -10s); 9.999999s to [0, 10s); 10s to [10s, 20s)
         assert got == {-10_000_000: 2, -20_000_000: 1, 0: 1, 10_000_000: 1}
+
+
+class TestRollup:
+    def test_levels_and_values(self):
+        import ray.data as rd
+
+        from vector_ray.stages.rollup import rollup_aggregate
+
+        t = pa.table({
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", None],
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        })
+        out = rollup_aggregate(rd.from_arrow(t).repartition(3),
+                               ["a", "b"], {
+            "n": ("count", "v"),
+            "s": ("sum", "v"),
+            "mx": ("max", "v"),
+            "m": ("mean", "v"),
+        }).take_all()
+        by = {(r["a"], r["b"], r["grouping_level"]): r for r in out}
+        assert by[("x", "p", 2)]["s"] == 1
+        assert by[("y", "p", 2)]["s"] == 7 and by[("y", "p", 2)]["n"] == 2
+        # genuine null key at level 2 vs rollup null at level 1
+        assert by[("y", None, 2)]["s"] == 5
+        assert by[("y", None, 1)]["s"] == 12 and by[("y", None, 1)]["mx"] == 5
+        assert by[("x", None, 1)]["s"] == 3
+        assert by[(None, None, 0)]["s"] == 15
+        assert by[(None, None, 0)]["m"] == 3.0
+        assert len(out) == 4 + 2 + 1
+
+
+class TestPartitionedShift:
+    def test_lag_lead_cumsum_rownum(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        t = pa.table({
+            "k": ["a", "a", "a", "b", "b"],
+            "o": pa.array([3, 1, 2, 10, 5], pa.int64()),
+            "v": pa.array([30.0, 10.0, 20.0, 100.0, 50.0]),
+        })
+        out = partitioned_shift(rd.from_arrow(t).repartition(3),
+                                ["k"], ["o"], {
+            "prev": ("lag", "v"),
+            "nxt": ("lead", "v"),
+            "d": ("delta", "v"),
+            "cs": ("cumsum", "o"),
+            "rn": ("row_number", "o"),
+        }).take_all()
+        by = {(r["k"], r["o"]): r for r in out}
+        assert by[("a", 1)]["prev"] is None and by[("a", 1)]["rn"] == 1
+        assert by[("a", 2)]["prev"] == 10.0 and by[("a", 2)]["nxt"] == 30.0
+        assert by[("a", 3)]["nxt"] is None and by[("a", 3)]["rn"] == 3
+        assert by[("a", 3)]["d"] == 10.0 and by[("a", 1)]["d"] is None
+        assert by[("a", 3)]["cs"] == 6
+        assert by[("b", 5)]["prev"] is None and by[("b", 10)]["prev"] == 50.0
+        assert by[("b", 10)]["cs"] == 15 and by[("b", 10)]["rn"] == 2
+
+    def test_single_rows_and_one_key(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        t = pa.table({"k": ["x"], "o": pa.array([1], pa.int64()),
+                      "v": pa.array([5.0])})
+        out = partitioned_shift(rd.from_arrow(t), ["k"], ["o"],
+                                {"prev": ("lag", "v")}).take_all()
+        assert out[0]["prev"] is None

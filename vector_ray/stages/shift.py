@@ -1,0 +1,94 @@
+"""Per-key ordered window functions — SQL ``LAG/LEAD/SUM(...) OVER
+(PARTITION BY key ORDER BY order_by)`` — the sequential-context
+operators (previous event, next event, running total, per-key row
+rank) the reference's stateful stream transforms get for free from
+arrival order and a batch engine must reconstruct.
+
+Plan: ONE hash-bucket shuffle on the partition key
+(stages/bucketed.bucketed_map_groups), then each bucket is sorted by
+(keys..., order_by...) ONCE and every window column is computed
+vectorized over the contiguous per-key runs (shifted gathers masked at
+run boundaries, cumsum rebased per run) — O(buckets) Python calls,
+never one per key, keys with any cardinality/skew handled because the
+per-bucket work is a flat sort + numpy passes.
+
+Functions: ``lag``/``lead`` (offset 1, null at run edges), ``delta``
+(value - lag, null on first row of a key), ``cumsum`` (inclusive
+running sum), ``row_number`` (1-based within key, in order_by order).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from vector_ray.stages.bucketed import _run_starts, bucketed_map_groups
+
+
+def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
+    if len(g) == 0:
+        return g
+    g = g.combine_chunks().sort_by(
+        [(k, "ascending") for k in list(keys) + list(order_by)])
+    new_run = _run_starts(g, keys)
+    n = len(g)
+    starts = np.nonzero(new_run)[0]
+    run_id = np.cumsum(new_run) - 1
+    idx = np.arange(n, dtype=np.int64)
+    for out, (fn, col) in specs.items():
+        v = g[col].combine_chunks() if col else None
+        if fn == "lag":
+            take = pa.array(np.maximum(idx - 1, 0), pa.int64())
+            g = g.append_column(out, _mask(v.take(take), new_run))
+        elif fn == "lead":
+            last = np.zeros(n, bool)
+            last[-1] = True
+            last[:-1] = new_run[1:]
+            take = pa.array(np.minimum(idx + 1, n - 1), pa.int64())
+            g = g.append_column(out, _mask(v.take(take), last))
+        elif fn == "delta":
+            import pyarrow.compute as pc
+
+            take = pa.array(np.maximum(idx - 1, 0), pa.int64())
+            g = g.append_column(
+                out, pc.subtract(v, _mask(v.take(take), new_run)))
+        elif fn == "cumsum":
+            x = np.asarray(v.to_numpy(zero_copy_only=False))
+            cs = np.cumsum(x)
+            base = np.concatenate(([0], cs))[starts]  # sum before run
+            g = g.append_column(out, pa.array(
+                cs - np.repeat(base, np.diff(np.append(starts, n)))))
+        elif fn == "row_number":
+            g = g.append_column(out, pa.array(
+                idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1,
+                pa.int64()))
+        else:
+            raise ValueError(f"unknown window fn {fn!r}")
+    return g
+
+
+def _mask(vals: pa.Array | pa.ChunkedArray, null_mask: np.ndarray):
+    """vals with positions where null_mask is True replaced by null."""
+    import pyarrow.compute as pc
+
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    return pc.if_else(pa.array(~null_mask), vals,
+                      pa.scalar(None, vals.type))
+
+
+def partitioned_shift(ds, keys: Sequence[str], order_by: Sequence[str],
+                      specs: Dict[str, Tuple[str, str]], *,
+                      num_buckets=None):
+    """Append window columns per ``specs``: out_col → (fn, col); fn ∈
+    {lag, lead, delta, cumsum, row_number} (col ignored for
+    row_number — pass any column or None). ``order_by`` should be
+    unique per key for deterministic results."""
+    keys = list(keys)
+    order_by = list(order_by)
+    specs = {o: (fn, col) for o, (fn, col) in specs.items()}
+    return bucketed_map_groups(
+        ds, keys, lambda g: _shift_bucket(g, keys, order_by, specs),
+        num_buckets=num_buckets)
