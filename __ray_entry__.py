@@ -975,6 +975,33 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_pivot_events(sf_dir):
+    """Long→wide pivot (stages/pivot.py): per-user event counts, one
+    column per event_type — bounded-vocabulary distinct pass + map-only
+    scatter + the standard two-phase grouped aggregate (same shuffle
+    shape as a plain groupby; column count is the bound, not key
+    cardinality). Count agg keeps the hash float-free. Oracle:
+    count(*) FILTER per type."""
+    from vector_ray.stages.pivot import pivot
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    out = pivot(ds, ["user_id"], "event_type", "value", agg="count",
+                prefix="n_")
+    return _finish(out)
+
+
+def q_unpivot_orders(sf_dir):
+    """Wide→long unpivot/melt (stages/pivot.py): stateless map-only
+    1→N, one vectorized projection per value column, no shuffle.
+    Oracle: UNION ALL of per-column projections."""
+    from vector_ray.stages.pivot import unpivot
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderkey", "o_totalprice", "o_custkey"])
+    out = unpivot(ds, ["o_orderkey"], ["o_totalprice", "o_custkey"])
+    return _finish(out)
+
+
 def q_window_shift(sf_dir):
     """Per-key ordered window functions (stages/shift.py): LAG/LEAD/
     delta/cumsum/ROW_NUMBER over (user_id, ORDER BY ts,event_id) — one
@@ -2026,6 +2053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "pivot_events": q_pivot_events,
+        "unpivot_orders": q_unpivot_orders,
         "window_shift": q_window_shift,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
@@ -2633,6 +2662,21 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "pivot_events": (
+            "SELECT user_id, "
+            "count(value) FILTER (event_type = 'click') AS n_click, "
+            "count(value) FILTER (event_type = 'error') AS n_error, "
+            "count(value) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(value) FILTER (event_type = 'signup') AS n_signup, "
+            "count(value) FILTER (event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "unpivot_orders": (
+            "SELECT o_orderkey, 'o_totalprice' AS name, "
+            "CAST(o_totalprice AS DOUBLE) AS value FROM orders "
+            "UNION ALL SELECT o_orderkey, 'o_custkey' AS name, "
+            "CAST(o_custkey AS DOUBLE) AS value FROM orders"
+        ),
         "window_shift": (
             "SELECT event_id, user_id, "
             "LAG(value) OVER w AS prev_value, "

@@ -815,3 +815,45 @@ class TestPartitionedShift:
         out = partitioned_shift(rd.from_arrow(t), ["k"], ["o"],
                                 {"prev": ("lag", "v")}).take_all()
         assert out[0]["prev"] is None
+
+
+class TestPivot:
+    def test_pivot_sum_and_mean(self):
+        import ray.data as rd
+
+        from vector_ray.stages.pivot import pivot
+
+        t = pa.table({
+            "k": ["a", "a", "b", "a"],
+            "c": ["x", "y", "x", "x"],
+            "v": pa.array([1, 2, 3, 5], pa.int64()),
+        })
+        out = pivot(rd.from_arrow(t).repartition(2), ["k"], "c", "v",
+                    agg="sum").take_all()
+        by = {r["k"]: r for r in out}
+        assert by["a"]["x"] == 6 and by["a"]["y"] == 2
+        assert by["b"]["x"] == 3 and by["b"]["y"] is None
+
+    def test_pivot_max_columns_guard(self):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from vector_ray.stages.pivot import pivot
+
+        t = pa.table({"k": ["a"] * 10, "c": [str(i) for i in range(10)],
+                      "v": pa.array(range(10), pa.int64())})
+        with _pytest.raises(ValueError, match="max_columns"):
+            pivot(rd.from_arrow(t), ["k"], "c", "v", max_columns=5)
+
+    def test_unpivot_roundtrip_counts(self):
+        import ray.data as rd
+
+        from vector_ray.stages.pivot import unpivot
+
+        t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "p": pa.array([1.5, 2.5]),
+                      "q": pa.array([10, 20], pa.int64())})
+        out = unpivot(rd.from_arrow(t), ["id"], ["p", "q"]).take_all()
+        assert len(out) == 4
+        by = {(r["id"], r["name"]): r["value"] for r in out}
+        assert by[(1, "p")] == 1.5 and by[(2, "q")] == 20.0
