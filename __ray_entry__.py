@@ -975,6 +975,36 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_union_align(sf_dir):
+    """Schema-evolution union (stages/align.py — UNION ALL BY NAME):
+    orders and customer shards projected to overlapping-but-different
+    schemas union with null padding and int→float widening, one
+    map-only projection per side, no shuffle. Oracle: UNION ALL with
+    explicit NULL columns."""
+    from vector_ray.stages.align import union_align
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["o_orderkey"], "cust": t["o_custkey"],
+                         "price": t["o_totalprice"]})
+
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment",
+                                            "c_acctbal"])
+
+    def c_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["c_custkey"],
+                         "segment": t["c_mktsegment"],
+                         "price": pc.cast(t["c_acctbal"], pa.float32())})
+
+    a = orders.map_batches(o_proj, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    b = cust.map_batches(c_proj, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return _finish(union_align(a, b))
+
+
 def q_pivot_events(sf_dir):
     """Long→wide pivot (stages/pivot.py): per-user event counts, one
     column per event_type — bounded-vocabulary distinct pass + map-only
@@ -2053,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "union_align": q_union_align,
         "pivot_events": q_pivot_events,
         "unpivot_orders": q_unpivot_orders,
         "window_shift": q_window_shift,
@@ -2662,6 +2693,14 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "union_align": (
+            "SELECT o_orderkey AS id, o_custkey AS cust, "
+            "o_totalprice AS price, CAST(NULL AS VARCHAR) AS segment "
+            "FROM orders UNION ALL "
+            "SELECT c_custkey, CAST(NULL AS BIGINT), "
+            "CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE), c_mktsegment "
+            "FROM customer"
+        ),
         "pivot_events": (
             "SELECT user_id, "
             "count(value) FILTER (event_type = 'click') AS n_click, "

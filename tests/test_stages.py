@@ -857,3 +857,38 @@ class TestPivot:
         assert len(out) == 4
         by = {(r["id"], r["name"]): r["value"] for r in out}
         assert by[(1, "p")] == 1.5 and by[(2, "q")] == 20.0
+
+
+class TestUnionAlign:
+    def test_pads_and_widens(self):
+        import ray.data as rd
+
+        from vector_ray.stages.align import union_align
+
+        a = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+            "x": pa.array([1.0, 2.0], pa.float32()),
+        }))
+        b = rd.from_arrow(pa.table({
+            "id": pa.array([3], pa.int64()),
+            "x": pa.array([3.5], pa.float64()),
+            "y": pa.array(["s"]),
+        }))
+        out = union_align(a, b)
+        sch = out.schema()
+        assert dict(zip(sch.names, sch.types)) == {
+            "id": pa.int64(), "x": pa.float64(), "y": pa.string()}
+        rows = sorted(out.take_all(), key=lambda r: r["id"])
+        assert rows[0]["x"] == 1.0 and rows[0]["y"] is None
+        assert rows[2]["x"] == 3.5 and rows[2]["y"] == "s"
+
+    def test_type_conflict_raises(self):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from vector_ray.stages.align import union_align
+
+        a = rd.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
+        b = rd.from_arrow(pa.table({"v": pa.array(["x"])}))
+        with _pytest.raises(TypeError, match="cannot unify"):
+            union_align(a, b)
