@@ -285,3 +285,30 @@ class TestCurationTransforms:
         rows = lm.apply(rd.from_arrow(docs).repartition(2)).take_all()
         assert len(rows) == 30
         assert all(r["n_tri"] > 0 and r["nll_micro"] > 0 for r in rows)
+
+
+def test_registered_reshape_transforms(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    def build_transform(cfg):
+        return TRANSFORMS[cfg["type"]](cfg)
+
+    t = pa.table({"k": ["a", "a", "b"], "c": ["x", "y", "x"],
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+    piv = build_transform({"type": "pivot", "keys": ["k"], "column": "c",
+                           "value": "v", "agg": "sum"}).apply(ds)
+    by = {r["k"]: r for r in piv.take_all()}
+    assert by["a"]["x"] == 1 and by["a"]["y"] == 2 and by["b"]["y"] is None
+    roll = build_transform({"type": "rollup", "keys": ["k"],
+                            "aggs": {"s": ["sum", "v"]}}).apply(ds)
+    rows = {(r["k"], r["grouping_level"]): r["s"] for r in roll.take_all()}
+    assert rows[(None, 0)] == 6 and rows[("a", 1)] == 3
+    sh = build_transform({"type": "window_shift", "keys": ["k"],
+                          "order_by": ["v"],
+                          "columns": {"prev": ["lag", "v"]}}).apply(ds)
+    got = {(r["k"], r["v"]): r["prev"] for r in sh.take_all()}
+    assert got[("a", 1)] is None and got[("a", 2)] == 1

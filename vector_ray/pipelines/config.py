@@ -504,6 +504,70 @@ def _build_c4clean(cfg):
                    drop=bool(cfg.get("drop", False)))
 
 
+@register_transform("rollup")
+def _build_rollup(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.rollup import rollup_aggregate
+
+    class _Rollup(Step):
+        fusable = False
+
+        def apply(self, ds):
+            specs = {k: tuple(v) for k, v in cfg["aggs"].items()}
+            return rollup_aggregate(ds, cfg["keys"], specs)
+
+    return _Rollup()
+
+
+@register_transform("window_shift")
+def _build_window_shift(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.shift import partitioned_shift
+
+    class _Shift(Step):
+        fusable = False
+
+        def apply(self, ds):
+            specs = {k: tuple(v) for k, v in cfg["columns"].items()}
+            return partitioned_shift(ds, cfg["keys"], cfg["order_by"],
+                                     specs)
+
+    return _Shift()
+
+
+@register_transform("pivot")
+def _build_pivot(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.pivot import pivot
+
+    class _Pivot(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return pivot(ds, cfg["keys"], cfg["column"], cfg["value"],
+                         agg=cfg.get("agg", "sum"),
+                         max_columns=int(cfg.get("max_columns", 1000)),
+                         prefix=cfg.get("prefix", ""))
+
+    return _Pivot()
+
+
+@register_transform("unpivot")
+def _build_unpivot(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.pivot import unpivot
+
+    class _Unpivot(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return unpivot(ds, cfg["keys"], cfg["value_cols"],
+                           var_name=cfg.get("var_name", "name"),
+                           value_name=cfg.get("value_name", "value"))
+
+    return _Unpivot()
+
+
 @register_transform("normalize_urls")
 def _build_normurls(cfg):
     from vector_ray.ml.urls import NormalizeUrls
