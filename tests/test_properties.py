@@ -253,3 +253,44 @@ class TestCaseConversionProperty:
         assert once.to_pylist() == twice.to_pylist()
         for v in once.to_pylist():
             assert v == v.lower()
+
+
+class TestCurationProperties:
+    url_chars = st.text(
+        alphabet="abcXYZ019-._~%&=?/#:@", min_size=0, max_size=30)
+
+    @given(st.lists(url_chars, min_size=1, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_normalize_urls_idempotent(self, tails):
+        from vector_ray.ml.urls import normalize_urls
+        urls = [f"http://Host{i}.Example.com/{t}" for i, t in enumerate(tails)]
+        once = normalize_urls(pa.array(urls, pa.string()))
+        twice = normalize_urls(once)
+        assert once.to_pylist() == twice.to_pylist()
+
+    @given(st.lists(st.text(
+        alphabet="abc XYZ.!?\"{\njavascript\t", min_size=0, max_size=80),
+        min_size=1, max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_c4_clean_idempotent_on_clean_text(self, texts):
+        # cleaning already-cleaned text must be a fixpoint: every kept
+        # line already satisfies all line rules
+        from vector_ray.ml.clean import c4_clean_batch
+        first = c4_clean_batch(texts)
+        cleaned = first["text_clean"].to_pylist()
+        second = c4_clean_batch(cleaned)
+        assert second["text_clean"].to_pylist() == cleaned
+        assert (second["n_lines_kept"] == first["n_lines_kept"]).all()
+        assert (second["n_sentences"] == first["n_sentences"]).all()
+
+    @given(st.lists(st.text(
+        alphabet="ab c.\nx", min_size=0, max_size=60),
+        min_size=1, max_size=10))
+    @settings(max_examples=40, deadline=None)
+    def test_repetition_signals_invariants(self, texts):
+        from vector_ray.ml.text import repetition_signals_batch
+        sig = repetition_signals_batch(texts)
+        assert (sig["dup_line_cnt"] <= sig["n_lines"]).all()
+        assert (sig["dup_line_chars"] <= sig["line_chars"]).all()
+        assert (sig["dup5_chars"] <= sig["word_chars"]).all()
+        assert (sig["top2_chars"] >= 0).all()
