@@ -94,36 +94,52 @@ def _key_hashes(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 
 def bloom_build(ds, col: str, *, m_bits: int = 1 << 24, k: int = 4,
-                reducers: int = 8) -> Bloom:
-    """Distributed Bloom build over ``ds[col]`` (see module scale
-    plan). Returns the merged filter on the driver."""
-    nwords = m_bits // 64
+                reducers: int = 64) -> Bloom:
+    """Distributed Bloom build over ``ds[col]``. Partials are SPARSE:
+    each block emits only its NONZERO 64-bit words as (word_idx, word)
+    rows — shuffle volume is O(set bits), never O(m_bits x blocks)
+    like a dense bitmap exchange would be — sharded by word index
+    (balanced regardless of key skew), OR-reduced per shard with one
+    vectorized reduceat, then scattered into the final array on the
+    driver (which holds m_bits/8 bytes once)."""
 
     def partial(t: pa.Table) -> pa.Table:
         b = Bloom(m_bits, k)
-        h = _key_hashes(t[col])
-        b.add_hashes(h)
-        shard = int(h[0] % np.uint64(max(reducers, 1))) if len(h) else 0
+        b.add_hashes(_key_hashes(t[col]))
+        nz = np.nonzero(b.words)[0]
         return pa.table({
-            "shard": pa.array([shard], pa.int32()),
-            "bitmap": pa.array([b.words.tobytes()], pa.large_binary()),
+            "shard": pa.array((nz % max(reducers, 1)).astype(np.int32)),
+            "word_idx": pa.array(nz, pa.int64()),
+            # u64 travels as its int64 bit pattern (Ray group keys /
+            # Arrow ints are signed)
+            "word": pa.array(b.words[nz].view(np.int64)),
         })
 
     def orgroup(g: pa.Table) -> pa.Table:
-        acc = np.zeros(nwords, np.uint64)
-        for bm in g["bitmap"].to_pylist():
-            acc |= np.frombuffer(bm, np.uint64)
-        return pa.table({"shard": g["shard"][:1],
-                         "bitmap": pa.array([acc.tobytes()],
-                                            pa.large_binary())})
+        idx = np.asarray(g["word_idx"].to_numpy(zero_copy_only=False))
+        w = np.asarray(
+            g["word"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        order = np.argsort(idx, kind="stable")
+        idx, w = idx[order], w[order]
+        new = np.ones(len(idx), bool)
+        new[1:] = idx[1:] != idx[:-1]
+        starts = np.nonzero(new)[0]
+        merged = np.bitwise_or.reduceat(w, starts) if len(w) else w
+        return pa.table({
+            "word_idx": pa.array(idx[starts], pa.int64()),
+            "word": pa.array(merged.view(np.int64)),
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
     reduced = parts.groupby("shard").map_groups(orgroup,
                                                 batch_format="pyarrow")
     out = Bloom(m_bits, k)
-    for row in reduced.take_all():
-        out.words |= np.frombuffer(row["bitmap"], np.uint64)
+    for batch in reduced.iter_batches(batch_format="pyarrow"):
+        idx = np.asarray(batch["word_idx"].to_numpy(zero_copy_only=False))
+        w = np.asarray(
+            batch["word"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        out.words[idx] |= w
     return out
 
 
