@@ -11,10 +11,15 @@ bounds (``est >= true``; error ``<= N/width`` with prob
 ``1 - 2^-depth``), so threshold filters built on it never miss a
 genuinely heavy key.
 
-Scale plan mirrors ml/bloom.py: per-block partial matrices (one
-fixed-size row per block; keys never shuffle) → hash-sharded groupby
-SUM (two-level tree) → driver SUM → ``ray.put`` broadcast for map-only
-estimate passes.
+Scale plan: per-block partial matrices (one fixed-size row per block;
+keys never shuffle) → hash-sharded groupby SUM (two-level tree) →
+driver SUM → ``ray.put`` broadcast for map-only estimate passes.
+Unlike ml/bloom.py (whose partials are sparse nonzero words), DENSE
+partials are the right encoding here: a CMS width is sized ~1/eps
+(2^16..2^20) and a block with 10^5 mostly-distinct keys touches
+~depth x distinct cells — the matrix saturates, and sparse
+(cell, count) triples would be ~4x larger; the shuffle-volume lever
+for CMS is bigger blocks, not sparsity.
 
 Hash spec (exact — the golden oracle mirrors it): key hash ``h`` =
 fnv1a(utf8) for strings / u64 bit pattern for ints (ml/bloom.py
