@@ -38,7 +38,9 @@ def pivot(ds, keys: Sequence[str], col: str, value: str, *,
             f"pivot would create {len(distinct)} columns "
             f"(max_columns={max_columns}) — pivot columns must be a "
             "bounded vocabulary, use groupby for open-ended keys")
-    vals = sorted(str(v) for v in distinct)
+    # null pivot values get no column (matching SQL PIVOT / FILTER
+    # semantics: a null category matches nothing)
+    vals = sorted(str(v) for v in distinct if v is not None)
 
     def scatter(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
