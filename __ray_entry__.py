@@ -975,6 +975,35 @@ def q_quality_docs(sf_dir):
     return out.select_columns(["doc_id", "quality", "stop_ratio"])
 
 
+def q_set_ops(sf_dir):
+    """SQL INTERSECT / EXCEPT set ops (stages/align.py): distinct
+    ordering customers in/not-in the BUILDING segment — semi/anti
+    bucket exchange + vectorized keep-first dedup, both lanes in one
+    checked result. Oracle: ANSI INTERSECT / EXCEPT."""
+    from vector_ray.stages.align import except_, intersect
+
+    orders = _rp(sf_dir, "orders", columns=["o_custkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return pa.table({"o_custkey": t["c_custkey"]})
+
+    bldg = cust.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def lane(v):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("lane", pa.array([v] * len(t)))
+        return f
+
+    both = intersect(orders, bldg).map_batches(
+        lane("both"), batch_format="pyarrow", zero_copy_batch=True)
+    only = except_(orders, bldg).map_batches(
+        lane("only"), batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(both.union(only))
+
+
 def q_union_align(sf_dir):
     """Schema-evolution union (stages/align.py — UNION ALL BY NAME):
     orders and customer shards projected to overlapping-but-different
@@ -1050,10 +1079,11 @@ def q_window_shift(sf_dir):
         "dvalue": ("delta", "value"),
         "cum_eid": ("cumsum", "event_id"),
         "rn": ("row_number", "event_id"),
+        "roll3_eid": ("rolling_sum", "event_id", 3),
     })
     return _finish(out.select_columns(
         ["event_id", "user_id", "prev_value", "next_value", "dvalue",
-         "cum_eid", "rn"]))
+         "cum_eid", "rn", "roll3_eid"]))
 
 
 def q_rollup_orders(sf_dir):
@@ -2083,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
         "unpivot_orders": q_unpivot_orders,
@@ -2693,6 +2724,16 @@ def _golden_oracles() -> dict[str, str]:
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),
         "cms_counts": golden.cms_counts_sql(),
+        "set_ops": (
+            "SELECT o_custkey, 'both' AS lane FROM "
+            "(SELECT o_custkey FROM orders INTERSECT "
+            "SELECT c_custkey FROM customer WHERE "
+            "c_mktsegment = 'BUILDING') "
+            "UNION ALL SELECT o_custkey, 'only' AS lane FROM "
+            "(SELECT o_custkey FROM orders EXCEPT "
+            "SELECT c_custkey FROM customer WHERE "
+            "c_mktsegment = 'BUILDING')"
+        ),
         "union_align": (
             "SELECT o_orderkey AS id, o_custkey AS cust, "
             "o_totalprice AS price, CAST(NULL AS VARCHAR) AS segment "
@@ -2724,7 +2765,10 @@ def _golden_oracles() -> dict[str, str]:
             "CAST(SUM(event_id) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
             "AS cum_eid, "
-            "ROW_NUMBER() OVER w AS rn FROM events "
+            "ROW_NUMBER() OVER w AS rn, "
+            "CAST(SUM(event_id) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS roll3_eid FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "rollup_orders": (

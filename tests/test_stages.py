@@ -892,3 +892,20 @@ class TestUnionAlign:
         b = rd.from_arrow(pa.table({"v": pa.array(["x"])}))
         with _pytest.raises(TypeError, match="cannot unify"):
             union_align(a, b)
+
+
+def test_rolling_sum_clamps_at_key_start(ray_session=None):
+    import ray.data as rd
+
+    from vector_ray.stages.shift import partitioned_shift
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 2,
+                  "o": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50, 7, 9], pa.int64())})
+    out = partitioned_shift(rd.from_arrow(t).repartition(2), ["k"], ["o"],
+                            {"r3": ("rolling_sum", "v", 3)}).take_all()
+    got = {(r["k"], r["o"]): r["r3"] for r in out}
+    assert got[("a", 1)] == 10 and got[("a", 2)] == 30
+    assert got[("a", 3)] == 60 and got[("a", 4)] == 90
+    assert got[("a", 5)] == 120
+    assert got[("b", 1)] == 7 and got[("b", 2)] == 16

@@ -59,3 +59,28 @@ def union_align(*datasets):
     for ds in aligned[1:]:
         out = out.union(ds)
     return out
+
+
+def intersect(left, right, on=None, *, num_partitions: int = 16):
+    """SQL INTERSECT (set semantics — output deduplicated): distinct
+    rows of ``left`` whose key tuple also appears in ``right``. One
+    semi-join bucket exchange + the vectorized keep-first dedup."""
+    from vector_ray.stages.dedupe import Dedupe
+    from vector_ray.stages.join import join
+
+    keys = list(on) if on else list(left.schema().names)
+    hit = join(left, right, keys, right_on=keys, join_type="semi",
+               num_partitions=num_partitions)
+    return Dedupe(keys).apply(hit)
+
+
+def except_(left, right, on=None, *, num_partitions: int = 16):
+    """SQL EXCEPT (set semantics): distinct rows of ``left`` whose key
+    tuple does NOT appear in ``right``."""
+    from vector_ray.stages.dedupe import Dedupe
+    from vector_ray.stages.join import join
+
+    keys = list(on) if on else list(left.schema().names)
+    miss = join(left, right, keys, right_on=keys, join_type="anti",
+                num_partitions=num_partitions)
+    return Dedupe(keys).apply(miss)

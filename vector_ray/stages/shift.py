@@ -14,7 +14,10 @@ per-bucket work is a flat sort + numpy passes.
 
 Functions: ``lag``/``lead`` (offset 1, null at run edges), ``delta``
 (value - lag, null on first row of a key), ``cumsum`` (inclusive
-running sum), ``row_number`` (1-based within key, in order_by order).
+running sum), ``row_number`` (1-based within key, in order_by order),
+``rolling_sum`` (spec ``("rolling_sum", col, N)`` — inclusive trailing
+N-row window, clamped at the key start; SQL ``ROWS BETWEEN N-1
+PRECEDING AND CURRENT ROW``).
 """
 
 from __future__ import annotations
@@ -37,7 +40,9 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
     starts = np.nonzero(new_run)[0]
     run_id = np.cumsum(new_run) - 1
     idx = np.arange(n, dtype=np.int64)
-    for out, (fn, col) in specs.items():
+    for out, spec in specs.items():
+        fn, col = spec[0], spec[1]
+        win = spec[2] if len(spec) > 2 else None
         v = g[col].combine_chunks() if col else None
         if fn == "lag":
             take = pa.array(np.maximum(idx - 1, 0), pa.int64())
@@ -60,6 +65,14 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             base = np.concatenate(([0], cs))[starts]  # sum before run
             g = g.append_column(out, pa.array(
                 cs - np.repeat(base, np.diff(np.append(starts, n)))))
+        elif fn == "rolling_sum":
+            # inclusive trailing window of `win` rows, clamped at the
+            # run start: cs[i] - cs[max(i-win, run_start)-1]
+            x = np.asarray(v.to_numpy(zero_copy_only=False))
+            cs = np.concatenate(([0], np.cumsum(x)))
+            run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            lo = np.maximum(idx - int(win) + 1, run_start)
+            g = g.append_column(out, pa.array(cs[idx + 1] - cs[lo]))
         elif fn == "row_number":
             g = g.append_column(out, pa.array(
                 idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1,
@@ -88,7 +101,7 @@ def partitioned_shift(ds, keys: Sequence[str], order_by: Sequence[str],
     unique per key for deterministic results."""
     keys = list(keys)
     order_by = list(order_by)
-    specs = {o: (fn, col) for o, (fn, col) in specs.items()}
+    specs = {o: tuple(v) for o, v in specs.items()}
     return bucketed_map_groups(
         ds, keys, lambda g: _shift_bucket(g, keys, order_by, specs),
         num_buckets=num_buckets)
