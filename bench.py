@@ -236,6 +236,11 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "semantic_dedup",
         "lm_perplexity",
         "tfidf_docs",
+        "c4_clean_docs",
+        "url_dedup_docs",
+        "window_shift",
+        "rollup_orders",
+        "full_outer_join",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
