@@ -56,37 +56,96 @@ def _internal_specs(specs: Dict[str, Tuple[str, str]]):
     return finest, coarse, finish
 
 
-def _finish_level(ds, keys_all: Sequence[str], keys_active: Sequence[str],
-                  finish, key_types) -> "pa.Table":
+def _fin_table(t: pa.Table, keys_all: Sequence[str],
+               keys_active: Sequence[str], finish, key_types) -> pa.Table:
+    """Render one rollup level: null out rolled-away keys, stamp
+    grouping_level, finalize means from carried (sum, count)."""
     level = len(keys_active)
+    cols = {}
+    for k in keys_all:
+        cols[k] = (t[k] if k in keys_active
+                   else pa.nulls(len(t), key_types[k]))
+    cols["grouping_level"] = pa.array([level] * len(t), pa.int32())
+    for name, kind in finish:
+        if kind == "mean":
+            cols[name] = pc.divide(
+                pc.cast(t[f"{name}__s"], pa.float64()),
+                pc.cast(t[f"{name}__c"], pa.float64()))
+        else:
+            cols[name] = t[name]
+    return pa.table(cols)
 
-    def fin(t: pa.Table) -> pa.Table:
-        cols = {}
-        for k in keys_all:
-            cols[k] = (t[k] if k in keys_active
-                       else pa.nulls(len(t), key_types[k]))
-        cols["grouping_level"] = pa.array([level] * len(t), pa.int32())
-        for name, kind in finish:
-            if kind == "mean":
-                cols[name] = pc.divide(
-                    pc.cast(t[f"{name}__s"], pa.float64()),
-                    pc.cast(t[f"{name}__c"], pa.float64()))
-            else:
-                cols[name] = t[name]
-        return pa.table(cols)
 
-    return ds.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+def _finish_level(ds, keys_all: Sequence[str], keys_active: Sequence[str],
+                  finish, key_types):
+    return ds.map_batches(
+        lambda t: _fin_table(t, keys_all, keys_active, finish, key_types),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _local_coarse(tbl: pa.Table, sub: Sequence[str], coarse_specs) -> pa.Table:
+    """Re-aggregate the (small, driver-local) finest table to one
+    coarser level with pyarrow group_by. coarse_specs is out → (kind,
+    src) where src == out by construction, so the f"{src}_{kind}"
+    output columns rename 1:1."""
+    drop_all = False
+    if not sub:
+        tbl = tbl.append_column(_ALL, pa.array([0] * len(tbl), pa.int8()))
+        sub, drop_all = [_ALL], True
+    aggs = [(src, kind) for _, (kind, src) in coarse_specs.items()]
+    out = tbl.group_by(list(sub), use_threads=False).aggregate(aggs)
+    names = []
+    for n in out.column_names:
+        for name, (kind, src) in coarse_specs.items():
+            if n == f"{src}_{kind}":
+                n = name
+                break
+        names.append(n)
+    out = out.rename_columns(names)
+    if drop_all:
+        out = out.drop_columns([_ALL])
+    return out
 
 
 def rollup_aggregate(ds, keys: Sequence[str],
-                     specs: Dict[str, Tuple[str, str]]):
-    """SQL ``GROUP BY ROLLUP(keys...)`` (see module docstring)."""
+                     specs: Dict[str, Tuple[str, str]],
+                     *, local_threshold: int = 1_000_000):
+    """SQL ``GROUP BY ROLLUP(keys...)`` (see module docstring).
+
+    The finest level is ONE two-phase distributed aggregate,
+    materialized so the coarser levels (and the final union) never
+    re-execute its shuffle (Ray Datasets don't cache shared lineage —
+    without the materialize a D-level rollup would re-run the real
+    shuffle D+1 times). When the finest result has ≤ local_threshold
+    rows it comes to the driver once and all coarser levels are local
+    pyarrow group_bys — zero extra Ray stages; otherwise each coarser
+    level is a distributed re-aggregate of the (materialized) previous
+    level's table.
+    """
     keys = list(keys)
     schema = ds.schema()
     key_types = {k: schema.types[schema.names.index(k)] for k in keys}
     finest_specs, coarse_specs, finish = _internal_specs(specs)
 
-    finest = grouped_aggregate(ds, keys, finest_specs)
+    finest = grouped_aggregate(ds, keys, finest_specs).materialize()
+
+    if finest.count() <= local_threshold:
+        import ray
+        import ray.data
+
+        blocks = [b for b in ray.get(finest.to_arrow_refs()) if len(b)]
+        names = blocks[0].column_names if blocks else finest.schema().names
+        tbl = pa.concat_tables(
+            [b.select(names) for b in blocks]).combine_chunks()
+        parts = [_fin_table(tbl, keys, keys, finish, key_types)]
+        level_in = tbl
+        for d in range(len(keys) - 1, -1, -1):
+            sub = keys[:d]
+            level_in = _local_coarse(level_in, sub, coarse_specs)
+            parts.append(_fin_table(level_in, keys, sub, finish, key_types))
+        return ray.data.from_arrow(
+            pa.concat_tables(parts, promote_options="permissive"))
+
     out = _finish_level(finest, keys, keys, finish, key_types)
     level_in = finest
     for d in range(len(keys) - 1, -1, -1):
@@ -101,6 +160,7 @@ def rollup_aggregate(ds, keys: Sequence[str],
                 batch_format="pyarrow", zero_copy_batch=True)
             level_in = grouped_aggregate(withc, [_ALL], coarse_specs)
             level_in = level_in.drop_columns([_ALL])
+        level_in = level_in.materialize()
         out = out.union(_finish_level(level_in, keys, sub, finish,
                                       key_types))
     return out
