@@ -739,6 +739,28 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_dsir_select(sf_dir):
+    """DSIR importance resampling (ml/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram bucket distributions fit on target (lang='de'
+    documents, driver-side) and raw (distributed dense partials, the
+    cms.py plan), per-doc log importance weights via one broadcast +
+    weighted bincount, Gumbel top-k resample (deterministic noise keyed
+    by doc_id). Oracle: independent single-threaded golden
+    (tools/golden.py dsir_select_sql)."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.dsir import dsir_select
+
+    tgt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text", "lang"])
+    target_texts = tgt.filter(
+        pc.equal(tgt["lang"], "de"))["text"].to_pylist()
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dsir_select(ds, target_texts, 60, buckets=1 << 13,
+                      hash_seed=1, sample_seed=0)
+    return _finish(out.select_columns(["doc_id", "dsir_logw"]))
+
+
 def q_embedding_dup_pairs(sf_dir):
     """Embedding near-dup with PLANTED duplicates: copies of vec_id<25
     re-appended as vec_id+10000, so the result must be exactly those 25
@@ -2113,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "dsir_select": q_dsir_select,
         "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
@@ -2713,6 +2736,7 @@ def _golden_oracles() -> dict[str, str]:
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
         ),
         "simhash_docs": golden.simhash_docs_sql(),
+        "dsir_select": golden.dsir_select_sql(),
         "minhash_pairs": golden.minhash_pairs_sql(),
         "token_near_dup": golden.token_near_dup_sql(),
         "approx_distinct_users": golden.approx_distinct_users_sql(),

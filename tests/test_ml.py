@@ -850,3 +850,78 @@ class TestCountMin:
         local = CountMin(1 << 10, 3)
         local.add_hashes(_key_hashes(tbl["k"]))
         assert (dist.counts == local.counts).all()
+
+
+class TestDsir:
+    def _corpus(self, n=400, seed=5):
+        # two disjoint vocabularies; docs are mostly-A or mostly-B
+        rng = np.random.default_rng(seed)
+        va = [f"alpha{i}" for i in range(40)]
+        vb = [f"beta{i}" for i in range(40)]
+        texts, kinds = [], []
+        for i in range(n):
+            kind = "A" if i % 2 == 0 else "B"
+            pool, other = (va, vb) if kind == "A" else (vb, va)
+            words = [pool[j] for j in rng.integers(0, 40, 30)]
+            # 10% noise from the other vocab
+            for p in rng.integers(0, 30, 3):
+                words[p] = other[int(rng.integers(0, 40))]
+            texts.append(" ".join(words))
+            kinds.append(kind)
+        return texts, kinds
+
+    def test_planted_signal_selects_target_like_docs(self):
+        from vector_ray.ml.dsir import dsir_select
+
+        texts, kinds = self._corpus()
+        target = [t for t, k in zip(texts, kinds) if k == "A"][:30]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })).repartition(7)
+        out = dsir_select(ds, target, 50).to_pandas()
+        picked_kinds = [kinds[i] for i in out["doc_id"]]
+        # weighted resampling should overwhelmingly pick A-like docs
+        assert picked_kinds.count("A") >= 45
+        assert (out["dsir_logw"][:1].item()) != 0.0
+
+    def test_distributed_counts_match_local(self):
+        from vector_ray.ml.dsir import count_features, count_features_table
+
+        texts, _ = self._corpus(n=120)
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(5)
+        dist = count_features(ds, buckets=1 << 10)
+        loc = count_features_table(texts, buckets=1 << 10)
+        assert np.array_equal(dist, loc)
+
+    def test_block_layout_invariance(self):
+        from vector_ray.ml.dsir import dsir_select
+
+        texts, kinds = self._corpus(n=150)
+        target = [t for t, k in zip(texts, kinds) if k == "B"][:20]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        sels = []
+        for parts in (1, 11):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            df = dsir_select(ds, target, 25).to_pandas()
+            sels.append(sorted(zip(df["doc_id"], df["dsir_logw"])))
+        assert sels[0] == sels[1]
+
+    def test_gumbel_topk_uniform_weights_matches_seeded_sample(self):
+        # equal log-weights -> pure Gumbel order; a different seed
+        # must give a different selection, same seed the same one
+        from vector_ray.ml.dsir import gumbel_topk
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "dsir_logw": pa.array([0.0] * 300, pa.float64()),
+        })
+        a = sorted(gumbel_topk(rd.from_arrow(tbl), 40, seed=1).to_pandas()["doc_id"])
+        b = sorted(gumbel_topk(rd.from_arrow(tbl), 40, seed=1).to_pandas()["doc_id"])
+        c = sorted(gumbel_topk(rd.from_arrow(tbl), 40, seed=2).to_pandas()["doc_id"])
+        assert a == b
+        assert a != c
+        assert len(a) == 40

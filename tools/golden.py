@@ -982,3 +982,59 @@ def cms_counts_sql(width: int = 1 << 8, depth: int = 4) -> str:
             rows.append((e, u, est))
     return _values_sql(rows, ["event_id", "user_id", "est_count"],
                        ["BIGINT", "BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (ml/dsir.py) — hashed unigram+bigram
+# bucket counts, Laplace-smoothed log ratio, Gumbel top-k. Single-
+# threaded per-doc loops; the per-doc log-weight accumulates
+# contributions in document order (unigrams then bigrams), matching
+# np.bincount's input-order accumulation bit-for-bit in float64.
+
+
+def _dsir_feature_ids(text: str, buckets: int, seed: int) -> list:
+    words = re.findall(r"\w+", (text or "").lower())
+    hs = [sm64_int((zlib.crc32(w.encode()) ^ seed) & M64) for w in words]
+    ids = [h & (buckets - 1) for h in hs]
+    for h1, h2 in zip(hs, hs[1:]):
+        ids.append(sm64_int((h1 ^ ((h2 * GOLD) & M64)) & M64)
+                   & (buckets - 1))
+    return ids
+
+
+def dsir_select_sql(k: int = 60, buckets: int = 1 << 13,
+                    alpha: float = 1.0, hash_seed: int = 1,
+                    sample_seed: int = 0,
+                    target_lang: str = "de") -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+
+    feats = [_dsir_feature_ids(x, buckets, hash_seed) for x in texts]
+    tgt = np.zeros(buckets, np.uint64)
+    raw = np.zeros(buckets, np.uint64)
+    for ids, lang in zip(feats, langs):
+        for f in ids:
+            raw[f] += 1
+            if lang == target_lang:
+                tgt[f] += 1
+    p = (tgt.astype(np.float64) + alpha) / (float(tgt.sum()) + alpha * buckets)
+    q = (raw.astype(np.float64) + alpha) / (float(raw.sum()) + alpha * buckets)
+    lr = np.log(p) - np.log(q)
+
+    logws = []
+    for ids in feats:
+        s = 0.0
+        for f in ids:  # document order: unigrams then bigrams
+            s += float(lr[f])
+        logws.append(s)
+
+    h = np.array([salted_int(i, sample_seed) for i in doc_ids], np.uint64)
+    u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
+    g = -np.log(-np.log(u))
+    key = np.asarray(logws, np.float64) + g
+    order = sorted(range(len(doc_ids)), key=lambda i: (-key[i], doc_ids[i]))
+    rows = [(doc_ids[i], logws[i]) for i in order[:k]]
+    return _values_sql(rows, ["doc_id", "dsir_logw"], ["BIGINT", "DOUBLE"])

@@ -457,20 +457,21 @@ def _crc32_words(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> n
     return out
 
 
-def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
-    """64-bit SimHash per doc over word tokens — fully vectorized
-    (flat-buffer + reduceat, the TokenMinHash pattern; no per-row or
-    per-word Python). Bit-identical to the r1 per-row loop
-    (crc32-per-word → splitmix64 → majority bit votes) on ASCII text.
+def flat_word_hashes(texts: list, *, seed: int = 1):
+    """Per-word 64-bit hashes over every doc in ``texts``, fully
+    vectorized (flat-buffer word runs + table-driven CRC32 → splitmix64
+    — the simhash_batch tokenizer, shared with ml/dsir.py). Returns
+    ``(hs: uint64[nwords], doc_of_word: int64[nwords])`` with words in
+    document order.
 
     Words are maximal runs of word bytes ([a-z0-9_] after lowercasing,
     plus any byte ≥ 0x80) in the utf-8 encoding — for non-ASCII text
     this glues characters Python's unicode ``\\w`` would split (e.g.
     punctuation like €), a documented deviation."""
     n = len(texts)
-    out = np.zeros(n, dtype=np.uint64)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
     if n == 0:
-        return out
+        return empty
     bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
     flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
     doc_starts = np.zeros(n, dtype=np.int64)
@@ -489,11 +490,27 @@ def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
     if len(w_ends) < len(w_starts):  # buffer ends inside a word
         w_ends = np.append(w_ends, len(flat))
     if len(w_starts) == 0:
-        return out
+        return empty
     w_lens = w_ends - w_starts
     doc_of_word = np.searchsorted(doc_starts, w_starts, side="right") - 1
     with np.errstate(over="ignore"):
         hs = _sm64(_crc32_words(flat, w_starts, w_lens).astype(np.uint64) ^ np.uint64(seed))
+    return hs, doc_of_word
+
+
+def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
+    """64-bit SimHash per doc over word tokens — fully vectorized
+    (flat-buffer + reduceat, the TokenMinHash pattern; no per-row or
+    per-word Python). Bit-identical to the r1 per-row loop
+    (crc32-per-word → splitmix64 → majority bit votes) on ASCII text.
+    Tokenization contract: see flat_word_hashes."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    hs, doc_of_word = flat_word_hashes(texts, seed=seed)
+    if len(hs) == 0:
+        return out
     counts = np.bincount(doc_of_word, minlength=n)
     nz = counts > 0
     word_offs = np.zeros(n, dtype=np.int64)
