@@ -1130,6 +1130,27 @@ def q_rollup_orders(sf_dir):
     return _finish(out)
 
 
+def q_cube_orders(sf_dir):
+    """GROUP BY CUBE (stages/rollup.py grouping_sets_aggregate): one
+    distributed finest-level aggregate materialized once, all 2^D
+    subsets re-aggregate that result (locally for small aggregate
+    tables). grouping_id = ANSI GROUPING() bitmask. Oracle: DuckDB
+    GROUP BY CUBE with GROUPING(). Integer sums only (order-stable
+    hash); mean finalized by one division."""
+    from vector_ray.stages.rollup import cube_aggregate
+
+    ds = _rp(sf_dir, "orders",
+             columns=["o_orderpriority", "o_orderstatus", "o_orderkey",
+                      "o_totalprice"])
+    out = cube_aggregate(ds, ["o_orderpriority", "o_orderstatus"], {
+        "n": ("count", "o_orderkey"),
+        "key_sum": ("sum", "o_orderkey"),
+        "max_price": ("max", "o_totalprice"),
+        "mean_key": ("mean", "o_orderkey"),
+    })
+    return _finish(out)
+
+
 def q_full_outer_join(sf_dir):
     """Distributed FULL OUTER join (stages/join.py bucketed plan,
     Arrow 'full outer' per bucket — key column coalesced into the left
@@ -2136,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries with standing green rows from earlier rounds.
     return {
         "dsir_select": q_dsir_select,
+        "cube_orders": q_cube_orders,
         "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
@@ -2794,6 +2816,17 @@ def _golden_oracles() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) AS BIGINT) AS roll3_eid FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "cube_orders": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "count(o_orderkey) AS n, "
+            "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+            "max(o_totalprice) AS max_price, "
+            "CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) "
+            "AS mean_key, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) "
+            "AS grouping_id "
+            "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"
         ),
         "rollup_orders": (
             "SELECT o_orderpriority, o_orderstatus, "

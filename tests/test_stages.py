@@ -776,6 +776,90 @@ class TestRollup:
         assert by[(None, None, 0)]["m"] == 3.0
         assert len(out) == 4 + 2 + 1
 
+    def test_distributed_path_matches_local(self):
+        import ray.data as rd
+
+        from vector_ray.stages.rollup import rollup_aggregate
+
+        t = pa.table({
+            "a": ["x", "x", "y", "y", "y", "z"],
+            "b": ["p", "q", "p", "p", None, "q"],
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        })
+        specs = {"n": ("count", "v"), "s": ("sum", "v"),
+                 "mx": ("max", "v"), "m": ("mean", "v")}
+
+        def norm(rows):
+            return sorted(
+                ((r["a"], r["b"], r["grouping_level"], r["n"], r["s"],
+                  r["mx"], r["m"]) for r in rows),
+                key=str,
+            )
+
+        loc = rollup_aggregate(rd.from_arrow(t).repartition(3),
+                               ["a", "b"], specs).take_all()
+        dist = rollup_aggregate(rd.from_arrow(t).repartition(3),
+                                ["a", "b"], specs,
+                                local_threshold=0).take_all()
+        assert norm(loc) == norm(dist)
+
+
+class TestGroupingSets:
+    def _table(self):
+        return pa.table({
+            "a": ["x", "x", "y", "y", "y", "z"],
+            "b": ["p", "q", "p", "p", None, "q"],
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        })
+
+    def test_cube_all_subsets(self):
+        import ray.data as rd
+
+        from vector_ray.stages.rollup import cube_aggregate
+
+        out = cube_aggregate(rd.from_arrow(self._table()).repartition(3),
+                             ["a", "b"], {"s": ("sum", "v")}).take_all()
+        by = {(r["a"], r["b"], r["grouping_id"]): r["s"] for r in out}
+        assert by[("x", "p", 0)] == 1          # (a,b)
+        assert by[("y", None, 0)] == 5         # genuine null b
+        assert by[("y", None, 1)] == 12        # b aggregated away
+        assert by[(None, "p", 2)] == 8         # a aggregated away
+        assert by[(None, None, 3)] == 21       # grand total
+        # (a,b): 5 combos; (a): 3; (b): p,q,NULL=3; (): 1
+        assert len(out) == 5 + 3 + 3 + 1
+
+    def test_explicit_sets_and_distributed_path(self):
+        import ray.data as rd
+
+        from vector_ray.stages.rollup import grouping_sets_aggregate
+
+        sets = [["a", "b"], ["b"], []]
+        specs = {"s": ("sum", "v"), "m": ("mean", "v")}
+
+        def run(thresh):
+            rows = grouping_sets_aggregate(
+                rd.from_arrow(self._table()).repartition(3),
+                ["a", "b"], sets, specs, local_threshold=thresh,
+            ).take_all()
+            return sorted(((r["a"], r["b"], r["grouping_id"], r["s"],
+                            r["m"]) for r in rows), key=str)
+
+        loc = run(1_000_000)
+        assert loc == run(0)
+        gids = {g for (_, _, g, _, _) in loc}
+        assert gids == {0, 2, 3}
+
+    def test_rejects_non_subset(self):
+        import pytest as _pt
+        import ray.data as rd
+
+        from vector_ray.stages.rollup import grouping_sets_aggregate
+
+        with _pt.raises(ValueError):
+            grouping_sets_aggregate(
+                rd.from_arrow(self._table()), ["a"], [["a", "b"]],
+                {"s": ("sum", "v")})
+
 
 class TestPartitionedShift:
     def test_lag_lead_cumsum_rownum(self):

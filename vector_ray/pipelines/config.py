@@ -519,6 +519,25 @@ def _build_rollup(cfg):
     return _Rollup()
 
 
+@register_transform("cube")
+def _build_cube(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.rollup import (cube_aggregate,
+                                          grouping_sets_aggregate)
+
+    class _Cube(Step):
+        fusable = False
+
+        def apply(self, ds):
+            specs = {k: tuple(v) for k, v in cfg["aggs"].items()}
+            if "sets" in cfg:  # explicit GROUPING SETS
+                return grouping_sets_aggregate(
+                    ds, cfg["keys"], cfg["sets"], specs)
+            return cube_aggregate(ds, cfg["keys"], specs)
+
+    return _Cube()
+
+
 @register_transform("window_shift")
 def _build_window_shift(cfg):
     from vector_ray.stages.base import Step

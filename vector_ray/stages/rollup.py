@@ -164,3 +164,98 @@ def rollup_aggregate(ds, keys: Sequence[str],
         out = out.union(_finish_level(level_in, keys, sub, finish,
                                       key_types))
     return out
+
+
+def _grouping_id(keys: Sequence[str], active: Sequence[str]) -> int:
+    """SQL GROUPING(keys...) bitmask: bit (D-1-i) set iff keys[i] is
+    aggregated away (the ANSI convention DuckDB follows)."""
+    act = set(active)
+    gid = 0
+    for i, k in enumerate(keys):
+        if k not in act:
+            gid |= 1 << (len(keys) - 1 - i)
+    return gid
+
+
+def grouping_sets_aggregate(ds, keys: Sequence[str],
+                            sets: Sequence[Sequence[str]],
+                            specs: Dict[str, Tuple[str, str]],
+                            *, local_threshold: int = 1_000_000):
+    """SQL ``GROUP BY GROUPING SETS (...)`` over subsets of ``keys``.
+
+    Same plan as rollup_aggregate: ONE distributed aggregate at the
+    finest level (all of ``keys``), materialized once; every requested
+    set then re-aggregates that result — locally (pyarrow group_by)
+    when it is ≤ local_threshold rows, else distributed. Output adds
+    ``grouping_id`` (the ANSI GROUPING() bitmask over ``keys``), which
+    disambiguates genuine null key values from aggregated-away nulls.
+    Each set must be a subset of ``keys``; aggregates must be algebraic
+    (sum/count/min/max/mean — see _internal_specs).
+    """
+    keys = list(keys)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} is not a subset of {keys}")
+    schema = ds.schema()
+    key_types = {k: schema.types[schema.names.index(k)] for k in keys}
+    finest_specs, coarse_specs, finish = _internal_specs(specs)
+
+    finest = grouped_aggregate(ds, keys, finest_specs).materialize()
+
+    def _stamp(t: pa.Table, active) -> pa.Table:
+        t = _fin_table(t, keys, active, finish, key_types)
+        gid = pa.array([_grouping_id(keys, active)] * len(t), pa.int32())
+        return t.set_column(t.column_names.index("grouping_level"),
+                            "grouping_id", gid)
+
+    if finest.count() <= local_threshold:
+        import ray
+        import ray.data
+
+        blocks = [b for b in ray.get(finest.to_arrow_refs()) if len(b)]
+        names = blocks[0].column_names if blocks else finest.schema().names
+        tbl = pa.concat_tables(
+            [b.select(names) for b in blocks]).combine_chunks()
+        parts = []
+        for s in sets:
+            lvl = tbl if s == keys else _local_coarse(tbl, s, coarse_specs)
+            parts.append(_stamp(lvl, s))
+        return ray.data.from_arrow(
+            pa.concat_tables(parts, promote_options="permissive"))
+
+    out = None
+    for s in sets:
+        if s == keys:
+            lvl = finest
+        elif s:
+            lvl = grouped_aggregate(finest, s, coarse_specs).materialize()
+        else:
+            withc = finest.map_batches(
+                lambda t: t.append_column(_ALL, pa.array([0] * len(t),
+                                                         pa.int8())),
+                batch_format="pyarrow", zero_copy_batch=True)
+            lvl = grouped_aggregate(withc, [_ALL], coarse_specs)
+            lvl = lvl.drop_columns([_ALL]).materialize()
+        fin = lvl.map_batches(
+            lambda t, s=s: _stamp(t, s),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = fin if out is None else out.union(fin)
+    return out
+
+
+def cube_aggregate(ds, keys: Sequence[str],
+                   specs: Dict[str, Tuple[str, str]],
+                   *, local_threshold: int = 1_000_000):
+    """SQL ``GROUP BY CUBE(keys...)`` — all 2^D key subsets. D is
+    bounded (cube explodes combinatorially); practical D ≤ 5."""
+    keys = list(keys)
+    if len(keys) > 8:
+        raise ValueError("cube over more than 8 keys (256 grouping "
+                         "sets) — use explicit grouping_sets_aggregate")
+    sets = []
+    for m in range(1 << len(keys)):
+        sets.append([k for i, k in enumerate(keys)
+                     if not (m >> (len(keys) - 1 - i)) & 1])
+    return grouping_sets_aggregate(ds, keys, sets, specs,
+                                   local_threshold=local_threshold)
