@@ -1130,6 +1130,24 @@ def q_rollup_orders(sf_dir):
     return _finish(out)
 
 
+def q_rank_lineitem(sf_dir):
+    """Per-key RANK / DENSE_RANK / PERCENT_RANK (stages/shift.py): one
+    hash-bucket shuffle on the partition key, per-bucket flat sort +
+    vectorized tie-group passes (no per-key Python). l_quantity is a
+    small int so tie groups are genuinely exercised. Oracle: ANSI
+    window functions."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = partitioned_shift(ds, ["l_orderkey"], ["l_quantity"], {
+        "rnk": ("rank", None),
+        "drnk": ("dense_rank", None),
+        "prnk": ("percent_rank", None),
+    })
+    return _finish(out)
+
+
 def q_cube_orders(sf_dir):
     """GROUP BY CUBE (stages/rollup.py grouping_sets_aggregate): one
     distributed finest-level aggregate materialized once, all 2^D
@@ -2158,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dsir_select": q_dsir_select,
         "cube_orders": q_cube_orders,
+        "rank_lineitem": q_rank_lineitem,
         "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
@@ -2816,6 +2835,14 @@ def _golden_oracles() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) AS BIGINT) AS roll3_eid FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "rank_lineitem": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) "
+            "AS l_linenumber, l_quantity, "
+            "RANK() OVER w AS rnk, "
+            "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
+            "PERCENT_RANK() OVER w AS prnk FROM lineitem "
+            "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)"
         ),
         "cube_orders": (
             "SELECT o_orderpriority, o_orderstatus, "

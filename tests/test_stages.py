@@ -889,6 +889,33 @@ class TestPartitionedShift:
         assert by[("b", 5)]["prev"] is None and by[("b", 10)]["prev"] == 50.0
         assert by[("b", 10)]["cs"] == 15 and by[("b", 10)]["rn"] == 2
 
+    def test_rank_tie_semantics(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        # key a order values: 1, 2, 2, 4  (tie at 2); key b: single row
+        t = pa.table({
+            "k": ["a", "a", "a", "a", "b"],
+            "o": pa.array([2, 1, 4, 2, 7], pa.int64()),
+            "i": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        })
+        out = partitioned_shift(rd.from_arrow(t).repartition(2),
+                                ["k"], ["o"], {
+            "rnk": ("rank", None),
+            "drnk": ("dense_rank", None),
+            "prnk": ("percent_rank", None),
+        }).take_all()
+        by = {(r["k"], r["o"], r["i"]): r for r in out}
+        assert by[("a", 1, 1)]["rnk"] == 1
+        assert by[("a", 2, 0)]["rnk"] == 2 and by[("a", 2, 3)]["rnk"] == 2
+        assert by[("a", 4, 2)]["rnk"] == 4        # gap after the tie
+        assert by[("a", 4, 2)]["drnk"] == 3       # dense: no gap
+        assert by[("a", 1, 1)]["prnk"] == 0.0
+        assert by[("a", 4, 2)]["prnk"] == 1.0
+        assert by[("a", 2, 0)]["prnk"] == (2 - 1) / 3
+        assert by[("b", 7, 4)]["rnk"] == 1 and by[("b", 7, 4)]["prnk"] == 0.0
+
     def test_single_rows_and_one_key(self):
         import ray.data as rd
 

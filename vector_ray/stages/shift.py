@@ -17,7 +17,8 @@ Functions: ``lag``/``lead`` (offset 1, null at run edges), ``delta``
 running sum), ``row_number`` (1-based within key, in order_by order),
 ``rolling_sum`` (spec ``("rolling_sum", col, N)`` — inclusive trailing
 N-row window, clamped at the key start; SQL ``ROWS BETWEEN N-1
-PRECEDING AND CURRENT ROW``).
+PRECEDING AND CURRENT ROW``), ``rank``/``dense_rank``/``percent_rank``
+(ANSI tie semantics over the ``order_by`` values; col ignored).
 """
 
 from __future__ import annotations
@@ -77,6 +78,29 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             g = g.append_column(out, pa.array(
                 idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1,
                 pa.int64()))
+        elif fn in ("rank", "dense_rank", "percent_rank"):
+            # tie groups: first row of each distinct order_by value
+            # within a key run (both masks from the same run-boundary
+            # helper, so this stays one vectorized pass)
+            new_val = _run_starts(g, list(keys) + list(order_by))
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            if fn == "dense_rank":
+                cnv = np.cumsum(new_val)
+                g = g.append_column(out, pa.array(
+                    cnv - cnv[run_start] + 1, pa.int64()))
+            else:
+                tie_idx = np.nonzero(new_val)[0]
+                tie_start = np.repeat(tie_idx,
+                                      np.diff(np.append(tie_idx, n)))
+                rank = tie_start - run_start + 1
+                if fn == "rank":
+                    g = g.append_column(out, pa.array(rank, pa.int64()))
+                else:  # percent_rank = (rank-1)/(run_len-1), 0 if len 1
+                    rl = np.repeat(run_len, run_len)
+                    pr = (rank - 1) / np.maximum(rl - 1, 1)
+                    pr[rl == 1] = 0.0
+                    g = g.append_column(out, pa.array(pr, pa.float64()))
         else:
             raise ValueError(f"unknown window fn {fn!r}")
     return g
