@@ -1144,7 +1144,14 @@ def q_rank_lineitem(sf_dir):
         "rnk": ("rank", None),
         "drnk": ("dense_rank", None),
         "prnk": ("percent_rank", None),
+        "fv": ("first_value", "l_quantity"),
+        "lv": ("last_value", "l_quantity"),
     })
+    # ntile needs a UNIQUE order (tie order changes tile assignment);
+    # chained second pass over (quantity, linenumber)
+    out = partitioned_shift(out, ["l_orderkey"],
+                            ["l_quantity", "l_linenumber"],
+                            {"tile": ("ntile", None, 3)})
     return _finish(out)
 
 
@@ -2841,7 +2848,13 @@ def _golden_oracles() -> dict[str, str]:
             "AS l_linenumber, l_quantity, "
             "RANK() OVER w AS rnk, "
             "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
-            "PERCENT_RANK() OVER w AS prnk FROM lineitem "
+            "PERCENT_RANK() OVER w AS prnk, "
+            "FIRST_VALUE(l_quantity) OVER w AS fv, "
+            "LAST_VALUE(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING) AS lv, "
+            "CAST(NTILE(3) OVER (PARTITION BY l_orderkey ORDER BY "
+            "l_quantity, l_linenumber) AS BIGINT) AS tile "
+            "FROM lineitem "
             "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)"
         ),
         "cube_orders": (

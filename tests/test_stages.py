@@ -916,6 +916,31 @@ class TestPartitionedShift:
         assert by[("a", 2, 0)]["prnk"] == (2 - 1) / 3
         assert by[("b", 7, 4)]["rnk"] == 1 and by[("b", 7, 4)]["prnk"] == 0.0
 
+    def test_ntile_first_last(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        t = pa.table({
+            "k": ["a"] * 5 + ["b"],
+            "o": pa.array([1, 2, 3, 4, 5, 9], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 90.0]),
+        })
+        out = partitioned_shift(rd.from_arrow(t).repartition(2),
+                                ["k"], ["o"], {
+            "t2": ("ntile", None, 2),
+            "t3": ("ntile", None, 3),
+            "fv": ("first_value", "v"),
+            "lv": ("last_value", "v"),
+        }).take_all()
+        by = {(r["k"], r["o"]): r for r in out}
+        # 5 rows / NTILE(2) -> sizes 3,2 ; NTILE(3) -> 2,2,1
+        assert [by[("a", i)]["t2"] for i in range(1, 6)] == [1, 1, 1, 2, 2]
+        assert [by[("a", i)]["t3"] for i in range(1, 6)] == [1, 1, 2, 2, 3]
+        assert by[("a", 3)]["fv"] == 10.0 and by[("a", 3)]["lv"] == 50.0
+        assert by[("b", 9)]["t3"] == 1
+        assert by[("b", 9)]["fv"] == 90.0 and by[("b", 9)]["lv"] == 90.0
+
     def test_single_rows_and_one_key(self):
         import ray.data as rd
 

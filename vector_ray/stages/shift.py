@@ -18,7 +18,10 @@ running sum), ``row_number`` (1-based within key, in order_by order),
 ``rolling_sum`` (spec ``("rolling_sum", col, N)`` — inclusive trailing
 N-row window, clamped at the key start; SQL ``ROWS BETWEEN N-1
 PRECEDING AND CURRENT ROW``), ``rank``/``dense_rank``/``percent_rank``
-(ANSI tie semantics over the ``order_by`` values; col ignored).
+(ANSI tie semantics over the ``order_by`` values; col ignored),
+``ntile`` (spec ``("ntile", None, N)``), ``first_value``/``last_value``
+(over the WHOLE key partition, i.e. SQL's ``ROWS BETWEEN UNBOUNDED
+PRECEDING AND UNBOUNDED FOLLOWING`` frame).
 """
 
 from __future__ import annotations
@@ -101,6 +104,22 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
                     pr = (rank - 1) / np.maximum(rl - 1, 1)
                     pr[rl == 1] = 0.0
                     g = g.append_column(out, pa.array(pr, pa.float64()))
+        elif fn == "ntile":
+            # ANSI NTILE(N): earlier tiles take the extra rows;
+            # tile = floor(pos*N/run_len)+1 reproduces that exactly
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            pos = idx - run_start
+            rl = np.repeat(run_len, run_len)
+            g = g.append_column(out, pa.array(
+                (pos * int(win)) // rl + 1, pa.int64()))
+        elif fn in ("first_value", "last_value"):
+            run_len = np.diff(np.append(starts, n))
+            if fn == "first_value":
+                take = np.repeat(starts, run_len)
+            else:
+                take = np.repeat(np.append(starts[1:], n) - 1, run_len)
+            g = g.append_column(out, v.take(pa.array(take, pa.int64())))
         else:
             raise ValueError(f"unknown window fn {fn!r}")
     return g
