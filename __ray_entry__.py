@@ -1130,6 +1130,23 @@ def q_rollup_orders(sf_dir):
     return _finish(out)
 
 
+def q_broadcast_join_parts(sf_dir):
+    """Map-only broadcast join (stages/join.py broadcast_join): the
+    part dim table ships once via ray.put, lineitem never shuffles —
+    the fact×dim plan for 100-TB fact sides. Left join so unmatched
+    facts would surface (none here: referential integrity). Oracle:
+    ANSI LEFT JOIN."""
+    from vector_ray.stages.join import broadcast_join
+
+    li = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_partkey",
+                      "l_quantity"])
+    part = _rp(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    out = broadcast_join(li, part, ["l_partkey"],
+                         right_on=["p_partkey"], join_type="left")
+    return _finish(out)
+
+
 def q_rank_lineitem(sf_dir):
     """Per-key RANK / DENSE_RANK / PERCENT_RANK (stages/shift.py): one
     hash-bucket shuffle on the partition key, per-bucket flat sort +
@@ -2184,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "cube_orders": q_cube_orders,
         "rank_lineitem": q_rank_lineitem,
+        "broadcast_join_parts": q_broadcast_join_parts,
         "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
@@ -2842,6 +2860,12 @@ def _golden_oracles() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) AS BIGINT) AS roll3_eid FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "broadcast_join_parts": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS "
+            "l_linenumber, l_partkey, l_quantity, p_brand, "
+            "CAST(p_size AS BIGINT) AS p_size FROM lineitem "
+            "LEFT JOIN part ON l_partkey = p_partkey"
         ),
         "rank_lineitem": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) "

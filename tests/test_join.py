@@ -117,3 +117,36 @@ class TestOuterJoins:
         rows = sorted((r["k"], r.get("v"), r.get("w")) for r in out)
         assert rows == [(1, "a", None), (2, "b", "x"),
                         (3, "c", None), (4, None, "y")]
+
+
+class TestBroadcastJoin:
+    def test_matches_bucketed_per_type(self):
+        from vector_ray.stages.join import broadcast_join
+
+        for jt in ("inner", "left", "semi", "anti"):
+            got = broadcast_join(ds_of(LEFT), RIGHT, ["k"],
+                                 join_type=jt).take_all()
+            want = bucketed_join(ds_of(LEFT), ds_of(RIGHT), ["k"],
+                                 join_type=jt, buckets=4).take_all()
+            norm = lambda rows: sorted(
+                tuple(sorted(r.items(), key=lambda kv: kv[0]))
+                for r in rows)
+            assert norm(got) == norm(want), jt
+
+    def test_right_on_and_dataset_right(self):
+        from vector_ray.stages.join import broadcast_join
+
+        right = pa.table({"rk": ["a", "b"], "rv": [10, 20]})
+        out = broadcast_join(ds_of(LEFT), ds_of(right, 3), ["k"],
+                             right_on=["rk"], join_type="inner").take_all()
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+        assert got == [("a", 1, 10), ("a", 4, 10), ("b", 2, 20)]
+
+    def test_size_guard(self):
+        import pytest as _pt
+
+        from vector_ray.stages.join import broadcast_join
+
+        with _pt.raises(ValueError):
+            broadcast_join(ds_of(LEFT), RIGHT, ["k"],
+                           max_broadcast_rows=2)

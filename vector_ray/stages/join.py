@@ -14,6 +14,8 @@ needs large×large joins; two implementations:
   aggregators only insofar as distinct keys differ — a single
   pathological key still lands in one bucket (callers with one giant
   key should pre-aggregate or use broadcast instead).
+- ``broadcast_join()``: map-only fact×dim join — the small right side
+  ships once via ``ray.put`` and the big side never shuffles.
 - ``asof_join()``: sort-within-bucket + ``pandas.merge_asof`` per
   bucket — the as-of/range join for event streams.
 """
@@ -151,6 +153,61 @@ def bucketed_join(
         return out.select([c for c in out_cols if c in out.column_names])
 
     return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def broadcast_join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    join_type: str = "inner",
+    right_on: Optional[Sequence[str]] = None,
+    max_broadcast_rows: int = 5_000_000,
+):
+    """Map-only join against a SMALL right side — the fact×dim scale
+    plan: the right table ships to the object store ONCE (``ray.put``,
+    zero-copy reads in every task) and the big left side never
+    shuffles. Use for dimension/lookup tables that fit comfortably in
+    a worker's heap; ``bucketed_join``/``join`` remain the
+    large×large path.
+
+    ``right`` may be a pyarrow Table or a (small) Dataset — a Dataset
+    is materialized driver-side and refused above
+    ``max_broadcast_rows``. join_type ∈ {inner, left, semi, anti}
+    (the types where unmatched RIGHT rows never surface, so per-batch
+    evaluation is exact); output columns follow bucketed_join: left
+    columns then right non-key columns."""
+    import ray
+
+    on = list(on)
+    r_on = list(right_on) if right_on else on
+    if not isinstance(right, pa.Table):
+        rt = pa.concat_tables(
+            [b for b in ray.get(right.to_arrow_refs()) if len(b)],
+            promote_options="permissive")
+        right = rt.combine_chunks()
+    if len(right) > max_broadcast_rows:
+        raise ValueError(
+            f"broadcast side has {len(right)} rows > max_broadcast_rows="
+            f"{max_broadcast_rows}; use bucketed_join for large×large")
+    jt = {"inner": "inner", "left": "left outer",
+          "left outer": "left outer", "semi": "left semi",
+          "left semi": "left semi", "anti": "left anti",
+          "left anti": "left anti"}[join_type]
+    r_cols = list(right.column_names)
+    ref = ray.put(right)
+
+    def probe(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        out = t.join(r, keys=on, right_keys=r_on, join_type=jt)
+        keep = list(t.column_names)
+        if jt not in ("left semi", "left anti"):
+            keep += [c for c in r_cols
+                     if c not in r_on and c not in t.column_names]
+        return out.select([c for c in keep if c in out.column_names])
+
+    return left.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def asof_join(
