@@ -210,3 +210,45 @@ class TestUniformSampleK:
         a = {r["doc_id"] for r in uniform_sample_k(rd.from_arrow(t), 50, seed=1).take_all()}
         b = {r["doc_id"] for r in uniform_sample_k(rd.from_arrow(t), 50, seed=2).take_all()}
         assert a != b
+
+
+class TestWeightedSampleK:
+    def _tbl(self, n=600):
+        import numpy as np
+        import pyarrow as pa
+
+        # 10% heavy rows with 50x the weight of the rest
+        w = np.where(np.arange(n) % 10 == 0, 50.0, 1.0)
+        return pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "w": pa.array(w, pa.float64()),
+        })
+
+    def test_heavy_rows_dominate_and_deterministic(self):
+        import ray.data as rd
+
+        from vector_ray.ml.sampling import weighted_sample_k
+
+        t = self._tbl()
+        a = weighted_sample_k(rd.from_arrow(t).repartition(5), 60, "w",
+                              seed=3).take_all()
+        b = weighted_sample_k(rd.from_arrow(t).repartition(2), 60, "w",
+                              seed=3).take_all()
+        assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+        assert len(a) == 60
+        heavy = sum(1 for r in a if r["doc_id"] % 10 == 0)
+        # heavy rows are 60/600 of the pop with 50x weight -> expect
+        # the selection to be mostly heavy (50*60/(50*60+540) ~ 85%)
+        assert heavy >= 40
+
+    def test_rejects_bad_weights(self):
+        import pytest as _pt
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.ml.sampling import weighted_sample_k
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "w": pa.array([1.0, 0.0], pa.float64())})
+        with _pt.raises(Exception):
+            weighted_sample_k(rd.from_arrow(t), 1, "w").take_all()

@@ -289,6 +289,43 @@ def uniform_sample_k(
     return out.drop_columns([_HKEY, _ALL])
 
 
+def weighted_sample_k(
+    ds,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    log_weights: bool = False,
+):
+    """Exactly ``min(k, n)`` rows sampled WITHOUT replacement with
+    probability ∝ the row's weight (Gumbel top-k / Efraimidis-Spirakis
+    — public results): perturb log-weights with deterministic Gumbel
+    noise keyed by (id, seed), keep the global top-k. Shuffle-free
+    (≤ k rows leave each block) and reproducible on any cluster shape.
+    ``log_weights=True`` treats ``weight_col`` as already-log weights
+    (e.g. ml/dsir.py importance log-weights); otherwise weights must be
+    > 0 and are log-transformed in place of the key."""
+    from vector_ray.ml.dsir import gumbel_topk
+
+    if log_weights:
+        return gumbel_topk(ds, k, logw_col=weight_col, id_col=id_col,
+                           seed=seed)
+    _LW = "__vr_logw"
+
+    def add_log(t: pa.Table) -> pa.Table:
+        w = np.asarray(t[weight_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        if len(w) and (not np.all(np.isfinite(w)) or w.min() <= 0):
+            raise ValueError(f"{weight_col} must be finite and > 0")
+        return t.append_column(_LW, pa.array(np.log(w), pa.float64()))
+
+    keyed = ds.map_batches(add_log, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = gumbel_topk(keyed, k, logw_col=_LW, id_col=id_col, seed=seed)
+    return out.drop_columns([_LW])
+
+
 def deterministic_shuffle(
     ds,
     *,
