@@ -1130,6 +1130,17 @@ def q_rollup_orders(sf_dir):
     return _finish(out)
 
 
+def q_compression_ratio(sf_dir):
+    """Compressibility quality signal (ml/text.py CompressionRatio):
+    zlib ratio per doc, low = repetitive/templated content. Oracle:
+    independent golden (same zlib spec, single-threaded loop)."""
+    from vector_ray.ml.text import CompressionRatio
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = CompressionRatio("text").apply(ds)
+    return _finish(out.select_columns(["doc_id", "comp_ratio"]))
+
+
 def q_broadcast_join_parts(sf_dir):
     """Map-only broadcast join (stages/join.py broadcast_join): the
     part dim table ships once via ray.put, lineitem never shuffles —
@@ -2202,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": q_cube_orders,
         "rank_lineitem": q_rank_lineitem,
         "broadcast_join_parts": q_broadcast_join_parts,
+        "compression_ratio": q_compression_ratio,
         "set_ops": q_set_ops,
         "union_align": q_union_align,
         "pivot_events": q_pivot_events,
@@ -2861,6 +2873,7 @@ def _golden_oracles() -> dict[str, str]:
             "CURRENT ROW) AS BIGINT) AS roll3_eid FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "compression_ratio": golden.compression_ratio_sql(),
         "broadcast_join_parts": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS "
             "l_linenumber, l_partkey, l_quantity, p_brand, "

@@ -925,3 +925,17 @@ class TestDsir:
         assert a == b
         assert a != c
         assert len(a) == 40
+
+
+class TestCompressionRatio:
+    def test_repetitive_vs_random(self):
+        from vector_ray.ml.text import compression_ratio_batch
+
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        rand = "".join(chr(int(c)) for c in rng.integers(33, 127, 2000))
+        rep = "spam ham " * 250
+        r = compression_ratio_batch([rep, rand, "", None])
+        assert r[0] < 0.1          # templated text crushes
+        assert r[1] > 0.7          # high-entropy barely compresses
+        assert r[2] == 1.0 and r[3] == 1.0

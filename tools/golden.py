@@ -1038,3 +1038,15 @@ def dsir_select_sql(k: int = 60, buckets: int = 1 << 13,
     order = sorted(range(len(doc_ids)), key=lambda i: (-key[i], doc_ids[i]))
     rows = [(doc_ids[i], logws[i]) for i in order[:k]]
     return _values_sql(rows, ["doc_id", "dsir_logw"], ["BIGINT", "DOUBLE"])
+
+
+def compression_ratio_sql(level: int = 6) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = (text or "").encode("utf-8", "ignore")
+        r = (len(zlib.compress(b, level)) / len(b)) if b else 1.0
+        rows.append((doc_id, r))
+    return _values_sql(rows, ["doc_id", "comp_ratio"],
+                       ["BIGINT", "DOUBLE"])

@@ -297,3 +297,37 @@ class RepetitionSignals(BatchStep):
         for k, v in sig.items():
             tbl = F.set_(tbl, self.prefix + k, pa.array(v, pa.int64()))
         return tbl
+
+
+def compression_ratio_batch(texts: list, *, level: int = 6) -> np.ndarray:
+    """Per-doc zlib compression ratio ``compressed_bytes / raw_bytes``
+    (1.0 for empty docs). Low ratios flag repetitive/templated content
+    — the compressibility quality signal used alongside the Gopher
+    repetition counters in web-curation pipelines. The per-row loop is
+    intentional: each iteration is one C zlib call on the whole doc
+    (the work is inside zlib, not the interpreter)."""
+    import zlib
+
+    out = np.ones(len(texts), np.float64)
+    for i, s in enumerate(texts):
+        b = (s or "").encode("utf-8", "ignore")
+        if b:
+            out[i] = len(zlib.compress(b, level)) / len(b)
+    return out
+
+
+class CompressionRatio(BatchStep):
+    """Append ``comp_ratio: float64`` (see compression_ratio_batch).
+    Compose with quantile_band_filter or a C.expr threshold to drop
+    highly-compressible (repetitive) docs."""
+
+    def __init__(self, field: str = "text", out: str = "comp_ratio",
+                 level: int = 6):
+        self.field = field
+        self.out = out
+        self.level = level
+
+    def transform(self, tbl: pa.Table) -> pa.Table:
+        r = compression_ratio_batch(tbl[self.field].to_pylist(),
+                                    level=self.level)
+        return F.set_(tbl, self.out, pa.array(r, pa.float64()))
