@@ -312,3 +312,47 @@ def test_registered_reshape_transforms(ray_session):
                           "columns": {"prev": ["lag", "v"]}}).apply(ds)
     got = {(r["k"], r["v"]): r["prev"] for r in sh.take_all()}
     assert got[("a", 1)] is None and got[("a", 2)] == 1
+
+
+def test_registered_cube_and_dsir_transforms(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    def build_transform(cfg):
+        return TRANSFORMS[cfg["type"]](cfg)
+
+    t = pa.table({"k": ["a", "a", "b"], "c": ["x", "y", "x"],
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+    cube = build_transform({"type": "cube", "keys": ["k", "c"],
+                            "aggs": {"s": ["sum", "v"]}}).apply(ds)
+    by = {(r["k"], r["c"], r["grouping_id"]): r["s"]
+          for r in cube.take_all()}
+    assert by[("a", "x", 0)] == 1 and by[("a", None, 1)] == 3
+    assert by[(None, "x", 2)] == 4 and by[(None, None, 3)] == 6
+
+    gsets = build_transform({"type": "cube", "keys": ["k", "c"],
+                             "sets": [["k"], []],
+                             "aggs": {"s": ["sum", "v"]}}).apply(ds)
+    gids = {r["grouping_id"] for r in gsets.take_all()}
+    assert gids == {1, 3}
+
+    # dsir_score: target = the 'a' docs; their vocab should score high
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": ["apple banana apple", "banana apple fruit",
+                 "car truck wheel", "wheel truck engine",
+                 "apple fruit banana", "truck engine car"],
+    })
+    tgt_path = str(tmp_path / "target.parquet")
+    pq.write_table(docs.slice(0, 2), tgt_path)
+    scored = build_transform({"type": "dsir_score",
+                              "target": tgt_path}).apply(
+        rd.from_arrow(docs).repartition(2))
+    got = {r["doc_id"]: r["dsir_logw"] for r in scored.take_all()}
+    fruity = [got[0], got[1], got[4]]
+    autoish = [got[2], got[3], got[5]]
+    assert min(fruity) > max(autoish)

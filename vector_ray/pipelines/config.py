@@ -538,6 +538,41 @@ def _build_cube(cfg):
     return _Cube()
 
 
+@register_transform("dsir_score")
+def _build_dsir_score(cfg):
+    """Append DSIR importance log-weights (ml/dsir.py). cfg:
+    ``target`` = parquet path of the target corpus (read driver-side,
+    must be small), ``target_field``/``field`` text columns,
+    optional ``buckets``/``alpha``/``seed``/``out``."""
+    from vector_ray.stages.base import Step
+
+    class _Dsir(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import pyarrow.parquet as pq
+
+            from vector_ray.ml.dsir import (count_features,
+                                            count_features_table,
+                                            dsir_score, log_ratio)
+
+            buckets = int(cfg.get("buckets", 1 << 13))
+            seed = int(cfg.get("seed", 1))
+            tgt_texts = pq.read_table(
+                cfg["target"],
+                columns=[cfg.get("target_field", "text")],
+            )[cfg.get("target_field", "text")].to_pylist()
+            tgt = count_features_table(tgt_texts, buckets=buckets,
+                                       seed=seed)
+            raw = count_features(ds, col=cfg.get("field", "text"),
+                                 buckets=buckets, seed=seed)
+            lr = log_ratio(tgt, raw, alpha=float(cfg.get("alpha", 1.0)))
+            return dsir_score(ds, lr, col=cfg.get("field", "text"),
+                              out=cfg.get("out", "dsir_logw"), seed=seed)
+
+    return _Dsir()
+
+
 @register_transform("window_shift")
 def _build_window_shift(cfg):
     from vector_ray.stages.base import Step
