@@ -241,6 +241,10 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "window_shift",
         "rollup_orders",
         "full_outer_join",
+        "cube_orders",
+        "rank_lineitem",
+        "broadcast_join_parts",
+        "dsir_select",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
