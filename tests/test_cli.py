@@ -151,3 +151,21 @@ class TestWebCurationExample:
         assert 0 < len(urls) <= 1000
         for u in urls:
             assert "utm_" not in u and "#" not in u and "WWW" not in u
+
+    def test_runs_dsir_curation(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_dsir", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "dsir_curation.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_dsir/out/**/*.parquet", recursive=True)
+        assert files
+        t = pq.read_table(files)
+        assert {"doc_id", "text", "comp_ratio", "dsir_logw"} <= set(t.column_names)
+        # the filter kept only positive-logw docs and some were dropped
+        assert 0 < len(t) < 3000
+        assert min(t["dsir_logw"].to_pylist()) > 0.0

@@ -540,37 +540,68 @@ def _build_cube(cfg):
 
 @register_transform("dsir_score")
 def _build_dsir_score(cfg):
-    """Append DSIR importance log-weights (ml/dsir.py). cfg:
-    ``target`` = parquet path of the target corpus (read driver-side,
-    must be small), ``target_field``/``field`` text columns,
-    optional ``buckets``/``alpha``/``seed``/``out``."""
+    """Append DSIR importance log-weights (ml/dsir.py). The target
+    corpus is either ``target`` (parquet path, read driver-side, must
+    be small) or ``target_condition`` (a condition spec carving the
+    target slice out of the INPUT stream itself — "make the corpus
+    look like its own high-quality subset"; materialized driver-side,
+    capped by ``target_max_rows``). ``target_field``/``field`` text
+    columns; optional ``buckets``/``alpha``/``seed``/``out``."""
     from vector_ray.stages.base import Step
 
     class _Dsir(Step):
         fusable = False
 
         def apply(self, ds):
-            import pyarrow.parquet as pq
-
             from vector_ray.ml.dsir import (count_features,
                                             count_features_table,
                                             dsir_score, log_ratio)
 
             buckets = int(cfg.get("buckets", 1 << 13))
             seed = int(cfg.get("seed", 1))
-            tgt_texts = pq.read_table(
-                cfg["target"],
-                columns=[cfg.get("target_field", "text")],
-            )[cfg.get("target_field", "text")].to_pylist()
+            field = cfg.get("field", "text")
+            tfield = cfg.get("target_field", field)
+            if "target" in cfg:
+                import pyarrow.parquet as pq
+
+                tgt_texts = pq.read_table(
+                    cfg["target"], columns=[tfield])[tfield].to_pylist()
+            else:
+                from vector_ray.stages.filters import Filter
+
+                cap = int(cfg.get("target_max_rows", 100_000))
+                sel = Filter(build_condition(cfg["target_condition"]))
+                tgt_texts = [
+                    r[tfield]
+                    for r in sel.apply(ds.select_columns(
+                        list({tfield}
+                             | set(_cond_fields(cfg["target_condition"])))
+                    )).limit(cap).take_all()
+                ]
             tgt = count_features_table(tgt_texts, buckets=buckets,
                                        seed=seed)
-            raw = count_features(ds, col=cfg.get("field", "text"),
-                                 buckets=buckets, seed=seed)
+            raw = count_features(ds, col=field, buckets=buckets,
+                                 seed=seed)
             lr = log_ratio(tgt, raw, alpha=float(cfg.get("alpha", 1.0)))
-            return dsir_score(ds, lr, col=cfg.get("field", "text"),
+            return dsir_score(ds, lr, col=field,
                               out=cfg.get("out", "dsir_logw"), seed=seed)
 
     return _Dsir()
+
+
+def _cond_fields(spec) -> set:
+    """Column names referenced by a condition spec (for projection)."""
+    if isinstance(spec, dict):
+        out = set()
+        if "field" in spec:
+            out.add(spec["field"])
+        for k in ("all", "any"):
+            for s in spec.get(k, []):
+                out |= _cond_fields(s)
+        if "not" in spec:
+            out |= _cond_fields(spec["not"])
+        return out
+    return set()
 
 
 @register_transform("window_shift")
@@ -636,6 +667,15 @@ def _build_repetition(cfg):
 
     return RepetitionSignals(cfg.get("field", "text"),
                              prefix=cfg.get("prefix", ""))
+
+
+@register_transform("compression_ratio")
+def _build_compression_ratio(cfg):
+    from vector_ray.ml.text import CompressionRatio
+
+    return CompressionRatio(cfg.get("field", "text"),
+                            out=cfg.get("out", "comp_ratio"),
+                            level=int(cfg.get("level", 6)))
 
 
 @register_transform("fingerprint")

@@ -14,8 +14,10 @@ deterministic under parallelism.
 Scale path: a vectorized content-hash column (typed: the hash input is
 ``value + \\x1f + type_tag`` per field, preserving the reference's
 type-distinction) is computed in ``map_batches``; then a per-batch
-pre-dedup shrinks the shuffle; then ``groupby(hash).map_groups(first)``
-finishes globally.
+pre-dedup shrinks the shuffle; then ``stages/bucketed.bucketed_first``
+finishes globally — a hash-bucket shuffle plus ONE vectorized
+keep-first pass per bucket (O(buckets) Python calls, never one per
+distinct key).
 """
 
 from __future__ import annotations
