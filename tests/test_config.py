@@ -356,3 +356,23 @@ def test_registered_cube_and_dsir_transforms(ray_session, tmp_path):
     fruity = [got[0], got[1], got[4]]
     autoish = [got[2], got[3], got[5]]
     assert min(fruity) > max(autoish)
+
+
+def test_registered_minhash_dedup_transform(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    rng = np.random.default_rng(1)
+    vocab = [f"w{j}" for j in range(500)]
+    texts = [" ".join(vocab[x] for x in rng.integers(0, 500, 40))
+             for _ in range(40)]
+    texts += [texts[0], texts[1] + " extra"]  # dup of 0, near-dup of 1
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = TRANSFORMS["minhash_dedup"]({"type": "minhash_dedup"}).apply(
+        rd.from_arrow(t).repartition(3))
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == list(range(40))

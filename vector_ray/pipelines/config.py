@@ -979,6 +979,32 @@ def _build_decontaminate(cfg):
     return _Decontam()
 
 
+@register_transform("minhash_dedup")
+def _build_minhash_dedup(cfg):
+    """Near-duplicate removal (ml/dedup.py minhash_lsh_dedup): keep
+    the lowest id per duplicate cluster. All scale guards (bucket cap,
+    distributed components, broadcast-or-anti-join filter) at their
+    library defaults unless overridden."""
+    from vector_ray.stages.base import Step
+
+    class _MinhashDedup(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.dedup import minhash_lsh_dedup
+
+            return minhash_lsh_dedup(
+                ds, cfg.get("field", "text"),
+                id_col=cfg.get("id_field", "doc_id"),
+                num_hashes=int(cfg.get("num_hashes", 64)),
+                bands=int(cfg.get("bands", 16)),
+                k=int(cfg.get("k", 5)),
+                jaccard_threshold=float(cfg.get("jaccard_threshold", 0.8)),
+            )
+
+    return _MinhashDedup()
+
+
 @register_transform("semantic_dedup")
 def _build_semantic_dedup(cfg):
     from vector_ray.ml.semdedup import semantic_dedup
