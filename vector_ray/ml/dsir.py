@@ -88,12 +88,19 @@ def count_features(ds, *, col: str = "text", buckets: int = 1 << 13,
                    seed: int = 1, reducers: int = 8) -> np.ndarray:
     """Distributed dense hashed-feature counts over ``ds[col]``.
     One uint64[buckets] partial row per block, shard-grouped SUM tree
-    (the ml/cms.py dense-partial plan), driver sees ≤ reducers rows."""
+    (the ml/cms.py dense-partial plan), driver sees ≤ reducers rows.
+    Each reduce task sums ~#blocks/reducers partials of buckets·8 B —
+    size ``reducers`` ≈ #blocks/1000 on very large inputs to keep that
+    bounded."""
 
     def partial(t: pa.Table) -> pa.Table:
+        import zlib
+
         c = count_features_table(t[col].to_pylist(), buckets=buckets,
                                  seed=seed)
-        shard = int(c.sum() % np.uint64(max(reducers, 1)))
+        # content-derived shard (crc of a prefix): spreads blocks over
+        # the reduce tree even when block totals are near-identical
+        shard = zlib.crc32(c[:512].tobytes()) % max(reducers, 1)
         return pa.table({
             "shard": pa.array([shard], pa.int32()),
             "counts": pa.array([c.tobytes()], pa.large_binary()),
