@@ -1372,6 +1372,29 @@ def q_repetition_signals(sf_dir):
         "dup5_chars"]))
 
 
+def q_line_dedup(sf_dir):
+    """RefinedWeb/MassiveText corpus-wide line dedup (Penedo et al.
+    2023 §4.2): a non-empty line occurring >= 2 times anywhere in the
+    corpus is removed from EVERY document. Corpus is deterministically
+    replanted multi-line (golden.line_corpus: rep_corpus lines + a
+    cross-doc cookie banner on every 2nd doc, footer on every 5th).
+    Explode output (doc_id, line_no, line) so the oracle is PLAIN SQL
+    — DuckDB recomputes the dedup itself (string_split + count + join),
+    no golden reimplementation. The pipeline-facing rebuild mode
+    (text_line_dedup joined by newline) is pytest-covered."""
+    import ray.data as rd
+
+    from tools.golden import line_corpus
+    from vector_ray.ml.clean import line_dedup
+
+    ids, texts = line_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(tbl).repartition(4), "text",
+                     min_count=2, output="explode")
+    return _finish(out)
+
+
 def q_media_features(sf_dir):
     """Multimodal decode plumbing (deterministic fake decoder over the
     seeded synthetic media table — scale-free, sf-independent). Features
@@ -2227,6 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": q_c4_clean_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "repetition_signals": q_repetition_signals,
+        "line_dedup_docs": q_line_dedup,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2822,6 +2846,7 @@ def _golden_oracles() -> dict[str, str]:
         "config_syslog_metrics": golden.config_syslog_metrics_sql(),
         "simhash_pairs": golden.simhash_pairs_sql(),
         "repetition_signals": golden.repetition_signals_sql(),
+        "line_dedup_docs": golden.line_dedup_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),

@@ -376,3 +376,17 @@ def test_registered_minhash_dedup_transform(ray_session):
         rd.from_arrow(t).repartition(3))
     ids = sorted(r["doc_id"] for r in out.take_all())
     assert ids == list(range(40))
+
+
+def test_registered_line_dedup_transform(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    texts = ["banner\nkeep one", "banner\nkeep two", "solo doc"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    out = TRANSFORMS["line_dedup"]({"type": "line_dedup"}).apply(
+        rd.from_arrow(t).repartition(2))
+    got = {r["doc_id"]: r["text_line_dedup"] for r in out.take_all()}
+    assert got == {0: "keep one", 1: "keep two", 2: "solo doc"}

@@ -939,3 +939,72 @@ class TestCompressionRatio:
         assert r[0] < 0.1          # templated text crushes
         assert r[1] > 0.7          # high-entropy barely compresses
         assert r[2] == 1.0 and r[3] == 1.0
+
+
+class TestLineDedup:
+    TEXTS = [
+        "a b c\nx y\na b c",          # within-doc repeat of 'a b c'
+        "x y\n\nunique line",          # cross-doc repeat of 'x y' + empty
+        "cookie banner\nbody one",     # cross-doc boilerplate
+        "cookie banner\nbody two",
+        "",                            # empty doc
+    ]
+
+    def _ds(self, parts=3):
+        t = pa.table({
+            "doc_id": pa.array(list(range(1, len(self.TEXTS) + 1)), pa.int64()),
+            "text": pa.array(self.TEXTS),
+        })
+        return rd.from_arrow(t).repartition(parts)
+
+    def test_explode_matches_brute(self):
+        from collections import Counter
+
+        from vector_ray.ml.clean import line_dedup
+
+        cnt = Counter(ln for t in self.TEXTS for ln in t.split("\n") if ln)
+        want = sorted(
+            (i + 1, j + 1, ln)
+            for i, t in enumerate(self.TEXTS)
+            for j, ln in enumerate(t.split("\n"))
+            if ln and cnt[ln] < 2
+        )
+        got = line_dedup(self._ds(), output="explode").to_pandas()
+        got = sorted(map(tuple, got[["doc_id", "line_no", "line"]].values))
+        assert got == want
+
+    def test_rebuild_counts_and_fixpoint(self):
+        from vector_ray.ml.clean import line_dedup
+
+        out = (line_dedup(self._ds(), output="rebuild").to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert list(out["text_line_dedup"]) == [
+            "", "unique line", "body one", "body two", ""]
+        assert list(out["n_lines"]) == [3, 2, 2, 2, 0]
+        assert list(out["n_lines_kept"]) == [0, 1, 1, 1, 0]
+        # fixpoint: after removal every surviving line is corpus-unique,
+        # so a second pass is the identity
+        t2 = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                       "text": out["text_line_dedup"]})
+        again = (line_dedup(rd.from_arrow(t2).repartition(2),
+                            output="rebuild").to_pandas()
+                 .sort_values("doc_id"))
+        assert list(again["text_line_dedup"]) == list(out["text_line_dedup"])
+
+    def test_min_count_3_keeps_pairs(self):
+        from vector_ray.ml.clean import line_dedup
+
+        out = (line_dedup(self._ds(), min_count=3, output="rebuild")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # 'a b c' occurs 2x in doc 1 + 0 elsewhere => count 2 < 3: kept
+        assert out.loc[0, "text_line_dedup"] == "a b c\nx y\na b c"
+        assert out.loc[2, "text_line_dedup"] == "cookie banner\nbody one"
+
+    def test_partition_invariance(self):
+        from vector_ray.ml.clean import line_dedup
+
+        a = (line_dedup(self._ds(1), output="rebuild").to_pandas()
+             .sort_values("doc_id")["text_line_dedup"].tolist())
+        b = (line_dedup(self._ds(5), output="rebuild").to_pandas()
+             .sort_values("doc_id")["text_line_dedup"].tolist())
+        assert a == b

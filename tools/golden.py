@@ -1050,3 +1050,52 @@ def compression_ratio_sql(level: int = 6) -> str:
         rows.append((doc_id, r))
     return _values_sql(rows, ["doc_id", "comp_ratio"],
                        ["BIGINT", "DOUBLE"])
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — RefinedWeb/MassiveText corpus-wide duplicated-line
+# removal (ml/clean.py line_dedup). The raw word-soup text is
+# single-line, so the corpus replants multi-line docs with BOTH
+# within-doc repeats (rep_corpus) and cross-doc boilerplate (a cookie
+# banner on every 2nd doc, a footer on every 5th). The oracle is PLAIN
+# SQL — DuckDB recomputes the dedup itself over a VALUES CTE of the
+# corpus (string_split + count + join), no golden reimplementation.
+
+_LINE_BANNER = "accept all cookies to continue browsing this site."
+_LINE_FOOTER = "copyright example site all rights reserved."
+
+
+def line_corpus(parquet_dir: str, n_docs: int = 400):
+    ids, texts = rep_corpus(parquet_dir, n_docs)
+    out = []
+    for i, txt in enumerate(texts):
+        lines = txt.split("\n") if txt else []
+        if i % 2 == 0:
+            lines.insert(0, _LINE_BANNER)
+        if i % 5 == 0:
+            lines.append(_LINE_FOOTER)
+        out.append("\n".join(lines))
+    return ids, out
+
+
+def line_dedup_sql(min_count: int = 2) -> str:
+    ids, texts = line_corpus(sf_dir())
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    body = ", ".join(f"({i}::BIGINT, {lit(t)})" for i, t in zip(ids, texts))
+    return f"""
+WITH corpus(doc_id, text) AS (VALUES {body}),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1)::BIGINT
+           AS line_no
+  FROM corpus
+),
+cnt AS (SELECT line, count(*) AS c FROM ex WHERE line <> '' GROUP BY line)
+SELECT e.doc_id, e.line_no, e.line
+FROM ex e JOIN cnt USING (line)
+WHERE e.line <> '' AND cnt.c < {min_count}
+"""

@@ -181,3 +181,198 @@ class C4Clean(BatchStep):
         if self.drop:
             tbl = tbl.filter(tbl["doc_kept"])
         return tbl
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — corpus-wide duplicated-line removal (the RefinedWeb /
+# MassiveText "line dedup" curation step: boilerplate lines — cookie
+# banners, nav bars, footers — repeat across millions of pages and are
+# removed from EVERY document; Penedo et al. 2023 §4.2, public spec).
+# The reference engine has no counterpart (SURVEY §2 "beyond the
+# reference"); its `dedupe` transform is whole-event, not intra-text.
+
+
+def _line_index(texts: list):
+    """Vectorized line index over a batch: ONE flat byte buffer, lines
+    as maximal non-``\\n`` runs (empty lines vanish, as in
+    ``c4_clean_batch``). Returns ``(flat, l_starts, l_lens,
+    doc_of_line, line_no, doc_starts, n)`` where ``line_no`` is the
+    1-based ordinal of the line among the doc's ``split('\\n')`` parts
+    *including* empty parts — i.e. SQL ``string_split`` ordinality, so
+    oracle comparisons line up exactly."""
+    n = len(texts)
+    bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    flat = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
+                              count=n - 1), out=doc_starts[1:])
+    mask = flat != 0x0A
+    l_starts = np.nonzero(mask & ~np.concatenate(([False], mask[:-1])))[0]
+    l_ends = np.nonzero(mask & ~np.concatenate((mask[1:], [False])))[0]
+    l_lens = l_ends - l_starts + 1
+    doc_of_line = np.searchsorted(doc_starts, l_starts, side="right") - 1
+    nl_cs = np.empty(len(flat) + 1, np.int64)
+    nl_cs[0] = 0
+    np.cumsum(flat == 0x0A, dtype=np.int64, out=nl_cs[1:])
+    line_no = nl_cs[l_starts] - nl_cs[doc_starts[doc_of_line]] + 1
+    return flat, l_starts, l_lens, doc_of_line, line_no, doc_starts, n
+
+
+def _gather_strings(flat: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray) -> pa.StringArray:
+    """Zero-copy-ish per-run string array: one fused repeat-shift
+    gather into a contiguous values buffer + int32 offsets (runs are
+    batch-local, far under 2 GiB)."""
+    offs = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    gather = np.repeat(starts - offs[:-1], lens)
+    gather += np.arange(total, dtype=np.int64)
+    values = flat[gather] if total else np.empty(0, np.uint8)
+    return pa.StringArray.from_buffers(
+        len(starts), pa.py_buffer(offs.astype(np.int32).tobytes()),
+        pa.py_buffer(values.tobytes()))
+
+
+def _line_hashes(lines: pa.StringArray) -> np.ndarray:
+    """Deterministic 64-bit content hash per line (pandas' keyed
+    siphash — fixed key, C-speed, process-independent). The corpus
+    count groups by this hash, not the line bytes, so the count
+    shuffle moves 16-byte rows; a 64-bit collision mis-merges two
+    lines' counts (negligible below ~2^32 distinct lines — at larger
+    corpora swap in a second independent key for a 128-bit pair)."""
+    import pandas as pd
+
+    if len(lines) == 0:
+        return np.empty(0, np.uint64)
+    return pd.util.hash_array(lines.to_numpy(zero_copy_only=False),
+                              categorize=False)
+
+
+def _dup_line_broadcast(ds, field: str, *, min_count: int,
+                        max_dup_lines: int):
+    """COUNT pass + threshold + ``ray.put``, same plan as
+    ml/tokens.py ``_dup_hash_broadcast``: per-batch pre-aggregated
+    (lhash, cnt) partials (one row per distinct line per block — a
+    line shared by 10^8 docs is a handful of partial rows), a small
+    groupby-sum, and the duplicated-hash set pulled and broadcast
+    ONCE (bounded by the volume of actually-duplicated boilerplate,
+    guarded by ``max_dup_lines``). Text payloads never shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, ls, ll, _, _, _, _ = _line_index(t[field].to_pylist())
+        h = _line_hashes(_gather_strings(flat, ls, ll))
+        uh, cnt = np.unique(h, return_counts=True)
+        # int64 REINTERPRETATION of the u64 hash: Ray Data's groupby
+        # key path round-trips Python ints (overflows > 2^63); the
+        # bit-pattern view keeps equality and a consistent order on
+        # both sides of the probe searchsorted.
+        return pa.table({"lhash": pa.array(uh.view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    summed = counts.groupby("lhash").sum("cnt")
+
+    def threshold(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["sum(cnt)"], pa.scalar(min_count))
+        return t.filter(mask).select(["lhash"])
+
+    dup_ds = summed.map_batches(threshold, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    parts, total = [], 0
+    for b in dup_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        parts.append(np.asarray(b["lhash"].to_numpy(zero_copy_only=False),
+                                np.int64))
+        total += len(parts[-1])
+        if total > max_dup_lines:
+            raise ValueError(
+                f"line_dedup: >{max_dup_lines} duplicated lines; raise "
+                "min_count, or max_dup_lines if the driver has memory "
+                "for the broadcast")
+    dup_sorted = (np.sort(np.concatenate(parts)) if parts
+                  else np.empty(0, np.int64))
+    return ray.put(dup_sorted)
+
+
+def line_dedup(ds, field: str = "text", *, min_count: int = 2,
+               id_col: str = "doc_id", output: str = "rebuild",
+               max_dup_lines: int = 50_000_000):
+    """Corpus-wide line-level dedup: a (non-empty) line is *duplicated*
+    iff its exact byte content occurs ≥ ``min_count`` times across the
+    whole corpus (every occurrence counts, including repeats inside one
+    document); duplicated lines are removed from EVERY document
+    (RefinedWeb removes all copies — no global first-copy election, so
+    the rewrite is deterministic and partition-independent).
+
+    Two passes, token/text payloads never shuffle:
+      1. COUNT — pre-aggregated (line-hash, count) partials →
+         groupby-sum → the duplicated-hash set broadcast via
+         ``ray.put`` (``max_dup_lines`` guards the broadcast bound).
+      2. PROBE — map-only second scan recomputes line hashes and
+         either rebuilds ``text_line_dedup`` (``output="rebuild"``:
+         kept lines joined by ``\\n``, plus ``n_lines`` /
+         ``n_lines_kept`` counters) or emits one row per KEPT line
+         (``output="explode"``: ``(id_col, line_no, line)``,
+         ``line_no`` = 1-based ``split('\\n')`` ordinality — the
+         SQL-comparable form).
+
+    All per-batch work is flat-buffer vectorized (run detection,
+    prefix-sum ordinals, fused gather rewrite) — no per-row Python.
+    """
+    if output not in ("rebuild", "explode"):
+        raise ValueError(f"line_dedup: unknown output={output!r}")
+    import ray
+
+    dup_ref = _dup_line_broadcast(ds, field, min_count=min_count,
+                                  max_dup_lines=max_dup_lines)
+
+    def probe(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        flat, ls, ll, dol, lno, _, n = _line_index(t[field].to_pylist())
+        h = _line_hashes(_gather_strings(flat, ls, ll)).view(np.int64)
+        if len(dups) and len(h):
+            pos = np.searchsorted(dups, h)
+            pos[pos == len(dups)] = 0
+            keep = dups[pos] != h
+        else:
+            keep = np.ones(len(h), bool)
+        if output == "explode":
+            lines = _gather_strings(flat, ls[keep], ll[keep])
+            return pa.table({
+                id_col: t[id_col].take(pa.array(dol[keep])),
+                "line_no": pa.array(lno[keep].astype(np.int64)),
+                "line": lines,
+            })
+        # rebuild: kept lines + following \n, trailing \n of each
+        # doc's last kept line trimmed (the c4_clean_batch rewrite)
+        k_starts, k_lens, k_doc = ls[keep], ll[keep], dol[keep]
+        out_lens = k_lens + 1
+        if len(k_doc):
+            last_of_doc = np.ones(len(k_doc), bool)
+            last_of_doc[:-1] = k_doc[1:] != k_doc[:-1]
+            out_lens = out_lens - last_of_doc
+        out_offs = np.zeros(len(k_starts) + 1, np.int64)
+        np.cumsum(out_lens, out=out_offs[1:])
+        total = int(out_offs[-1])
+        gather = np.repeat(k_starts - out_offs[:-1], out_lens)
+        gather += np.arange(total, dtype=np.int64)
+        values = flat[gather] if total else np.empty(0, np.uint8)
+        doc_out = np.bincount(k_doc, weights=out_lens, minlength=n)
+        doc_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(doc_out.astype(np.int64), out=doc_offs[1:])
+        text_new = pa.StringArray.from_buffers(
+            n, pa.py_buffer(doc_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(values.tobytes()))
+        t = F.set_(t, "text_line_dedup", text_new)
+        t = F.set_(t, "n_lines", pa.array(
+            np.bincount(dol, minlength=n).astype(np.int64)))
+        t = F.set_(t, "n_lines_kept", pa.array(
+            np.bincount(dol[keep], minlength=n).astype(np.int64)))
+        return t
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

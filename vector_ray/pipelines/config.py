@@ -881,6 +881,23 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("line_dedup")
+def _build_line_dedup(cfg):
+    from vector_ray.ml.clean import line_dedup
+    from vector_ray.stages.base import Step
+
+    class _LineDedup(Step):
+        fusable = False  # two-pass (count + probe), owns its plan
+
+        def apply(self, ds):
+            return line_dedup(ds, cfg.get("field", "text"),
+                              min_count=cfg.get("min_count", 2),
+                              id_col=cfg.get("id_field", "doc_id"),
+                              output=cfg.get("output", "rebuild"))
+
+    return _LineDedup()
+
+
 @register_transform("tfidf_score")
 def _build_tfidf_score(cfg):
     from vector_ray.ml.corpus import tfidf_score
