@@ -1395,6 +1395,26 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_paragraph_dedup(sf_dir):
+    """Dolma-style corpus-wide PARAGRAPH dedup (Soldaini et al. 2024):
+    units are the doc's non-overlapping split('\\n\\n') segments; any
+    paragraph occurring >= 2 times corpus-wide is removed from every
+    document. Corpus replants cross-doc banner/footer as whole
+    paragraphs (golden.para_corpus). Oracle is PLAIN SQL — DuckDB
+    recomputes the dedup over string_split(text, chr(10)||chr(10))."""
+    import ray.data as rd
+
+    from tools.golden import para_corpus
+    from vector_ray.ml.clean import line_dedup
+
+    ids, texts = para_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(tbl).repartition(4), "text",
+                     min_count=2, unit="paragraph", output="explode")
+    return _finish(out)
+
+
 def q_media_features(sf_dir):
     """Multimodal decode plumbing (deterministic fake decoder over the
     seeded synthetic media table — scale-free, sf-independent). Features
@@ -2251,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_docs": q_url_dedup_docs,
         "repetition_signals": q_repetition_signals,
         "line_dedup_docs": q_line_dedup,
+        "paragraph_dedup_docs": q_paragraph_dedup,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2847,6 +2868,7 @@ def _golden_oracles() -> dict[str, str]:
         "simhash_pairs": golden.simhash_pairs_sql(),
         "repetition_signals": golden.repetition_signals_sql(),
         "line_dedup_docs": golden.line_dedup_sql(),
+        "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),

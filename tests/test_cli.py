@@ -140,10 +140,19 @@ class TestWebCurationExample:
         assert files
         t = pq.read_table(files)
         assert {"doc_id", "norm_url", "norm_url_domain", "text_clean",
-                "doc_kept", "dup_line_cnt"} <= set(t.column_names)
+                "doc_kept", "dup_line_cnt", "text_line_dedup"} <= set(
+                    t.column_names)
         # C4 drop + repetition filter really fired
         assert all(t["doc_kept"].to_pylist())
         assert max(t["dup_line_cnt"].to_pylist()) == 0
+        # corpus-wide line dedup fired: every surviving line is unique
+        # across the whole output, and some boilerplate was stripped
+        from collections import Counter
+        lines = Counter(ln for txt in t["text_line_dedup"].to_pylist()
+                        for ln in txt.split("\n") if ln)
+        assert lines and max(lines.values()) == 1
+        assert (sum(len(x) for x in t["text_line_dedup"].to_pylist())
+                < sum(len(x) for x in t["text_clean"].to_pylist()))
         # URL variants collapsed: canonical URLs are unique, and fewer
         # rows than the 1000 canonicals (some dropped by cleaning)
         urls = t["norm_url"].to_pylist()

@@ -1008,3 +1008,51 @@ class TestLineDedup:
         b = (line_dedup(self._ds(5), output="rebuild").to_pandas()
              .sort_values("doc_id")["text_line_dedup"].tolist())
         assert a == b
+
+
+class TestParagraphDedup:
+    TEXTS = [
+        "para one line a\nline b\n\nshared boiler\n\ntail one",
+        "intro\n\nshared boiler\n\nunique tail",
+        "\n\nstarts empty\n\n\ntriple",   # leading empty part + \n\n\n split
+        "",
+        "shared boiler",
+    ]
+
+    def _ds(self, parts=3):
+        t = pa.table({
+            "doc_id": pa.array(list(range(1, len(self.TEXTS) + 1)), pa.int64()),
+            "text": pa.array(self.TEXTS),
+        })
+        return rd.from_arrow(t).repartition(parts)
+
+    def test_explode_matches_brute(self):
+        from collections import Counter
+
+        from vector_ray.ml.clean import line_dedup
+
+        cnt = Counter(p for t in self.TEXTS for p in t.split("\n\n") if p)
+        want = sorted(
+            (i + 1, j + 1, p)
+            for i, t in enumerate(self.TEXTS)
+            for j, p in enumerate(t.split("\n\n"))
+            if p and cnt[p] < 2
+        )
+        got = line_dedup(self._ds(), unit="paragraph",
+                         output="explode").to_pandas()
+        got = sorted(map(tuple, got[["doc_id", "line_no", "line"]].values))
+        assert got == want
+
+    def test_rebuild_matches_brute_and_partition_invariant(self):
+        from collections import Counter
+
+        from vector_ray.ml.clean import line_dedup
+
+        cnt = Counter(p for t in self.TEXTS for p in t.split("\n\n") if p)
+        want = ["\n\n".join(p for p in t.split("\n\n") if p and cnt[p] < 2)
+                for t in self.TEXTS]
+        for parts in (1, 4):
+            got = (line_dedup(self._ds(parts), unit="paragraph",
+                              output="rebuild").to_pandas()
+                   .sort_values("doc_id")["text_line_dedup"].tolist())
+            assert got == want

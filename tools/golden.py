@@ -1078,9 +1078,24 @@ def line_corpus(parquet_dir: str, n_docs: int = 400):
     return ids, out
 
 
-def line_dedup_sql(min_count: int = 2) -> str:
-    ids, texts = line_corpus(sf_dir())
+def para_corpus(parquet_dir: str, n_docs: int = 400):
+    """Paragraph-granularity replant: rep_corpus lines paired into
+    2-line paragraphs, the cross-doc banner/footer planted as WHOLE
+    paragraphs (so they are the duplicated units)."""
+    ids, texts = rep_corpus(parquet_dir, n_docs)
+    out = []
+    for i, t in enumerate(texts):
+        lines = t.split("\n") if t else []
+        paras = ["\n".join(lines[j:j + 2]) for j in range(0, len(lines), 2)]
+        if i % 2 == 0:
+            paras.insert(0, _LINE_BANNER)
+        if i % 5 == 0:
+            paras.append(_LINE_FOOTER)
+        out.append("\n\n".join(paras))
+    return ids, out
 
+
+def _unit_dedup_sql(ids, texts, sep_sql: str, min_count: int) -> str:
     def lit(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
@@ -1089,8 +1104,8 @@ def line_dedup_sql(min_count: int = 2) -> str:
 WITH corpus(doc_id, text) AS (VALUES {body}),
 ex AS (
   SELECT doc_id,
-         unnest(string_split(text, chr(10))) AS line,
-         generate_subscripts(string_split(text, chr(10)), 1)::BIGINT
+         unnest(string_split(text, {sep_sql})) AS line,
+         generate_subscripts(string_split(text, {sep_sql}), 1)::BIGINT
            AS line_no
   FROM corpus
 ),
@@ -1099,3 +1114,13 @@ SELECT e.doc_id, e.line_no, e.line
 FROM ex e JOIN cnt USING (line)
 WHERE e.line <> '' AND cnt.c < {min_count}
 """
+
+
+def line_dedup_sql(min_count: int = 2) -> str:
+    ids, texts = line_corpus(sf_dir())
+    return _unit_dedup_sql(ids, texts, "chr(10)", min_count)
+
+
+def paragraph_dedup_sql(min_count: int = 2) -> str:
+    ids, texts = para_corpus(sf_dir())
+    return _unit_dedup_sql(ids, texts, "chr(10)||chr(10)", min_count)

@@ -219,6 +219,54 @@ def _line_index(texts: list):
     return flat, l_starts, l_lens, doc_of_line, line_no, doc_starts, n
 
 
+_PARA_RE = re.compile(b"\n\n")
+
+
+def _para_index(texts: list):
+    """Paragraph variant of ``_line_index`` (Dolma-style paragraph
+    dedup granularity): parts are the doc's NON-OVERLAPPING
+    ``split('\\n\\n')`` segments — exactly SQL
+    ``string_split(text, chr(10)||chr(10))`` semantics, ordinals
+    included — and empty parts vanish. Docs are joined with NUL so a
+    ``\\n\\n`` match can never span two documents; one C-speed
+    ``finditer`` over the flat buffer finds every cut, and the
+    cut/doc-boundary merge is a sort + pairwise pairing (the i-th
+    smallest start pairs with the i-th smallest end — valid because
+    matches are non-overlapping and strictly inside doc ranges)."""
+    n = len(texts)
+    bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
+                              count=n - 1), out=doc_starts[1:])
+    doc_lens = np.fromiter((len(b) for b in bufs), np.int64, count=n)
+    doc_ends = doc_starts + doc_lens
+    m = np.fromiter((mm.start() for mm in _PARA_RE.finditer(flat.tobytes())),
+                    np.int64)
+    if len(m):
+        starts_all = np.sort(np.concatenate([doc_starts, m + 2]))
+        ends_all = np.sort(np.concatenate([doc_ends, m]))
+    else:
+        starts_all, ends_all = doc_starts, doc_ends
+    lens_all = ends_all - starts_all
+    doc_of = np.searchsorted(doc_starts, starts_all, side="right") - 1
+    first = np.zeros(len(doc_of), np.int64)
+    if len(doc_of):
+        new = np.ones(len(doc_of), bool)
+        new[1:] = doc_of[1:] != doc_of[:-1]
+        idx = np.nonzero(new)[0]
+        first = np.repeat(idx, np.diff(np.append(idx, len(doc_of))))
+    part_no = np.arange(len(doc_of), dtype=np.int64) - first + 1
+    keep = lens_all > 0
+    return (flat, starts_all[keep], lens_all[keep], doc_of[keep],
+            part_no[keep], doc_starts, n)
+
+
+_UNIT_INDEX = {"line": _line_index, "paragraph": _para_index}
+_UNIT_SEP = {"line": "\n", "paragraph": "\n\n"}
+
+
 def _gather_strings(flat: np.ndarray, starts: np.ndarray,
                     lens: np.ndarray) -> pa.StringArray:
     """Zero-copy-ish per-run string array: one fused repeat-shift
@@ -251,7 +299,7 @@ def _line_hashes(lines: pa.StringArray) -> np.ndarray:
 
 
 def _dup_line_broadcast(ds, field: str, *, min_count: int,
-                        max_dup_lines: int):
+                        max_dup_lines: int, unit: str = "line"):
     """COUNT pass + threshold + ``ray.put``, same plan as
     ml/tokens.py ``_dup_hash_broadcast``: per-batch pre-aggregated
     (lhash, cnt) partials (one row per distinct line per block — a
@@ -262,8 +310,10 @@ def _dup_line_broadcast(ds, field: str, *, min_count: int,
     import pyarrow.compute as pc
     import ray
 
+    index_fn = _UNIT_INDEX[unit]
+
     def count_partial(t: pa.Table) -> pa.Table:
-        flat, ls, ll, _, _, _, _ = _line_index(t[field].to_pylist())
+        flat, ls, ll, _, _, _, _ = index_fn(t[field].to_pylist())
         h = _line_hashes(_gather_strings(flat, ls, ll))
         uh, cnt = np.unique(h, return_counts=True)
         # int64 REINTERPRETATION of the u64 hash: Ray Data's groupby
@@ -300,7 +350,7 @@ def _dup_line_broadcast(ds, field: str, *, min_count: int,
 
 def line_dedup(ds, field: str = "text", *, min_count: int = 2,
                id_col: str = "doc_id", output: str = "rebuild",
-               max_dup_lines: int = 50_000_000):
+               max_dup_lines: int = 50_000_000, unit: str = "line"):
     """Corpus-wide line-level dedup: a (non-empty) line is *duplicated*
     iff its exact byte content occurs ≥ ``min_count`` times across the
     whole corpus (every occurrence counts, including repeats inside one
@@ -320,19 +370,29 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
          ``line_no`` = 1-based ``split('\\n')`` ordinality — the
          SQL-comparable form).
 
+    ``unit="paragraph"`` switches the granularity to the doc's
+    non-overlapping ``split('\\n\\n')`` segments (Dolma-style paragraph
+    dedup; Soldaini et al. 2024, public spec) — same two-pass plan,
+    same SQL-comparable ordinals via
+    ``string_split(text, chr(10)||chr(10))``; the rebuild joins kept
+    paragraphs with ``'\\n\\n'``.
+
     All per-batch work is flat-buffer vectorized (run detection,
     prefix-sum ordinals, fused gather rewrite) — no per-row Python.
     """
     if output not in ("rebuild", "explode"):
         raise ValueError(f"line_dedup: unknown output={output!r}")
+    if unit not in _UNIT_INDEX:
+        raise ValueError(f"line_dedup: unknown unit={unit!r}")
     import ray
 
+    index_fn = _UNIT_INDEX[unit]
     dup_ref = _dup_line_broadcast(ds, field, min_count=min_count,
-                                  max_dup_lines=max_dup_lines)
+                                  max_dup_lines=max_dup_lines, unit=unit)
 
     def probe(t: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        flat, ls, ll, dol, lno, _, n = _line_index(t[field].to_pylist())
+        flat, ls, ll, dol, lno, _, n = index_fn(t[field].to_pylist())
         h = _line_hashes(_gather_strings(flat, ls, ll)).view(np.int64)
         if len(dups) and len(h):
             pos = np.searchsorted(dups, h)
@@ -347,6 +407,26 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
                 "line_no": pa.array(lno[keep].astype(np.int64)),
                 "line": lines,
             })
+        if unit != "line":
+            # paragraph rebuild: kept parts per doc as a ListArray
+            # joined by the separator (one vectorized Arrow kernel —
+            # the fused-gather fast path below relies on every
+            # inter-unit byte in `flat` being the 1-byte separator,
+            # which only holds for lines)
+            import pyarrow.compute as pc
+
+            parts = _gather_strings(flat, ls[keep], ll[keep])
+            per_doc = np.bincount(dol[keep], minlength=n).astype(np.int64)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(per_doc, out=offs[1:])
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), parts)
+            t = F.set_(t, "text_line_dedup",
+                       pc.binary_join(lists, _UNIT_SEP[unit]))
+            t = F.set_(t, "n_lines", pa.array(
+                np.bincount(dol, minlength=n).astype(np.int64)))
+            t = F.set_(t, "n_lines_kept", pa.array(per_doc))
+            return t
         # rebuild: kept lines + following \n, trailing \n of each
         # doc's last kept line trimmed (the c4_clean_batch rewrite)
         k_starts, k_lens, k_doc = ls[keep], ll[keep], dol[keep]

@@ -893,7 +893,8 @@ def _build_line_dedup(cfg):
             return line_dedup(ds, cfg.get("field", "text"),
                               min_count=cfg.get("min_count", 2),
                               id_col=cfg.get("id_field", "doc_id"),
-                              output=cfg.get("output", "rebuild"))
+                              output=cfg.get("output", "rebuild"),
+                              unit=cfg.get("unit", "line"))
 
     return _LineDedup()
 

@@ -217,7 +217,10 @@ def web_docs_table(n: int = 2000, seed: int = 5) -> pa.Table:
     with planted curation signals for the web-curation operators:
     lines cycle through C4 outcomes (terminal punct / short / no punct
     / javascript), every 9th doc repeats a line, every 17th carries a
-    brace artifact; URLs come as 3 raw variants per canonical
+    brace artifact, every 4th carries a cross-doc cookie-banner line
+    (corpus-wide boilerplate for line_dedup to strip — content lines
+    embed a per-(doc,line) token so they are corpus-UNIQUE);
+    URLs come as 3 raw variants per canonical
     (case / www / default port / tracking params / fragment) that must
     collapse under ml/urls normalization. Counter-based like every
     synth source — identical at any parallelism."""
@@ -227,7 +230,7 @@ def web_docs_table(n: int = 2000, seed: int = 5) -> pa.Table:
         lines = []
         for j in range(3 + i % 5):
             wl = [_WEB_WORDS[(i * 13 + j * 7 + w * 3 + seed) % len(_WEB_WORDS)]
-                  for w in range(6)]
+                  for w in range(6)] + [f"v{i}n{j}"]
             r = (i + j) % 6
             if r == 0:
                 lines.append(" ".join(wl) + ".")
@@ -241,6 +244,8 @@ def web_docs_table(n: int = 2000, seed: int = 5) -> pa.Table:
                 lines.append(" ".join(wl) + "?")
             else:
                 lines.append(" ".join(wl))
+        if i % 4 == 0:
+            lines.append("accept all cookies to continue browsing this site.")
         if i % 9 == 0:
             lines.append(lines[0])
         if i % 17 == 0:
