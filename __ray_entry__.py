@@ -1415,6 +1415,26 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_pagerank_hosts(sf_dir):
+    """Fixed-point integer PageRank over a planted directed doc-id
+    graph (ml/graph.py — the host-graph quality signal of web-corpus
+    curation; Page et al. 1999). Integer floor arithmetic makes the
+    result bit-identical at any partitioning, so the oracle is an
+    independent plain-Python reimplementation rendered as VALUES
+    (tools/golden.py pagerank_sql). Per iteration: edges ⋈ shares
+    (bucketed, key=src) → grouped sum by dst — shuffles only
+    (node, int64) pairs."""
+    import ray.data as rd
+
+    from tools.golden import pr_graph
+    from vector_ray.ml.graph import pagerank
+
+    src, dst = pr_graph(sf_dir)
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    return _finish(pagerank(rd.from_arrow(tbl).repartition(4), iters=10))
+
+
 def q_media_features(sf_dir):
     """Multimodal decode plumbing (deterministic fake decoder over the
     seeded synthetic media table — scale-free, sf-independent). Features
@@ -2272,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "line_dedup_docs": q_line_dedup,
         "paragraph_dedup_docs": q_paragraph_dedup,
+        "pagerank_hosts": q_pagerank_hosts,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2869,6 +2890,7 @@ def _golden_oracles() -> dict[str, str]:
         "repetition_signals": golden.repetition_signals_sql(),
         "line_dedup_docs": golden.line_dedup_sql(),
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
+        "pagerank_hosts": golden.pagerank_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),

@@ -1056,3 +1056,62 @@ class TestParagraphDedup:
                               output="rebuild").to_pandas()
                    .sort_values("doc_id")["text_line_dedup"].tolist())
             assert got == want
+
+
+class TestPageRank:
+    @staticmethod
+    def _graph(n=40):
+        src, dst = [], []
+        for i in range(n):
+            if i % 11 == 0:  # dangling
+                continue
+            src += [i, i]
+            dst += [(i * 7 + 3) % n, (i * 3 + 11) % n]
+            if i % 5 == 0:
+                src.append(i)
+                dst.append(0)
+        return src, dst
+
+    @staticmethod
+    def _mirror(src, dst, iters=10, scale=10**12, num=85, den=100):
+        nodes = sorted(set(src) | set(dst))
+        n = len(nodes)
+        outdeg = {v: 0 for v in nodes}
+        for s in src:
+            outdeg[s] += 1
+        rank = {v: scale // n for v in nodes}
+        tele = (scale * (den - num) // den) // n
+        for _ in range(iters):
+            out = {v: rank[v] * num // den for v in nodes}
+            dang = sum(out[v] for v in nodes if outdeg[v] == 0)
+            share = {v: out[v] // outdeg[v] for v in nodes if outdeg[v] > 0}
+            nxt = {v: tele + dang // n for v in nodes}
+            for s, d in zip(src, dst):
+                nxt[d] += share[s]
+            rank = nxt
+        return rank
+
+    def test_broadcast_and_join_paths_bit_identical(self):
+        from vector_ray.ml.graph import pagerank
+
+        src, dst = self._graph()
+        want = self._mirror(src, dst)
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        for parts, limit in ((3, 5_000_000), (5, 0)):  # broadcast / join
+            got = pagerank(rd.from_arrow(t).repartition(parts), iters=10,
+                           broadcast_limit=limit).to_pandas()
+            assert dict(zip(got["node"], got["rank"])) == want, (parts, limit)
+
+    def test_hub_outranks_leaf_and_mass_conserved_approx(self):
+        from vector_ray.ml.graph import pagerank
+
+        src, dst = self._graph()
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        got = pagerank(rd.from_arrow(t).repartition(2)).to_pandas()
+        ranks = dict(zip(got["node"], got["rank"]))
+        assert ranks[0] == max(ranks.values())  # the planted hub
+        total = sum(ranks.values())
+        # floors only leak mass downward, bounded per iteration
+        assert 0.9 * 10**12 < total <= 10**12

@@ -1124,3 +1124,51 @@ def line_dedup_sql(min_count: int = 2) -> str:
 def paragraph_dedup_sql(min_count: int = 2) -> str:
     ids, texts = para_corpus(sf_dir())
     return _unit_dedup_sql(ids, texts, "chr(10)||chr(10)", min_count)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_hosts — fixed-point integer PageRank (ml/graph.py). Shared
+# INPUT construction below (planted directed graph over document ids:
+# 2 formula edges per node + a hub edge every 5th node, every 11th
+# node dangling); the oracle is an INDEPENDENT plain-Python dict/loop
+# reimplementation of the public integer update in the ml/graph.py
+# docstring — integer ops make it bit-exact at any partitioning.
+
+
+def pr_graph(parquet_dir: str, n_nodes: int = 300):
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()[:n_nodes]
+    n = len(ids)
+    src, dst = [], []
+    for i in range(n):
+        if i % 11 == 0:  # dangling node (no out-edges)
+            continue
+        src += [ids[i], ids[i]]
+        dst += [ids[(i * 7 + 3) % n], ids[(i * 3 + 11) % n]]
+        if i % 5 == 0:
+            src.append(ids[i])
+            dst.append(ids[0])
+    return src, dst
+
+
+def pagerank_sql(iters: int = 10, scale: int = 10**12,
+                 num: int = 85, den: int = 100) -> str:
+    src, dst = pr_graph(sf_dir())
+    nodes = sorted(set(src) | set(dst))
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for s in src:
+        outdeg[s] += 1
+    rank = {v: scale // n for v in nodes}
+    tele = (scale * (den - num) // den) // n
+    for _ in range(iters):
+        out = {v: rank[v] * num // den for v in nodes}
+        dang = sum(out[v] for v in nodes if outdeg[v] == 0)
+        share = {v: out[v] // outdeg[v] for v in nodes if outdeg[v] > 0}
+        nxt = {v: tele + dang // n for v in nodes}
+        for s, d in zip(src, dst):
+            nxt[d] += share[s]
+        rank = nxt
+    rows = [(v, rank[v]) for v in nodes]
+    return _values_sql(rows, ["node", "rank"], ["BIGINT", "BIGINT"])

@@ -881,6 +881,24 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("pagerank")
+def _build_pagerank(cfg):
+    from vector_ray.ml.graph import pagerank
+    from vector_ray.stages.base import Step
+
+    class _PageRank(Step):
+        fusable = False  # iterative, owns its plan
+
+        def apply(self, ds):
+            return pagerank(ds, src_col=cfg.get("src", "src"),
+                            dst_col=cfg.get("dst", "dst"),
+                            iters=cfg.get("iters", 10),
+                            damping_num=cfg.get("damping_num", 85),
+                            damping_den=cfg.get("damping_den", 100))
+
+    return _PageRank()
+
+
 @register_transform("line_dedup")
 def _build_line_dedup(cfg):
     from vector_ray.ml.clean import line_dedup
