@@ -190,6 +190,122 @@ def run_pack_bench(ncpu: int, rows: int) -> float:
     return sec
 
 
+def _line_corpus_parquet(n_docs: int, lines_per_doc: int = 10,
+                         boiler_rate: int = 10, pool: int = 100) -> str:
+    """Deterministic multi-line corpus for the line-dedup bench:
+    every ``boiler_rate``-th line drawn from a ``pool`` of boilerplate
+    lines (corpus-wide duplicates), the rest unique per (doc, line).
+    Cached to /tmp keyed by shape — generation is untimed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/vr_bench_lines_{n_docs}_{lines_per_doc}_{boiler_rate}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        per_file = max(n_docs // 32, 1)
+        doc = 0
+        fi = 0
+        while doc < n_docs:
+            hi = min(doc + per_file, n_docs)
+            texts = []
+            for i in range(doc, hi):
+                lines = [
+                    (f"boilerplate banner line number {(i * 7 + j) % pool} of the pool."
+                     if j % boiler_rate == 0
+                     else f"unique content line {i} {j} with some padding words here.")
+                    for j in range(lines_per_doc)
+                ]
+                texts.append("\n".join(lines))
+            t = pa.table({
+                "doc_id": pa.array(range(doc, hi), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            })
+            pq.write_table(t, os.path.join(root, f"part-{fi:05d}.parquet"))
+            doc, fi = hi, fi + 1
+        open(done, "w").close()
+    return root
+
+
+def run_linededup_bench(ncpu: int, n_docs: int) -> float:
+    """Timed corpus-wide line dedup (count pass + rewrite pass) over a
+    cached multi-line corpus — the RefinedWeb boilerplate-removal
+    shape: text payload read twice, only (hash, count) rows shuffle."""
+    import glob
+
+    import ray.data as rd
+
+    from vector_ray.ml.clean import line_dedup
+
+    wpath = _line_corpus_parquet(8_000)
+    wfiles = sorted(glob.glob(os.path.join(wpath, "part-*.parquet")))
+    line_dedup(rd.read_parquet(wfiles, override_num_blocks=len(wfiles))).count()
+
+    path = _line_corpus_parquet(n_docs)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    _warm(path)
+    t0 = time.time()
+    n = line_dedup(
+        rd.read_parquet(files, override_num_blocks=len(files))).count()
+    sec = time.time() - t0
+    assert n == n_docs
+    return sec
+
+
+def _edges_parquet(n_edges: int, n_nodes: int) -> str:
+    """Deterministic directed edge table for the PageRank bench
+    (formula edges + a hub skew). Cached; generation untimed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/vr_bench_edges_{n_edges}_{n_nodes}"
+    done = os.path.join(root, "_done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        per_file = max(n_edges // 32, 1)
+        e = 0
+        fi = 0
+        while e < n_edges:
+            hi = min(e + per_file, n_edges)
+            i = np.arange(e, hi, dtype=np.int64)
+            src = (i * 2654435761) % n_nodes
+            dst = np.where(i % 17 == 0, 0, (src * 7 + i * 3 + 11) % n_nodes)
+            pq.write_table(pa.table({"src": pa.array(src),
+                                     "dst": pa.array(dst)}),
+                           os.path.join(root, f"part-{fi:05d}.parquet"))
+            e, fi = hi, fi + 1
+        open(done, "w").close()
+    return root
+
+
+def run_pagerank_bench(ncpu: int, n_edges: int, n_nodes: int,
+                       iters: int = 5) -> float:
+    """Timed fixed-point PageRank (broadcast mode): per iteration one
+    map-only pass over the index-encoded edges + an O(nodes) driver
+    combine."""
+    import glob
+
+    import ray.data as rd
+
+    from vector_ray.ml.graph import pagerank
+
+    wpath = _edges_parquet(100_000, 20_000)
+    wfiles = sorted(glob.glob(os.path.join(wpath, "part-*.parquet")))
+    pagerank(rd.read_parquet(wfiles, override_num_blocks=len(wfiles)),
+             iters=2).count()
+
+    path = _edges_parquet(n_edges, n_nodes)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    _warm(path)
+    t0 = time.time()
+    n = pagerank(rd.read_parquet(files, override_num_blocks=len(files)),
+                 iters=iters).count()
+    sec = time.time() - t0
+    assert n > 0
+    return sec
+
+
 def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     import ray
 
@@ -213,6 +329,13 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
     )
     queries["pack"] = round(
         min(run_pack_bench(ncpu, bench_rows) for _ in range(flagship_reps)), 3
+    )
+    queries["line_dedup"] = round(
+        min(run_linededup_bench(ncpu, 200_000) for _ in range(flagship_reps)), 3
+    )
+    queries["pagerank"] = round(
+        min(run_pagerank_bench(ncpu, 3_000_000, 500_000)
+            for _ in range(flagship_reps)), 3
     )
 
     # ---- sf-dir pipelines (reuse the driver-contract queries) ----

@@ -294,3 +294,59 @@ class TestCurationProperties:
         assert (sig["dup_line_chars"] <= sig["line_chars"]).all()
         assert (sig["dup5_chars"] <= sig["word_chars"]).all()
         assert (sig["top2_chars"] >= 0).all()
+
+
+class TestUnitIndexSplitParity:
+    """ml/clean.py _line_index / _para_index vs Python str.split
+    semantics (the contract the line/paragraph-dedup SQL oracles rely
+    on): non-empty parts with 1-based split ordinality, byte-exact."""
+
+    texty = st.text(
+        alphabet=st.sampled_from(list("ab \n\x00é")), min_size=0, max_size=40)
+
+    @staticmethod
+    def _extract(index_fn, texts, sep):
+        from vector_ray.ml.clean import _gather_strings
+
+        flat, ls, ll, dol, uno, _, n = index_fn(texts)
+        parts = _gather_strings(flat, ls, ll).to_pylist()
+        got = [[] for _ in range(n)]
+        for d, no, p in zip(dol, uno, parts):
+            got[int(d)].append((int(no), p))
+        want = [[(j + 1, p) for j, p in enumerate((t or "").split(sep)) if p]
+                for t in texts]
+        return got, want
+
+    @given(st.lists(texty, min_size=1, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def test_line_index_matches_split(self, texts):
+        from vector_ray.ml.clean import _line_index
+
+        got, want = self._extract(_line_index, texts, "\n")
+        assert got == want
+
+    @given(st.lists(texty, min_size=1, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def test_para_index_matches_split(self, texts):
+        from vector_ray.ml.clean import _para_index
+
+        got, want = self._extract(_para_index, texts, "\n\n")
+        assert got == want
+
+    @given(st.lists(st.one_of(st.none(), texty), min_size=1, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def test_line_index_arrow_parity(self, texts):
+        """The zero-copy Arrow-buffer line index must agree with the
+        Python-string reference on every field, nulls = empty docs."""
+        from vector_ray.ml.clean import (_gather_strings, _line_index,
+                                         _line_index_arrow)
+
+        arr = pa.array(texts, pa.string())
+        fa, sa, la, da, na, _, n_a = _line_index_arrow(arr)
+        fp, sp, lp, dp, np_, _, n_p = _line_index(
+            [t if t is not None else "" for t in texts])
+        assert n_a == n_p
+        assert _gather_strings(fa, sa, la).to_pylist() == \
+            _gather_strings(fp, sp, lp).to_pylist()
+        assert list(da) == list(dp)
+        assert list(na) == list(np_)

@@ -219,6 +219,70 @@ def _line_index(texts: list):
     return flat, l_starts, l_lens, doc_of_line, line_no, doc_starts, n
 
 
+def _line_index_arrow(col):
+    """Zero-copy variant of ``_line_index`` for the hot count/probe
+    passes (unit="line"): line runs are computed directly on the Arrow
+    string values buffer — no ``to_pylist``, no per-doc encode, no
+    re-join (measured ~3x on the 200k-doc bench corpus). Doc
+    boundaries come from the Arrow offsets; a byte is a line start iff
+    it is non-``\\n`` and (preceded by ``\\n`` or at a doc start), a
+    line end iff non-``\\n`` and (followed by ``\\n`` or at a doc
+    end), so runs can never cross documents even with no separator
+    byte between them. Null docs behave as empty (same as
+    ``_line_index``'s ``(t or "")``). The "+1 trailing byte" rebuild
+    gather stays valid: a kept line followed by another kept line of
+    the SAME doc is never that doc's final line, so the following
+    byte in-buffer is that doc's own ``\\n``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    from vector_ray.expr.kernels import _flat_utf8
+
+    arr, data, offs = _flat_utf8(arr)
+    n = len(arr)
+    lo = int(offs[0])
+    flat = data[lo:int(offs[-1])]
+    offs = offs - lo
+    L = len(flat)
+    doc_starts = offs[:-1]
+    if L == 0:
+        z = np.empty(0, np.int64)
+        return flat, z, z, z, z, doc_starts, n
+    m = flat != 0x0A
+    prev_nl = np.empty(L, bool)
+    prev_nl[0] = True
+    np.logical_not(m[:-1], out=prev_nl[1:])
+    at_start = np.zeros(L + 1, bool)
+    at_start[offs[:-1]] = True
+    next_nl = np.empty(L, bool)
+    next_nl[-1] = True
+    np.logical_not(m[1:], out=next_nl[:-1])
+    at_end = np.zeros(L + 2, bool)
+    at_end[offs[1:]] = True
+    l_starts = np.nonzero(m & (prev_nl | at_start[:L]))[0]
+    l_ends = np.nonzero(m & (next_nl | at_end[1:L + 1]))[0]
+    l_lens = l_ends - l_starts + 1
+    doc_of_line = np.searchsorted(doc_starts, l_starts, side="right") - 1
+    nl_cs = np.empty(L + 1, np.int64)
+    nl_cs[0] = 0
+    np.cumsum(flat == 0x0A, dtype=np.int64, out=nl_cs[1:])
+    line_no = nl_cs[l_starts] - nl_cs[doc_starts[doc_of_line]] + 1
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False))
+        keep = valid[doc_of_line]
+        l_starts, l_lens = l_starts[keep], l_lens[keep]
+        doc_of_line, line_no = doc_of_line[keep], line_no[keep]
+    return flat, l_starts, l_lens, doc_of_line, line_no, doc_starts, n
+
+
+def _para_index_col(col):
+    """Adapter: paragraph index from an Arrow column (materializes
+    Python strings — the ``\\n\\n`` non-overlapping scan needs the
+    NUL-joined buffer; see ``_para_index``)."""
+    vals = col.to_pylist() if not isinstance(col, list) else col
+    return _para_index(vals)
+
+
 _PARA_RE = re.compile(b"\n\n")
 
 
@@ -263,7 +327,7 @@ def _para_index(texts: list):
             part_no[keep], doc_starts, n)
 
 
-_UNIT_INDEX = {"line": _line_index, "paragraph": _para_index}
+_UNIT_INDEX = {"line": _line_index_arrow, "paragraph": _para_index_col}
 _UNIT_SEP = {"line": "\n", "paragraph": "\n\n"}
 
 
@@ -313,7 +377,7 @@ def _dup_line_broadcast(ds, field: str, *, min_count: int,
     index_fn = _UNIT_INDEX[unit]
 
     def count_partial(t: pa.Table) -> pa.Table:
-        flat, ls, ll, _, _, _, _ = index_fn(t[field].to_pylist())
+        flat, ls, ll, _, _, _, _ = index_fn(t[field])
         h = _line_hashes(_gather_strings(flat, ls, ll))
         uh, cnt = np.unique(h, return_counts=True)
         # int64 REINTERPRETATION of the u64 hash: Ray Data's groupby
@@ -325,10 +389,15 @@ def _dup_line_broadcast(ds, field: str, *, min_count: int,
 
     counts = ds.map_batches(count_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
-    summed = counts.groupby("lhash").sum("cnt")
+    # two-phase grouped_aggregate, NOT ds.groupby().sum(): the native
+    # sort-based aggregate is ~20x slower at millions of distinct keys
+    # (measured 15.2s vs 0.7s on 1.8M distinct lines, 32 CPUs)
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    summed = grouped_aggregate(counts, ["lhash"], {"c": ("sum", "cnt")})
 
     def threshold(t: pa.Table) -> pa.Table:
-        mask = pc.greater_equal(t["sum(cnt)"], pa.scalar(min_count))
+        mask = pc.greater_equal(t["c"], pa.scalar(min_count))
         return t.filter(mask).select(["lhash"])
 
     dup_ds = summed.map_batches(threshold, batch_format="pyarrow",
@@ -392,7 +461,7 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
 
     def probe(t: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        flat, ls, ll, dol, lno, _, n = index_fn(t[field].to_pylist())
+        flat, ls, ll, dol, lno, _, n = index_fn(t[field])
         h = _line_hashes(_gather_strings(flat, ls, ll)).view(np.int64)
         if len(dups) and len(h):
             pos = np.searchsorted(dups, h)
