@@ -350,3 +350,18 @@ class TestUnitIndexSplitParity:
             _gather_strings(fp, sp, lp).to_pylist()
         assert list(da) == list(dp)
         assert list(na) == list(np_)
+
+    @given(st.lists(st.one_of(st.none(), texty), min_size=1, max_size=8),
+           st.sampled_from([0x0A, 0x00]))
+    @settings(max_examples=120, deadline=None)
+    def test_flat_joined_matches_encode_join(self, texts, sep):
+        from vector_ray.ml.clean import _flat_joined
+
+        flat, starts, n = _flat_joined(pa.array(texts, pa.string()), sep)
+        bufs = [(t or "").encode("utf-8") for t in texts]
+        want = bytes([sep]).join(bufs) + bytes([sep])
+        assert flat.tobytes() == want
+        woff = [0]
+        for b in bufs[:-1]:
+            woff.append(woff[-1] + len(b) + 1)
+        assert list(starts) == woff and n == len(texts)

@@ -47,6 +47,29 @@ def c4_clean_batch(texts: list, *, min_words: int = 5,
     """Vectorized per-doc C4 cleaning; returns dict of columns
     (text_clean: pa.StringArray, counters: np.int64, doc_kept: bool)."""
     n = len(texts)
+    if n == 0:
+        return _c4_core(np.empty(0, np.uint8), np.empty(0, np.int64), 0,
+                        min_words=min_words, min_sentences=min_sentences)
+    bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    flat = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
+                          count=n - 1), out=doc_starts[1:])
+    return _c4_core(flat, doc_starts, n, min_words=min_words,
+                    min_sentences=min_sentences)
+
+
+def c4_clean_col(col, *, min_words: int = 5, min_sentences: int = 3) -> dict:
+    """``c4_clean_batch`` off an Arrow string column — the
+    ``\\n``-joined flat buffer comes from ``_flat_joined`` (no
+    ``to_pylist``/encode), results bit-identical to the list path."""
+    flat, doc_starts, n = _flat_joined(col, 0x0A)
+    return _c4_core(flat, doc_starts, n, min_words=min_words,
+                    min_sentences=min_sentences)
+
+
+def _c4_core(flat: np.ndarray, doc_starts: np.ndarray, n: int, *,
+             min_words: int, min_sentences: int) -> dict:
     empty = {
         "text_clean": pa.array([""] * n, pa.string()),
         "n_lines": np.zeros(n, np.int64),
@@ -56,11 +79,6 @@ def c4_clean_batch(texts: list, *, min_words: int = 5,
     }
     if n == 0:
         return empty
-    bufs = [(t or "").encode("utf-8", "ignore") for t in texts]
-    flat = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
-    doc_starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
-                          count=n - 1), out=doc_starts[1:])
     doc_ends = np.append(doc_starts[1:], len(flat)) - 1  # excl. sep \n
 
     def _runs(mask):
@@ -171,9 +189,9 @@ class C4Clean(BatchStep):
         self.drop = drop
 
     def transform(self, tbl: pa.Table) -> pa.Table:
-        cols = c4_clean_batch(tbl[self.field].to_pylist(),
-                              min_words=self.min_words,
-                              min_sentences=self.min_sentences)
+        cols = c4_clean_col(tbl[self.field],
+                            min_words=self.min_words,
+                            min_sentences=self.min_sentences)
         tbl = F.set_(tbl, "text_clean", cols["text_clean"])
         for k in ("n_lines", "n_lines_kept", "n_sentences"):
             tbl = F.set_(tbl, k, pa.array(cols[k], pa.int64()))
@@ -217,6 +235,44 @@ def _line_index(texts: list):
     np.cumsum(flat == 0x0A, dtype=np.int64, out=nl_cs[1:])
     line_no = nl_cs[l_starts] - nl_cs[doc_starts[doc_of_line]] + 1
     return flat, l_starts, l_lens, doc_of_line, line_no, doc_starts, n
+
+
+def _flat_joined(col, sep: int):
+    """The ``sep.join(encoded_docs) + sep`` flat buffer (one ``sep``
+    byte after EVERY doc) built straight off the Arrow string values
+    buffer — no ``to_pylist``, no per-doc encode: one fused
+    repeat-shift gather + a separator scatter. Null docs behave as
+    empty. Returns ``(flat, doc_starts, n)`` — the exact construction
+    ``_line_index`` / ``_para_index`` / ``c4_clean_batch`` perform on
+    Python strings, at buffer speed."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    from vector_ray.expr.kernels import _flat_utf8
+
+    arr, data, offs = _flat_utf8(arr)
+    n = len(arr)
+    lo = int(offs[0])
+    data = data[lo:int(offs[-1])]
+    offs = offs - lo
+    lens = np.diff(offs)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False))
+        lens = np.where(valid, lens, 0)
+    out_lens = lens + 1
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    gather = np.repeat(offs[:-1] - out_offs[:-1], out_lens)
+    gather += np.arange(total, dtype=np.int64)
+    # each doc's separator slot reads one-past-end garbage — clip the
+    # index for memory safety, then overwrite every separator slot
+    if len(data):
+        flat = data[np.minimum(gather, len(data) - 1)]
+    else:
+        flat = np.empty(total, np.uint8)
+    flat[out_offs[1:] - 1] = sep
+    return flat, out_offs[:-1], n
 
 
 def _line_index_arrow(col):
@@ -276,11 +332,13 @@ def _line_index_arrow(col):
 
 
 def _para_index_col(col):
-    """Adapter: paragraph index from an Arrow column (materializes
-    Python strings — the ``\\n\\n`` non-overlapping scan needs the
-    NUL-joined buffer; see ``_para_index``)."""
-    vals = col.to_pylist() if not isinstance(col, list) else col
-    return _para_index(vals)
+    """Paragraph index from an Arrow column: NUL-joined flat buffer
+    built by ``_flat_joined`` (no Python strings), then the shared
+    ``_para_core`` scan."""
+    if isinstance(col, list):
+        return _para_index(col)
+    flat, doc_starts, n = _flat_joined(col, 0x00)
+    return _para_core(flat, doc_starts, n)
 
 
 _PARA_RE = re.compile(b"\n\n")
@@ -304,8 +362,13 @@ def _para_index(texts: list):
     if n > 1:
         np.cumsum(np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64,
                               count=n - 1), out=doc_starts[1:])
-    doc_lens = np.fromiter((len(b) for b in bufs), np.int64, count=n)
-    doc_ends = doc_starts + doc_lens
+    return _para_core(flat, doc_starts, n)
+
+
+def _para_core(flat: np.ndarray, doc_starts: np.ndarray, n: int):
+    """Shared paragraph-split core over a NUL-joined flat buffer
+    (every doc followed by exactly one NUL)."""
+    doc_ends = np.append(doc_starts[1:], len(flat)) - 1
     m = np.fromiter((mm.start() for mm in _PARA_RE.finditer(flat.tobytes())),
                     np.int64)
     if len(m):
