@@ -404,6 +404,7 @@ def _job_once_subprocess(job: str, ncpu: int, bench_rows: int, hashes: int) -> f
     call = {
         "flagship": "bench.run_flagship_bench(%d, %d, sig_hashes=%d)" % (ncpu, bench_rows, hashes),
         "minhash": "bench.run_minhash_bench(%d, %d, num_hashes=%d)" % (ncpu, bench_rows, hashes),
+        "line_dedup": "bench.run_linededup_bench(%d, %d)" % (ncpu, bench_rows),
     }[job]
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -481,6 +482,10 @@ def main():
         # LSH groupby, so the ≥0.8 claim doesn't rest on the map-only
         # flagship alone. 32 hashes ≈ 4x the production sig work.
         mh = measure(max(bench_rows // 8, 250_000), 32, job="minhash")
+        # third pipeline SHAPE: corpus-wide line dedup — text-curation
+        # two-pass plan (buffer-speed line index + hash, pre-aggregated
+        # count exchange, broadcast probe + rewrite); rows = docs.
+        ld = measure(200_000, 0, job="line_dedup")
         cal_lo, cal_hi = _cpu_calibration(lo), _cpu_calibration(hi)
         cal_eff = (cal_hi / cal_lo) / (hi / lo)
         print(
@@ -492,6 +497,7 @@ def main():
                     "memory_bound": mem,
                     "compute_bound": comp,
                     "minhash_compute_bound": mh,
+                    "line_dedup_text": ld,
                     "host_cpu_calibration_eff_8_to_32": round(cal_eff, 3),
                 }
             )
