@@ -1115,3 +1115,19 @@ class TestPageRank:
         total = sum(ranks.values())
         # floors only leak mass downward, bounded per iteration
         assert 0.9 * 10**12 < total <= 10**12
+
+
+def test_unit_index_empty_batch():
+    """Empty Ray blocks reach the index fns with n=0 — must not crash
+    (the _para_core refactor once returned a phantom doc_end here)."""
+    from vector_ray.ml.clean import (_flat_joined, _line_index_arrow,
+                                     _para_index, _para_index_col)
+
+    empty = pa.array([], pa.string())
+    for fn in (_para_index_col, _line_index_arrow):
+        out = fn(empty)
+        assert out[6] == 0 and len(out[1]) == 0
+    out = _para_index([])
+    assert out[6] == 0 and len(out[1]) == 0
+    flat, starts, n = _flat_joined(empty, 0x0A)
+    assert n == 0 and len(flat) == 0 and len(starts) == 0

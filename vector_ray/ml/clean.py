@@ -368,6 +368,9 @@ def _para_index(texts: list):
 def _para_core(flat: np.ndarray, doc_starts: np.ndarray, n: int):
     """Shared paragraph-split core over a NUL-joined flat buffer
     (every doc followed by exactly one NUL)."""
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return flat, z, z, z, z, doc_starts, 0
     doc_ends = np.append(doc_starts[1:], len(flat)) - 1
     m = np.fromiter((mm.start() for mm in _PARA_RE.finditer(flat.tobytes())),
                     np.int64)
