@@ -178,3 +178,25 @@ class TestWebCurationExample:
         # the filter kept only positive-logw docs and some were dropped
         assert 0 < len(t) < 3000
         assert min(t["dsir_logw"].to_pylist()) > 0.0
+
+
+class TestHostRankExample:
+    def test_runs_pagerank_topology(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_host_rank", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples", "host_rank.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_host_rank/out/**/*.parquet", recursive=True)
+        assert files
+        t = pq.read_table(files)
+        assert set(t.column_names) == {"node", "rank"}
+        ranks = dict(zip(t["node"].to_pylist(), t["rank"].to_pylist()))
+        # the filter kept only above-uniform hosts; the planted hub
+        # (every 17th edge) is strongly boosted (>=20x uniform share)
+        assert ranks and min(ranks.values()) > 250_000_000
+        assert 0 in ranks and ranks[0] > 20 * 250_000_000

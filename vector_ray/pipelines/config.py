@@ -1214,6 +1214,15 @@ class Topology:
             tbl = web_docs_table(cfg.get("count", 2000),
                                  seed=cfg.get("seed", 5))
             return rd.from_arrow(tbl).repartition(cfg.get("blocks", 8))
+        if stype == "link_graph":
+            # deterministic directed edge table (src, dst) — graph
+            # examples (sources/synth.py link_graph_table)
+            from vector_ray.sources.synth import link_graph_table
+
+            tbl = link_graph_table(cfg.get("edges", 20_000),
+                                   cfg.get("nodes", 4_000),
+                                   seed=cfg.get("seed", 7))
+            return rd.from_arrow(tbl).repartition(cfg.get("blocks", 8))
         if stype == "tokens_synth":
             # deterministic north-rule tokenized table (doc_id, tokens,
             # n_tok, source) — self-contained token-pipeline examples

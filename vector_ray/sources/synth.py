@@ -212,6 +212,19 @@ _WEB_WORDS = np.array(
     "window batch token model train sample graph node edge vector".split())
 
 
+def link_graph_table(n_edges: int = 20_000, n_nodes: int = 4_000,
+                     seed: int = 7) -> pa.Table:
+    """Deterministic directed link graph (src, dst) for graph-operator
+    examples: Knuth-multiplicative src spread, formula dst with a hub
+    skew (every 17th edge points at node 0), every 11th node left
+    dangling. Counter-based — identical at any parallelism."""
+    i = np.arange(n_edges, dtype=np.int64)
+    src = (i * 2654435761 + seed) % n_nodes
+    src = np.where(src % 11 == 0, (src + 1) % n_nodes, src)  # keep danglers
+    dst = np.where(i % 17 == 0, 0, (src * 7 + i * 3 + 11) % n_nodes)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
 def web_docs_table(n: int = 2000, seed: int = 5) -> pa.Table:
     """Deterministic multi-line 'web page' corpus (doc_id, url, text)
     with planted curation signals for the web-curation operators:
