@@ -1395,6 +1395,25 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_line_dedup_keep_first(sf_dir):
+    """line_dedup mode='keep_first' (Dolma keep-first semantics): the
+    globally first (doc_id, line_no) occurrence of each duplicated
+    line survives; election = mergeable per-hash min of the
+    doc_id*2^21+line_no occurrence code riding the count pass. Oracle
+    is PLAIN SQL (window functions over the same corpus)."""
+    import ray.data as rd
+
+    from tools.golden import line_corpus
+    from vector_ray.ml.clean import line_dedup
+
+    ids, texts = line_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = line_dedup(rd.from_arrow(tbl).repartition(4), "text",
+                     min_count=2, mode="keep_first", output="explode")
+    return _finish(out)
+
+
 def q_paragraph_dedup(sf_dir):
     """Dolma-style corpus-wide PARAGRAPH dedup (Soldaini et al. 2024):
     units are the doc's non-overlapping split('\\n\\n') segments; any
@@ -2292,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "line_dedup_docs": q_line_dedup,
         "paragraph_dedup_docs": q_paragraph_dedup,
+        "line_dedup_keep_first": q_line_dedup_keep_first,
         "pagerank_hosts": q_pagerank_hosts,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
@@ -2890,6 +2910,7 @@ def _golden_oracles() -> dict[str, str]:
         "repetition_signals": golden.repetition_signals_sql(),
         "line_dedup_docs": golden.line_dedup_sql(),
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
+        "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),

@@ -1131,3 +1131,43 @@ def test_unit_index_empty_batch():
     assert out[6] == 0 and len(out[1]) == 0
     flat, starts, n = _flat_joined(empty, 0x0A)
     assert n == 0 and len(flat) == 0 and len(starts) == 0
+
+
+class TestLineDedupKeepFirst:
+    TEXTS = ["a b c\nx y\na b c", "x y\n\nunique line",
+             "cookie banner\nbody one", "cookie banner\nbody two",
+             "", "cookie banner"]
+
+    def test_keep_first_matches_brute_partition_invariant(self):
+        from collections import defaultdict
+
+        from vector_ray.ml.clean import line_dedup
+
+        ids = list(range(1, len(self.TEXTS) + 1))
+        occ = defaultdict(list)
+        for i, t in enumerate(self.TEXTS):
+            for j, ln in enumerate(t.split("\n")):
+                if ln:
+                    occ[ln].append((ids[i], j + 1))
+        first = {ln: min(v) for ln, v in occ.items()}
+        want = sorted(
+            (ids[i], j + 1, ln)
+            for i, t in enumerate(self.TEXTS)
+            for j, ln in enumerate(t.split("\n"))
+            if ln and (len(occ[ln]) < 2 or (ids[i], j + 1) == first[ln]))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(self.TEXTS)})
+        for parts in (1, 4):
+            got = line_dedup(rd.from_arrow(t).repartition(parts),
+                             mode="keep_first", output="explode").to_pandas()
+            got = sorted(map(tuple, got[["doc_id", "line_no", "line"]].values))
+            assert got == want, parts
+
+    def test_keep_first_needs_integer_ids(self):
+        from vector_ray.ml.clean import line_dedup
+
+        t = pa.table({"doc_id": pa.array(["a", "b"]),
+                      "text": pa.array(["x\nx", "x"])})
+        with pytest.raises(Exception, match="integer id"):
+            line_dedup(rd.from_arrow(t), mode="keep_first",
+                       output="explode").to_pandas()

@@ -1172,3 +1172,33 @@ def pagerank_sql(iters: int = 10, scale: int = 10**12,
         rank = nxt
     rows = [(v, rank[v]) for v in nodes]
     return _values_sql(rows, ["node", "rank"], ["BIGINT", "BIGINT"])
+
+
+def line_dedup_keep_first_sql(min_count: int = 2) -> str:
+    """keep_first mode: the globally first occurrence (doc_id,
+    line_no) of each duplicated line survives. Plain SQL — DuckDB
+    recomputes via window functions over the same VALUES corpus."""
+    ids, texts = line_corpus(sf_dir())
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    body = ", ".join(f"({i}::BIGINT, {lit(t)})" for i, t in zip(ids, texts))
+    return f"""
+WITH corpus(doc_id, text) AS (VALUES {body}),
+ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1)::BIGINT
+           AS line_no
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, line_no, line,
+         count(*) OVER (PARTITION BY line) AS c,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_no) AS rn
+  FROM ex WHERE line <> ''
+)
+SELECT doc_id, line_no, line FROM w WHERE c < {min_count} OR rn = 1
+"""

@@ -428,30 +428,68 @@ def _line_hashes(lines: pa.StringArray) -> np.ndarray:
                               categorize=False)
 
 
+_OCC_BITS = 21  # occurrence code = doc_id << 21 | line_no
+
+
+def _occurrence_codes(t: pa.Table, id_col: str, dol: np.ndarray,
+                      lno: np.ndarray) -> np.ndarray:
+    """Global occurrence order key: ``doc_id * 2^21 + line_no`` —
+    lexicographic (doc_id, line_no) as one int64 min-reducible value.
+    Requires an integer id column with doc_id < 2^42 and per-doc unit
+    ordinal < 2^21 (loud failure otherwise)."""
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+    if not np.issubdtype(ids.dtype, np.integer):
+        raise ValueError(
+            "line_dedup keep_first needs an integer id column "
+            f"({id_col} is {ids.dtype})")
+    ids = ids.astype(np.int64)[dol]
+    if len(ids) and (int(ids.max()) >= 1 << (63 - _OCC_BITS)
+                     or int(ids.min()) < 0):
+        raise ValueError("line_dedup keep_first: doc_id out of [0, 2^42)")
+    if len(lno) and int(lno.max()) >= 1 << _OCC_BITS:
+        raise ValueError("line_dedup keep_first: >2^21 units in one doc")
+    return (ids << _OCC_BITS) | lno.astype(np.int64)
+
+
 def _dup_line_broadcast(ds, field: str, *, min_count: int,
-                        max_dup_lines: int, unit: str = "line"):
+                        max_dup_lines: int, unit: str = "line",
+                        keep_first: bool = False, id_col: str = "doc_id"):
     """COUNT pass + threshold + ``ray.put``, same plan as
     ml/tokens.py ``_dup_hash_broadcast``: per-batch pre-aggregated
     (lhash, cnt) partials (one row per distinct line per block — a
     line shared by 10^8 docs is a handful of partial rows), a small
     groupby-sum, and the duplicated-hash set pulled and broadcast
     ONCE (bounded by the volume of actually-duplicated boilerplate,
-    guarded by ``max_dup_lines``). Text payloads never shuffle."""
+    guarded by ``max_dup_lines``). Text payloads never shuffle.
+
+    With ``keep_first`` the partials also carry the per-hash MIN
+    occurrence code (global first-copy election as a mergeable min —
+    no extra pass, no extra shuffle rows) and the broadcast becomes
+    ``(dup_hashes_sorted, winner_codes)``."""
     import pyarrow.compute as pc
     import ray
 
     index_fn = _UNIT_INDEX[unit]
 
     def count_partial(t: pa.Table) -> pa.Table:
-        flat, ls, ll, _, _, _, _ = index_fn(t[field])
+        flat, ls, ll, dol, lno, _, _ = index_fn(t[field])
         h = _line_hashes(_gather_strings(flat, ls, ll))
-        uh, cnt = np.unique(h, return_counts=True)
         # int64 REINTERPRETATION of the u64 hash: Ray Data's groupby
         # key path round-trips Python ints (overflows > 2^63); the
         # bit-pattern view keeps equality and a consistent order on
         # both sides of the probe searchsorted.
+        if not keep_first:
+            uh, cnt = np.unique(h, return_counts=True)
+            return pa.table({"lhash": pa.array(uh.view(np.int64)),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+        code = _occurrence_codes(t, id_col, dol, lno)
+        order = np.lexsort((code, h))
+        h_s, code_s = h[order], code[order]
+        uh, first, cnt = np.unique(h_s, return_index=True,
+                                   return_counts=True)
         return pa.table({"lhash": pa.array(uh.view(np.int64)),
-                         "cnt": pa.array(cnt.astype(np.int64))})
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "win": pa.array(code_s[first])})
 
     counts = ds.map_batches(count_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -460,32 +498,46 @@ def _dup_line_broadcast(ds, field: str, *, min_count: int,
     # (measured 15.2s vs 0.7s on 1.8M distinct lines, 32 CPUs)
     from vector_ray.stages.aggregate import grouped_aggregate
 
-    summed = grouped_aggregate(counts, ["lhash"], {"c": ("sum", "cnt")})
+    aggs = {"c": ("sum", "cnt")}
+    if keep_first:
+        aggs["w"] = ("min", "win")
+    summed = grouped_aggregate(counts, ["lhash"], aggs)
+
+    cols = ["lhash"] + (["w"] if keep_first else [])
 
     def threshold(t: pa.Table) -> pa.Table:
         mask = pc.greater_equal(t["c"], pa.scalar(min_count))
-        return t.filter(mask).select(["lhash"])
+        return t.filter(mask).select(cols)
 
     dup_ds = summed.map_batches(threshold, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    parts, total = [], 0
+    parts, wparts, total = [], [], 0
     for b in dup_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         parts.append(np.asarray(b["lhash"].to_numpy(zero_copy_only=False),
                                 np.int64))
+        if keep_first:
+            wparts.append(np.asarray(b["w"].to_numpy(zero_copy_only=False),
+                                     np.int64))
         total += len(parts[-1])
         if total > max_dup_lines:
             raise ValueError(
                 f"line_dedup: >{max_dup_lines} duplicated lines; raise "
                 "min_count, or max_dup_lines if the driver has memory "
                 "for the broadcast")
-    dup_sorted = (np.sort(np.concatenate(parts)) if parts
-                  else np.empty(0, np.int64))
-    return ray.put(dup_sorted)
+    dup = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    order = np.argsort(dup, kind="stable")
+    dup_sorted = dup[order]
+    if not keep_first:
+        return ray.put(dup_sorted)
+    win = (np.concatenate(wparts) if wparts
+           else np.empty(0, np.int64))[order]
+    return ray.put((dup_sorted, win))
 
 
 def line_dedup(ds, field: str = "text", *, min_count: int = 2,
                id_col: str = "doc_id", output: str = "rebuild",
-               max_dup_lines: int = 50_000_000, unit: str = "line"):
+               max_dup_lines: int = 50_000_000, unit: str = "line",
+               mode: str = "drop_all"):
     """Corpus-wide line-level dedup: a (non-empty) line is *duplicated*
     iff its exact byte content occurs ≥ ``min_count`` times across the
     whole corpus (every occurrence counts, including repeats inside one
@@ -512,6 +564,14 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
     ``string_split(text, chr(10)||chr(10))``; the rebuild joins kept
     paragraphs with ``'\\n\\n'``.
 
+    ``mode="keep_first"`` (Dolma keep-first semantics) keeps the
+    globally FIRST occurrence of each duplicated unit — ordered by
+    ``(doc_id, unit ordinal)`` — and drops the later copies; the
+    first-copy election rides the count pass as a mergeable per-hash
+    ``min`` of the ``doc_id*2^21 + ordinal`` occurrence code (no extra
+    pass or shuffle; integer id column required, bounds enforced).
+    The default ``mode="drop_all"`` removes every copy (RefinedWeb).
+
     All per-batch work is flat-buffer vectorized (run detection,
     prefix-sum ordinals, fused gather rewrite) — no per-row Python.
     """
@@ -519,20 +579,30 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
         raise ValueError(f"line_dedup: unknown output={output!r}")
     if unit not in _UNIT_INDEX:
         raise ValueError(f"line_dedup: unknown unit={unit!r}")
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"line_dedup: unknown mode={mode!r}")
     import ray
 
+    keep_first = mode == "keep_first"
     index_fn = _UNIT_INDEX[unit]
     dup_ref = _dup_line_broadcast(ds, field, min_count=min_count,
-                                  max_dup_lines=max_dup_lines, unit=unit)
+                                  max_dup_lines=max_dup_lines, unit=unit,
+                                  keep_first=keep_first, id_col=id_col)
 
     def probe(t: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
+        got = ray.get(dup_ref)
+        dups, wins = got if keep_first else (got, None)
         flat, ls, ll, dol, lno, _, n = index_fn(t[field])
         h = _line_hashes(_gather_strings(flat, ls, ll)).view(np.int64)
         if len(dups) and len(h):
             pos = np.searchsorted(dups, h)
             pos[pos == len(dups)] = 0
-            keep = dups[pos] != h
+            hit = dups[pos] == h
+            if keep_first:
+                code = _occurrence_codes(t, id_col, dol, lno)
+                keep = ~hit | (code == wins[pos])
+            else:
+                keep = ~hit
         else:
             keep = np.ones(len(h), bool)
         if output == "explode":

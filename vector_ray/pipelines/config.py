@@ -912,7 +912,8 @@ def _build_line_dedup(cfg):
                               min_count=cfg.get("min_count", 2),
                               id_col=cfg.get("id_field", "doc_id"),
                               output=cfg.get("output", "rebuild"),
-                              unit=cfg.get("unit", "line"))
+                              unit=cfg.get("unit", "line"),
+                              mode=cfg.get("mode", "drop_all"))
 
     return _LineDedup()
 
