@@ -1434,6 +1434,22 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_resample_events(sf_dir):
+    """Dense-grid resample (stages/window.py resample — the SQL
+    generate_series + LEFT JOIN / pandas .resample analogue): hourly
+    tumbling aggregate per event_type with EVERY window between each
+    key's first and last event materialized, empty windows zero-filled.
+    Aggregates chosen order-independent-exact (count + max) so the
+    plain-SQL oracle hash-matches."""
+    from vector_ray.stages.window import resample
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = resample(ds, "ts", 3600.0,
+                   {"n": ("count", "value"), "vmax": ("max", "value")},
+                   keys=["event_type"], fill="zero")
+    return _finish(out)
+
+
 def q_pagerank_hosts(sf_dir):
     """Fixed-point integer PageRank over a planted directed doc-id
     graph (ml/graph.py — the host-graph quality signal of web-corpus
@@ -2313,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": q_paragraph_dedup,
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "pagerank_hosts": q_pagerank_hosts,
+        "resample_events": q_resample_events,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2912,6 +2929,18 @@ def _golden_oracles() -> dict[str, str]:
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
+        "resample_events": (
+            "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"
+            " * 3600000000 AS window_start, count(value) AS n,"
+            " max(value) AS vmax FROM events GROUP BY 1, 2),"
+            " rng AS (SELECT event_type, min(window_start) lo,"
+            " max(window_start) hi FROM agg GROUP BY 1),"
+            " grid AS (SELECT event_type, unnest(range(lo,"
+            " hi + 3600000000, 3600000000)) AS window_start FROM rng)"
+            " SELECT g.event_type, g.window_start, coalesce(a.n, 0) AS n,"
+            " coalesce(a.vmax, 0) AS vmax"
+            " FROM grid g LEFT JOIN agg a USING (event_type, window_start)"
+        ),
         "url_dedup_docs": golden.url_dedup_sql(),
         "c4_clean_docs": golden.c4_clean_sql(),
         "bloom_seen": golden.bloom_seen_sql(),

@@ -1045,3 +1045,57 @@ def test_rolling_sum_clamps_at_key_start(ray_session=None):
     assert got[("a", 3)] == 60 and got[("a", 4)] == 90
     assert got[("a", 5)] == 120
     assert got[("b", 1)] == 7 and got[("b", 2)] == 16
+
+
+class TestResample:
+    US = 1_000_000
+
+    def _ds(self, parts=2):
+        rows = [("a", 0.5, 1.0), ("a", 0.7, 2.0), ("a", 2.3, 4.0),
+                ("b", 5.5, 8.0)]
+        t = pa.table({
+            "k": pa.array([r[0] for r in rows]),
+            "ts": pa.array([int(r[1] * self.US) for r in rows],
+                           pa.timestamp("us")),
+            "v": pa.array([r[2] for r in rows]),
+        })
+        return rd.from_arrow(t).repartition(parts)
+
+    def _run(self, fill, parts=2):
+        from vector_ray.stages.window import resample
+
+        out = resample(self._ds(parts), "ts", 1.0,
+                       {"n": ("count", "v"), "vmax": ("max", "v")},
+                       keys=["k"], fill=fill).to_pandas()
+        def norm(x):
+            return None if x is None or (isinstance(x, float) and x != x) \
+                else float(x)
+        return {(r.k, int(r.window_start) // self.US):
+                (norm(r.n), norm(r.vmax)) for r in out.itertuples()}
+
+    def test_null_zero_ffill_and_partition_invariance(self):
+        assert self._run("null") == {
+            ("a", 0): (2.0, 2.0), ("a", 1): (None, None),
+            ("a", 2): (1.0, 4.0), ("b", 5): (1.0, 8.0)}
+        assert self._run("zero") == {
+            ("a", 0): (2.0, 2.0), ("a", 1): (0.0, 0.0),
+            ("a", 2): (1.0, 4.0), ("b", 5): (1.0, 8.0)}
+        for parts in (1, 4):
+            assert self._run("ffill", parts) == {
+                ("a", 0): (2.0, 2.0), ("a", 1): (2.0, 2.0),
+                ("a", 2): (1.0, 4.0), ("b", 5): (1.0, 8.0)}
+
+    def test_global_grid_no_keys(self):
+        from vector_ray.stages.window import resample
+
+        out = resample(self._ds(), "ts", 1.0, {"n": ("count", "v")},
+                       fill="zero").to_pandas()
+        g = dict(zip(out["window_start"] // self.US, out["n"]))
+        assert g == {0: 2, 1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
+
+    def test_max_grid_guard(self):
+        from vector_ray.stages.window import resample
+
+        with pytest.raises(Exception, match="max_grid"):
+            resample(self._ds(), "ts", 1.0, {"n": ("count", "v")},
+                     keys=["k"], max_grid=2).to_pandas()

@@ -881,6 +881,25 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("resample")
+def _build_resample(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.window import resample
+
+    class _Resample(Step):
+        fusable = False  # owns a join + grid plan
+
+        def apply(self, ds):
+            specs = {out: (s["op"], s["field"])
+                     for out, s in cfg["aggregates"].items()}
+            return resample(ds, cfg.get("ts_field", "ts"),
+                            cfg.get("size_s", 3600.0), specs,
+                            keys=cfg.get("keys", []),
+                            fill=cfg.get("fill", "null"))
+
+    return _Resample()
+
+
 @register_transform("pagerank")
 def _build_pagerank(cfg):
     from vector_ray.ml.graph import pagerank

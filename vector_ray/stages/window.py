@@ -281,3 +281,122 @@ class SessionWindow(Step):
             bucketed, self.keys + ["__bucket"], self._summaries_all
         )
         return bucketed_map_groups(summaries, self.keys, self._merge_all)
+
+
+def resample(ds, ts_col: str, size_s: float,
+             specs: Dict[str, Tuple[str, str]], *,
+             keys: Sequence[str] = (), fill: str = "null",
+             window_col: str = "window_start", buckets: int = 16,
+             max_grid: int = 50_000_000):
+    """Dense-grid tumbling aggregate — the batch analogue of SQL
+    ``generate_series + LEFT JOIN`` / pandas ``.resample()``: after the
+    two-phase tumbling aggregate, every window between each key's first
+    and last event is MATERIALIZED, empty windows included.
+
+    ``fill``: ``"null"`` leaves empty windows null, ``"zero"`` fills
+    every agg column with 0, ``"ffill"`` forward-fills each agg column
+    from the key's last non-empty window (per-key sorted scan inside
+    hash buckets — vectorized maximum.accumulate index carry, reset at
+    key boundaries; rows before a key's first value stay null).
+
+    Scale notes: the aggregate output is one row per (key, window) —
+    the dense grid is inherently output-sized, guarded by ``max_grid``
+    rows per key (loud failure). Grid generation is a 1→N expansion of
+    the tiny per-key range table; the left join and the ffill reuse
+    the bucketed hash-join / bucketed-group machinery (only grid +
+    aggregate rows shuffle, never events)."""
+    import ray  # noqa: F401  (parity with sibling stages)
+
+    from vector_ray.stages.bucketed import bucketed_map_groups
+    from vector_ray.stages.join import bucketed_join
+
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"resample: unknown fill={fill!r}")
+    keys = list(keys)
+    size = int(size_s * 1_000_000)
+    gkeys = keys if keys else ["__all"]
+
+    base = ds
+    if not keys:
+        base = ds.map_batches(
+            lambda t: t.append_column(
+                "__all", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    agg = TumblingWindow(gkeys, ts_col, size_s, specs,
+                         window_col=window_col).apply(base).materialize()
+    ranges = grouped_aggregate(
+        agg, gkeys, {"__lo": ("min", window_col),
+                     "__hi": ("max", window_col)})
+
+    def expand(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t["__lo"].to_numpy(zero_copy_only=False), np.int64)
+        hi = np.asarray(t["__hi"].to_numpy(zero_copy_only=False), np.int64)
+        m = (hi - lo) // size + 1
+        if len(m) and int(m.max()) > max_grid:
+            raise ValueError(
+                f"resample: a key spans {int(m.max())} windows > "
+                f"max_grid={max_grid}; raise size_s or max_grid")
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), m)
+        offs = np.zeros(len(t) + 1, np.int64)
+        np.cumsum(m, out=offs[1:])
+        w = lo[idx] + (np.arange(int(offs[-1]), dtype=np.int64)
+                       - np.repeat(offs[:-1], m)) * size
+        out = t.select(gkeys).take(pa.array(idx))
+        return out.append_column(window_col, pa.array(w))
+
+    grid = ranges.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = bucketed_join(grid, agg, on=gkeys + [window_col],
+                           buckets=buckets, join_type="left")
+    agg_cols = list(specs.keys())
+
+    def finish(t: pa.Table) -> pa.Table:
+        if fill == "zero":
+            for c in agg_cols:
+                col = t[c]
+                t = t.set_column(t.column_names.index(c), c,
+                                 pc.fill_null(col, pa.scalar(
+                                     0, col.type if not pa.types.is_null(
+                                         col.type) else pa.int64())))
+        if not keys:
+            t = t.drop_columns(["__all"])
+        return t
+
+    if fill != "ffill":
+        return joined.map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def ffill_bucket(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(k, "ascending")
+                                              for k in gkeys + [window_col]])
+        g = g.take(order)
+        n = len(g)
+        if n == 0:
+            return g
+        kcols = [np.asarray(
+            pc.cast(g[k], pa.string()).to_numpy(zero_copy_only=False))
+            for k in gkeys]
+        newkey = np.zeros(n, bool)
+        newkey[0] = True
+        for kc in kcols:
+            newkey[1:] |= kc[1:] != kc[:-1]
+        first_idx = np.repeat(
+            np.nonzero(newkey)[0],
+            np.diff(np.append(np.nonzero(newkey)[0], n)))
+        ar = np.arange(n, dtype=np.int64)
+        out = g
+        for c in agg_cols:
+            valid = np.asarray(
+                pc.is_valid(g[c]).to_numpy(zero_copy_only=False))
+            carry = np.maximum.accumulate(np.where(valid, ar, -1))
+            ok = carry >= first_idx
+            idx = pa.array(np.where(ok, carry, 0), pa.int64(),
+                           mask=~ok)
+            out = out.set_column(out.column_names.index(c), c,
+                                 g[c].take(idx))
+        if not keys:
+            out = out.drop_columns(["__all"])
+        return out
+
+    return bucketed_map_groups(joined, gkeys, ffill_bucket,
+                               num_buckets=buckets)
