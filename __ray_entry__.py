@@ -1434,6 +1434,20 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_profile_orders(sf_dir):
+    """Table profiling (stages/profile.py — the SUMMARIZE/describe
+    analogue): one streaming pass, one tiny mergeable partial row per
+    column per block, typed min/max channels so int64 never round-trips
+    through float64. Oracle: plain SQL per-column aggregates over the
+    int/string columns (float min/max formatting differs repr-vs-cast;
+    documented exclusion)."""
+    from vector_ray.stages.profile import profile
+
+    ds = _rp(sf_dir, "orders", columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+    return _finish(profile(ds))
+
+
 def q_resample_events(sf_dir):
     """Dense-grid resample (stages/window.py resample — the SQL
     generate_series + LEFT JOIN / pandas .resample analogue): hourly
@@ -2330,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
+        "profile_orders": q_profile_orders,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2929,6 +2944,7 @@ def _golden_oracles() -> dict[str, str]:
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
+        "profile_orders": golden.profile_orders_sql(),
         "resample_events": (
             "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"
             " * 3600000000 AS window_start, count(value) AS n,"

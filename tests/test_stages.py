@@ -1099,3 +1099,37 @@ class TestResample:
         with pytest.raises(Exception, match="max_grid"):
             resample(self._ds(), "ts", 1.0, {"n": ("count", "v")},
                      keys=["k"], max_grid=2).to_pandas()
+
+
+class TestProfile:
+    def test_mixed_types_nulls_and_big_ints(self):
+        from vector_ray.stages.profile import profile
+
+        t = pa.table({
+            "i": pa.array([5, None, 2**60, -3], pa.int64()),
+            "f": pa.array([1.5, 2.25, None, -0.5], pa.float64()),
+            "s": pa.array(["10", "9", None, "abc"]),
+            "b": pa.array([True, False, True, None]),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "lst": pa.array([[1], [2], [3], None], pa.list_(pa.int32())),
+        })
+        out = (profile(rd.from_arrow(t).repartition(3)).to_pandas()
+               .set_index("column"))
+        assert set(out.index) == {"i", "f", "s", "b", "ts", "lst"}
+        assert (out["cnt"] == 4).all()
+        # int64 min/max exact beyond 2^53 (typed channel, no float hop)
+        assert out.loc["i", "min"] == "-3"
+        assert out.loc["i", "max"] == str(2**60)
+        # string min/max compare as strings, not numbers
+        assert out.loc["s", "min"] == "10" and out.loc["s", "max"] == "abc"
+        assert out.loc["f", "mean"] == (1.5 + 2.25 - 0.5) / 3
+        assert out.loc["lst", "nulls"] == 1 and out.loc["lst", "min"] is None
+        assert out.loc["b", "sum"] == 2.0
+
+    def test_partition_invariance(self):
+        from vector_ray.stages.profile import profile
+
+        t = pa.table({"x": pa.array(list(range(100)), pa.int64())})
+        a = profile(rd.from_arrow(t).repartition(1)).to_pandas()
+        b = profile(rd.from_arrow(t).repartition(7)).to_pandas()
+        assert a.to_dict() == b.to_dict()

@@ -1202,3 +1202,27 @@ w AS (
 )
 SELECT doc_id, line_no, line FROM w WHERE c < {min_count} OR rn = 1
 """
+
+
+def profile_orders_sql() -> str:
+    """Plain-SQL mirror of stages/profile.py over orders' int/string
+    columns (floats excluded: their min/max would hash but repr-vs-
+    varchar-cast formatting differs; int sums are exact in f64 here)."""
+    cols = [("o_orderkey", "int64"), ("o_custkey", "int64"),
+            ("o_orderstatus", "string"), ("o_orderpriority", "string")]
+    parts = []
+    for c, ty in cols:
+        if ty == "int64":
+            s = f"sum({c})::DOUBLE"
+            m = f"avg({c})::DOUBLE"
+        else:
+            s = "CAST(NULL AS DOUBLE)"
+            m = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column, '{ty}' AS dtype,"
+            f" count(*)::BIGINT AS cnt,"
+            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS nulls, min({c})::VARCHAR AS min,"
+            f" max({c})::VARCHAR AS max, {s} AS sum, {m} AS mean"
+            f" FROM orders")
+    return " UNION ALL ".join(parts)

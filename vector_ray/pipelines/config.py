@@ -881,6 +881,20 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("profile")
+def _build_profile(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.profile import profile
+
+    class _Profile(Step):
+        fusable = False  # aggregating summary, owns its plan
+
+        def apply(self, ds):
+            return profile(ds, columns=cfg.get("columns"))
+
+    return _Profile()
+
+
 @register_transform("resample")
 def _build_resample(cfg):
     from vector_ray.stages.base import Step
