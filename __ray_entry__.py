@@ -1434,6 +1434,30 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_ffill_events(sf_dir):
+    """Forward fill as a window function (stages/shift.py ffill —
+    SQL last_value(x IGNORE NULLS) OVER (PARTITION BY user ORDER BY
+    ts ROWS UNBOUNDED PRECEDING)): the last click value carried
+    forward across each user's timeline. Values pass through
+    untouched (no float arithmetic), so the oracle hash-matches."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events", columns=[
+        "event_id", "user_id", "event_type", "value", "ts"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.if_else(pc.equal(t["event_type"], pa.scalar("click")),
+                       t["value"], pa.scalar(None, pa.float64()))
+        return t.append_column("v", v)
+
+    withv = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    out = partitioned_shift(withv, ["user_id"], ["ts", "event_id"],
+                            {"v_ffill": ("ffill", "v")})
+    return _finish(out.select_columns(["event_id", "v_ffill"]))
+
+
 def q_profile_orders(sf_dir):
     """Table profiling (stages/profile.py — the SUMMARIZE/describe
     analogue): one streaming pass, one tiny mergeable partial row per
@@ -2345,6 +2369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
         "profile_orders": q_profile_orders,
+        "ffill_events": q_ffill_events,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2945,6 +2970,12 @@ def _golden_oracles() -> dict[str, str]:
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
+        "ffill_events": (
+            "SELECT event_id, last_value(CASE WHEN event_type = 'click'"
+            " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS v_ffill FROM events"
+        ),
         "resample_events": (
             "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"
             " * 3600000000 AS window_start, count(value) AS n,"

@@ -1133,3 +1133,22 @@ class TestProfile:
         a = profile(rd.from_arrow(t).repartition(1)).to_pandas()
         b = profile(rd.from_arrow(t).repartition(7)).to_pandas()
         assert a.to_dict() == b.to_dict()
+
+
+class TestFfillShift:
+    def test_ffill_resets_at_key_boundaries(self):
+        from vector_ray.stages.shift import partitioned_shift
+
+        t = pa.table({
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": pa.array([None, 5.0, None, None, 7.0], pa.float64()),
+        })
+        out = (partitioned_shift(rd.from_arrow(t).repartition(3),
+                                 ["k"], ["o"], {"f": ("ffill", "v")})
+               .to_pandas().sort_values(["k", "o"]))
+        import math
+        got = [None if isinstance(x, float) and math.isnan(x) else x
+               for x in out["f"]]
+        # 'b' must NOT inherit a's 5.0
+        assert got == [None, 5.0, 5.0, None, 7.0]

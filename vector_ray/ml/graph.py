@@ -63,8 +63,12 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
       hosts are ~10^8) and costs O(nodes) driver memory.
     - above the limit: fully distributed — per iteration one bucketed
       hash join (edges ⋈ shares, key=src) + one grouped sum by dst +
-      one left join; only (node, int64) pairs shuffle and the edge
-      payload reuses the same bucketing key every round.
+      one left join; every shuffled row is a 16-byte (int64, int64)
+      pair. Honest scale note: the bucketed join re-exchanges the edge
+      pairs each iteration (same key, but Ray Data has no persistent
+      partitioning); for many-iteration runs at extreme edge counts,
+      write the edges hive-partitioned by hash(src) once (the
+      ml/ann.py ivf_build layout) and join per partition instead.
     """
     import ray
 

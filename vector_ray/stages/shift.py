@@ -77,6 +77,20 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             run_start = np.repeat(starts, np.diff(np.append(starts, n)))
             lo = np.maximum(idx - int(win) + 1, run_start)
             g = g.append_column(out, pa.array(cs[idx + 1] - cs[lo]))
+        elif fn == "ffill":
+            # last non-null value at-or-before each row within the key
+            # run (SQL last_value(x IGNORE NULLS) OVER (... ROWS
+            # UNBOUNDED PRECEDING)): vectorized index carry via
+            # maximum.accumulate, reset at run boundaries; rows before
+            # a run's first non-null stay null (null take-index)
+            import pyarrow.compute as pc
+
+            valid = np.asarray(pc.is_valid(v).to_numpy(zero_copy_only=False))
+            run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            carry = np.maximum.accumulate(np.where(valid, idx, -1))
+            ok = carry >= run_start
+            take = pa.array(np.where(ok, carry, 0), pa.int64(), mask=~ok)
+            g = g.append_column(out, v.take(take))
         elif fn == "row_number":
             g = g.append_column(out, pa.array(
                 idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1,
@@ -139,9 +153,10 @@ def partitioned_shift(ds, keys: Sequence[str], order_by: Sequence[str],
                       specs: Dict[str, Tuple[str, str]], *,
                       num_buckets=None):
     """Append window columns per ``specs``: out_col → (fn, col); fn ∈
-    {lag, lead, delta, cumsum, row_number} (col ignored for
-    row_number — pass any column or None). ``order_by`` should be
-    unique per key for deterministic results."""
+    {lag, lead, delta, cumsum, rolling_sum, ffill, row_number, rank,
+    dense_rank, percent_rank, ntile, first_value, last_value} (col
+    ignored for row_number — pass any column or None). ``order_by``
+    should be unique per key for deterministic results."""
     keys = list(keys)
     order_by = list(order_by)
     specs = {o: tuple(v) for o, v in specs.items()}
