@@ -1434,6 +1434,28 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training (ml/bpe.py, Sennrich 2016 /
+    byte-level alphabet): ONE corpus pass builds the word-TYPE
+    frequency table, then every merge iteration is a vectorized pair
+    count over the vocabulary-bounded type Dataset + a small grouped
+    sum + a deterministic (count desc, pair asc) argmax. Oracle:
+    independent plain-Python Counter BPE over the same word
+    frequencies (tools/golden.py bpe_merges_py) rendered as VALUES."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.bpe import bpe_train
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"]).slice(0, 400)
+    ds = rd.from_arrow(t).repartition(4)
+    merges, _types = bpe_train(ds, "text", num_merges=24)
+    return merges
+
+
 def q_ffill_events(sf_dir):
     """Forward fill as a window function (stages/shift.py ffill —
     SQL last_value(x IGNORE NULLS) OVER (PARTITION BY user ORDER BY
@@ -2370,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_events": q_resample_events,
         "profile_orders": q_profile_orders,
         "ffill_events": q_ffill_events,
+        "bpe_merges": q_bpe_merges,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2970,6 +2993,7 @@ def _golden_oracles() -> dict[str, str]:
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
+        "bpe_merges": golden.bpe_merges_sql(),
         "ffill_events": (
             "SELECT event_id, last_value(CASE WHEN event_type = 'click'"
             " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"

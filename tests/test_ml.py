@@ -1171,3 +1171,58 @@ class TestLineDedupKeepFirst:
         with pytest.raises(Exception, match="integer id"):
             line_dedup(rd.from_arrow(t), mode="keep_first",
                        output="explode").to_pandas()
+
+
+class TestBPE:
+    TEXTS = ["the cat sat on the mat", "the cat ate the rat",
+             "a cat and a rat sat", "the the the banana bandana"]
+
+    @staticmethod
+    def _mirror(word_freq, k):
+        from tools.golden import bpe_merges_py
+
+        return bpe_merges_py(dict(word_freq), k)
+
+    def _ds(self, parts=2):
+        t = pa.table({"doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+                      "text": pa.array(self.TEXTS)})
+        return rd.from_arrow(t).repartition(parts)
+
+    def test_apply_merge_overlap_chain(self):
+        from vector_ray.ml.bpe import _apply_merge_flat
+
+        v = np.array([97, 97, 97, 98, 97, 97], np.int32)
+        o = np.array([0, 3, 6], np.int64)
+        nv, no = _apply_merge_flat(v, o, 97, 97, 300)
+        # 'aaa' -> (aa, a); 'baa' -> (b, aa); never across rows
+        assert list(nv) == [300, 97, 98, 300] and list(no) == [0, 2, 4]
+
+    def test_train_matches_mirror_and_partition_invariant(self):
+        from collections import Counter
+
+        from vector_ray.ml.bpe import bpe_train
+
+        wf = Counter(w for t in self.TEXTS for w in t.split())
+        want = self._mirror(wf, 12)
+        for parts in (1, 3):
+            merges, _ = bpe_train(self._ds(parts), "text", num_merges=12)
+            got = [(r["merge_idx"], r["a"], r["b"], r["new_id"])
+                   for r in merges.to_pylist()]
+            assert got == want, parts
+
+    def test_encode_vocab_and_oov(self):
+        from vector_ray.ml.bpe import bpe_encode, bpe_train, encode_word_bytes
+
+        merges, types = bpe_train(self._ds(), "text", num_merges=12)
+        mlist = [(r["merge_idx"], r["a"], r["b"], r["new_id"])
+                 for r in merges.to_pylist()]
+        enc_in = ["the cat zebra", "banana rat", ""]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(enc_in)}))
+        out = (bpe_encode(ds, merges, types, field="text").to_pandas()
+               .sort_values("doc_id"))
+        for r in out.itertuples():
+            want = [s for w in enc_in[r.doc_id].split()
+                    for s in encode_word_bytes(w, mlist)]
+            assert list(r.bpe) == want, r.doc_id

@@ -1226,3 +1226,53 @@ def profile_orders_sql() -> str:
             f" max({c})::VARCHAR AS max, {s} AS sum, {m} AS mean"
             f" FROM orders")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges — distributed BPE tokenizer training (ml/bpe.py). Oracle:
+# independent plain-Python dict/Counter BPE (Sennrich 2016 semantics,
+# byte alphabet, all-adjacent pair counts, (count desc, pair asc)
+# tie-break, left-to-right non-overlapping application) over the SAME
+# word-frequency table, rendered as VALUES.
+
+
+def bpe_merges_py(word_freq: dict, num_merges: int):
+    types = {w: list(w.encode("utf-8")) for w in word_freq}
+    out = []
+    for mi in range(num_merges):
+        from collections import Counter
+
+        cnt = Counter()
+        for w, syms in types.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        if not cnt:
+            break
+        best_c = max(cnt.values())
+        a, b = min(p for p, c in cnt.items() if c == best_c)
+        nid = 256 + mi
+        out.append((mi, a, b, nid))
+        for w, s in types.items():
+            i, ns = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(nid)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            types[w] = ns
+    return out
+
+
+def bpe_merges_sql(num_merges: int = 24, n_docs: int = 400) -> str:
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["text"])
+    wf = Counter(w for txt in t["text"].to_pylist()[:n_docs]
+                 for w in (txt or "").split())
+    rows = bpe_merges_py(dict(wf), num_merges)
+    return _values_sql(rows, ["merge_idx", "a", "b", "new_id"],
+                       ["BIGINT"] * 4)
