@@ -390,3 +390,20 @@ def test_registered_line_dedup_transform(ray_session):
         rd.from_arrow(t).repartition(2))
     got = {r["doc_id"]: r["text_line_dedup"] for r in out.take_all()}
     assert got == {0: "keep one", 1: "keep two", 2: "solo doc"}
+
+
+def test_registered_bpe_train_transform(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    t = pa.table({"text": pa.array(["aa ab aa", "ab aa aa"])})
+    out = TRANSFORMS["bpe_train"](
+        {"type": "bpe_train", "num_merges": 2}).apply(
+        rd.from_arrow(t).repartition(2))
+    rows = sorted((r["merge_idx"], r["a"], r["b"], r["new_id"])
+                  for r in out.take_all())
+    # 'aa' freq 4, 'ab' freq 2 -> first merge (97,97); 'aa'->[256],
+    # 'ab' stays (97,98) -> second merge (97,98)
+    assert rows == [(0, 97, 97, 256), (1, 97, 98, 257)]

@@ -365,3 +365,35 @@ class TestUnitIndexSplitParity:
         for b in bufs[:-1]:
             woff.append(woff[-1] + len(b) + 1)
         assert list(starts) == woff and n == len(texts)
+
+
+class TestBpeMergeKernel:
+    sym = st.integers(95, 99)  # tiny alphabet forces chains/overlaps
+
+    @given(st.lists(st.lists(sym, min_size=0, max_size=12),
+                    min_size=1, max_size=6),
+           st.tuples(sym, sym))
+    @settings(max_examples=150, deadline=None)
+    def test_apply_merge_matches_per_row_python(self, rows, pair):
+        import numpy as np
+
+        from vector_ray.ml.bpe import _apply_merge_flat
+
+        a, b = pair
+        vals = np.array([s for r in rows for s in r], np.int32)
+        offs = np.zeros(len(rows) + 1, np.int64)
+        offs[1:] = np.cumsum([len(r) for r in rows])
+        nv, no = _apply_merge_flat(vals, offs, a, b, 300)
+        got = [list(nv[no[i]:no[i + 1]]) for i in range(len(rows))]
+        want = []
+        for r in rows:
+            i, out = 0, []
+            while i < len(r):
+                if i + 1 < len(r) and r[i] == a and r[i + 1] == b:
+                    out.append(300)
+                    i += 2
+                else:
+                    out.append(r[i])
+                    i += 1
+            want.append(out)
+        assert got == want

@@ -881,6 +881,27 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("bpe_train")
+def _build_bpe_train(cfg):
+    from vector_ray.stages.base import Step
+
+    class _BpeTrain(Step):
+        fusable = False  # iterative, owns its plan
+
+        def apply(self, ds):
+            import ray.data as rd
+
+            from vector_ray.ml.bpe import bpe_train
+
+            merges, _types = bpe_train(
+                ds, cfg.get("field", "text"),
+                num_merges=cfg.get("num_merges", 100),
+                min_freq=cfg.get("min_freq", 1))
+            return rd.from_arrow(merges)
+
+    return _BpeTrain()
+
+
 @register_transform("profile")
 def _build_profile(cfg):
     from vector_ray.stages.base import Step
