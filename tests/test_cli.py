@@ -200,3 +200,27 @@ class TestHostRankExample:
         # (every 17th edge) is strongly boosted (>=20x uniform share)
         assert ranks and min(ranks.values()) > 250_000_000
         assert 0 in ranks and ranks[0] > 20 * 250_000_000
+
+
+class TestTokenizerTrainExample:
+    def test_runs_bpe_topology(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_tokenizer_train", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples",
+                                        "tokenizer_train.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_tokenizer_train/out/**/*.parquet",
+                          recursive=True)
+        assert files
+        t = pq.read_table(files)
+        assert set(t.column_names) == {"merge_idx", "a", "b", "new_id"}
+        assert len(t) == 64
+        idx = sorted(t["merge_idx"].to_pylist())
+        assert idx == list(range(64))
+        # new ids are allocated sequentially above the byte alphabet
+        assert sorted(t["new_id"].to_pylist()) == [256 + i for i in range(64)]
