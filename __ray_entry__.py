@@ -1434,6 +1434,22 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_grouped_var(sf_dir):
+    """Grouped sample variance/stddev via mergeable (n, Σx, Σx²)
+    partials (stages/aggregate.py var/std kinds). l_quantity is
+    integer-valued, so every partial is exact in f64 and the explicit
+    (Σx² − (Σx)²/n)/(n−1) formula — mirrored verbatim in the SQL —
+    is partitioning-independent and hash-exact."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = grouped_aggregate(ds, ["l_returnflag"], {
+        "q_var": ("var", "l_quantity"),
+        "q_std": ("std", "l_quantity"),
+    })
+    return _finish(out)
+
+
 def q_bpe_merges(sf_dir):
     """Distributed BPE tokenizer training (ml/bpe.py, Sennrich 2016 /
     byte-level alphabet): ONE corpus pass builds the word-TYPE
@@ -2393,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": q_profile_orders,
         "ffill_events": q_ffill_events,
         "bpe_merges": q_bpe_merges,
+        "grouped_var": q_grouped_var,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -2994,6 +3011,14 @@ def _golden_oracles() -> dict[str, str]:
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
+        "grouped_var": (
+            "SELECT l_returnflag,"
+            " (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)"
+            "/count(l_quantity)) / (count(l_quantity)-1) AS q_var,"
+            " sqrt((sum(l_quantity*l_quantity) - sum(l_quantity)*"
+            "sum(l_quantity)/count(l_quantity)) / (count(l_quantity)-1))"
+            " AS q_std FROM lineitem GROUP BY l_returnflag"
+        ),
         "ffill_events": (
             "SELECT event_id, last_value(CASE WHEN event_type = 'click'"
             " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"

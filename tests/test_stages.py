@@ -1152,3 +1152,41 @@ class TestFfillShift:
                for x in out["f"]]
         # 'b' must NOT inherit a's 5.0
         assert got == [None, 5.0, 5.0, None, 7.0]
+
+
+class TestVarStdAggregate:
+    def test_var_std_matches_numpy_and_partition_invariant(self):
+        from vector_ray.stages.aggregate import grouped_aggregate
+
+        rng = list(range(40))
+        t = pa.table({
+            "k": pa.array(["a" if i % 2 else "b" for i in rng]),
+            "v": pa.array([float((i * 7) % 13) for i in rng]),
+        })
+        want = {}
+        import numpy as np
+        for k in ("a", "b"):
+            xs = np.array([float((i * 7) % 13) for i in rng
+                           if ("a" if i % 2 else "b") == k])
+            want[k] = ((xs.sum() ** 2 / len(xs) * -1 + (xs ** 2).sum())
+                       / (len(xs) - 1))
+        for parts in (1, 5):
+            out = grouped_aggregate(
+                rd.from_arrow(t).repartition(parts), ["k"],
+                {"v_var": ("var", "v"), "v_std": ("std", "v")}).to_pandas()
+            got = dict(zip(out["k"], out["v_var"]))
+            gstd = dict(zip(out["k"], out["v_std"]))
+            for k in ("a", "b"):
+                assert got[k] == want[k], (parts, k)
+                assert gstd[k] == want[k] ** 0.5
+
+    def test_var_single_row_group_is_null(self):
+        from vector_ray.stages.aggregate import grouped_aggregate
+
+        t = pa.table({"k": pa.array(["x", "y", "y"]),
+                      "v": pa.array([1.0, 2.0, 4.0])})
+        out = grouped_aggregate(rd.from_arrow(t), ["k"],
+                                {"v_var": ("var", "v")}).to_pandas()
+        m = dict(zip(out["k"], out["v_var"]))
+        assert m["x"] != m["x"] or m["x"] is None  # NaN/null for n=1
+        assert m["y"] == 2.0

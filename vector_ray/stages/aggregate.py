@@ -148,6 +148,18 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
                 need = [(name, (col, agg))]
             elif kind == "mean":
                 need = [(f"{name}__sum", (col, "sum")), (f"{name}__count", (col, "count"))]
+            elif kind in ("var", "std"):
+                # mergeable (n, Σx, Σx²) partials; final =
+                # (Σx² − (Σx)²/n)/(n−1) — sample variance (ddof=1).
+                # For integer-valued data < 2^26 every partial is exact
+                # in f64, so the result is partitioning-independent.
+                sqcol = f"{name}__sq"
+                if sqcol not in tbl.column_names:
+                    x = pc.cast(tbl[col], pa.float64())
+                    tbl = tbl.append_column(sqcol, pc.multiply(x, x))
+                need = [(f"{name}__sum", (col, "sum")),
+                        (f"{name}__count", (col, "count")),
+                        (f"{name}__sumsq", (sqcol, "sum"))]
             elif kind == "last":
                 # value at max seq within batch: batch is already in row order
                 need = [(name, (col, "last"))]
@@ -200,7 +212,8 @@ def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
     return tbl.append_column("__gk", combo)
 
 
-_ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first")
+_ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first",
+                    "var", "std")
 
 
 def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
@@ -222,6 +235,10 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
         elif kind == "mean":
             aggs.append((f"{name}__sum", "sum"))
             aggs.append((f"{name}__count", "sum"))
+        elif kind in ("var", "std"):
+            aggs.append((f"{name}__sum", "sum"))
+            aggs.append((f"{name}__count", "sum"))
+            aggs.append((f"{name}__sumsq", "sum"))
     raw = pa.TableGroupBy(
         g.select(["__gk"] + sorted({c for c, _a in aggs})), "__gk"
     ).aggregate(aggs)
@@ -241,6 +258,19 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
             ok = pc.greater(pc.fill_null(c, 0), 0)
             cols[name] = pc.if_else(ok, pc.divide(pc.fill_null(s, 0), c),
                                     pa.nulls(len(raw), pa.float64()))
+        elif kind in ("var", "std"):
+            s = pc.cast(raw[f"{name}__sum_sum"], pa.float64())
+            c = pc.cast(raw[f"{name}__count_sum"], pa.float64())
+            ss = pc.cast(raw[f"{name}__sumsq_sum"], pa.float64())
+            ok = pc.greater(pc.fill_null(c, 0), 1)
+            num = pc.subtract(pc.fill_null(ss, 0),
+                              pc.divide(pc.multiply(pc.fill_null(s, 0),
+                                                    pc.fill_null(s, 0)),
+                                        pc.if_else(ok, c, pa.scalar(2.0))))
+            v = pc.divide(num, pc.subtract(
+                pc.if_else(ok, c, pa.scalar(2.0)), pa.scalar(1.0)))
+            v = pc.if_else(ok, v, pa.nulls(len(raw), pa.float64()))
+            cols[name] = pc.sqrt(v) if kind == "std" else v
         elif name in py_specs:
             cols[name] = None  # filled below, aligned on sorted __gk
 
@@ -319,7 +349,9 @@ def grouped_aggregate(
     """Two-phase grouped aggregate.
 
     ``specs``: out_col → (kind, in_col), kind ∈ {sum, count, min, max,
-    mean, set, last, first}. `count` counts non-null of in_col.
+    mean, var, std, set, nunique, approx_nunique, histogram, last,
+    first}. `count` counts non-null of in_col; var/std are sample
+    (ddof=1) via mergeable (n, Σx, Σx²) partials.
     """
     keys = list(keys)
     # spec tuple: (kind, col[, options]) — kinds: sum count min max mean
