@@ -1450,6 +1450,23 @@ def q_grouped_var(sf_dir):
     return _finish(out)
 
 
+def q_grouped_corr(sf_dir):
+    """Grouped covariance/correlation via two-column mergeable
+    (n, Σx, Σy, Σxy, Σx², Σy²) partials (stages/aggregate.py cov/corr
+    kinds, pairwise-null exclusion). Integer-valued inputs keep every
+    partial exact in f64; the SQL oracle mirrors the explicit formula
+    op-for-op."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_linenumber"])
+    out = grouped_aggregate(ds, ["l_returnflag"], {
+        "ql_cov": ("cov", "l_quantity", "l_linenumber"),
+        "ql_corr": ("corr", "l_quantity", "l_linenumber"),
+    })
+    return _finish(out)
+
+
 def q_bpe_merges(sf_dir):
     """Distributed BPE tokenizer training (ml/bpe.py, Sennrich 2016 /
     byte-level alphabet): ONE corpus pass builds the word-TYPE
@@ -2410,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events": q_ffill_events,
         "bpe_merges": q_bpe_merges,
         "grouped_var": q_grouped_var,
+        "grouped_corr": q_grouped_corr,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -3011,6 +3029,17 @@ def _golden_oracles() -> dict[str, str]:
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
+        "grouped_corr": (
+            "SELECT l_returnflag,"
+            " (sum(l_quantity*l_linenumber) - sum(l_quantity)*"
+            "sum(l_linenumber)/count(*)) / (count(*)-1) AS ql_cov,"
+            " (sum(l_quantity*l_linenumber) - sum(l_quantity)*"
+            "sum(l_linenumber)/count(*)) / sqrt("
+            "(sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)"
+            "/count(*)) * (sum(l_linenumber*l_linenumber) - "
+            "sum(l_linenumber)*sum(l_linenumber)/count(*))) AS ql_corr"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
         "grouped_var": (
             "SELECT l_returnflag,"
             " (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)"

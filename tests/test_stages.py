@@ -1190,3 +1190,33 @@ class TestVarStdAggregate:
         m = dict(zip(out["k"], out["v_var"]))
         assert m["x"] != m["x"] or m["x"] is None  # NaN/null for n=1
         assert m["y"] == 2.0
+
+
+class TestCovCorrAggregate:
+    def test_matches_numpy_pairwise_nulls_partition_invariant(self):
+        import numpy as np
+
+        from vector_ray.stages.aggregate import grouped_aggregate
+
+        xs = [1.0, 2.0, None, 4.0, 5.0, 6.0]
+        ys = [2.0, 4.0, 5.0, None, 11.0, 10.0]
+        t = pa.table({"k": pa.array(["g"] * 6),
+                      "x": pa.array(xs, pa.float64()),
+                      "y": pa.array(ys, pa.float64())})
+        m = [(a, b) for a, b in zip(xs, ys)
+             if a is not None and b is not None]
+        ax = np.array([a for a, _ in m])
+        ay = np.array([b for _, b in m])
+        want_cov = ((ax * ay).sum() - ax.sum() * ay.sum() / len(m)) \
+            / (len(m) - 1)
+        vx = (ax * ax).sum() - ax.sum() ** 2 / len(m)
+        vy = (ay * ay).sum() - ay.sum() ** 2 / len(m)
+        want_corr = ((ax * ay).sum() - ax.sum() * ay.sum() / len(m)) \
+            / (vx * vy) ** 0.5
+        for parts in (1, 3):
+            out = grouped_aggregate(
+                rd.from_arrow(t).repartition(parts), ["k"],
+                {"c": ("cov", "x", "y"),
+                 "r": ("corr", "x", "y")}).to_pandas()
+            assert out.loc[0, "c"] == want_cov, parts
+            assert abs(out.loc[0, "r"] - want_corr) < 1e-12, parts

@@ -160,6 +160,33 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
                 need = [(f"{name}__sum", (col, "sum")),
                         (f"{name}__count", (col, "count")),
                         (f"{name}__sumsq", (sqcol, "sum"))]
+            elif kind in ("cov", "corr"):
+                # two-column spec (kind, x_col, y_col): mergeable
+                # (n, Σx, Σy, Σxy[, Σx², Σy²]) partials. Rows where
+                # EITHER side is null are excluded (SQL covar_samp
+                # semantics): the pairwise mask is applied to every
+                # partial column so n/Σ agree.
+                ycol = _o[0]
+                x = pc.cast(tbl[col], pa.float64())
+                y = pc.cast(tbl[ycol], pa.float64())
+                both = pc.and_kleene(pc.is_valid(x), pc.is_valid(y))
+                xm = pc.if_else(both, x, pa.nulls(len(tbl), pa.float64()))
+                ym = pc.if_else(both, y, pa.nulls(len(tbl), pa.float64()))
+                pre = f"{name}__"
+                tbl = tbl.append_column(pre + "x", xm)
+                tbl = tbl.append_column(pre + "y", ym)
+                tbl = tbl.append_column(pre + "xy", pc.multiply(xm, ym))
+                need = [(pre + "n", (pre + "x", "count")),
+                        (pre + "sx", (pre + "x", "sum")),
+                        (pre + "sy", (pre + "y", "sum")),
+                        (pre + "sxy", (pre + "xy", "sum"))]
+                if kind == "corr":
+                    tbl = tbl.append_column(pre + "xx",
+                                            pc.multiply(xm, xm))
+                    tbl = tbl.append_column(pre + "yy",
+                                            pc.multiply(ym, ym))
+                    need += [(pre + "sxx", (pre + "xx", "sum")),
+                             (pre + "syy", (pre + "yy", "sum"))]
             elif kind == "last":
                 # value at max seq within batch: batch is already in row order
                 need = [(name, (col, "last"))]
@@ -213,7 +240,7 @@ def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
 
 
 _ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first",
-                    "var", "std")
+                    "var", "std", "cov", "corr")
 
 
 def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
@@ -239,6 +266,12 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
             aggs.append((f"{name}__sum", "sum"))
             aggs.append((f"{name}__count", "sum"))
             aggs.append((f"{name}__sumsq", "sum"))
+        elif kind in ("cov", "corr"):
+            for suf in ("n", "sx", "sy", "sxy"):
+                aggs.append((f"{name}__{suf}", "sum"))
+            if kind == "corr":
+                aggs.append((f"{name}__sxx", "sum"))
+                aggs.append((f"{name}__syy", "sum"))
     raw = pa.TableGroupBy(
         g.select(["__gk"] + sorted({c for c, _a in aggs})), "__gk"
     ).aggregate(aggs)
@@ -271,6 +304,30 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
                 pc.if_else(ok, c, pa.scalar(2.0)), pa.scalar(1.0)))
             v = pc.if_else(ok, v, pa.nulls(len(raw), pa.float64()))
             cols[name] = pc.sqrt(v) if kind == "std" else v
+        elif kind in ("cov", "corr"):
+            n = pc.cast(pc.fill_null(raw[f"{name}__n_sum"], 0),
+                        pa.float64())
+            sx = pc.fill_null(pc.cast(raw[f"{name}__sx_sum"],
+                                      pa.float64()), 0)
+            sy = pc.fill_null(pc.cast(raw[f"{name}__sy_sum"],
+                                      pa.float64()), 0)
+            sxy = pc.fill_null(pc.cast(raw[f"{name}__sxy_sum"],
+                                       pa.float64()), 0)
+            ok = pc.greater(n, 1)
+            nn = pc.if_else(ok, n, pa.scalar(2.0))
+            covn = pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), nn))
+            if kind == "cov":
+                v = pc.divide(covn, pc.subtract(nn, pa.scalar(1.0)))
+            else:
+                sxx = pc.fill_null(pc.cast(raw[f"{name}__sxx_sum"],
+                                           pa.float64()), 0)
+                syy = pc.fill_null(pc.cast(raw[f"{name}__syy_sum"],
+                                           pa.float64()), 0)
+                vx = pc.subtract(sxx, pc.divide(pc.multiply(sx, sx), nn))
+                vy = pc.subtract(syy, pc.divide(pc.multiply(sy, sy), nn))
+                v = pc.divide(covn, pc.sqrt(pc.multiply(vx, vy)))
+            cols[name] = pc.if_else(ok, v, pa.nulls(len(raw),
+                                                    pa.float64()))
         elif name in py_specs:
             cols[name] = None  # filled below, aligned on sorted __gk
 
