@@ -1434,6 +1434,29 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_snapshot_diff(sf_dir):
+    """Dataset-versioning diff (stages/diff.py): each snapshot reduces
+    to (id, 64-bit content fingerprint) — payloads never shuffle —
+    then one bucketed full outer join classifies added/removed/changed
+    (unchanged omitted). Oracle: plain SQL full outer join comparing
+    the TEXT directly over the same planted snapshots."""
+    import ray.data as rd
+
+    from tools.golden import diff_corpus
+    from vector_ray.stages.diff import snapshot_diff
+
+    old, new = diff_corpus(sf_dir)
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string())})
+
+    return _finish(snapshot_diff(
+        rd.from_arrow(tbl(old)).repartition(3),
+        rd.from_arrow(tbl(new)).repartition(4)))
+
+
 def q_grouped_var(sf_dir):
     """Grouped sample variance/stddev via mergeable (n, Σx, Σx²)
     partials (stages/aggregate.py var/std kinds). l_quantity is
@@ -2428,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "grouped_var": q_grouped_var,
         "grouped_corr": q_grouped_corr,
+        "snapshot_diff": q_snapshot_diff,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -3029,6 +3053,7 @@ def _golden_oracles() -> dict[str, str]:
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
+        "snapshot_diff": golden.snapshot_diff_sql(),
         "grouped_corr": (
             "SELECT l_returnflag,"
             " (sum(l_quantity*l_linenumber) - sum(l_quantity)*"

@@ -1220,3 +1220,49 @@ class TestCovCorrAggregate:
                  "r": ("corr", "x", "y")}).to_pandas()
             assert out.loc[0, "c"] == want_cov, parts
             assert abs(out.loc[0, "r"] - want_corr) < 1e-12, parts
+
+
+def test_bfill_resets_at_key_boundaries(ray_session=None):
+    from vector_ray.stages.shift import partitioned_shift
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([None, 5.0, None, 7.0, None], pa.float64()),
+    })
+    out = (partitioned_shift(rd.from_arrow(t).repartition(3),
+                             ["k"], ["o"], {"f": ("bfill", "v")})
+           .to_pandas().sort_values(["k", "o"]))
+    import math
+    got = [None if isinstance(x, float) and math.isnan(x) else x
+           for x in out["f"]]
+    # a's trailing null must NOT inherit b's 7.0
+    assert got == [5.0, 5.0, None, 7.0, None]
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed_and_partition_invariant(self):
+        from vector_ray.stages.diff import snapshot_diff
+
+        old = pa.table({"doc_id": pa.array([1, 2, 3, 5], pa.int64()),
+                        "text": pa.array(["a", "b", "c", "e"])})
+        new = pa.table({"doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+                        "text": pa.array(["b", "cc", "d", "e"])})
+        want = {1: "removed", 3: "changed", 4: "added"}
+        for pa_, pb in ((1, 1), (3, 2)):
+            out = snapshot_diff(
+                rd.from_arrow(old).repartition(pa_),
+                rd.from_arrow(new).repartition(pb)).to_pandas()
+            got = dict(zip(out["doc_id"], out["status"]))
+            assert got == want, (pa_, pb)
+
+    def test_fp_col_passthrough(self):
+        from vector_ray.stages.diff import snapshot_diff
+
+        old = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "fp": pa.array([10, 20], pa.int64())})
+        new = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "fp": pa.array([10, 21], pa.int64())})
+        out = snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
+                            fp_col="fp").to_pandas()
+        assert dict(zip(out["doc_id"], out["status"])) == {2: "changed"}

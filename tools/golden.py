@@ -1276,3 +1276,51 @@ def bpe_merges_sql(num_merges: int = 24, n_docs: int = 400) -> str:
     rows = bpe_merges_py(dict(wf), num_merges)
     return _values_sql(rows, ["merge_idx", "a", "b", "new_id"],
                        ["BIGINT"] * 4)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — dataset-versioning diff (stages/diff.py). Shared
+# INPUT construction: old = first 400 documents; new = old with every
+# 7th id removed, every 5th text edited, 50 new ids appended. Oracle
+# is PLAIN SQL (full outer join comparing the TEXT directly — the
+# engine compares 64-bit fingerprints; equal verdicts absent a 2^-64
+# collision).
+
+
+def diff_corpus(parquet_dir: str, n_docs: int = 400):
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()[:n_docs]
+    texts = [x or "" for x in t["text"].to_pylist()[:n_docs]]
+    old = list(zip(ids, texts))
+    new = []
+    for i, (d, txt) in enumerate(old):
+        if i % 7 == 0:
+            continue  # removed
+        new.append((d, txt + " edited") if i % 5 == 0 else (d, txt))
+    base = max(ids) + 1
+    for k in range(50):
+        new.append((base + k, f"brand new page number {k} with text."))
+    return old, new
+
+
+def snapshot_diff_sql() -> str:
+    old, new = diff_corpus(sf_dir())
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def vals(rows):
+        return ", ".join(f"({d}::BIGINT, {lit(t)})" for d, t in rows)
+
+    return f"""
+WITH old_s(doc_id, text) AS (VALUES {vals(old)}),
+new_s(doc_id, text) AS (VALUES {vals(new)})
+SELECT doc_id, status FROM (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed' END AS status
+  FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+) WHERE status IS NOT NULL
+"""

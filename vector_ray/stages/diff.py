@@ -1,0 +1,71 @@
+"""Snapshot diff — dataset-versioning between two corpus snapshots
+(the "what changed since the last crawl/curation run" step; pairs with
+the incremental cross-snapshot Bloom dedup in ml/bloom.py). No
+reference counterpart (SURVEY §2 "beyond the reference").
+
+Each side reduces to (id, fingerprint) — the ONLY columns that shuffle
+(payloads never move) — then one bucketed full outer join classifies:
+
+  added     id present only in the new snapshot
+  removed   id present only in the old snapshot
+  changed   id in both, content fingerprint differs
+  (equal rows are omitted — at 100 TB the diff is the small output)
+
+Change detection uses the 64-bit content fingerprint
+(expr/kernels.fingerprint, FNV-1a over the raw string buffer): a
+collision masks a change with probability ~2^-64 per id — the
+standard trade for never shuffling payloads.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def snapshot_diff(old, new, *, id_col: str = "doc_id",
+                  field: str = "text", fp_col: str | None = None,
+                  buckets: int = 16):
+    """Returns a Dataset (id_col, status) with status ∈
+    {'added', 'removed', 'changed'}; unchanged ids are omitted.
+    ``fp_col`` names an existing fingerprint column; otherwise the
+    fingerprint of ``field`` is computed on the fly (vectorized)."""
+    from vector_ray.expr import F
+    from vector_ray.stages.join import bucketed_join
+
+    def reduce_side(out_fp: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            fp = (t[fp_col] if fp_col
+                  else F.fingerprint(pc.cast(t[field], pa.string())))
+            if isinstance(fp, pa.ChunkedArray):
+                fp = fp.combine_chunks()
+            # int64 REINTERPRETATION of the u64 fingerprint (cast
+            # overflows above 2^63; the bit pattern keeps equality)
+            fnp = np.asarray(fp.to_numpy(zero_copy_only=False),
+                             np.uint64).view(np.int64)
+            return pa.table({id_col: t[id_col], out_fp: pa.array(fnp)})
+
+        return fn
+
+    a = old.map_batches(reduce_side("__fp_old"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    b = new.map_batches(reduce_side("__fp_new"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j = bucketed_join(a, b, on=[id_col], join_type="full",
+                      buckets=buckets)
+
+    def classify(t: pa.Table) -> pa.Table:
+        fo, fn_ = t["__fp_old"], t["__fp_new"]
+        in_old, in_new = pc.is_valid(fo), pc.is_valid(fn_)
+        status = pc.if_else(
+            pc.and_kleene(in_old, in_new),
+            pc.if_else(pc.equal(fo, fn_), pa.scalar(None, pa.string()),
+                       pa.scalar("changed")),
+            pc.if_else(in_new, pa.scalar("added"), pa.scalar("removed")))
+        out = pa.table({id_col: t[id_col], "status": status})
+        return out.filter(pc.is_valid(out["status"]))
+
+    return j.map_batches(classify, batch_format="pyarrow",
+                         zero_copy_batch=True)

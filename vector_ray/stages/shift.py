@@ -91,6 +91,19 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             ok = carry >= run_start
             take = pa.array(np.where(ok, carry, 0), pa.int64(), mask=~ok)
             g = g.append_column(out, v.take(take))
+        elif fn == "bfill":
+            # mirror of ffill: first non-null at-or-after each row
+            # within the key run (reversed index carry)
+            import pyarrow.compute as pc
+
+            valid = np.asarray(pc.is_valid(v).to_numpy(zero_copy_only=False))
+            run_len = np.diff(np.append(starts, n))
+            run_end = np.repeat(starts + run_len - 1, run_len)
+            rcarry = np.minimum.accumulate(
+                np.where(valid, idx, n)[::-1])[::-1]
+            ok = rcarry <= run_end
+            take = pa.array(np.where(ok, rcarry, 0), pa.int64(), mask=~ok)
+            g = g.append_column(out, v.take(take))
         elif fn == "row_number":
             g = g.append_column(out, pa.array(
                 idx - np.repeat(starts, np.diff(np.append(starts, n))) + 1,
