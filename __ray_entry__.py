@@ -1434,6 +1434,19 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_grouped_mode(sf_dir):
+    """Most frequent value per key, deterministic ties → smallest
+    (stages/aggregate.py grouped_mode): only the grouped count table
+    shuffles; per hash bucket one sort + run-start mask picks every
+    key's head. Oracle: explicit row_number window (SQL mode() has
+    unspecified ties)."""
+    from vector_ray.stages.aggregate import grouped_mode
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    return _finish(grouped_mode(ds, ["o_orderstatus"], "o_orderpriority",
+                                out="top_priority"))
+
+
 def q_snapshot_diff(sf_dir):
     """Dataset-versioning diff (stages/diff.py): each snapshot reduces
     to (id, 64-bit content fingerprint) — payloads never shuffle —
@@ -2452,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_var": q_grouped_var,
         "grouped_corr": q_grouped_corr,
         "snapshot_diff": q_snapshot_diff,
+        "grouped_mode": q_grouped_mode,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -3054,6 +3068,14 @@ def _golden_oracles() -> dict[str, str]:
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
+        "grouped_mode": (
+            "SELECT o_orderstatus, top_priority FROM ("
+            " SELECT o_orderstatus, o_orderpriority AS top_priority,"
+            " row_number() OVER (PARTITION BY o_orderstatus"
+            " ORDER BY count(*) DESC, o_orderpriority ASC) AS rn"
+            " FROM orders GROUP BY o_orderstatus, o_orderpriority"
+            ") WHERE rn = 1"
+        ),
         "grouped_corr": (
             "SELECT l_returnflag,"
             " (sum(l_quantity*l_linenumber) - sum(l_quantity)*"

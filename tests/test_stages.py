@@ -1266,3 +1266,16 @@ class TestSnapshotDiff:
         out = snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
                             fp_col="fp").to_pandas()
         assert dict(zip(out["doc_id"], out["status"])) == {2: "changed"}
+
+
+class TestGroupedMode:
+    def test_ties_to_smallest_and_partition_invariant(self):
+        from vector_ray.stages.aggregate import grouped_mode
+
+        t = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 4),
+                      "v": pa.array(["x", "y", "y", "z", "x",
+                                     "q", "q", "r", "r"])})
+        for parts in (1, 4):
+            out = grouped_mode(rd.from_arrow(t).repartition(parts),
+                               ["k"], "v").to_pandas()
+            assert dict(zip(out["k"], out["mode"])) == {"a": "x", "b": "q"}

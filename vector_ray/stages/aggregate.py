@@ -576,3 +576,39 @@ class Aggregate(Step):
             return out
 
         return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mode(ds, keys: Sequence[str], col: str, *, out: str = "mode",
+                 buckets: int = 16):
+    """Most frequent ``col`` value per key (ties → smallest value —
+    deterministic, unlike SQL ``mode()``): the grouped count table
+    (one row per distinct (key, value) — already aggregate-sized, the
+    only thing that shuffles) is bucketed by key hash and each bucket
+    takes the (count desc, value asc) head of every key via one sort +
+    run-start mask — no per-group Python."""
+    import numpy as np
+
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    keys = list(keys)
+    counts = grouped_aggregate(ds, keys + [col], {"__n": ("count", col)})
+
+    def head_per_key(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({k: g[k] for k in keys} | {out: g[col]})
+        order = pc.sort_indices(g, sort_keys=[(k, "ascending")
+                                              for k in keys]
+                                + [("__n", "descending"),
+                                   (col, "ascending")])
+        g = g.take(order)
+        kcols = [np.asarray(pc.cast(g[k], pa.string())
+                            .to_numpy(zero_copy_only=False)) for k in keys]
+        first = np.zeros(len(g), bool)
+        first[0] = True
+        for kc in kcols:
+            first[1:] |= kc[1:] != kc[:-1]
+        sel = g.filter(pa.array(first))
+        return pa.table({k: sel[k] for k in keys} | {out: sel[col]})
+
+    return bucketed_map_groups(counts, keys, head_per_key,
+                               num_buckets=buckets)
