@@ -1434,6 +1434,40 @@ def q_paragraph_dedup(sf_dir):
     return _finish(out)
 
 
+def q_range_join(sf_dir):
+    """Interval-containment join (stages/join.py range_join): each
+    event matched to its event_type's maintenance window containing
+    ts (non-overlapping per-key intervals — the dimension-validity
+    shape). Asof-backward candidate + one vectorized hi filter; only
+    bucketed (key, ts) rows shuffle. Oracle: plain SQL BETWEEN join
+    over the same deterministic window table."""
+    import ray.data as rd
+
+    from tools.golden import range_intervals
+    from vector_ray.stages.join import range_join
+
+    rows = range_intervals(sf_dir)
+    iv = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "lo": pa.array([r[1] for r in rows], pa.int64()),
+        "hi": pa.array([r[2] for r in rows], pa.int64()),
+        "win_id": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "p": pc.cast(t["ts"], pa.int64())})
+
+    pts = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(pts, rd.from_arrow(iv).repartition(2),
+                     by=["event_type"], point="p", lo="lo", hi="hi")
+    return _finish(out.select_columns(["event_id", "win_id"]))
+
+
 def q_grouped_mode(sf_dir):
     """Most frequent value per key, deterministic ties → smallest
     (stages/aggregate.py grouped_mode): only the grouped count table
@@ -2466,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr": q_grouped_corr,
         "snapshot_diff": q_snapshot_diff,
         "grouped_mode": q_grouped_mode,
+        "range_join_events": q_range_join,
         "quantile_band": q_quantile_band,
         "row_number_docs": q_row_number_docs,
         "uniform_sample_docs": q_uniform_sample_docs,
@@ -3068,6 +3103,7 @@ def _golden_oracles() -> dict[str, str]:
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
+        "range_join_events": golden.range_join_sql(),
         "grouped_mode": (
             "SELECT o_orderstatus, top_priority FROM ("
             " SELECT o_orderstatus, o_orderpriority AS top_priority,"

@@ -150,3 +150,47 @@ class TestBroadcastJoin:
         with _pt.raises(ValueError):
             broadcast_join(ds_of(LEFT), RIGHT, ["k"],
                            max_broadcast_rows=2)
+
+
+class TestRangeJoin:
+    def test_inner_left_and_partition_invariance(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.stages.join import range_join
+
+        pts = pa.table({"k": pa.array(["a", "a", "a", "b"]),
+                        "p": pa.array([5, 15, 25, 5], pa.int64()),
+                        "eid": pa.array([1, 2, 3, 4], pa.int64())})
+        iv = pa.table({"k": pa.array(["a", "a", "b"]),
+                       "lo": pa.array([0, 20, 10], pa.int64()),
+                       "hi": pa.array([9, 29, 19], pa.int64()),
+                       "win": pa.array([100, 101, 200], pa.int64())})
+        for parts in (1, 3):
+            out = range_join(rd.from_arrow(pts).repartition(parts),
+                             rd.from_arrow(iv), by=["k"], point="p",
+                             lo="lo", hi="hi").to_pandas()
+            assert sorted(zip(out["eid"], out["win"])) == \
+                [(1, 100), (3, 101)], parts
+        out2 = range_join(rd.from_arrow(pts).repartition(2),
+                          rd.from_arrow(iv), by=["k"], point="p",
+                          lo="lo", hi="hi", how="left").to_pandas()
+        m = {e: (None if w != w else int(w))
+             for e, w in zip(out2["eid"], out2["win"])}
+        assert m == {1: 100, 2: None, 3: 101, 4: None}
+
+    def test_clash_raises(self):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from vector_ray.stages.join import range_join
+
+        pts = pa.table({"k": pa.array(["a"]), "p": pa.array([1], pa.int64()),
+                        "win": pa.array([0], pa.int64())})
+        iv = pa.table({"k": pa.array(["a"]), "lo": pa.array([0], pa.int64()),
+                       "hi": pa.array([9], pa.int64()),
+                       "win": pa.array([100], pa.int64())})
+        with pytest.raises(ValueError, match="clash"):
+            range_join(rd.from_arrow(pts), rd.from_arrow(iv), by=["k"],
+                       point="p", lo="lo", hi="hi")

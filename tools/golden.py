@@ -1324,3 +1324,38 @@ SELECT doc_id, status FROM (
   FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
 ) WHERE status IS NOT NULL
 """
+
+
+def range_intervals(parquet_dir: str):
+    """Deterministic per-event-type maintenance windows over the events
+    ts span: every EVEN 2-hour slot's first hour, inclusive micro-epoch
+    bounds — shared INPUT construction for the range-join query."""
+    import pyarrow.compute as _pc
+
+    t = pq.read_table(os.path.join(parquet_dir, "events.parquet"),
+                      columns=["ts", "event_type"])
+    ts = _pc.cast(t["ts"], "int64")
+    mm = _pc.min_max(ts)
+    lo_ts, hi_ts = mm["min"].as_py(), mm["max"].as_py()
+    H = 3_600_000_000
+    k0, k1 = lo_ts // (2 * H), hi_ts // (2 * H)
+    types = sorted(set(t["event_type"].to_pylist()))
+    rows = []
+    win = 0
+    for et in types:
+        for k in range(k0, k1 + 1):
+            rows.append((et, 2 * H * k, 2 * H * k + H - 1, win))
+            win += 1
+    return rows
+
+
+def range_join_sql() -> str:
+    rows = range_intervals(sf_dir())
+    body = ", ".join(f"('{et}', {lo}::BIGINT, {hi}::BIGINT, {w}::BIGINT)"
+                     for et, lo, hi, w in rows)
+    return f"""
+WITH iv(event_type, lo, hi, win_id) AS (VALUES {body})
+SELECT e.event_id, i.win_id
+FROM events e JOIN iv i
+  ON e.event_type = i.event_type AND epoch_us(e.ts) BETWEEN i.lo AND i.hi
+"""

@@ -249,3 +249,60 @@ def asof_join(
         return pd.merge_asof(lt, rt, on=on, by=by, direction=direction, tolerance=tolerance)
 
     return both.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    by: Sequence[str],
+    point: str,
+    lo: str,
+    hi: str,
+    how: str = "inner",
+    buckets: int = 16,
+):
+    """Interval-containment join (``left.point BETWEEN right.lo AND
+    right.hi`` within the same ``by`` key) for per-key NON-OVERLAPPING
+    intervals — the dimension-validity-window shape. Built on the asof
+    machinery: merge_asof backward on ``lo`` picks the unique candidate
+    (greatest lo <= point per key), then one vectorized ``hi >= point``
+    filter. With overlapping intervals only the greatest-lo candidate
+    is considered (documented limitation; use a key+filter join for
+    the general O(pairs) case). ``how='left'`` keeps unmatched points
+    with null interval columns; ``'inner'`` drops them."""
+    import pyarrow.compute as pc_
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: unknown how={how!r}")
+    by = list(by)
+    l_names = set(left.schema().names)
+    r_payload = [c for c in right.schema().names if c not in by]
+    clash = (l_names & set(r_payload)) - {point}
+    if clash:
+        raise ValueError(f"range_join: column clash {sorted(clash)}")
+
+    def ren(t: pa.Table) -> pa.Table:
+        names = [point if c == lo else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    r2 = right.map_batches(ren, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    j = asof_join(left, r2, by=by, on=point, buckets=buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        inside = pc_.and_kleene(pc_.is_valid(t[hi]),
+                                pc_.greater_equal(t[hi], t[point]))
+        if how == "inner":
+            return t.filter(pc_.fill_null(inside, False))
+        # left: null out interval columns for non-matches
+        miss = pc_.invert(pc_.fill_null(inside, False))
+        for c in [x for x in r_payload if x != lo]:
+            i = t.column_names.index(c)
+            col = t[c]
+            t = t.set_column(
+                i, c, pc_.if_else(miss, pa.nulls(len(t), col.type), col))
+        return t
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
