@@ -407,3 +407,17 @@ def test_registered_bpe_train_transform(ray_session):
     # 'aa' freq 4, 'ab' freq 2 -> first merge (97,97); 'aa'->[256],
     # 'ab' stays (97,98) -> second merge (97,98)
     assert rows == [(0, 97, 97, 256), (1, 97, 98, 257)]
+
+
+def test_registered_grouped_mode_transform(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    t = pa.table({"k": pa.array(["a", "a", "b"]),
+                  "v": pa.array(["x", "x", "y"])})
+    out = TRANSFORMS["grouped_mode"](
+        {"type": "grouped_mode", "keys": ["k"], "field": "v"}).apply(
+        rd.from_arrow(t).repartition(2))
+    assert {r["k"]: r["mode"] for r in out.take_all()} == {"a": "x", "b": "y"}

@@ -881,6 +881,21 @@ def _build_strip_dup_passages(cfg):
     return _Strip()
 
 
+@register_transform("grouped_mode")
+def _build_grouped_mode(cfg):
+    from vector_ray.stages.aggregate import grouped_mode
+    from vector_ray.stages.base import Step
+
+    class _Mode(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return grouped_mode(ds, cfg["keys"], cfg["field"],
+                                out=cfg.get("out", "mode"))
+
+    return _Mode()
+
+
 @register_transform("bpe_train")
 def _build_bpe_train(cfg):
     from vector_ray.stages.base import Step
