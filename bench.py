@@ -370,6 +370,11 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "rank_lineitem",
         "broadcast_join_parts",
         "dsir_select",
+        "resample_events",
+        "range_join_events",
+        "grouped_var",
+        "profile_orders",
+        "ffill_events",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
