@@ -1559,6 +1559,46 @@ def q_bpe_merges(sf_dir):
     return merges
 
 
+def q_bpe_encode(sf_dir):
+    """BPE ENCODE path (ml/bpe.py bpe_encode): merges trained on the
+    first 400 docs, the last 120 docs encoded — some word types are
+    OOV w.r.t. the training slice, exercising both the broadcast
+    vocab-join gather AND the per-type merge replay. Output
+    (doc_id, n_bpe, bpe_sum) — order-independent integers. Oracle:
+    independent plain-Python train+encode (tools/golden.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.bpe import bpe_encode, bpe_train
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    train = rd.from_arrow(t.slice(0, 400)).repartition(4)
+    merges, types = bpe_train(train, "text", num_merges=24)
+    enc_in = rd.from_arrow(t.slice(len(t) - 120)).repartition(3)
+    enc = bpe_encode(enc_in, merges, types, field="text")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lst = b["bpe"].combine_chunks()
+        offs = np.asarray(lst.offsets, np.int64)
+        offs = offs - offs[0]
+        vals = np.asarray(lst.flatten().to_numpy(zero_copy_only=False),
+                          np.int64)
+        cs = np.concatenate(([0], np.cumsum(vals)))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_bpe": pa.array(np.diff(offs)),
+            "bpe_sum": pa.array(cs[offs[1:]] - cs[offs[:-1]]),
+        })
+
+    return _finish(enc.map_batches(summarize, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 def q_ffill_events(sf_dir):
     """Forward fill as a window function (stages/shift.py ffill —
     SQL last_value(x IGNORE NULLS) OVER (PARTITION BY user ORDER BY
@@ -2496,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": q_profile_orders,
         "ffill_events": q_ffill_events,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode_docs": q_bpe_encode,
         "grouped_var": q_grouped_var,
         "grouped_corr": q_grouped_corr,
         "snapshot_diff": q_snapshot_diff,
@@ -3102,6 +3143,7 @@ def _golden_oracles() -> dict[str, str]:
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),
+        "bpe_encode_docs": golden.bpe_encode_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
         "range_join_events": golden.range_join_sql(),
         "grouped_mode": (

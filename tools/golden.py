@@ -1359,3 +1359,42 @@ SELECT e.event_id, i.win_id
 FROM events e JOIN iv i
   ON e.event_type = i.event_type AND epoch_us(e.ts) BETWEEN i.lo AND i.hi
 """
+
+
+def bpe_encode_py(word: str, merges: list) -> list:
+    """Independent single-word BPE encoder (left-to-right non-overlap
+    replay of the merge list) — oracle mirror for ml/bpe.bpe_encode's
+    vectorized vocab-join path."""
+    syms = list(word.encode("utf-8"))
+    for _mi, a, b, nid in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_sql(num_merges: int = 24, n_docs: int = 400,
+                   n_encode: int = 120) -> str:
+    """Encode the LAST n_encode docs (so some word types are OOV w.r.t.
+    the training slice) with merges learned from the FIRST n_docs;
+    emit (doc_id, n_bpe, bpe_sum) — both order-independent ints."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = [x or "" for x in t["text"].to_pylist()]
+    wf = Counter(w for txt in texts[:n_docs] for w in txt.split())
+    merges = bpe_merges_py(dict(wf), num_merges)
+    rows = []
+    for d, txt in zip(ids[-n_encode:], texts[-n_encode:]):
+        syms = [s for w in txt.split() for s in bpe_encode_py(w, merges)]
+        rows.append((d, len(syms), sum(syms)))
+    return _values_sql(rows, ["doc_id", "n_bpe", "bpe_sum"],
+                       ["BIGINT"] * 3)
