@@ -1279,3 +1279,82 @@ class TestGroupedMode:
             out = grouped_mode(rd.from_arrow(t).repartition(parts),
                                ["k"], "v").to_pandas()
             assert dict(zip(out["k"], out["mode"])) == {"a": "x", "b": "q"}
+
+
+class TestNewOpsDegenerateInputs:
+    """sf0.001-style tiny/empty inputs must not crash any late-round op."""
+
+    def test_profile_empty_dataset(self):
+        from vector_ray.stages.profile import profile
+
+        t = pa.table({"x": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.string())})
+        out = profile(rd.from_arrow(t)).to_pandas()
+        assert set(out["column"]) == {"x", "s"}
+        assert (out["cnt"] == 0).all()
+
+    def test_resample_single_row(self):
+        from vector_ray.stages.window import resample
+
+        t = pa.table({"ts": pa.array([123], pa.timestamp("us")),
+                      "v": pa.array([1.0])})
+        out = resample(rd.from_arrow(t), "ts", 1.0,
+                       {"n": ("count", "v")}, fill="zero").to_pandas()
+        assert len(out) == 1 and out.loc[0, "n"] == 1
+
+    def test_pagerank_empty_edges(self):
+        from vector_ray.ml.graph import pagerank
+
+        t = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+        out = pagerank(rd.from_arrow(t), iters=2).to_pandas()
+        assert len(out) == 0
+
+    def test_line_dedup_all_empty_docs(self):
+        from vector_ray.ml.clean import line_dedup
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["", ""])})
+        out = (line_dedup(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id"))
+        assert list(out["text_line_dedup"]) == ["", ""]
+        ex = line_dedup(rd.from_arrow(t), output="explode").to_pandas()
+        assert len(ex) == 0
+
+    def test_bpe_train_empty_corpus(self):
+        from vector_ray.ml.bpe import bpe_train
+
+        t = pa.table({"text": pa.array(["", ""])})
+        merges, types = bpe_train(rd.from_arrow(t), "text", num_merges=4)
+        assert len(merges) == 0
+
+    def test_snapshot_diff_identical(self):
+        from vector_ray.stages.diff import snapshot_diff
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a", "b"])})
+        out = snapshot_diff(rd.from_arrow(t), rd.from_arrow(t)).to_pandas()
+        assert len(out) == 0
+
+    def test_grouped_mode_single_group(self):
+        from vector_ray.stages.aggregate import grouped_mode
+
+        t = pa.table({"k": pa.array(["a"]), "v": pa.array(["x"])})
+        out = grouped_mode(rd.from_arrow(t), ["k"], "v").to_pandas()
+        assert dict(zip(out["k"], out["mode"])) == {"a": "x"}
+
+    def test_range_join_empty_intervals(self):
+        from vector_ray.stages.join import range_join
+
+        pts = pa.table({"k": pa.array(["a"]), "p": pa.array([1], pa.int64()),
+                        "eid": pa.array([9], pa.int64())})
+        iv = pa.table({"k": pa.array([], pa.string()),
+                       "lo": pa.array([], pa.int64()),
+                       "hi": pa.array([], pa.int64()),
+                       "win": pa.array([], pa.int64())})
+        out = range_join(rd.from_arrow(pts), rd.from_arrow(iv), by=["k"],
+                         point="p", lo="lo", hi="hi", how="left").to_pandas()
+        assert len(out) == 1
+        inner = range_join(rd.from_arrow(pts), rd.from_arrow(iv), by=["k"],
+                           point="p", lo="lo", hi="hi").to_pandas()
+        assert len(inner) == 0

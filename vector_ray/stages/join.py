@@ -288,6 +288,19 @@ def range_join(
 
     r2 = right.map_batches(ren, batch_format="pyarrow",
                            zero_copy_batch=True)
+    if r2.schema() is None:  # empty right side: no blocks survive ren
+        r_schema = right.schema()
+        extra = [(c, t) for c, t in zip(r_schema.names, r_schema.types)
+                 if c != lo and c not in by]
+
+        def pad(t: pa.Table) -> pa.Table:
+            for c, typ in extra:
+                t = t.append_column(c, pa.nulls(len(t), typ))
+            return t
+
+        padded = left.map_batches(pad, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return padded if how == "left" else padded.limit(0)
     j = asof_join(left, r2, by=by, on=point, buckets=buckets)
 
     def finish(t: pa.Table) -> pa.Table:

@@ -91,8 +91,18 @@ def profile(ds, columns: Optional[Sequence[str]] = None):
             "fsum": pa.array(out["fsum"], pa.float64()),
         })
 
+    # Ray Data never calls the batch fn for zero-row blocks, so an
+    # entirely EMPTY dataset would produce no per-column rows at all;
+    # seed one all-empty partial per column so the merge always has
+    # the full column set (duplicate seeds for non-empty inputs merge
+    # away as +0 / null-min)
+    import ray.data as rd
+
+    seed = part(pa.table({n: pa.array([], t) for n, t in
+                          zip(schema.names, schema.types)}))
     partials = ds.map_batches(part, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).union(
+                                   rd.from_arrow(seed))
     merged = grouped_aggregate(partials, ["column"], {
         "cnt": ("sum", "cnt"), "nulls": ("sum", "nulls"),
         "imin": ("min", "imin"), "imax": ("max", "imax"),
