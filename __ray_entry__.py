@@ -1653,6 +1653,21 @@ def q_resample_events(sf_dir):
     return _finish(out)
 
 
+def q_resample_ffill(sf_dir):
+    """resample fill='ffill': every agg column forward-filled from the
+    key's last non-empty window (vectorized index-carry per hash
+    bucket). Values pass through untouched, so the oracle —
+    last_value(... IGNORE NULLS) over the same generate_series grid —
+    hash-matches."""
+    from vector_ray.stages.window import resample
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = resample(ds, "ts", 3600.0,
+                   {"n": ("count", "value"), "vmax": ("max", "value")},
+                   keys=["event_type"], fill="ffill")
+    return _finish(out)
+
+
 def q_pagerank_hosts(sf_dir):
     """Fixed-point integer PageRank over a planted directed doc-id
     graph (ml/graph.py — the host-graph quality signal of web-corpus
@@ -2533,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
+        "resample_ffill": q_resample_ffill,
         "profile_orders": q_profile_orders,
         "ffill_events": q_ffill_events,
         "bpe_merges": q_bpe_merges,
@@ -3178,6 +3194,23 @@ def _golden_oracles() -> dict[str, str]:
             " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"
             " ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
             " AND CURRENT ROW) AS v_ffill FROM events"
+        ),
+        "resample_ffill": (
+            "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"
+            " * 3600000000 AS window_start, count(value) AS n,"
+            " max(value) AS vmax FROM events GROUP BY 1, 2),"
+            " rng AS (SELECT event_type, min(window_start) lo,"
+            " max(window_start) hi FROM agg GROUP BY 1),"
+            " grid AS (SELECT event_type, unnest(range(lo,"
+            " hi + 3600000000, 3600000000)) AS window_start FROM rng),"
+            " j AS (SELECT g.event_type, g.window_start, a.n, a.vmax"
+            " FROM grid g LEFT JOIN agg a USING (event_type, window_start))"
+            " SELECT event_type, window_start,"
+            " last_value(n IGNORE NULLS) OVER w AS n,"
+            " last_value(vmax IGNORE NULLS) OVER w AS vmax"
+            " FROM j WINDOW w AS (PARTITION BY event_type"
+            " ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)"
         ),
         "resample_events": (
             "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"
