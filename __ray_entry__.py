@@ -1533,6 +1533,7 @@ def q_grouped_corr(sf_dir):
     out = grouped_aggregate(ds, ["l_returnflag"], {
         "ql_cov": ("cov", "l_quantity", "l_linenumber"),
         "ql_corr": ("corr", "l_quantity", "l_linenumber"),
+        "q_wmean": ("wmean", "l_quantity", "l_linenumber"),
     })
     return _finish(out)
 
@@ -1621,6 +1622,29 @@ def q_ffill_events(sf_dir):
     out = partitioned_shift(withv, ["user_id"], ["ts", "event_id"],
                             {"v_ffill": ("ffill", "v")})
     return _finish(out.select_columns(["event_id", "v_ffill"]))
+
+
+def q_bfill_events(sf_dir):
+    """Backward fill (stages/shift.py bfill — SQL first_value(x IGNORE
+    NULLS) over the FOLLOWING frame): the next click value carried
+    backward across each user's timeline. Values pass through
+    untouched, so the oracle hash-matches."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events", columns=[
+        "event_id", "user_id", "event_type", "value", "ts"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.if_else(pc.equal(t["event_type"], pa.scalar("click")),
+                       t["value"], pa.scalar(None, pa.float64()))
+        return t.append_column("v", v)
+
+    withv = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    out = partitioned_shift(withv, ["user_id"], ["ts", "event_id"],
+                            {"v_bfill": ("bfill", "v")})
+    return _finish(out.select_columns(["event_id", "v_bfill"]))
 
 
 def q_profile_orders(sf_dir):
@@ -2551,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": q_resample_ffill,
         "profile_orders": q_profile_orders,
         "ffill_events": q_ffill_events,
+        "bfill_events": q_bfill_events,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_docs": q_bpe_encode,
         "grouped_var": q_grouped_var,
@@ -3178,7 +3203,8 @@ def _golden_oracles() -> dict[str, str]:
             "sum(l_linenumber)/count(*)) / sqrt("
             "(sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)"
             "/count(*)) * (sum(l_linenumber*l_linenumber) - "
-            "sum(l_linenumber)*sum(l_linenumber)/count(*))) AS ql_corr"
+            "sum(l_linenumber)*sum(l_linenumber)/count(*))) AS ql_corr,"
+            " sum(l_quantity*l_linenumber)/sum(l_linenumber) AS q_wmean"
             " FROM lineitem GROUP BY l_returnflag"
         ),
         "grouped_var": (
@@ -3194,6 +3220,12 @@ def _golden_oracles() -> dict[str, str]:
             " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"
             " ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
             " AND CURRENT ROW) AS v_ffill FROM events"
+        ),
+        "bfill_events": (
+            "SELECT event_id, first_value(CASE WHEN event_type = 'click'"
+            " THEN value END IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW"
+            " AND UNBOUNDED FOLLOWING) AS v_bfill FROM events"
         ),
         "resample_ffill": (
             "WITH agg AS (SELECT event_type, (epoch_us(ts) // 3600000000)"

@@ -1358,3 +1358,16 @@ class TestNewOpsDegenerateInputs:
         inner = range_join(rd.from_arrow(pts), rd.from_arrow(iv), by=["k"],
                            point="p", lo="lo", hi="hi").to_pandas()
         assert len(inner) == 0
+
+
+def test_wmean_pairwise_nulls_partition_invariant(ray_session=None):
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    t = pa.table({"k": pa.array(["g"] * 5),
+                  "x": pa.array([1.0, 2.0, None, 4.0, 8.0], pa.float64()),
+                  "w": pa.array([1.0, 3.0, 5.0, None, 2.0], pa.float64())})
+    want = (1 * 1 + 2 * 3 + 8 * 2) / (1 + 3 + 2)
+    for parts in (1, 3):
+        out = grouped_aggregate(rd.from_arrow(t).repartition(parts), ["k"],
+                                {"m": ("wmean", "x", "w")}).to_pandas()
+        assert out.loc[0, "m"] == want, parts

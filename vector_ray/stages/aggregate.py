@@ -160,6 +160,21 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
                 need = [(f"{name}__sum", (col, "sum")),
                         (f"{name}__count", (col, "count")),
                         (f"{name}__sumsq", (sqcol, "sum"))]
+            elif kind == "wmean":
+                # weighted mean (kind, value_col, weight_col):
+                # mergeable (Σwx, Σw); null values OR weights excluded
+                # pairwise like cov/corr
+                wcol = _o[0]
+                x = pc.cast(tbl[col], pa.float64())
+                w = pc.cast(tbl[wcol], pa.float64())
+                both = pc.and_kleene(pc.is_valid(x), pc.is_valid(w))
+                xm = pc.if_else(both, x, pa.nulls(len(tbl), pa.float64()))
+                wm = pc.if_else(both, w, pa.nulls(len(tbl), pa.float64()))
+                pre = f"{name}__"
+                tbl = tbl.append_column(pre + "wx", pc.multiply(xm, wm))
+                tbl = tbl.append_column(pre + "w", wm)
+                need = [(pre + "swx", (pre + "wx", "sum")),
+                        (pre + "sw", (pre + "w", "sum"))]
             elif kind in ("cov", "corr"):
                 # two-column spec (kind, x_col, y_col): mergeable
                 # (n, Σx, Σy, Σxy[, Σx², Σy²]) partials. Rows where
@@ -240,7 +255,7 @@ def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
 
 
 _ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first",
-                    "var", "std", "cov", "corr")
+                    "var", "std", "cov", "corr", "wmean")
 
 
 def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
@@ -266,6 +281,9 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
             aggs.append((f"{name}__sum", "sum"))
             aggs.append((f"{name}__count", "sum"))
             aggs.append((f"{name}__sumsq", "sum"))
+        elif kind == "wmean":
+            aggs.append((f"{name}__swx", "sum"))
+            aggs.append((f"{name}__sw", "sum"))
         elif kind in ("cov", "corr"):
             for suf in ("n", "sx", "sy", "sxy"):
                 aggs.append((f"{name}__{suf}", "sum"))
@@ -304,6 +322,15 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
                 pc.if_else(ok, c, pa.scalar(2.0)), pa.scalar(1.0)))
             v = pc.if_else(ok, v, pa.nulls(len(raw), pa.float64()))
             cols[name] = pc.sqrt(v) if kind == "std" else v
+        elif kind == "wmean":
+            swx = pc.fill_null(pc.cast(raw[f"{name}__swx_sum"],
+                                       pa.float64()), 0)
+            sw = pc.fill_null(pc.cast(raw[f"{name}__sw_sum"],
+                                      pa.float64()), 0)
+            ok = pc.not_equal(sw, pa.scalar(0.0))
+            cols[name] = pc.if_else(
+                ok, pc.divide(swx, pc.if_else(ok, sw, pa.scalar(1.0))),
+                pa.nulls(len(raw), pa.float64()))
         elif kind in ("cov", "corr"):
             n = pc.cast(pc.fill_null(raw[f"{name}__n_sum"], 0),
                         pa.float64())
