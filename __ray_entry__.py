@@ -1395,6 +1395,23 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_gopher_filter(sf_dir):
+    """Gopher repetition FILTER (Rae et al. 2021 A1.1 thresholds) over
+    the replanted multi-line corpus: exact integer cross-multiplication
+    comparisons (ml/text.py gopher_repetition_filter), so the kept-id
+    set is oracle-hashable (tools/golden.py reimplementation)."""
+    import ray.data as rd
+
+    from tools.golden import rep_corpus
+    from vector_ray.ml.text import gopher_repetition_filter
+
+    ids, texts = rep_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = gopher_repetition_filter(rd.from_arrow(tbl).repartition(4))
+    return _finish(out.select_columns(["doc_id"]))
+
+
 def q_line_dedup_keep_first(sf_dir):
     """line_dedup mode='keep_first' (Dolma keep-first semantics): the
     globally first (doc_id, line_no) occurrence of each duplicated
@@ -2570,6 +2587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup,
         "paragraph_dedup_docs": q_paragraph_dedup,
         "line_dedup_keep_first": q_line_dedup_keep_first,
+        "gopher_filter": q_gopher_filter,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
         "resample_ffill": q_resample_ffill,
@@ -3181,6 +3199,7 @@ def _golden_oracles() -> dict[str, str]:
         "line_dedup_docs": golden.line_dedup_sql(),
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
+        "gopher_filter": golden.gopher_filter_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),

@@ -1226,3 +1226,24 @@ class TestBPE:
             want = [s for w in enc_in[r.doc_id].split()
                     for s in encode_word_bytes(w, mlist)]
             assert list(r.bpe) == want, r.doc_id
+
+
+def test_gopher_filter_thresholds(ray_session=None):
+    from vector_ray.ml.text import gopher_repetition_filter
+
+    # kept doc must be large AND diverse: the top-2-gram rule compares
+    # CHARACTER COVERAGE of the single most frequent 2-gram, which on a
+    # tiny doc exceeds 20% even at count 1
+    kept = "\n".join(
+        " ".join(f"w{i}x{j}" for j in range(8)) + "."
+        for i in range(12))
+    texts = [
+        kept,
+        "same line.\nsame line.\nsame line.",                # dup lines
+        ("spam spam spam spam spam spam spam spam spam spam "
+         "spam spam spam spam"),                              # top-2gram
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)})
+    out = gopher_repetition_filter(rd.from_arrow(t).repartition(2))
+    assert sorted(r["doc_id"] for r in out.take_all()) == [0]

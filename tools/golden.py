@@ -1398,3 +1398,21 @@ def bpe_encode_sql(num_merges: int = 24, n_docs: int = 400,
         rows.append((d, len(syms), sum(syms)))
     return _values_sql(rows, ["doc_id", "n_bpe", "bpe_sum"],
                        ["BIGINT"] * 3)
+
+
+def gopher_filter_sql() -> str:
+    """Kept doc ids under the Gopher repetition thresholds (integer
+    cross-multiplication comparisons over rep_signals_py counters) —
+    independent reimplementation rendered as VALUES."""
+    ids, texts = rep_corpus(sf_dir())
+    rows = []
+    for d, t in zip(ids, texts):
+        (n_lines, dup_cnt, line_chars, dup_chars,
+         word_chars, top2_cnt, top2_chars, dup5_chars) = rep_signals_py(t)
+        keep = not (dup_cnt * 100 > 30 * n_lines
+                    or dup_chars * 100 > 20 * line_chars
+                    or top2_chars * 100 > 20 * word_chars
+                    or dup5_chars * 100 > 15 * word_chars)
+        if keep:
+            rows.append((d,))
+    return _values_sql(rows, ["doc_id"], ["BIGINT"])

@@ -331,3 +331,33 @@ class CompressionRatio(BatchStep):
         r = compression_ratio_batch(tbl[self.field].to_pylist(),
                                     level=self.level)
         return F.set_(tbl, self.out, pa.array(r, pa.float64()))
+
+
+def gopher_repetition_filter(ds, field: str = "text", *,
+                             drop: bool = True):
+    """The Gopher repetition FILTER (Rae et al. 2021 A1.1 thresholds
+    over the ``repetition_signals_batch`` counters): a doc is dropped
+    when any of
+      dup_line_cnt   / n_lines     > 0.30
+      dup_line_chars / line_chars  > 0.20
+      top2_chars     / word_chars  > 0.20
+      dup5_chars     / word_chars  > 0.15
+    All comparisons are EXACT integer cross-multiplications
+    (``a * 100 > t * b`` — no float wobble, so the kept set is
+    oracle-hashable). Appends ``gopher_keep``; ``drop=True`` filters.
+    Composes after/with ``RepetitionSignals`` — this runs the signals
+    itself so it is a single map-only stage."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sig = repetition_signals_batch(t[field].to_pylist())
+        keep = np.ones(len(t), bool)
+        keep &= ~(sig["dup_line_cnt"] * 100 > 30 * sig["n_lines"])
+        keep &= ~(sig["dup_line_chars"] * 100 > 20 * sig["line_chars"])
+        keep &= ~(sig["top2_chars"] * 100 > 20 * sig["word_chars"])
+        keep &= ~(sig["dup5_chars"] * 100 > 15 * sig["word_chars"])
+        t = t.append_column("gopher_keep", pa.array(keep))
+        if drop:
+            t = t.filter(t["gopher_keep"])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

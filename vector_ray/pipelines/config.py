@@ -1569,3 +1569,19 @@ def run_unit_tests(config, tests: List[dict]) -> List[dict]:
                 errors.append(f"{ref}: expected no outputs, got {n} rows")
         results.append({"name": test.get("name", "?"), "passed": not errors, "errors": errors})
     return results
+
+
+@register_transform("gopher_filter")
+def _build_gopher_filter(cfg):
+    from vector_ray.ml.text import gopher_repetition_filter
+    from vector_ray.stages.base import Step
+
+    class _Gopher(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return gopher_repetition_filter(
+                ds, cfg.get("field", "text"),
+                drop=cfg.get("drop", True))
+
+    return _Gopher()
