@@ -1395,6 +1395,24 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_blocklist_filter(sf_dir):
+    """C4-style blocklist page drop (ml/clean.py blocklist_filter):
+    one compiled alternation regex over the batch flat buffer,
+    case-insensitive. Corpus plants a phrase on every 6th doc (mixed
+    case); oracle is plain SQL LIKE over the same VALUES corpus."""
+    import ray.data as rd
+
+    from tools.golden import blocklist_corpus
+    from vector_ray.ml.clean import blocklist_filter
+
+    ids, texts = blocklist_corpus(sf_dir)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = blocklist_filter(rd.from_arrow(tbl).repartition(4),
+                           ["forbidden widget", "buy cheap pills"])
+    return _finish(out.select_columns(["doc_id"]))
+
+
 def q_gopher_filter(sf_dir):
     """Gopher repetition FILTER (Rae et al. 2021 A1.1 thresholds) over
     the replanted multi-line corpus: exact integer cross-multiplication
@@ -2588,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": q_paragraph_dedup,
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "gopher_filter": q_gopher_filter,
+        "blocklist_filter": q_blocklist_filter,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
         "resample_ffill": q_resample_ffill,
@@ -3200,6 +3219,7 @@ def _golden_oracles() -> dict[str, str]:
         "paragraph_dedup_docs": golden.paragraph_dedup_sql(),
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "gopher_filter": golden.gopher_filter_sql(),
+        "blocklist_filter": golden.blocklist_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),

@@ -1247,3 +1247,19 @@ def test_gopher_filter_thresholds(ray_session=None):
                   "text": pa.array(texts)})
     out = gopher_repetition_filter(rd.from_arrow(t).repartition(2))
     assert sorted(r["doc_id"] for r in out.take_all()) == [0]
+
+
+def test_blocklist_filter_case_insensitive(ray_session=None):
+    from vector_ray.ml.clean import blocklist_filter
+
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(["clean page here",
+                                    "totally FORBIDDEN Widget inside",
+                                    "forbidden\nwidget split by newline ok",
+                                    ""])})
+    out = blocklist_filter(rd.from_arrow(t).repartition(2),
+                           ["forbidden widget"])
+    assert sorted(r["doc_id"] for r in out.take_all()) == [0, 2, 3]
+    import pytest
+    with pytest.raises(ValueError, match="\\\\n"):
+        blocklist_filter(rd.from_arrow(t), ["bad\nphrase"])

@@ -1416,3 +1416,35 @@ def gopher_filter_sql() -> str:
         if keep:
             rows.append((d,))
     return _values_sql(rows, ["doc_id"], ["BIGINT"])
+
+
+def blocklist_corpus(parquet_dir: str, n_docs: int = 400):
+    """Shared INPUT: a blocklist phrase planted (mixed case) on every
+    6th doc — suffix on i%6==0, prefix on i%6==3."""
+    t = pq.read_table(os.path.join(parquet_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()[:n_docs]
+    texts = [x or "" for x in t["text"].to_pylist()[:n_docs]]
+    out = []
+    for i, txt in enumerate(texts):
+        if i % 6 == 0:
+            txt = txt + " FORBIDDEN Widget on sale"
+        elif i % 6 == 3:
+            txt = "Buy CHEAP pills here " + txt
+        out.append(txt)
+    return ids, out
+
+
+def blocklist_sql() -> str:
+    ids, texts = blocklist_corpus(sf_dir())
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    body = ", ".join(f"({d}::BIGINT, {lit(t)})" for d, t in zip(ids, texts))
+    return f"""
+WITH corpus(doc_id, text) AS (VALUES {body})
+SELECT doc_id FROM corpus
+WHERE lower(text) NOT LIKE '%forbidden widget%'
+  AND lower(text) NOT LIKE '%buy cheap pills%'
+"""

@@ -661,3 +661,44 @@ def line_dedup(ds, field: str = "text", *, min_count: int = 2,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter — C4's "bad words" page drop (Raffel et al. 2020
+# §2.2 drops pages containing any phrase from a blocklist; list
+# contents are caller-supplied — none are shipped here).
+
+
+def blocklist_filter(ds, phrases, field: str = "text", *,
+                     drop: bool = True, out: str = "blocklisted"):
+    """Flag/drop docs whose text contains ANY of ``phrases``
+    (case-insensitive substring). ONE compiled alternation regex per
+    actor scanned over the batch's flat byte buffer (the c4_clean
+    pattern — C-speed finditer, no per-row Python); the phrase list
+    broadcasts inside the closure once. Phrases must not contain
+    newlines (matches may not span docs)."""
+    import re as _re
+
+    pats = [p.lower().encode("utf-8") for p in phrases]
+    if any(b"\n" in p for p in pats):
+        raise ValueError("blocklist_filter: phrases must not contain \\n")
+    rx = _re.compile(b"|".join(_re.escape(p) for p in pats)) if pats else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, doc_starts, n = _flat_joined(t[field], 0x0A)
+        hit = np.zeros(n, bool)
+        if rx is not None and len(flat):
+            lflat = flat.copy()
+            up = (lflat >= 0x41) & (lflat <= 0x5A)
+            lflat[up] += 32
+            pos = np.fromiter((m.start() for m in rx.finditer(
+                lflat.tobytes())), np.int64)
+            if len(pos):
+                hit[np.unique(np.searchsorted(
+                    doc_starts, pos, side="right") - 1)] = True
+        t = F.set_(t, out, pa.array(~hit))
+        if drop:
+            t = t.filter(t[out])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

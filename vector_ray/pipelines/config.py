@@ -1585,3 +1585,19 @@ def _build_gopher_filter(cfg):
                 drop=cfg.get("drop", True))
 
     return _Gopher()
+
+
+@register_transform("blocklist_filter")
+def _build_blocklist_filter(cfg):
+    from vector_ray.ml.clean import blocklist_filter
+    from vector_ray.stages.base import Step
+
+    class _Blocklist(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return blocklist_filter(ds, cfg["phrases"],
+                                    cfg.get("field", "text"),
+                                    drop=cfg.get("drop", True))
+
+    return _Blocklist()
