@@ -1395,6 +1395,25 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_gopher_quality(sf_dir):
+    """Gopher A1.2 quality gate (ml/text.py gopher_quality_filter):
+    word-count bounds, mean word length, hash/ellipsis ratios, alpha-
+    word fraction, stopword presence — exact integer comparisons, so
+    the kept set hash-gates against an independent plain-Python
+    reimplementation (tools/golden.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.text import gopher_quality_filter
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"]).slice(0, 400)
+    out = gopher_quality_filter(rd.from_arrow(t).repartition(4))
+    return _finish(out.select_columns(["doc_id"]))
+
+
 def q_blocklist_filter(sf_dir):
     """C4-style blocklist page drop (ml/clean.py blocklist_filter):
     one compiled alternation regex over the batch flat buffer,
@@ -2606,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": q_paragraph_dedup,
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "gopher_filter": q_gopher_filter,
+        "gopher_quality": q_gopher_quality,
         "blocklist_filter": q_blocklist_filter,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
@@ -3220,6 +3240,7 @@ def _golden_oracles() -> dict[str, str]:
         "line_dedup_keep_first": golden.line_dedup_keep_first_sql(),
         "gopher_filter": golden.gopher_filter_sql(),
         "blocklist_filter": golden.blocklist_sql(),
+        "gopher_quality": golden.gopher_quality_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),

@@ -1263,3 +1263,17 @@ def test_blocklist_filter_case_insensitive(ray_session=None):
     import pytest
     with pytest.raises(ValueError, match="\\\\n"):
         blocklist_filter(rd.from_arrow(t), ["bad\nphrase"])
+
+
+def test_gopher_quality_rules(ray_session=None):
+    from vector_ray.ml.text import gopher_quality_filter
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that dog runs with energy"] * 6)
+    short = "the and of short."
+    hashy = good + " " + "#" * 200
+    nostop = " ".join(f"w{i}" for i in range(60))
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array([good, short, hashy, nostop])})
+    out = gopher_quality_filter(rd.from_arrow(t).repartition(2))
+    assert sorted(r["doc_id"] for r in out.take_all()) == [0]

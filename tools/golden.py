@@ -1448,3 +1448,30 @@ SELECT doc_id FROM corpus
 WHERE lower(text) NOT LIKE '%forbidden widget%'
   AND lower(text) NOT LIKE '%buy cheap pills%'
 """
+
+
+def gopher_quality_sql() -> str:
+    """Kept doc ids under the Gopher A1.2 quality gate — independent
+    plain-Python reimplementation of the integer spec in
+    ml/text.py gopher_quality_batch/gopher_quality_filter."""
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for d, txt in zip(t["doc_id"].to_pylist()[:400],
+                      t["text"].to_pylist()[:400]):
+        txt = txt or ""
+        words = txt.split()
+        nw = len(words)
+        wc = sum(len(w) for w in words)
+        alpha = sum(1 for w in words
+                    if any(c.isascii() and c.isalpha() for c in w))
+        nhash = txt.count("#")
+        nell = txt.count("...")
+        nstop = sum(1 for w in words if w.lower().strip(".,!?;:") in stop)
+        keep = (50 <= nw <= 100_000 and 3 * nw <= wc <= 10 * nw
+                and nhash * 10 <= len(txt) and nell * 100 <= nw
+                and alpha * 10 >= 8 * nw and nstop >= 2)
+        if keep:
+            rows.append((d,))
+    return _values_sql(rows, ["doc_id"], ["BIGINT"])

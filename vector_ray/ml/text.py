@@ -361,3 +361,70 @@ def gopher_repetition_filter(ds, field: str = "text", *,
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(texts: list) -> dict:
+    """Per-doc Gopher quality counters (Rae et al. 2021 A1.2, public
+    spec) — all integers so the FILTER below can compare exactly:
+
+      n_words       whitespace-separated tokens
+      word_chars    total characters across words
+      n_alpha_words words containing >= 1 ASCII letter
+      n_hash        '#' characters; n_ellipsis: '...' occurrences
+      n_stop        words (lowercased, stripped of .,!?;:) in an
+                    8-word stopword list
+    """
+    n = len(texts)
+    out = {k: np.zeros(n, np.int64) for k in (
+        "n_words", "word_chars", "n_alpha_words", "n_hash",
+        "n_ellipsis", "n_stop")}
+    for i, t in enumerate(texts):  # per-doc Python split: the counters
+        # need word-level predicates over unicode text; used in the
+        # planted-corpus quality gate, not the 100-TB hot path (the
+        # hot-path signals live in repetition_signals_batch)
+        words = (t or "").split()
+        out["n_words"][i] = len(words)
+        out["word_chars"][i] = sum(len(w) for w in words)
+        out["n_alpha_words"][i] = sum(
+            1 for w in words if any(c.isascii() and c.isalpha() for c in w))
+        out["n_hash"][i] = (t or "").count("#")
+        out["n_ellipsis"][i] = (t or "").count("...")
+        out["n_stop"][i] = sum(
+            1 for w in words
+            if w.lower().strip(".,!?;:") in _GOPHER_STOPWORDS)
+    return out
+
+
+def gopher_quality_filter(ds, field: str = "text", *, drop: bool = True,
+                          min_words: int = 50, max_words: int = 100_000):
+    """Gopher A1.2 quality gate — a doc is KEPT iff (exact integer
+    comparisons, oracle-hashable):
+
+      min_words <= n_words <= max_words
+      3 <= mean word length <= 10      (3*n <= chars <= 10*n)
+      hash chars  <= 10% of doc chars  (n_hash * 10 <= len)
+      '...'       <= 1 per 100 words   (n_ellipsis * 100 <= n_words)
+      alpha words >= 80% of words      (n_alpha * 10 >= 8 * n_words)
+      >= 2 stopword hits
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        q = gopher_quality_batch(texts)
+        doc_len = np.fromiter((len(x or "") for x in texts), np.int64,
+                              count=len(t))
+        keep = (q["n_words"] >= min_words) & (q["n_words"] <= max_words)
+        keep &= (3 * q["n_words"] <= q["word_chars"])
+        keep &= (q["word_chars"] <= 10 * q["n_words"])
+        keep &= (q["n_hash"] * 10 <= doc_len)
+        keep &= (q["n_ellipsis"] * 100 <= q["n_words"])
+        keep &= (q["n_alpha_words"] * 10 >= 8 * q["n_words"])
+        keep &= q["n_stop"] >= 2
+        t = t.append_column("quality_keep", pa.array(keep))
+        if drop:
+            t = t.filter(t["quality_keep"])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1601,3 +1601,21 @@ def _build_blocklist_filter(cfg):
                                     drop=cfg.get("drop", True))
 
     return _Blocklist()
+
+
+@register_transform("gopher_quality")
+def _build_gopher_quality(cfg):
+    from vector_ray.ml.text import gopher_quality_filter
+    from vector_ray.stages.base import Step
+
+    class _GopherQ(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return gopher_quality_filter(
+                ds, cfg.get("field", "text"),
+                drop=cfg.get("drop", True),
+                min_words=cfg.get("min_words", 50),
+                max_words=cfg.get("max_words", 100_000))
+
+    return _GopherQ()
