@@ -1395,6 +1395,30 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_split_holdout(sf_dir):
+    """Deterministic train/holdout split (ml/sampling.split_holdout):
+    a row's side is a pure function of salted-hash(id|seed), so both
+    sides are exactly complementary and cluster-shape-independent.
+    The query runs BOTH sides and unions them with a side label;
+    oracle = independent salted-hash reimplementation as VALUES."""
+    from vector_ray.ml.sampling import split_holdout
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def lab(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array([side] * len(t), pa.string()))
+
+        return fn
+
+    tr = split_holdout(ds, 0.2, seed=5, which="train").map_batches(
+        lab("train"), batch_format="pyarrow", zero_copy_batch=True)
+    ho = split_holdout(ds, 0.2, seed=5, which="holdout").map_batches(
+        lab("holdout"), batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(tr.union(ho))
+
+
 def q_gopher_quality(sf_dir):
     """Gopher A1.2 quality gate (ml/text.py gopher_quality_filter):
     word-count bounds, mean word length, hash/ellipsis ratios, alpha-
@@ -2626,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "gopher_filter": q_gopher_filter,
         "gopher_quality": q_gopher_quality,
+        "split_holdout_docs": q_split_holdout,
         "blocklist_filter": q_blocklist_filter,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
@@ -3241,6 +3266,7 @@ def _golden_oracles() -> dict[str, str]:
         "gopher_filter": golden.gopher_filter_sql(),
         "blocklist_filter": golden.blocklist_sql(),
         "gopher_quality": golden.gopher_quality_sql(),
+        "split_holdout_docs": golden.split_holdout_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),

@@ -1475,3 +1475,17 @@ def gopher_quality_sql() -> str:
         if keep:
             rows.append((d,))
     return _values_sql(rows, ["doc_id"], ["BIGINT"])
+
+
+def split_holdout_sql(frac: float = 0.2, seed: int = 5) -> str:
+    """Both sides of the deterministic holdout split, as (doc_id,
+    side) — independent salted-hash reimplementation (salted_int
+    mirrors ml/sampling._salted_hash)."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id"])
+    thr = int(round(frac * 1_000_000))
+    rows = []
+    for d in t["doc_id"].to_pylist():
+        h = salted_int(d, seed) % 1_000_000
+        rows.append((d, "holdout" if h < thr else "train"))
+    return _values_sql(rows, ["doc_id", "side"], ["BIGINT", "VARCHAR"])
