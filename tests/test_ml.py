@@ -1277,3 +1277,26 @@ def test_gopher_quality_rules(ray_session=None):
                   "text": pa.array([good, short, hashy, nostop])})
     out = gopher_quality_filter(rd.from_arrow(t).repartition(2))
     assert sorted(r["doc_id"] for r in out.take_all()) == [0]
+
+
+def test_gopher_quality_batch_matches_python_mirror(ray_session=None):
+    import re as _re
+
+    from vector_ray.ml.text import gopher_quality_batch
+
+    texts = ["The quick... and, that! #tag of: be with...", "", "  ", "...",
+             "naïve café the and", "to. to, TO? of;", "a#b#c the and be"]
+    q = gopher_quality_batch(pa.array(texts))
+    ws_re = _re.compile(r"[ \t\n\r\x0b\x0c]+")
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, t in enumerate(texts):
+        words = [w for w in ws_re.split(t) if w]
+        assert q["n_words"][i] == len(words)
+        assert q["word_chars"][i] == sum(len(w.encode()) for w in words)
+        assert q["n_alpha_words"][i] == sum(
+            1 for w in words if any(c.isascii() and c.isalpha() for c in w))
+        assert q["n_hash"][i] == t.count("#")
+        assert q["n_ellipsis"][i] == t.count("...")
+        assert q["n_stop"][i] == sum(
+            1 for w in words if w.lower().strip(".,!?;:") in stop)
+        assert q["doc_bytes"][i] == len(t.encode())

@@ -1458,19 +1458,21 @@ def gopher_quality_sql() -> str:
     t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
                       columns=["doc_id", "text"])
     rows = []
+    ws_re = re.compile(r"[ \t\n\r\x0b\x0c]+")  # byte-level ASCII ws
     for d, txt in zip(t["doc_id"].to_pylist()[:400],
                       t["text"].to_pylist()[:400]):
         txt = txt or ""
-        words = txt.split()
+        words = [w for w in ws_re.split(txt) if w]
         nw = len(words)
-        wc = sum(len(w) for w in words)
+        wc = sum(len(w.encode('utf-8')) for w in words)
         alpha = sum(1 for w in words
                     if any(c.isascii() and c.isalpha() for c in w))
         nhash = txt.count("#")
         nell = txt.count("...")
         nstop = sum(1 for w in words if w.lower().strip(".,!?;:") in stop)
         keep = (50 <= nw <= 100_000 and 3 * nw <= wc <= 10 * nw
-                and nhash * 10 <= len(txt) and nell * 100 <= nw
+                and nhash * 10 <= len(txt.encode("utf-8"))
+                and nell * 100 <= nw
                 and alpha * 10 >= 8 * nw and nstop >= 2)
         if keep:
             rows.append((d,))

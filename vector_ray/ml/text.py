@@ -13,6 +13,8 @@ count_substring_regex does the heavy lifting; no per-row Python).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -364,37 +366,109 @@ def gopher_repetition_filter(ds, field: str = "text", *,
 
 
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_ELLIPSIS_RE = re.compile(rb"\.\.\.")
+_STRIP_BYTES = (0x2E, 0x2C, 0x21, 0x3F, 0x3B, 0x3A)  # . , ! ? ; :
+_WS_BYTES = (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
 
 
-def gopher_quality_batch(texts: list) -> dict:
+def gopher_quality_batch(col) -> dict:
     """Per-doc Gopher quality counters (Rae et al. 2021 A1.2, public
-    spec) — all integers so the FILTER below can compare exactly:
+    spec), BYTE-LEVEL and fully vectorized off the Arrow string buffer
+    (no per-row Python — this IS a hot-path filter at corpus scale):
 
-      n_words       whitespace-separated tokens
-      word_chars    total characters across words
-      n_alpha_words words containing >= 1 ASCII letter
-      n_hash        '#' characters; n_ellipsis: '...' occurrences
-      n_stop        words (lowercased, stripped of .,!?;:) in an
-                    8-word stopword list
-    """
-    n = len(texts)
+      n_words        maximal non-ASCII-whitespace byte runs
+      word_chars     total bytes across words
+      n_alpha_words  words containing >= 1 ``[A-Za-z]`` byte
+      n_hash         ``#`` bytes; n_ellipsis: non-overlapping ``...``
+      n_stop         words that, stripped of leading/trailing
+                     ``.,!?;:`` and lowercased, equal one of the
+                     8 Gopher stopwords
+      doc_bytes      utf-8 byte length of the doc
+
+    Exactness note: the stopword match compares stripped length + the
+    vectorized CRC32 of the lowered bytes — every stopword is <= 4
+    bytes and CRC32 is INJECTIVE on inputs of <= 4 bytes at fixed
+    length, so crc equality here IS byte equality (no collision
+    caveat). Accepts an Arrow string column or a Python list."""
+    from vector_ray.ml.clean import _flat_joined
+    from vector_ray.ml.dedup import _crc32_words
+
+    if isinstance(col, list):
+        col = pa.array([x if x is not None else "" for x in col],
+                       pa.string())
+    flat, doc_starts, n = _flat_joined(col, 0x20)  # space sep: words
+    # and '...' can never span docs
     out = {k: np.zeros(n, np.int64) for k in (
         "n_words", "word_chars", "n_alpha_words", "n_hash",
-        "n_ellipsis", "n_stop")}
-    for i, t in enumerate(texts):  # per-doc Python split: the counters
-        # need word-level predicates over unicode text; used in the
-        # planted-corpus quality gate, not the 100-TB hot path (the
-        # hot-path signals live in repetition_signals_batch)
-        words = (t or "").split()
-        out["n_words"][i] = len(words)
-        out["word_chars"][i] = sum(len(w) for w in words)
-        out["n_alpha_words"][i] = sum(
-            1 for w in words if any(c.isascii() and c.isalpha() for c in w))
-        out["n_hash"][i] = (t or "").count("#")
-        out["n_ellipsis"][i] = (t or "").count("...")
-        out["n_stop"][i] = sum(
-            1 for w in words
-            if w.lower().strip(".,!?;:") in _GOPHER_STOPWORDS)
+        "n_ellipsis", "n_stop", "doc_bytes")}
+    doc_ends = np.append(doc_starts[1:], len(flat)) - 1
+    out["doc_bytes"] = (doc_ends - doc_starts).astype(np.int64)
+    if len(flat) == 0 or n == 0:
+        return out
+    ws = np.zeros(256, bool)
+    for b in _WS_BYTES:
+        ws[b] = True
+    m = ~ws[flat]
+    w_starts = np.nonzero(m & ~np.concatenate(([False], m[:-1])))[0]
+    w_ends = np.nonzero(m & ~np.concatenate((m[1:], [False])))[0]
+    w_lens = w_ends - w_starts + 1
+    if len(w_starts) == 0:
+        return out
+    dow = np.searchsorted(doc_starts, w_starts, side="right") - 1
+    out["n_words"] = np.bincount(dow, minlength=n).astype(np.int64)
+    out["word_chars"] = np.bincount(dow, weights=w_lens,
+                                    minlength=n).astype(np.int64)
+    # alpha words: per-word letter-count via cumsum range diff
+    is_alpha = ((flat >= 0x41) & (flat <= 0x5A)) | \
+        ((flat >= 0x61) & (flat <= 0x7A))
+    acs = np.empty(len(flat) + 1, np.int64)
+    acs[0] = 0
+    np.cumsum(is_alpha, dtype=np.int64, out=acs[1:])
+    alpha_w = (acs[w_ends + 1] - acs[w_starts]) > 0
+    out["n_alpha_words"] = np.bincount(dow[alpha_w],
+                                       minlength=n).astype(np.int64)
+    # '#' per doc
+    hcs = np.empty(len(flat) + 1, np.int64)
+    hcs[0] = 0
+    np.cumsum(flat == 0x23, dtype=np.int64, out=hcs[1:])
+    out["n_hash"] = (hcs[doc_ends] - hcs[doc_starts]).astype(np.int64)
+    # non-overlapping '...' (left-to-right, matching str.count)
+    pos = np.fromiter((mm.start() for mm in
+                       _ELLIPSIS_RE.finditer(flat.tobytes())), np.int64)
+    if len(pos):
+        np.add.at(out["n_ellipsis"],
+                  np.searchsorted(doc_starts, pos, side="right") - 1, 1)
+    # stopwords: strip .,!?;: at both ends, lowercase, length+crc match
+    strip = np.zeros(256, bool)
+    for b in _STRIP_BYTES:
+        strip[b] = True
+    cand = m & ~strip[flat]
+    idx = np.arange(len(flat), dtype=np.int64)
+    seg = w_starts  # reduceat segments word->next word (gap is ~cand)
+    first_ns = np.minimum.reduceat(np.where(cand, idx, len(flat)), seg)
+    last_ns = np.maximum.reduceat(np.where(cand, idx, -1), seg)
+    has = last_ns >= first_ns
+    sl = np.where(has, last_ns - first_ns + 1, 0)
+    lflat = flat.copy()
+    up = (lflat >= 0x41) & (lflat <= 0x5A)
+    lflat[up] += 32
+    import zlib
+
+    hits = np.zeros(len(w_starts), bool)
+    by_len: dict = {}
+    for sw in _GOPHER_STOPWORDS:
+        by_len.setdefault(len(sw), set()).add(
+            zlib.crc32(sw.encode()) & 0xFFFFFFFF)
+    for ln, crcs in by_len.items():
+        mask = sl == ln
+        if not mask.any():
+            continue
+        c = _crc32_words(lflat, first_ns[mask],
+                         np.full(int(mask.sum()), ln, np.int64))
+        ok = np.isin(np.asarray(c, np.uint32).astype(np.int64),
+                     np.array(sorted(crcs), np.int64))
+        hits[np.nonzero(mask)[0][ok]] = True
+    out["n_stop"] = np.bincount(dow[hits], minlength=n).astype(np.int64)
     return out
 
 
@@ -411,14 +485,11 @@ def gopher_quality_filter(ds, field: str = "text", *, drop: bool = True,
       >= 2 stopword hits
     """
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[field].to_pylist()
-        q = gopher_quality_batch(texts)
-        doc_len = np.fromiter((len(x or "") for x in texts), np.int64,
-                              count=len(t))
+        q = gopher_quality_batch(t[field])
         keep = (q["n_words"] >= min_words) & (q["n_words"] <= max_words)
         keep &= (3 * q["n_words"] <= q["word_chars"])
         keep &= (q["word_chars"] <= 10 * q["n_words"])
-        keep &= (q["n_hash"] * 10 <= doc_len)
+        keep &= (q["n_hash"] * 10 <= q["doc_bytes"])
         keep &= (q["n_ellipsis"] * 100 <= q["n_words"])
         keep &= (q["n_alpha_words"] * 10 >= 8 * q["n_words"])
         keep &= q["n_stop"] >= 2
