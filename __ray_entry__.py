@@ -1395,6 +1395,19 @@ def q_line_dedup(sf_dir):
     return _finish(out)
 
 
+def q_weighted_sample(sf_dir):
+    """Gumbel top-k weighted sampling without replacement
+    (ml/sampling.weighted_sample_k — Efraimidis-Spirakis): shuffle-free
+    (≤k rows leave each block), deterministic on any cluster shape.
+    Oracle: independent numpy mirror with the SAME vectorized ops
+    (SIMD array log differs from scalar log by 1 ulp)."""
+    from vector_ray.ml.sampling import weighted_sample_k
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample_k(ds, 50, "n_chars", seed=9)
+    return _finish(out.select_columns(["doc_id", "n_chars"]))
+
+
 def q_split_holdout(sf_dir):
     """Deterministic train/holdout split (ml/sampling.split_holdout):
     a row's side is a pure function of salted-hash(id|seed), so both
@@ -2651,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": q_gopher_filter,
         "gopher_quality": q_gopher_quality,
         "split_holdout_docs": q_split_holdout,
+        "weighted_sample_docs": q_weighted_sample,
         "blocklist_filter": q_blocklist_filter,
         "pagerank_hosts": q_pagerank_hosts,
         "resample_events": q_resample_events,
@@ -3267,6 +3281,7 @@ def _golden_oracles() -> dict[str, str]:
         "blocklist_filter": golden.blocklist_sql(),
         "gopher_quality": golden.gopher_quality_sql(),
         "split_holdout_docs": golden.split_holdout_sql(),
+        "weighted_sample_docs": golden.weighted_sample_sql(),
         "pagerank_hosts": golden.pagerank_sql(),
         "profile_orders": golden.profile_orders_sql(),
         "bpe_merges": golden.bpe_merges_sql(),

@@ -1491,3 +1491,24 @@ def split_holdout_sql(frac: float = 0.2, seed: int = 5) -> str:
         h = salted_int(d, seed) % 1_000_000
         rows.append((d, "holdout" if h < thr else "train"))
     return _values_sql(rows, ["doc_id", "side"], ["BIGINT", "VARCHAR"])
+
+
+def weighted_sample_sql(k: int = 50, seed: int = 9) -> str:
+    """Independent Gumbel top-k mirror (Efraimidis-Spirakis via the
+    Gumbel trick) for ml/sampling.weighted_sample_k over documents
+    weighted by n_chars. ARRAY numpy ops throughout — numpy's SIMD
+    array log differs from scalar math.log by 1 ulp, so the mirror
+    must take the same vectorized path as the engine."""
+    import numpy as _np
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    ids = _np.asarray(t["doc_id"].to_numpy(), _np.int64)
+    w = _np.asarray(t["n_chars"].to_numpy(), _np.float64)
+    h = sm64_np(_np.array([fnv1a_int(f"{i}|{seed}") for i in ids],
+                          _np.uint64))
+    u = (h.astype(_np.float64) + 0.5) / 2.0 ** 64
+    key = _np.log(w) + (-_np.log(-_np.log(u)))
+    order = _np.lexsort((ids, -key))[:k]
+    rows = [(int(ids[i]), int(w[i])) for i in order]
+    return _values_sql(rows, ["doc_id", "n_chars"], ["BIGINT", "BIGINT"])
