@@ -739,6 +739,30 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir):
+    """Canonical text normalization (ml/text.py NormalizeText): NFC +
+    lowercase + whitespace-collapse + trim, all pyarrow.compute string
+    kernels, stateless map-only. Oracle: the same composition in
+    DuckDB (nfc_normalize/lower/regexp_replace/trim)."""
+    from vector_ray.ml.text import NormalizeText
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = NormalizeText("text", "norm").apply(ds)
+    return _finish(out.select_columns(["doc_id", "norm"]))
+
+
+def q_mad_outliers(sf_dir):
+    """Robust MAD outlier trim (stages/quantile.py mad_outlier_filter):
+    |x - median| <= 3·MAD band on o_totalprice via two shuffle-free
+    exact-quantile passes + a map-only filter. Oracle: quantile_disc
+    scalar subqueries with the identical float64 band arithmetic."""
+    from vector_ray.stages.quantile import mad_outlier_filter
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = mad_outlier_filter(ds, "o_totalprice", k=3.0)
+    return _finish(out)
+
+
 def q_dsir_select(sf_dir):
     """DSIR importance resampling (ml/dsir.py — Xie et al. 2023):
     hashed unigram+bigram bucket distributions fit on target (lang='de'
@@ -2640,6 +2664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "normalize_text_docs": q_normalize_text,
+        "mad_outliers": q_mad_outliers,
         "dsir_select": q_dsir_select,
         "cube_orders": q_cube_orders,
         "rank_lineitem": q_rank_lineitem,
@@ -3264,6 +3290,18 @@ def _golden_oracles() -> dict[str, str]:
             "c AS (SELECT CAST(token AS BIGINT) AS token, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
+        ),
+        "normalize_text_docs": (
+            r"SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+            r"'\s+', ' ', 'g')) AS norm FROM documents"
+        ),
+        "mad_outliers": (
+            "WITH m AS (SELECT quantile_disc(o_totalprice, 0.5) AS med "
+            "FROM orders), "
+            "d AS (SELECT quantile_disc(abs(o_totalprice - med), 0.5) AS mad "
+            "FROM orders, m) "
+            "SELECT o_orderkey, o_totalprice FROM orders, m, d "
+            "WHERE abs(o_totalprice - med) <= 3.0 * mad"
         ),
         "simhash_docs": golden.simhash_docs_sql(),
         "dsir_select": golden.dsir_select_sql(),

@@ -941,6 +941,42 @@ class TestCompressionRatio:
         assert r[2] == 1.0 and r[3] == 1.0
 
 
+class TestNormalizeText:
+    def test_matches_python_reference(self):
+        import re
+        import unicodedata
+
+        from vector_ray.ml.text import NormalizeText
+
+        texts = ["  Héllo   WORLD \t", "Café  x", "A B\nC",
+                 "", None, "ß Ω ﬁ", "plain ascii text"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        out = NormalizeText("text", "norm").apply(
+            rd.from_arrow(t).repartition(3)).take_all()
+        got = {r["doc_id"]: r["norm"] for r in out}
+        for i, s in enumerate(texts):
+            if s is None:
+                assert got[i] is None
+                continue
+            want = unicodedata.normalize("NFC", s).lower()
+            # collapse is documented RE2/ASCII \s; trim is unicode ws
+            want = re.sub(r"\s+", " ", want, flags=re.ASCII).strip()
+            assert got[i] == want, (s, got[i], want)
+
+    def test_toggles_and_inplace(self):
+        from vector_ray.ml.text import NormalizeText
+
+        t = pa.table({"text": pa.array(["ABC   def "])})
+        out = NormalizeText("text", lower=False).apply(
+            rd.from_arrow(t)).take_all()
+        assert out[0]["text"] == "ABC def"
+        out = NormalizeText("text", "n2", form="", collapse_ws=False,
+                            strip=False).apply(rd.from_arrow(t)).take_all()
+        assert out[0]["n2"] == "abc   def "
+        assert out[0]["text"] == "ABC   def "
+
+
 class TestLineDedup:
     TEXTS = [
         "a b c\nx y\na b c",          # within-doc repeat of 'a b c'

@@ -487,6 +487,49 @@ class TestQuantileBandFilter:
             quantile_band_filter(ds_of(t), "v")
 
 
+class TestMadOutlierFilter:
+    def test_matches_brute_force(self):
+        import math
+
+        from vector_ray.stages.quantile import mad_outlier_filter
+
+        np = __import__("numpy")
+        rng = np.random.default_rng(11)
+        vals = np.concatenate([rng.normal(100, 5, 2_000),
+                               rng.normal(100, 400, 50)])  # heavy tail
+        t = pa.table({"v": pa.array(vals, pa.float64()),
+                      "i": pa.array(range(len(vals)), pa.int64())})
+        out = mad_outlier_filter(ds_of(t, blocks=5), "v", k=3.0).take_all()
+
+        def disc(xs, p):
+            s = sorted(xs)
+            return s[max(1, math.ceil(p * len(s))) - 1]
+
+        med = disc(vals, 0.5)
+        mad = disc([abs(v - med) for v in vals], 0.5)
+        want = {i for i, v in enumerate(vals) if abs(v - med) <= 3.0 * mad}
+        got = {r["i"] for r in out}
+        assert got == want
+        assert 0 < len(got) < len(vals)
+
+        inv = mad_outlier_filter(ds_of(t, blocks=5), "v", k=3.0,
+                                 keep="outlier").take_all()
+        assert {r["i"] for r in inv} == set(range(len(vals))) - want
+
+    def test_nulls_never_pass(self):
+        from vector_ray.stages.quantile import mad_outlier_filter
+
+        t = pa.table({"v": pa.array([1.0, None, 1.0, 1.0, 50.0]),
+                      "i": pa.array(range(5), pa.int64())})
+        out = mad_outlier_filter(ds_of(t), "v", k=3.0).take_all()
+        ids = sorted(r["i"] for r in out)
+        assert 1 not in ids  # null dropped
+        assert 4 not in ids  # outlier vs MAD=0 band
+        out2 = mad_outlier_filter(ds_of(t), "v", k=3.0,
+                                  keep="outlier").take_all()
+        assert sorted(r["i"] for r in out2) == [4]  # null still dropped
+
+
 class TestExactQuantiles:
     def test_matches_numpy_rank(self):
         from vector_ray.stages.quantile import exact_quantiles

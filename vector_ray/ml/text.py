@@ -335,6 +335,61 @@ class CompressionRatio(BatchStep):
         return F.set_(tbl, self.out, pa.array(r, pa.float64()))
 
 
+class NormalizeText(BatchStep):
+    """Canonical text normalization before hashing/dedup (the CCNet /
+    OSCAR preprocessing step: Wenzek et al. 2020 normalize text before
+    paragraph hashing): unicode NFC normalization, lowercasing,
+    whitespace-run collapse to a single space, and edge trim — each
+    individually toggleable. Entirely pyarrow.compute string kernels
+    (utf8proc NFC + one RE2 pass over the flat buffer), stateless
+    map-only, no shuffle. Reference parity: composes Vector's VRL
+    ``downcase``/``strip_whitespace`` remap idioms
+    (lib/vrl/stdlib/src/downcase.rs, strip_whitespace.rs) with the
+    unicode normalization web-curation adds on top."""
+
+    def __init__(self, field: str = "text", out: str | None = None, *,
+                 form: str = "NFC", lower: bool = True,
+                 collapse_ws: bool = True, strip: bool = True):
+        self.field = field
+        self.out = out or field
+        self.form = form  # NFC/NFKC/NFD/NFKD, or "" to skip
+        self.lower = lower
+        self.collapse_ws = collapse_ws
+        self.strip = strip
+
+    def transform(self, tbl: pa.Table) -> pa.Table:
+        col = tbl[self.field]
+        if self.form in ("NFD", "NFKD"):
+            col = pc.utf8_normalize(col, form=self.form)
+        elif self.form:
+            # This Arrow/utf8proc build decomposes but never RE-composes
+            # (utf8_normalize(form="NFC") emits NFD — verified), so the
+            # composing forms take a row fallback. ASCII is NFC-invariant,
+            # so the overwhelmingly-common all-ASCII batch stays on the
+            # zero-copy vectorized path; only batches that actually carry
+            # non-ASCII rows pay a unicodedata pass.
+            import unicodedata
+
+            ascii_ok = pc.fill_null(pc.string_is_ascii(col), True)
+            if not pc.all(ascii_ok).as_py():
+                keep = ascii_ok.to_numpy(zero_copy_only=False)
+                vals = col.to_pylist()
+                form = self.form
+                col = pa.array(
+                    [v if ok or v is None
+                     else unicodedata.normalize(form, v)
+                     for v, ok in zip(vals, keep)], pa.string())
+        if self.lower:
+            col = pc.utf8_lower(col)
+        if self.collapse_ws:
+            # RE2 \s is ASCII whitespace (same engine DuckDB uses);
+            # unicode spaces like U+00A0 are deliberately left alone.
+            col = pc.replace_substring_regex(col, r"\s+", " ")
+        if self.strip:
+            col = pc.utf8_trim_whitespace(col)
+        return F.set_(tbl, self.out, col)
+
+
 def gopher_repetition_filter(ds, field: str = "text", *,
                              drop: bool = True):
     """The Gopher repetition FILTER (Rae et al. 2021 A1.1 thresholds

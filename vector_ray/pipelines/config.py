@@ -724,6 +724,33 @@ def _build_quantile_band(cfg):
     return _Band()
 
 
+@register_transform("normalize_text")
+def _build_normalize_text(cfg):
+    from vector_ray.ml.text import NormalizeText
+
+    return NormalizeText(cfg.get("field", "text"), cfg.get("out"),
+                         form=cfg.get("form", "NFC"),
+                         lower=bool(cfg.get("lower", True)),
+                         collapse_ws=bool(cfg.get("collapse_ws", True)),
+                         strip=bool(cfg.get("strip", True)))
+
+
+@register_transform("mad_outlier_filter")
+def _build_mad_outlier(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.quantile import mad_outlier_filter
+
+    class _Mad(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return mad_outlier_filter(ds, cfg["field"],
+                                      k=float(cfg.get("k", 3.0)),
+                                      keep=cfg.get("keep", "inlier"))
+
+    return _Mad()
+
+
 @register_transform("row_number")
 def _build_row_number(cfg):
     from vector_ray.stages.base import Step

@@ -457,3 +457,41 @@ def quantile_band_filter(
         return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mad_outlier_filter(ds, col: str, *, k: float = 3.0,
+                       keep: str = "inlier", **kw):
+    """Robust outlier trim on a score column: keep rows with
+    ``|x - median| <= k * MAD`` (median absolute deviation), the
+    scale-free alternative to z-score trimming when the score
+    distribution has heavy tails (perplexity, tf-idf, page sizes).
+
+    Two shuffle-free exact-quantile passes (median of ``col``, then
+    median of ``|col - med|`` over a derived column — both DuckDB
+    ``quantile_disc`` rank rule via histogram refinement, the driver
+    sees two scalars) plus one stateless map-only filter. The deviation
+    and threshold arithmetic is plain float64, so the kept set is
+    bit-reproducible on any partitioning. ``keep="outlier"`` inverts
+    the band (inspect what would be dropped). Null scores never pass
+    either mode."""
+    if keep not in ("inlier", "outlier"):
+        raise ValueError("mad_outlier_filter: keep must be inlier|outlier")
+    med = exact_quantiles(ds, col, [0.5], **kw)[0]
+
+    def dev(t: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(pc.cast(t[col], pa.float64()), med))
+        return pa.table({"__vr_dev": d})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = exact_quantiles(devs, "__vr_dev", [0.5], **kw)[0]
+    thr = float(k) * float(mad)
+
+    def flt(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[col], pa.float64())
+        inl = pc.less_equal(pc.abs(pc.subtract(c, med)), thr)
+        if keep == "outlier":
+            inl = pc.invert(inl)
+        mask = pc.and_kleene(pc.is_valid(c), inl)
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
