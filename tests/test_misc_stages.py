@@ -271,6 +271,23 @@ class TestFileSink:
             lines += open(f).read().strip().splitlines()
         assert any("status=200" in ln and "source=web" in ln for ln in lines)
 
+    def test_csv_codec(self, tmp_path):
+        import csv
+        import glob
+
+        from vector_ray.sinks import FileSink
+
+        FileSink(str(tmp_path / "out"), codec="csv").write(self._ds())
+        rows = []
+        for f in glob.glob(str(tmp_path / "out" / "*.csv")):
+            with open(f, newline="") as fh:
+                r = csv.DictReader(fh)
+                assert r.fieldnames == ["source", "message", "status"]
+                rows += list(r)
+        assert sorted(x["message"] for x in rows) == \
+            ["hello", "query ok", "world"]
+        assert {x["status"] for x in rows} == {"200", "500"}
+
     def test_config_file_sink(self, tmp_path):
         import glob
 

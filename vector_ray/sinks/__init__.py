@@ -50,7 +50,7 @@ def blackhole(ds) -> int:
 # ---------------------------------------------------------------------------
 # file sink — src/sinks/file/mod.rs: field-templated paths
 # ("/out/{{ source }}/app.log"), encoding codecs (text / ndjson /
-# logfmt, src/sinks/util/encoding + lib/codecs), optional gzip
+# logfmt / csv, src/sinks/util/encoding + lib/codecs), optional gzip
 # (file/mod.rs Compression). Each rendered template value becomes a
 # directory; every writer task appends its own uniquely-named part
 # file, so parallel writers never contend and reruns are additive.
@@ -75,6 +75,14 @@ def _encode_lines(tbl, codec: str, text_field: str) -> bytes:
 
         lines = F.encode_logfmt(tbl)
         return ("\n".join(v or "" for v in lines.to_pylist()) + "\n").encode()
+    if codec == "csv":
+        import csv as _csv
+
+        buf = io.StringIO()
+        w = _csv.writer(buf, lineterminator="\n")
+        w.writerow(tbl.column_names)
+        w.writerows(zip(*(tbl[c].to_pylist() for c in tbl.column_names)))
+        return buf.getvalue().encode()
     raise ValueError(f"unknown file-sink codec {codec!r}")
 
 
@@ -119,7 +127,8 @@ class FileSink:
 
         codes = np.asarray(d.indices)
         out_paths, out_rows = [], []
-        ext = {"text": "log", "ndjson": "ndjson", "logfmt": "log"}[self.codec]
+        ext = {"text": "log", "ndjson": "ndjson", "logfmt": "log",
+               "csv": "csv"}[self.codec]
         if self.compression == "gzip":
             ext += ".gz"
         for ci, dirpath in enumerate(d.dictionary.to_pylist()):
