@@ -739,6 +739,27 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_nb_classify(sf_dir):
+    """Multinomial Naive Bayes domain classifier (ml/classify.py): train
+    on the doc_id%5!=0 split (label = lang, counting-only → exactly
+    mergeable), score ALL docs map-only with integer micro-nat
+    class scores. Oracle: independent single-threaded NB
+    (tools/golden.py nb_classify_sql)."""
+    from vector_ray.ml.classify import nb_score, nb_train
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    def _train_split(t):
+        import numpy as np
+        return t.filter(pa.array(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 5) != 0))
+
+    train = ds.map_batches(_train_split, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    model = nb_train(train, text_col="text", label_col="lang")
+    out = nb_score(ds, model, text_col="text")
+    return _finish(out.drop_columns(["text", "lang"]))
+
+
 def q_normalize_text(sf_dir):
     """Canonical text normalization (ml/text.py NormalizeText): NFC +
     lowercase + whitespace-collapse + trim, all pyarrow.compute string
@@ -2664,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "nb_classify_docs": q_nb_classify,
         "normalize_text_docs": q_normalize_text,
         "mad_outliers": q_mad_outliers,
         "dsir_select": q_dsir_select,
@@ -3291,6 +3313,7 @@ def _golden_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
         ),
+        "nb_classify_docs": golden.nb_classify_sql(),
         "normalize_text_docs": (
             r"SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
             r"'\s+', ' ', 'g')) AS norm FROM documents"

@@ -314,6 +314,31 @@ def test_registered_reshape_transforms(ray_session):
     assert got[("a", 1)] is None and got[("a", 2)] == 1
 
 
+def test_registered_nb_classify_transform(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    t = pa.table({
+        "text": pa.array(["goal match team", "code server bug",
+                          "goal team score", "bug deploy cache",
+                          "match league goal", "server cache code"]),
+        "lab": pa.array(["sport", "tech", "sport", "tech", None, None]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = TRANSFORMS["nb_classify"](
+        {"type": "nb_classify", "label": "lab",
+         "train_filter": {"exists": "lab"}}
+    ).apply(ds)
+    rows = out.take_all()
+    by_text = {r["text"]: r["nb_pred"] for r in rows}
+    assert by_text["match league goal"] == "sport"
+    assert by_text["server cache code"] == "tech"
+    assert all("nb_score_sport" in r and "nb_score_tech" in r
+               for r in rows)
+
+
 def test_registered_cube_and_dsir_transforms(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -941,6 +941,62 @@ class TestCompressionRatio:
         assert r[2] == 1.0 and r[3] == 1.0
 
 
+class TestNaiveBayes:
+    def _corpus(self):
+        import numpy as np
+        rng = np.random.default_rng(5)
+        vocab = {"sport": ["goal", "match", "team", "score", "league"],
+                 "tech": ["code", "server", "bug", "deploy", "cache"],
+                 "food": ["bake", "oven", "salt", "flour", "sauce"]}
+        rows = []
+        for i in range(300):
+            lab = ["sport", "tech", "food"][i % 3]
+            words = list(rng.choice(vocab[lab], 12)) + \
+                list(rng.choice(["the", "a", "and"], 6))
+            rng.shuffle(words)
+            rows.append((i, " ".join(words), lab))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+        })
+
+    def test_recovers_labels_and_partition_invariance(self):
+        from vector_ray.ml.classify import nb_score, nb_train
+
+        t = self._corpus()
+        train = t.slice(0, 240)
+        m1 = nb_train(rd.from_arrow(train).repartition(1))
+        m5 = nb_train(rd.from_arrow(train).repartition(5))
+        assert m1["classes"] == m5["classes"] == ["food", "sport", "tech"]
+        assert (m1["loglik"] == m5["loglik"]).all()
+        assert (m1["prior"] == m5["prior"]).all()
+
+        test = t.slice(240, 60)
+        out = {r["doc_id"]: r for r in
+               nb_score(rd.from_arrow(test).repartition(3), m1).take_all()}
+        labs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+        acc = sum(out[d]["nb_pred"] == labs[d] for d in out) / len(out)
+        assert acc == 1.0  # disjoint vocabularies: must be perfect
+        r0 = out[240]
+        assert {f"nb_score_{c}" for c in m1["classes"]} <= set(r0)
+
+    def test_class_bound_and_empty_labels(self):
+        import pytest as _pt
+
+        from vector_ray.ml.classify import nb_train
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a b", "c d"]),
+                      "lang": pa.array(["x", "y"])})
+        with _pt.raises(ValueError, match="max_classes"):
+            nb_train(rd.from_arrow(t), max_classes=1)
+        t2 = t.set_column(2, "lang",
+                          pa.array([None, None], pa.string()))
+        with _pt.raises(ValueError, match="no non-null"):
+            nb_train(rd.from_arrow(t2))
+
+
 class TestNormalizeText:
     def test_matches_python_reference(self):
         import re

@@ -1040,6 +1040,62 @@ def dsir_select_sql(k: int = 60, buckets: int = 1 << 13,
     return _values_sql(rows, ["doc_id", "dsir_logw"], ["BIGINT", "DOUBLE"])
 
 
+def nb_classify_sql(buckets: int = 1 << 13, seed: int = 1,
+                    alpha: float = 1.0, scale: int = 1_000_000,
+                    train_mod: int = 5) -> str:
+    """Independent single-threaded Multinomial Naive Bayes (train on
+    doc_id % train_mod != 0, label = lang, score ALL docs) mirroring
+    ml/classify.py's spec: same hashed unigram+bigram feature ids, the
+    same array-shaped np.log / np.rint micro-nat finalize (float64
+    buckets-length array — the 1-ulp SIMD parity rule), plain-Python
+    exact integer per-doc sums, first-max tie-break over sorted
+    classes."""
+    import math
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+
+    feats = [_dsir_feature_ids(x, buckets, seed) for x in texts]
+    train = [i for i, d in enumerate(doc_ids) if d % train_mod != 0]
+    classes = sorted({langs[i] for i in train if langs[i] is not None})
+    idx = {c: ci for ci, c in enumerate(classes)}
+    C = len(classes)
+
+    counts = np.zeros((C, buckets), np.uint64)
+    ndocs = [0] * C
+    for i in train:
+        ci = idx.get(langs[i])
+        if ci is None:
+            continue
+        ndocs[ci] += 1
+        for f in feats[i]:
+            counts[ci][f] += 1
+    n_total = sum(ndocs)
+
+    ll = np.zeros((C, buckets), np.int64)
+    prior = [0] * C
+    for ci in range(C):
+        c = counts[ci].astype(np.float64)
+        denom = math.log(float(c.sum()) + alpha * buckets)
+        v = np.log(c + alpha) - denom
+        ll[ci] = np.rint(v * scale).astype(np.int64)
+        prior[ci] = int(round(math.log(ndocs[ci] / n_total) * scale))
+
+    rows = []
+    for i, d in enumerate(doc_ids):
+        scores = [prior[ci] + sum(int(ll[ci][f]) for f in feats[i])
+                  for ci in range(C)]
+        best = max(range(C), key=lambda ci: (scores[ci], -ci))
+        rows.append((d, *scores, classes[best]))
+    cols = (["doc_id"] + [f"nb_score_{c}" for c in classes]
+            + ["nb_pred"])
+    types = ["BIGINT"] + ["BIGINT"] * C + ["VARCHAR"]
+    return _values_sql(rows, cols, types)
+
+
 def compression_ratio_sql(level: int = 6) -> str:
     t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
                       columns=["doc_id", "text"])

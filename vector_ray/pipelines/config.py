@@ -724,6 +724,39 @@ def _build_quantile_band(cfg):
     return _Band()
 
 
+@register_transform("nb_classify")
+def _build_nb_classify(cfg):
+    """Train-and-score Naive Bayes gate: fits on the rows whose label
+    column is non-null (or an explicit train_filter condition), then
+    appends per-class scores + prediction to every row."""
+    from vector_ray.stages.base import Step
+
+    class _NB(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.classify import nb_score, nb_train
+
+            train = ds
+            if cfg.get("train_filter"):
+                cond = build_condition(cfg["train_filter"])
+                train = ds.map_batches(
+                    lambda t: t.filter(cond(t)),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            model = nb_train(
+                train, text_col=cfg.get("field", "text"),
+                label_col=cfg.get("label", "lang"),
+                buckets=int(cfg.get("buckets", 1 << 13)),
+                seed=int(cfg.get("seed", 1)),
+                alpha=float(cfg.get("alpha", 1.0)),
+                max_classes=int(cfg.get("max_classes", 1000)))
+            return nb_score(ds, model,
+                            text_col=cfg.get("field", "text"),
+                            out_prefix=cfg.get("out_prefix", "nb_"))
+
+    return _NB()
+
+
 @register_transform("normalize_text")
 def _build_normalize_text(cfg):
     from vector_ray.ml.text import NormalizeText
