@@ -739,6 +739,20 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_pca_embeddings(sf_dir):
+    """Distributed PCA over the embedding column (ml/embed.py): exact
+    integer second moments (2^20 quantization, big-int sum tree),
+    driver eigh with sign canonicalization, fixed-order map-only
+    projection — deterministic on any partitioning. Oracle:
+    independent single-threaded mirror (tools/golden.py)."""
+    from vector_ray.ml.embed import pca_fit, pca_project
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pca_fit(ds, k=8)
+    out = pca_project(ds, model)
+    return _finish(out.drop_columns(["embedding"]))
+
+
 def q_nb_classify(sf_dir):
     """Multinomial Naive Bayes domain classifier (ml/classify.py): train
     on the doc_id%5!=0 split (label = lang, counting-only → exactly
@@ -2685,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "pca_embeddings": q_pca_embeddings,
         "nb_classify_docs": q_nb_classify,
         "normalize_text_docs": q_normalize_text,
         "mad_outliers": q_mad_outliers,
@@ -3313,6 +3328,7 @@ def _golden_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
         ),
+        "pca_embeddings": golden.pca_embeddings_sql(),
         "nb_classify_docs": golden.nb_classify_sql(),
         "normalize_text_docs": (
             r"SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "

@@ -941,6 +941,63 @@ class TestCompressionRatio:
         assert r[2] == 1.0 and r[3] == 1.0
 
 
+class TestPCA:
+    def _embeds(self, n=400, d=16, seed=7):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud: PCA must find the stretched axes
+        scales = 3.0 * (0.6 ** np.arange(d))
+        m = (rng.normal(0, 1, (n, d)) * scales).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(m.tolist(),
+                                  pa.list_(pa.float32())),
+        })
+
+    def test_partition_invariance_and_variance_order(self):
+        import numpy as np
+
+        from vector_ray.ml.embed import pca_fit, pca_project
+
+        t = self._embeds()
+        m1 = pca_fit(rd.from_arrow(t).repartition(1), k=4)
+        m7 = pca_fit(rd.from_arrow(t).repartition(7), k=4)
+        assert (m1["mean"] == m7["mean"]).all()
+        assert (m1["components"] == m7["components"]).all()
+        assert (m1["eigvals"] == m7["eigvals"]).all()
+        assert (np.diff(m1["eigvals"]) <= 0).all()  # descending
+
+        p3 = {r["vec_id"]: [r[f"p{c}"] for c in range(4)] for r in
+              pca_project(rd.from_arrow(t).repartition(3),
+                          m1).take_all()}
+        p9 = {r["vec_id"]: [r[f"p{c}"] for c in range(4)] for r in
+              pca_project(rd.from_arrow(t).repartition(9),
+                          m1).take_all()}
+        assert p3 == p9  # bit-identical under any batch split
+        y = np.array([p3[i] for i in sorted(p3)])
+        v = y.var(axis=0)
+        assert (np.diff(v) <= 1e-9).all()  # projected variance sorted
+        # top component captures the dominant input axis
+        assert v[0] > 4 * v[3]
+
+    def test_whiten_and_empty(self):
+        import numpy as np
+        import pytest as _pt
+
+        from vector_ray.ml.embed import pca_fit, pca_project
+
+        t = self._embeds(n=200, d=8)
+        m = pca_fit(rd.from_arrow(t), k=3, whiten=True)
+        out = pca_project(rd.from_arrow(t), m).take_all()
+        y = np.array([[r[f"p{c}"] for c in range(3)] for r in out])
+        assert np.allclose(y.var(axis=0), 1.0, atol=0.05)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "embedding": pa.array([],
+                                                pa.list_(pa.float32()))})
+        with _pt.raises(ValueError, match="empty"):
+            pca_fit(rd.from_arrow(empty))
+
+
 class TestNaiveBayes:
     def _corpus(self):
         import numpy as np

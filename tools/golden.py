@@ -1096,6 +1096,42 @@ def nb_classify_sql(buckets: int = 1 << 13, seed: int = 1,
     return _values_sql(rows, cols, types)
 
 
+def pca_embeddings_sql(k: int = 8) -> str:
+    """Independent single-threaded PCA mirroring ml/embed.py's exact
+    integer-moment spec op-for-op: same 2^20 quantization, exact
+    integer (n, Σq, Σqqᵀ), the same float64 covariance/eigh/sign-canon
+    array ops, and the same fixed-j-order projection loop."""
+    t = pq.read_table(os.path.join(sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    SCALE = 1 << 20
+    m = np.array(t["embedding"].to_pylist(), np.float32).astype(np.float64)
+    q = np.rint(m * SCALE).astype(np.int64)
+    n, d = q.shape
+    s = [int(v) for v in q.sum(axis=0)]
+    M = q.T @ q  # exact in int64 at this size
+    mu = np.array([float(v) for v in s], np.float64) / (n * SCALE)
+    m2 = np.array([[float(int(v)) for v in row] for row in M],
+                  np.float64)
+    cov = m2 / (n * float(SCALE) ** 2) - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    x = q.astype(np.float64) / SCALE - mu
+    y = np.zeros((n, comps.shape[1]), np.float64)
+    for j in range(d):
+        y += x[:, j:j + 1] * comps[j]
+    rows = [(ids[i], *[float(y[i, c]) for c in range(comps.shape[1])])
+            for i in range(n)]
+    cols = ["vec_id"] + [f"p{c}" for c in range(comps.shape[1])]
+    types = ["BIGINT"] + ["DOUBLE"] * comps.shape[1]
+    return _values_sql(rows, cols, types)
+
+
 def compression_ratio_sql(level: int = 6) -> str:
     t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
                       columns=["doc_id", "text"])

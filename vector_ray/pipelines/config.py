@@ -724,6 +724,27 @@ def _build_quantile_band(cfg):
     return _Band()
 
 
+@register_transform("pca")
+def _build_pca(cfg):
+    """Fit-and-project PCA over an embedding column (exact integer
+    moments → deterministic on any partitioning)."""
+    from vector_ray.stages.base import Step
+
+    class _PCA(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.embed import pca_fit, pca_project
+
+            vec = cfg.get("field", "embedding")
+            model = pca_fit(ds, vec_col=vec, k=int(cfg.get("k", 8)),
+                            whiten=bool(cfg.get("whiten", False)))
+            return pca_project(ds, model, vec_col=vec,
+                               out_prefix=cfg.get("out_prefix", "p"))
+
+    return _PCA()
+
+
 @register_transform("nb_classify")
 def _build_nb_classify(cfg):
     """Train-and-score Naive Bayes gate: fits on the rows whose label
