@@ -739,6 +739,17 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_bm25_search(sf_dir):
+    """Okapi BM25 top-k retrieval (ml/corpus.py bm25_search): one
+    fixed-size integer stats pass (no vocabulary broadcast — only the
+    query terms' df matter), one map-only scoring pass, per-block local
+    top-k. Oracle: independent single-threaded BM25 golden."""
+    from vector_ray.ml.corpus import bm25_search
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(ds, "table scan fast merge", k=20)
+
+
 def q_pca_embeddings(sf_dir):
     """Distributed PCA over the embedding column (ml/embed.py): exact
     integer second moments (2^20 quantization, big-int sum tree),
@@ -2699,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "bm25_search": q_bm25_search,
         "pca_embeddings": q_pca_embeddings,
         "nb_classify_docs": q_nb_classify,
         "normalize_text_docs": q_normalize_text,
@@ -3328,6 +3340,7 @@ def _golden_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
         ),
+        "bm25_search": golden.bm25_search_sql(),
         "pca_embeddings": golden.pca_embeddings_sql(),
         "nb_classify_docs": golden.nb_classify_sql(),
         "normalize_text_docs": (

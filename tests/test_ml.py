@@ -941,6 +941,68 @@ class TestCompressionRatio:
         assert r[2] == 1.0 and r[3] == 1.0
 
 
+class TestBM25:
+    def _docs(self):
+        texts = [
+            "fast table scan",                    # all three terms
+            "table table table scan",             # tf saturation
+            "slow merge of rows " * 10 + "table",  # long doc penalty
+            "nothing relevant here",
+            "fast fast fast",                     # rare-term boost
+            "",
+        ]
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+
+    def test_matches_brute_force_and_partition_invariance(self):
+        import math
+
+        from vector_ray.ml.corpus import bm25_score, bm25_search
+
+        t = self._docs()
+        k1, b = 1.2, 0.75
+        terms = ["fast", "table", "scan"]
+        docs = [s.split() for s in t["text"].to_pylist()]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        df = {w: sum(w in d for d in docs) for w in terms}
+
+        def brute(d):
+            norm = k1 * (1 - b + b * (len(d) / avgdl))
+            s = 0.0
+            for w in terms:
+                tf = d.count(w)
+                idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * (tf * (k1 + 1)) / (tf + norm)
+            return s
+
+        want = [brute(d) for d in docs]
+        got2 = {r["doc_id"]: r["bm25"] for r in bm25_score(
+            rd.from_arrow(t).repartition(2), "fast table scan").take_all()}
+        got5 = {r["doc_id"]: r["bm25"] for r in bm25_score(
+            rd.from_arrow(t).repartition(5), "fast table scan").take_all()}
+        assert got2 == got5  # bit-identical across partitionings
+        for i in range(n):
+            assert abs(got2[i] - want[i]) < 1e-12, (i, got2[i], want[i])
+
+        top = bm25_search(rd.from_arrow(t).repartition(3),
+                          "fast table scan", k=3)
+        order = top["doc_id"].to_pylist()
+        assert order[0] == 0              # all-terms doc wins
+        assert top["rank"].to_pylist() == [0, 1, 2]
+        assert 3 not in order             # irrelevant doc excluded
+
+    def test_errors(self):
+        import pytest as _pt
+
+        from vector_ray.ml.corpus import bm25_score
+
+        with _pt.raises(ValueError, match="empty query"):
+            bm25_score(rd.from_arrow(self._docs()), "   ")
+
+
 class TestPCA:
     def _embeds(self, n=400, d=16, seed=7):
         import numpy as np

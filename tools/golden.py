@@ -1096,6 +1096,57 @@ def nb_classify_sql(buckets: int = 1 << 13, seed: int = 1,
     return _values_sql(rows, cols, types)
 
 
+def bm25_search_sql(query: str = "table scan fast merge",
+                    k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """Independent single-threaded Okapi BM25 mirroring
+    ml/corpus.py bm25_score/bm25_search op-for-op: whitespace word
+    split, exact integer tf/dl/df, idf via the SAME-SHAPED array
+    np.log (1-ulp SIMD parity rule), per-doc fixed-term-order float64
+    accumulation, (score DESC, id ASC) tie-break."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    terms = []
+    for w in query.split():
+        if w and w not in terms:
+            terms.append(w)
+    m = len(terms)
+    tidx = {w: j for j, w in enumerate(terms)}
+
+    tfs, dls = [], []
+    df = np.zeros(m, np.int64)
+    for s in texts:
+        words = [w for w in (s or "").split() if w]
+        tf = [0] * m
+        for w in words:
+            j = tidx.get(w)
+            if j is not None:
+                tf[j] += 1
+        tfs.append(tf)
+        dls.append(len(words))
+        for j in range(m):
+            if tf[j] > 0:
+                df[j] += 1
+    n_docs = len(texts)
+    avgdl = sum(dls) / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    scored = []
+    for i in range(n_docs):
+        norm = k1 * (1.0 - b + b * (dls[i] / avgdl))
+        s = 0.0
+        for j in range(m):
+            tfj = tfs[i][j]
+            s += idf[j] * (tfj * (k1 + 1.0)) / (tfj + norm)
+        scored.append((doc_ids[i], dls[i], float(s)))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    rows = [(d, dl, sc, rank) for rank, (d, dl, sc)
+            in enumerate(scored[:k])]
+    return _values_sql(rows, ["doc_id", "dl", "bm25", "rank"],
+                       ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"])
+
+
 def pca_embeddings_sql(k: int = 8) -> str:
     """Independent single-threaded PCA mirroring ml/embed.py's exact
     integer-moment spec op-for-op: same 2^20 quantization, exact

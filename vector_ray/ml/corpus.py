@@ -293,6 +293,126 @@ def tfidf_score(ds, *, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _query_tf(t: pa.Table, col: str, terms: pa.Array):
+    """(tf int64[nr][m], dl int64[nr]) — per-doc term frequencies for
+    the m query terms plus whitespace word counts, one flat pass."""
+    wcol = t[col]
+    if isinstance(wcol, pa.ChunkedArray):
+        wcol = wcol.combine_chunks()
+    words = _split_words(wcol)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = np.asarray(pc.list_parent_indices(words)
+                         .to_numpy(zero_copy_only=False))
+    nr, m = len(t), len(terms)
+    if not len(flat):
+        return np.zeros((nr, m), np.int64), np.zeros(nr, np.int64)
+    ok = np.asarray(pc.not_equal(flat, "").fill_null(False)
+                    .to_numpy(zero_copy_only=False), bool)
+    idx = np.asarray(pc.index_in(flat, value_set=terms).fill_null(-1)
+                     .to_numpy(zero_copy_only=False), np.int64)
+    dl = np.bincount(parents[ok], minlength=nr).astype(np.int64)
+    hit = ok & (idx >= 0)
+    tf = np.bincount(parents[hit] * m + idx[hit],
+                     minlength=nr * m).astype(np.int64).reshape(nr, m)
+    return tf, dl
+
+
+def bm25_score(ds, query: str, *, col: str = "text",
+               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+               keep_cols: tuple = ()):
+    """Okapi BM25 relevance of every document against a fixed query —
+    the lexical-retrieval counterpart to ml/ann.py's embedding search
+    (Robertson & Zaragoza 2009, the public BM25 spec).
+
+    Scale plan: corpus stats (N, Σdl, per-query-term document
+    frequencies) come from ONE pass of FIXED-SIZE integer partials —
+    one (1 + 1 + m)-int row per block, exactly summable in any order —
+    so unlike tf-idf there is no vocabulary broadcast at all; only the
+    m query terms matter. Scoring is a second map-only pass (one
+    ``pc.index_in`` + bincount per batch). Determinism: tf/dl/df are
+    exact integers and the float64 score is evaluated per row in fixed
+    query-term order (idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))), so
+    results are bit-identical on any partitioning — golden-oracle-able.
+    Emits (keep_cols..., id_col, dl, bm25: float64)."""
+    import ray
+
+    terms_list = []
+    for w in query.split():
+        if w and w not in terms_list:
+            terms_list.append(w)
+    if not terms_list:
+        raise ValueError("bm25_score: empty query")
+    terms = pa.array(terms_list, pa.string())
+    m = len(terms_list)
+
+    def stats(t: pa.Table) -> pa.Table:
+        tf, dl = _query_tf(t, col, terms)
+        return pa.table({
+            "n": pa.array([len(dl)], pa.int64()),
+            "words": pa.array([int(dl.sum())], pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).astype(np.int64)
+                            .tobytes()], pa.large_binary()),
+        })
+
+    n_docs, n_words = 0, 0
+    df = np.zeros(m, np.int64)
+    for r in ds.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        n_docs += r["n"]
+        n_words += r["words"]
+        df += np.frombuffer(r["df"], np.int64)
+    if n_docs == 0:
+        raise ValueError("bm25_score: empty corpus")
+    avgdl = n_words / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    ref = ray.put((terms, idf))
+
+    def score(t: pa.Table) -> pa.Table:
+        qterms, qidf = ray.get(ref)
+        tf, dl = _query_tf(t, col, qterms)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        s = np.zeros(len(dl), np.float64)
+        for j in range(len(qidf)):  # fixed term order per row
+            tfj = tf[:, j]
+            s += qidf[j] * (tfj * (k1 + 1.0)) / (tfj + norm)
+        cols = {c: t[c] for c in keep_cols if c in t.column_names}
+        cols[id_col] = t[id_col]
+        cols["dl"] = pa.array(dl, pa.int64())
+        cols["bm25"] = pa.array(s, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bm25_search(ds, query: str, *, k: int = 20, col: str = "text",
+                id_col: str = "doc_id", **kw):
+    """Top-k BM25 retrieval: score map-only, then per-block local
+    top-k (≤k rows leave each block) and one driver merge — the
+    knn_brute plan. Deterministic tie-break (score DESC, id ASC)."""
+    scored = bm25_score(ds, query, col=col, id_col=id_col, **kw)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        o = np.lexsort((np.asarray(t[id_col]),
+                        -np.asarray(t["bm25"], np.float64)))
+        return t.take(pa.array(o[:k]))
+
+    rows = scored.map_batches(local_topk, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: (-r["bm25"], r[id_col]))
+    out = rows[:k]
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in out], pa.int64()),
+        "dl": pa.array([r["dl"] for r in out], pa.int64()),
+        "bm25": pa.array([r["bm25"] for r in out], pa.float64()),
+        "rank": pa.array(range(len(out)), pa.int64()),
+    })
+
+
 class RepetitionStats:
     """BatchStep-style wrapper: per-doc repetition metrics appended as
     columns is NOT what the metric table needs — this emits the compact

@@ -724,6 +724,26 @@ def _build_quantile_band(cfg):
     return _Band()
 
 
+@register_transform("bm25")
+def _build_bm25(cfg):
+    """Append a BM25 relevance score against a fixed query."""
+    from vector_ray.stages.base import Step
+
+    class _BM25(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.corpus import bm25_score
+
+            return bm25_score(
+                ds, cfg["query"], col=cfg.get("field", "text"),
+                id_col=cfg.get("id", "doc_id"),
+                k1=float(cfg.get("k1", 1.2)), b=float(cfg.get("b", 0.75)),
+                keep_cols=tuple(cfg.get("keep", ())))
+
+    return _BM25()
+
+
 @register_transform("pca")
 def _build_pca(cfg):
     """Fit-and-project PCA over an embedding column (exact integer
