@@ -224,3 +224,32 @@ class TestTokenizerTrainExample:
         assert idx == list(range(64))
         # new ids are allocated sequentially above the byte alphabet
         assert sorted(t["new_id"].to_pylist()) == [256 + i for i in range(64)]
+
+
+class TestClassifiedRoutingExample:
+    def test_classifier_gate_keeps_structured(self):
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_classified", ignore_errors=True)
+        r = run_cli("run",
+                    os.path.join(REPO, "examples",
+                                 "classified_routing.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        files = glob.glob("/tmp/vr_classified/out/**/*.parquet",
+                          recursive=True)
+        assert files
+        t = pq.read_table(files)
+        assert {"norm", "nb_pred", "nb_score_structured",
+                "nb_score_salad"} <= set(t.column_names)
+        # the model is trained on provenance labels; disjoint-enough
+        # vocabularies mean the apache stream dominates the kept side
+        assert set(t["nb_pred"].to_pylist()) == {"structured"}
+        labs = t["lab"].to_pylist()
+        assert labs.count("structured") > 0.9 * len(labs)
+        # normalize_text ran: no double spaces, no uppercase
+        assert all(("  " not in s) and (s == s.lower())
+                   for s in t["norm"].to_pylist())
