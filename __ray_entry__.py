@@ -739,6 +739,42 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_hist_quantiles(sf_dir):
+    """The telemetry "p99 per service" staple: approx per-key quantiles
+    from the MERGEABLE fixed-bucket histogram sketch
+    (stages/sketch.py Histogram.quantile — upper-bound rule, the
+    mergeable stand-in for the reference's non-mergeable
+    AggregatedSummary, metric.rs:165-169). One two-phase grouped
+    aggregate; the sketch is O(bins) per key. Oracle: the identical
+    cumulative-count bin-selection rule in plain SQL."""
+    import json
+
+    from vector_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    merged = grouped_aggregate(
+        ds, ["event_type"],
+        {"h": ("histogram", "value", [50.0, 100.0, 250.0])})
+
+    def fin(t: pa.Table) -> pa.Table:
+        cols = {"n": [], "p50": [], "p90": [], "p99": []}
+        for js in t["h"].to_pylist():
+            d = json.loads(js)
+            cols["n"].append(d["count"])
+            for p in ("p50", "p90", "p99"):
+                cols[p].append(d[p])
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(cols["n"], pa.int64()),
+            "p50": pa.array(cols["p50"], pa.float64()),
+            "p90": pa.array(cols["p90"], pa.float64()),
+            "p99": pa.array(cols["p99"], pa.float64()),
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_bm25_search(sf_dir):
     """Okapi BM25 top-k retrieval (ml/corpus.py bm25_search): one
     fixed-size integer stats pass (no vocabulary broadcast — only the
@@ -2710,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "hist_quantiles": q_hist_quantiles,
         "bm25_search": q_bm25_search,
         "pca_embeddings": q_pca_embeddings,
         "nb_classify_docs": q_nb_classify,
@@ -3339,6 +3376,29 @@ def _golden_oracles() -> dict[str, str]:
             "c AS (SELECT CAST(token AS BIGINT) AS token, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
+        ),
+        "hist_quantiles": (
+            "WITH c AS (SELECT event_type, CASE WHEN value <= 50.0 THEN 0 "
+            "WHEN value <= 100.0 THEN 1 WHEN value <= 250.0 THEN 2 "
+            "ELSE 3 END AS bin, COUNT(*) AS bn FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT event_type, CAST(SUM(bn) AS BIGINT) AS total "
+            "FROM c GROUP BY 1), "
+            "cum AS (SELECT event_type, bin, SUM(bn) OVER "
+            "(PARTITION BY event_type ORDER BY bin) AS cum FROM c), "
+            "ps AS (SELECT * FROM (VALUES (0.5, 'p50'), (0.9, 'p90'), "
+            "(0.99, 'p99')) AS v(p, nm)), "
+            "sel AS (SELECT cum.event_type, ps.nm, MIN(cum.bin) AS b "
+            "FROM cum JOIN t USING (event_type) CROSS JOIN ps "
+            "WHERE cum.cum >= ps.p * t.total GROUP BY 1, 2), "
+            "val AS (SELECT event_type, nm, CASE b WHEN 0 THEN 50.0 "
+            "WHEN 1 THEN 100.0 WHEN 2 THEN 250.0 "
+            "ELSE 'infinity'::DOUBLE END AS v FROM sel) "
+            "SELECT t.event_type, t.total AS n, "
+            "MAX(CASE WHEN nm = 'p50' THEN v END) AS p50, "
+            "MAX(CASE WHEN nm = 'p90' THEN v END) AS p90, "
+            "MAX(CASE WHEN nm = 'p99' THEN v END) AS p99 "
+            "FROM t JOIN val USING (event_type) GROUP BY 1, 2"
         ),
         "bm25_search": golden.bm25_search_sql(),
         "pca_embeddings": golden.pca_embeddings_sql(),
