@@ -194,3 +194,31 @@ class TestRangeJoin:
         with pytest.raises(ValueError, match="clash"):
             range_join(rd.from_arrow(pts), rd.from_arrow(iv), by=["k"],
                        point="p", lo="lo", hi="hi")
+
+
+class TestJoinSkew:
+    def test_hot_key_join_completes_and_matches(self):
+        """Extreme key skew: one key holds 2/3 of the left side. The
+        bucketed join's contract is that a hot key degrades to one big
+        bucket (documented), not a wrong or hung result — verify exact
+        parity with a single-process Arrow join."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        hot = np.full(100_000, 7, np.int64)
+        cold = rng.integers(0, 100, 50_000)
+        keys = np.concatenate([hot, cold])
+        left = pa.table({"k": pa.array(keys),
+                         "lv": pa.array(np.arange(len(keys), dtype=np.int64))})
+        right = pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                          "rv": pa.array(np.arange(100, dtype=np.int64) * 10)})
+        out = bucketed_join(ds_of(left, blocks=8), ds_of(right, blocks=2),
+                            ["k"], buckets=8)
+        got = out.take_all()
+        want = left.join(right, keys="k", join_type="inner")
+        assert len(got) == len(want) == len(keys)  # every key matches
+        s_got = sum(r["rv"] for r in got)
+        s_want = int(pa.compute.sum(want["rv"]).as_py())
+        assert s_got == s_want
+        # hot-key rows all carried the right value
+        assert all(r["rv"] == 70 for r in got[:10] if r["k"] == 7)
