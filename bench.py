@@ -375,6 +375,10 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "grouped_var",
         "profile_orders",
         "ffill_events",
+        "nb_classify_docs",
+        "pca_embeddings",
+        "bm25_search",
+        "hist_quantiles",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
