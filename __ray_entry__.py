@@ -739,6 +739,23 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_pq_search(sf_dir):
+    """Product-quantization ANN (ml/pq.py — Jégou et al. 2011): 8
+    subspace codebooks fit on the deterministic hash sample, map-only
+    uint8 encoding (32× compression), broadcast ADC lookup tables,
+    per-block top-k. Oracle: independent single-threaded PQ mirror."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.pq import pq_search, pq_train
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qrows = emb.filter(pc.less(emb["vec_id"], 3)).sort_by("vec_id")
+    queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pq_train(ds, m=8, ncent=16, sample_size=1024)
+    return pq_search(ds, model, queries, k=10)
+
+
 def q_hist_quantiles(sf_dir):
     """The telemetry "p99 per service" staple: approx per-key quantiles
     from the MERGEABLE fixed-bucket histogram sketch
@@ -2746,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "pq_search": q_pq_search,
         "hist_quantiles": q_hist_quantiles,
         "bm25_search": q_bm25_search,
         "pca_embeddings": q_pca_embeddings,
@@ -3377,6 +3395,7 @@ def _golden_oracles() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
         ),
+        "pq_search": golden.pq_search_sql(),
         "hist_quantiles": (
             "WITH c AS (SELECT event_type, CASE WHEN value <= 50.0 THEN 0 "
             "WHEN value <= 100.0 THEN 1 WHEN value <= 250.0 THEN 2 "

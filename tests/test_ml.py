@@ -941,6 +941,55 @@ class TestCompressionRatio:
         assert r[2] == 1.0 and r[3] == 1.0
 
 
+class TestPQ:
+    def _tbl(self):
+        import numpy as np
+        rng = np.random.default_rng(13)
+        m = rng.normal(0, 1, (300, 32)).astype(np.float32)
+        m[299] = m[0]  # planted exact duplicate of vec 0
+        return pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        }), m
+
+    def test_partition_invariance_and_duplicate_recall(self):
+        import numpy as np
+
+        from vector_ray.ml.pq import pq_encode, pq_search, pq_train
+
+        t, m = self._tbl()
+        m3 = pq_train(rd.from_arrow(t).repartition(3), m=4, ncent=16,
+                      sample_size=512)
+        m7 = pq_train(rd.from_arrow(t).repartition(7), m=4, ncent=16,
+                      sample_size=512)
+        for a, b in zip(m3["codebooks"], m7["codebooks"]):
+            assert (a == b).all()
+
+        c3 = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(
+            rd.from_arrow(t).repartition(3), m3).take_all()}
+        c9 = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(
+            rd.from_arrow(t).repartition(9), m3).take_all()}
+        assert c3 == c9
+        assert c3[0] == c3[299]  # identical vectors → identical codes
+
+        top = pq_search(rd.from_arrow(t).repartition(4), m3,
+                        m[0:1].astype(np.float64), k=3)
+        got = top["vec_id"].to_pylist()
+        # the duplicate pair shares one code → equal adist, id ties
+        assert got[:2] == [0, 299]
+        assert top["adist"].to_pylist()[0] == top["adist"].to_pylist()[1]
+        assert top["rank"].to_pylist() == [0, 1, 2]
+
+    def test_dim_guard(self):
+        import pytest as _pt
+
+        from vector_ray.ml.pq import pq_train
+
+        t, _ = self._tbl()
+        with _pt.raises(ValueError, match="not divisible"):
+            pq_train(rd.from_arrow(t), m=5)
+
+
 class TestBM25:
     def _docs(self):
         texts = [

@@ -1096,6 +1096,64 @@ def nb_classify_sql(buckets: int = 1 << 13, seed: int = 1,
     return _values_sql(rows, cols, types)
 
 
+def pq_search_sql(m: int = 8, ncent: int = 16, k: int = 10,
+                  iters: int = 10, seed: int = 5) -> str:
+    """Independent single-threaded PQ/ADC search mirroring ml/pq.py
+    op-for-op: same float32 file-order training sample (the engine's
+    bottom-k hash sample keeps file order when sample_size >= n), the
+    same float64 Lloyd with seeded rng.choice init, the same
+    elementwise encode / LUT / fixed-subspace-order ADC sums, global
+    (adist, vec_id) tie-break."""
+    t = pq.read_table(os.path.join(sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), np.int64)
+    base = np.array(t["embedding"].to_pylist(), np.float32)
+    d = base.shape[1]
+    sub = d // m
+    # the engine trains on the hash-SORTED sample (ml/pq.py
+    # _hash_sorted_sample): order is a pure function of the id set
+    hs = np.array([fnv1a_int(str(i)) for i in ids], np.uint64)
+    sample = base[np.argsort(hs, kind="stable")]
+
+    def kmeans_l2(x, nc):
+        x = np.asarray(x, np.float64)
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=min(nc, len(x)),
+                            replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mem = x[assign == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        return cent
+
+    books = [kmeans_l2(sample[:, si * sub:(si + 1) * sub], ncent)
+             for si in range(m)]
+    x = base.astype(np.float64)
+    codes = np.zeros((len(x), m), np.uint8)
+    for si in range(m):
+        xs = x[:, si * sub:(si + 1) * sub]
+        d2 = ((xs[:, None, :] - books[si][None, :, :]) ** 2).sum(-1)
+        codes[:, si] = np.argmin(d2, axis=1)
+
+    order = np.argsort(ids[ids < 3])
+    q = x[ids < 3][order]
+    rows = []
+    for qi in range(len(q)):
+        adist = np.zeros(len(x), np.float64)
+        for si in range(m):
+            lut = ((q[qi:qi + 1, si * sub:(si + 1) * sub][:, None, :]
+                    - books[si][None, :, :]) ** 2).sum(-1)[0]
+            adist += lut[codes[:, si]]
+        o = np.lexsort((ids, adist))[:k]
+        for rank, i in enumerate(o):
+            rows.append((qi, int(ids[i]), float(adist[i]), rank))
+    return _values_sql(rows, ["query_idx", "vec_id", "adist", "rank"],
+                       ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"])
+
+
 def bm25_search_sql(query: str = "table scan fast merge",
                     k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
     """Independent single-threaded Okapi BM25 mirroring
