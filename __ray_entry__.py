@@ -739,6 +739,17 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_funnel_events(sf_dir):
+    """Ordered-sequence funnel (stages/funnel.py): first view → first
+    later click → first later purchase per user; only (key, ts, stage)
+    triples shuffle. Oracle: chained MIN-after-threshold ANSI joins."""
+    from vector_ray.stages.funnel import funnel
+
+    ds = _rp(sf_dir, "events",
+             columns=["user_id", "ts", "event_type"])
+    return _finish(funnel(ds, ["view", "click", "purchase"]))
+
+
 def q_pq_search(sf_dir):
     """Product-quantization ANN (ml/pq.py — Jégou et al. 2011): 8
     subspace codebooks fit on the deterministic hash sample, map-only
@@ -2763,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "funnel_events": q_funnel_events,
         "pq_search": q_pq_search,
         "hist_quantiles": q_hist_quantiles,
         "bm25_search": q_bm25_search,
@@ -3394,6 +3406,25 @@ def _golden_oracles() -> dict[str, str]:
             "c AS (SELECT CAST(token AS BIGINT) AS token, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
+        ),
+        "funnel_events": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type IN ('view', 'click', 'purchase')), "
+            "s0 AS (SELECT user_id, MIN(ts) AS t_view FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e "
+            "JOIN s0 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s0.t_view GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s1.t_click GROUP BY 1) "
+            "SELECT u.user_id, s0.t_view, s1.t_click, s2.t_purchase, "
+            "CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3 "
+            "WHEN s1.user_id IS NOT NULL THEN 2 "
+            "WHEN s0.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS stages_completed "
+            "FROM u LEFT JOIN s0 USING (user_id) "
+            "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)"
         ),
         "pq_search": golden.pq_search_sql(),
         "hist_quantiles": (

@@ -379,6 +379,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "pca_embeddings",
         "bm25_search",
         "hist_quantiles",
+        "pq_search",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -307,3 +307,60 @@ class TestFileSink:
         res = topo.run()
         assert sum(r for _p, r in res["files"]) == 50
         assert len(glob.glob(str(tmp_path / "*" / "*.ndjson"))) >= 2
+
+
+class TestFunnel:
+    def _events(self):
+        from datetime import datetime as dt
+        rows = [
+            # user 1: full funnel in order
+            (1, dt(2024, 1, 1, 0), "view"),
+            (1, dt(2024, 1, 1, 1), "click"),
+            (1, dt(2024, 1, 1, 2), "purchase"),
+            # user 2: click BEFORE view never counts; no click after
+            (2, dt(2024, 1, 1, 0), "click"),
+            (2, dt(2024, 1, 1, 1), "view"),
+            # user 3: purchase-only (stage 0 reached never)
+            (3, dt(2024, 1, 1, 0), "purchase"),
+            # user 4: same-ts click does NOT count (strictly after)
+            (4, dt(2024, 1, 1, 0), "view"),
+            (4, dt(2024, 1, 1, 0), "click"),
+            (4, dt(2024, 1, 1, 1), "click"),
+            # user 5: irrelevant events only -> absent from output
+            (5, dt(2024, 1, 1, 0), "error"),
+        ]
+        return pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        })
+
+    def test_semantics_and_partition_invariance(self):
+        from vector_ray.stages.funnel import funnel
+
+        t = self._events()
+
+        def run(blocks):
+            out = funnel(rd.from_arrow(t).repartition(blocks),
+                         ["view", "click", "purchase"])
+            return {r["user_id"]: r for r in out.take_all()}
+
+        a, b = run(1), run(4)
+        assert set(a) == set(b) == {1, 2, 3, 4}
+        for u in a:
+            assert a[u] == b[u]
+        assert a[1]["stages_completed"] == 3
+        assert a[1]["t_purchase"] is not None
+        assert a[2]["stages_completed"] == 1  # early click ignored
+        assert a[2]["t_click"] is None
+        assert a[3]["stages_completed"] == 0  # purchase before view
+        assert a[3]["t_view"] is None
+        assert a[4]["stages_completed"] == 2  # same-ts click skipped
+        assert a[4]["t_click"].hour == 1
+
+    def test_needs_two_stages(self):
+        from vector_ray.stages.funnel import funnel
+
+        with pytest.raises(ValueError, match="at least 2"):
+            funnel(rd.from_arrow(self._events()), ["view"])
