@@ -739,6 +739,18 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_retention_cohorts(sf_dir):
+    """Cohort retention (stages/funnel.py retention_cohorts): integer
+    epoch-µs period indices, one key-bucket shuffle, per-bucket distinct
+    (user, offset) pre-aggregation — second exchange bounded by
+    cohorts×offsets. Oracle: MIN-over-user + DISTINCT-period SQL with
+    the same integer floor-division."""
+    from vector_ray.stages.funnel import retention_cohorts
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    return _finish(retention_cohorts(ds, period_s=604_800))
+
+
 def q_funnel_events(sf_dir):
     """Ordered-sequence funnel (stages/funnel.py): first view → first
     later click → first later purchase per user; only (key, ts, stage)
@@ -2774,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "retention_cohorts": q_retention_cohorts,
         "funnel_events": q_funnel_events,
         "pq_search": q_pq_search,
         "hist_quantiles": q_hist_quantiles,
@@ -3406,6 +3419,16 @@ def _golden_oracles() -> dict[str, str]:
             "c AS (SELECT CAST(token AS BIGINT) AS token, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY 1) "
             "SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 25"
+        ),
+        "retention_cohorts": (
+            "WITH p AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS per "
+            "FROM events), "
+            "c AS (SELECT user_id, MIN(per) AS cohort FROM p GROUP BY 1), "
+            "d AS (SELECT DISTINCT p.user_id, c.cohort, "
+            "p.per - c.cohort AS off FROM p JOIN c USING (user_id)) "
+            "SELECT cohort AS cohort_period, off AS period_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2"
         ),
         "funnel_events": (
             "WITH u AS (SELECT DISTINCT user_id FROM events "

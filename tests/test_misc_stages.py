@@ -364,3 +364,38 @@ class TestFunnel:
 
         with pytest.raises(ValueError, match="at least 2"):
             funnel(rd.from_arrow(self._events()), ["view"])
+
+
+class TestRetentionCohorts:
+    def test_matches_brute_force(self):
+        from datetime import datetime as dt, timedelta
+
+        from vector_ray.stages.funnel import retention_cohorts
+
+        day = timedelta(days=1)
+        base = dt(2024, 1, 1)
+        rows = []
+        # cohort 0: users 1, 2. user 1 returns in weeks 1 and 3 (twice
+        # in week 1 — must count once); user 2 never returns.
+        rows += [(1, base), (1, base + 8 * day), (1, base + 9 * day),
+                 (1, base + 22 * day), (2, base + 2 * day)]
+        # cohort 2: user 3, returns next week
+        rows += [(3, base + 15 * day), (3, base + 21 * day)]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+
+        def run(blocks):
+            out = retention_cohorts(
+                rd.from_arrow(t).repartition(blocks), period_s=604_800)
+            return {(r["cohort_period"], r["period_offset"]): r["n"]
+                    for r in out.take_all()}
+
+        got1, got4 = run(1), run(4)
+        assert got1 == got4
+        # periods relative to epoch; normalize to the minimum cohort
+        c0 = min(c for c, _o in got1)
+        norm = {(c - c0, o): n for (c, o), n in got1.items()}
+        assert norm == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                        (2, 0): 1, (2, 1): 1}

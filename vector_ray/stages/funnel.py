@@ -93,3 +93,62 @@ def funnel(ds, stages: Sequence[str], *, key: str = "user_id",
 
     return bucketed_map_groups(narrow, [key], per_bucket,
                                num_buckets=num_buckets)
+
+
+def retention_cohorts(ds, *, key: str = "user_id", ts_col: str = "ts",
+                      period_s: int = 604_800, num_buckets=None):
+    """Cohort retention — "of the users whose FIRST event fell in
+    period P, how many were active again in P+k?" — the other
+    event-analytics staple. Output: one row per (cohort_period,
+    period_offset) with the distinct-user count.
+
+    Plan: map-only projection to (key, integer period index: floor of
+    epoch-µs / period — exact integer arithmetic, partitioning-proof),
+    ONE hash-bucket shuffle on the key, per bucket a lexsort +
+    run-segmentation pass that emits each user's (cohort, offset)
+    DISTINCT pairs pre-aggregated to (cohort, offset, n) partials, then
+    a final small grouped sum — per-bucket output is bounded by
+    (#cohorts × #offsets), never by user count, so the second exchange
+    is tiny at any scale. Oracle: ANSI MIN-over-user + DISTINCT-period
+    GROUP BY."""
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(t[ts_col], pa.int64())
+                        .to_numpy(zero_copy_only=False), np.int64)
+        per = us // (period_s * 1_000_000)
+        return pa.table({key: t[key],
+                         "__per": pa.array(per, pa.int64())})
+
+    narrow = ds.map_batches(prefilter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"cohort_period": pa.array([], pa.int64()),
+                             "period_offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys = np.asarray(g[key])
+        per = np.asarray(g["__per"], np.int64)
+        o = np.lexsort((per, keys))
+        keys, per = keys[o], per[o]
+        new_user = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new_user)
+        seg_lens = np.diff(np.append(starts, len(keys)))
+        cohort = np.repeat(per[starts], seg_lens)
+        offset = per - cohort
+        # distinct (user, offset): sorted within user, so dedupe runs
+        first = new_user | np.concatenate([[True], offset[1:] != offset[:-1]])
+        pairs = np.stack([cohort[first], offset[first]], axis=1)
+        uq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({
+            "cohort_period": pa.array(uq[:, 0], pa.int64()),
+            "period_offset": pa.array(uq[:, 1], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = bucketed_map_groups(narrow, [key], per_bucket,
+                                num_buckets=num_buckets)
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    return grouped_aggregate(parts, ["cohort_period", "period_offset"],
+                             {"n": ("sum", "n")})
