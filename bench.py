@@ -380,6 +380,8 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "bm25_search",
         "hist_quantiles",
         "pq_search",
+        "funnel_events",
+        "retention_cohorts",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
