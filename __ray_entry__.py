@@ -739,6 +739,20 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_knn_graph(sf_dir):
+    """k-NN graph (ml/ann.knn_graph): every vector is both query and
+    member; IVF scatter (member once + query replica per probed
+    centroid), per-cluster chunked float64 matmul, bucketed global
+    top-k merge. Probing ALL clusters makes the graph exact, so the
+    oracle is the brute-force cross-join QUALIFY shape (rank + tie
+    columns only — float cosine never enters the hash)."""
+    from vector_ray.ml.ann import knn_graph
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_graph(ds, k=5, n_clusters=6, n_probe=None)
+    return _finish(out.select_columns(["src", "dst", "rank"]))
+
+
 def q_retention_cohorts(sf_dir):
     """Cohort retention (stages/funnel.py retention_cohorts): integer
     epoch-µs period indices, one key-bucket shuffle, per-bucket distinct
@@ -2786,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "knn_graph": q_knn_graph,
         "retention_cohorts": q_retention_cohorts,
         "funnel_events": q_funnel_events,
         "pq_search": q_pq_search,
@@ -2955,6 +2970,16 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "knn_graph": (
+            "WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS c "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id <> b.vec_id) "
+            "SELECT src, dst, CAST(row_number() OVER "
+            "(PARTITION BY src ORDER BY c DESC, dst) - 1 AS BIGINT) AS rank "
+            "FROM s QUALIFY row_number() OVER "
+            "(PARTITION BY src ORDER BY c DESC, dst) <= 5"
+        ),
         "vocab_topk": (
             r"WITH w AS (SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word "
             "FROM documents), "

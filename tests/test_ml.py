@@ -51,6 +51,51 @@ class TestKnn:
             recall += len(got & truth)
         assert recall >= 6  # >=60% recall with 4/8 probes on random data
 
+    def test_knn_graph_exact_matches_brute(self):
+        from vector_ray.ml.ann import knn_graph
+
+        m = _rand_embeddings(150)
+        m[37] = m[11]  # exact duplicate => tie broken by dst id
+        t = pa.table({"vec_id": pa.array(range(150), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        out = knn_graph(rd.from_arrow(t).repartition(4), k=4,
+                        n_clusters=5, n_probe=None).to_pandas()
+        assert len(out) == 150 * 4
+        sims = (m.astype(np.float64) @ m.astype(np.float64).T)
+        for src in (0, 11, 37, 149):
+            order = sorted((-sims[src, j], j) for j in range(150) if j != src)
+            truth = [j for _, j in order[:4]]
+            got = list(out[out["src"] == src].sort_values("rank")["dst"])
+            assert got == truth, (src, got, truth)
+
+    def test_knn_graph_probe_mode_recall_and_cap(self):
+        from vector_ray.ml.ann import knn_graph
+
+        m = _rand_embeddings(300)
+        t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(3)
+        out = knn_graph(ds, k=3, n_clusters=8, n_probe=3).to_pandas()
+        sims = m @ m.T
+        hits = total = 0
+        got = {s: set(g["dst"]) for s, g in out.groupby("src")}
+        for src in range(300):
+            np.fill_diagonal(sims, -2)
+            truth = set(np.argsort(-sims[src])[:3].tolist())
+            hits += len(got.get(src, set()) & truth)
+            total += 3
+        assert hits / total >= 0.5
+        # degenerate cluster: everything identical -> cap warning fires
+        m2 = np.tile(m[:1], (64, 1))
+        t2 = pa.table({"vec_id": pa.array(range(64), pa.int64()),
+                       "embedding": pa.array(m2.tolist(), pa.list_(pa.float32()))})
+        capped = knn_graph(rd.from_arrow(t2), k=2, n_clusters=2,
+                           max_cluster=16).to_pandas()
+        # completes (no O(width^2) blow-up) and neighbors only come from
+        # the <=16 retained members of the degenerate cluster
+        assert len(capped) > 0
+        assert capped["dst"].nunique() <= 16
+
     def test_ivf_recall_on_clustered_data_sorted_by_cluster(self):
         # data laid out SORTED by cluster: a first-blocks sample
         # (ds.limit) would train centroids on cluster 0 only; the

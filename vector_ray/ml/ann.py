@@ -296,3 +296,159 @@ def ivf_search(
         return g.append_column("rank", pa.array(np.arange(len(g), dtype=np.int64)))
 
     return local.groupby("query_idx").map_groups(merge, batch_format="pyarrow"), stats
+
+
+# ---------------------------------------------------------------------------
+# k-NN GRAPH — every row is both query and index member. The building
+# block for graph-based curation (mutual-kNN clusters, kNN-density
+# outlier scores, label propagation over neighbors).
+
+
+def knn_graph(
+    ds,
+    *,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 5,
+    max_cluster: int = 200_000,
+    query_chunk: int = 256,
+):
+    """Cosine k-nearest-neighbor graph over the dataset itself:
+    (src, dst, cosine, rank) with ``k`` neighbors per row, self
+    excluded, ties broken by ascending dst id.
+
+    Plan (IVF-partitioned all-pairs): coarse centroids from a
+    bottom-k id-hash sample (driver k-means, broadcast once); one
+    scatter pass emits each vector ONCE as a member of its argmax
+    cluster and ``n_probe`` times as a query replica to its nearest
+    centroids; one shuffle co-locates each cluster; per cluster ONE
+    chunked float64 matmul finds each query's local top-k; the final
+    bucketed merge keeps the global top-k per src. Shuffle volume is
+    (1 + n_probe) x the (id, vec) projection — payload columns never
+    move. ``n_probe=None`` probes every cluster, which makes the
+    graph EXACT (the brute-force oracle shape); small n_probe is the
+    scale path (recall < 1 like any IVF search).
+
+    A cluster wider than ``max_cluster`` members is truncated with a
+    logged warning (mirrors the LSH bucket caps in ml/dedup.py) —
+    one degenerate centroid must not absorb the whole corpus into a
+    single task."""
+    sample = _hash_sample_matrix(ds, vec_col, id_col, sample_size)
+    cent = kmeans_fit(sample, n_clusters, seed=seed).astype(np.float64)
+    ncl = len(cent)
+    probe = ncl if n_probe is None else min(int(n_probe), ncl)
+    cref = ray.put(cent)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        m = _as_matrix(t[vec_col]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        vecs = t[vec_col].combine_chunks() if isinstance(
+            t[vec_col], pa.ChunkedArray) else t[vec_col]
+        sims = m @ cm.T
+        own = np.argmax(sims, axis=1).astype(np.int32)
+        if probe >= ncl:
+            pr = np.tile(np.arange(ncl, dtype=np.int32), len(t))
+        else:
+            # argmax (the member cluster) is always the first probe
+            pr = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            pr = pr.astype(np.int32).reshape(-1)
+        member = pa.table({
+            "cluster": pa.array(own),
+            id_col: ids,
+            vec_col: vecs,
+            "role": pa.array(np.zeros(len(t), np.int8)),
+        })
+        qidx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64),
+                                  probe if probe < ncl else ncl))
+        query = pa.table({
+            "cluster": pa.array(pr),
+            id_col: ids.take(qidx),
+            vec_col: vecs.take(qidx),
+            "role": pa.array(np.ones(len(qidx), np.int8)),
+        })
+        return pa.concat_tables([member, query])
+
+    proj = ds.select_columns([id_col, vec_col])
+    scattered = proj.map_batches(scatter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def cluster_knn(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        roles = np.asarray(g["role"].to_numpy(zero_copy_only=False))
+        mem = g.filter(pa.array(roles == 0))
+        qry = g.filter(pa.array(roles == 1))
+        empty = pa.table({
+            "src": pa.array([], g[id_col].type),
+            "dst": pa.array([], g[id_col].type),
+            "cosine": pa.array([], pa.float64()),
+        })
+        if len(mem) == 0 or len(qry) == 0:
+            return empty
+        if len(mem) > max_cluster:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_graph: cluster with %d members truncated to "
+                "max_cluster=%d", len(mem), max_cluster)
+            mem = mem.slice(0, max_cluster)
+        mm = _as_matrix(mem[vec_col]).astype(np.float64)
+        mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        mids = mem[id_col].combine_chunks() if isinstance(
+            mem[id_col], pa.ChunkedArray) else mem[id_col]
+        mid_np = np.asarray(mids.to_numpy(zero_copy_only=False))
+        qm = _as_matrix(qry[vec_col]).astype(np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        qids = qry[id_col].combine_chunks() if isinstance(
+            qry[id_col], pa.ChunkedArray) else qry[id_col]
+        qid_np = np.asarray(qids.to_numpy(zero_copy_only=False))
+        outs = []
+        # chunk the query rows so the sims matrix stays bounded at
+        # query_chunk x |members| regardless of cluster width
+        for s in range(0, len(qm), query_chunk):
+            qc = qm[s:s + query_chunk]
+            qi = qid_np[s:s + query_chunk]
+            sims = qc @ mm.T  # (cq, nm)
+            sims[qi[:, None] == mid_np[None, :]] = -np.inf  # self
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qc)), kk)
+            cols = idx.reshape(-1)
+            cos = sims[rows, cols]
+            keep = np.isfinite(cos)  # width-1 clusters: only self
+            outs.append(pa.table({
+                "src": pa.array(np.repeat(qi, kk)[keep]),
+                "dst": pa.array(mid_np[cols][keep]),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    local = scattered.groupby("cluster").map_groups(
+        cluster_knn, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        # one vectorized pass per hash bucket: sort, run-segment by
+        # src, keep the first k rows of each run, rank = pos in run
+        if len(g) == 0:
+            return g.append_column("rank", pa.array([], pa.int64()))
+        g = g.combine_chunks().sort_by([
+            ("src", "ascending"), ("cosine", "descending"),
+            ("dst", "ascending")])
+        from vector_ray.stages.bucketed import _run_starts
+
+        new_run = _run_starts(g, ["src"])
+        starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(starts, len(g)))
+        pos = np.arange(len(g)) - np.repeat(starts, run_len)
+        g = g.append_column("rank", pa.array(pos, pa.int64()))
+        return g.filter(pa.array(pos < k))
+
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(local, ["src"], merge)
