@@ -739,6 +739,52 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_apply_changeset(sf_dir):
+    """MERGE INTO (stages/diff.apply_changeset): deletes, upserts and
+    inserts applied to the documents snapshot; only the changeset's id
+    column touches the base (broadcast anti-join, payload never
+    shuffles). The changeset is derived deterministically from the
+    table itself so the oracle can rebuild it in plain SQL."""
+    from vector_ray.stages.diff import apply_changeset
+
+    base = _rp(sf_dir, "documents")
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        mod = pc.cast(np_mod(t["doc_id"], 10), pa.int64())
+        dels = t.filter(pc.equal(mod, 0))
+        dels = dels.append_column("op", pa.array(["D"] * len(dels)))
+        ups = t.filter(pc.equal(mod, 1))
+        ups = ups.set_column(
+            ups.column_names.index("source"), "source",
+            pa.array(["patched"] * len(ups)))
+        ups = ups.set_column(
+            ups.column_names.index("n_chars"), "n_chars",
+            pc.add(ups["n_chars"], 1000))
+        ups = ups.append_column("op", pa.array(["U"] * len(ups)))
+        ins = t.filter(pc.equal(mod, 2))
+        ins = ins.set_column(
+            ins.column_names.index("doc_id"), "doc_id",
+            pc.add(ins["doc_id"], 1_000_000))
+        ins = ins.set_column(
+            ins.column_names.index("source"), "source",
+            pa.array(["inserted"] * len(ins)))
+        ins = ins.append_column("op", pa.array(["I"] * len(ins)))
+        return pa.concat_tables([dels, ups, ins])
+
+    changes = _rp(sf_dir, "documents").map_batches(
+        make_changes, batch_format="pyarrow", zero_copy_batch=True)
+    out = apply_changeset(base, changes, id_col="doc_id")
+    return _finish(out)
+
+
+def np_mod(col, m: int) -> pa.Array:
+    """pyarrow 16 has no pc.mod — modulo via numpy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = np.asarray(col.to_numpy(zero_copy_only=False))
+    return pa.array(v % m)
+
+
 def q_knn_graph(sf_dir):
     """k-NN graph (ml/ann.knn_graph): every vector is both query and
     member; IVF scatter (member once + query replica per probed
@@ -2800,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "apply_changeset": q_apply_changeset,
         "knn_graph": q_knn_graph,
         "retention_cohorts": q_retention_cohorts,
         "funnel_events": q_funnel_events,
@@ -2970,6 +3017,20 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "apply_changeset": (
+            "WITH ch AS ("
+            "SELECT doc_id, text, lang, source, n_chars, 'D' AS op "
+            "FROM documents WHERE doc_id % 10 = 0 "
+            "UNION ALL SELECT doc_id, text, lang, 'patched', "
+            "n_chars + 1000, 'U' FROM documents WHERE doc_id % 10 = 1 "
+            "UNION ALL SELECT doc_id + 1000000, text, lang, 'inserted', "
+            "n_chars, 'I' FROM documents WHERE doc_id % 10 = 2) "
+            "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+            "FROM documents d WHERE d.doc_id NOT IN "
+            "(SELECT doc_id FROM ch) "
+            "UNION ALL SELECT doc_id, text, lang, source, n_chars "
+            "FROM ch WHERE op <> 'D'"
+        ),
         "knn_graph": (
             "WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
             "list_cosine_similarity(a.embedding, b.embedding) AS c "

@@ -1311,6 +1311,53 @@ class TestSnapshotDiff:
         assert dict(zip(out["doc_id"], out["status"])) == {2: "changed"}
 
 
+class TestApplyChangeset:
+    BASE = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                     "text": pa.array(["a", "b", "c", "d"])})
+    CH = pa.table({"doc_id": pa.array([2, 3, 9], pa.int64()),
+                   "text": pa.array(["B2", None, "new"]),
+                   "op": pa.array(["U", "D", "I"])})
+
+    def test_delete_upsert_insert_both_modes(self):
+        from vector_ray.stages.diff import apply_changeset
+
+        for mode in ("broadcast", "bucketed"):
+            out = apply_changeset(
+                rd.from_arrow(self.BASE).repartition(2),
+                rd.from_arrow(self.CH).repartition(2),
+                id_col="doc_id", mode=mode).to_pandas()
+            got = dict(zip(out["doc_id"], out["text"]))
+            assert got == {1: "a", 2: "B2", 4: "d", 9: "new"}, mode
+            assert list(out.columns) == ["doc_id", "text"]
+
+    def test_broadcast_guard(self):
+        from vector_ray.stages.diff import apply_changeset
+
+        with pytest.raises(ValueError):
+            apply_changeset(
+                rd.from_arrow(self.BASE), rd.from_arrow(self.CH),
+                id_col="doc_id", max_broadcast_rows=2,
+            ).to_pandas()
+
+    def test_roundtrip_with_snapshot_diff_payload(self):
+        # apply_changeset(old, changes) == new when changes carries the
+        # new payload for added/changed ids and D rows for removed ids
+        from vector_ray.stages.diff import apply_changeset
+
+        old = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                        "text": pa.array(["a", "b", "c"])})
+        new = pa.table({"doc_id": pa.array([2, 3, 4], pa.int64()),
+                        "text": pa.array(["b", "C!", "d"])})
+        ch = pa.table({"doc_id": pa.array([1, 3, 4], pa.int64()),
+                       "text": pa.array([None, "C!", "d"]),
+                       "op": pa.array(["D", "U", "I"])})
+        out = apply_changeset(rd.from_arrow(old), rd.from_arrow(ch),
+                              id_col="doc_id").to_pandas()
+        got = sorted(zip(out["doc_id"], out["text"]))
+        assert got == sorted(zip(new["doc_id"].to_pylist(),
+                                 new["text"].to_pylist()))
+
+
 class TestGroupedMode:
     def test_ties_to_smallest_and_partition_invariant(self):
         from vector_ray.stages.aggregate import grouped_mode

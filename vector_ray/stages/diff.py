@@ -69,3 +69,54 @@ def snapshot_diff(old, new, *, id_col: str = "doc_id",
 
     return j.map_batches(classify, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def apply_changeset(base, changes, *, id_col: str = "doc_id",
+                    op_col: str = "op", mode: str = "broadcast",
+                    buckets: int = 16,
+                    max_broadcast_rows: int = 5_000_000):
+    """MERGE INTO: apply an insert/update/delete changeset to a base
+    snapshot and return the new snapshot (base schema, ``op_col``
+    dropped). The inverse of :func:`snapshot_diff` — ``apply_changeset
+    (old, diff-with-payload)`` reconstructs the new snapshot, which is
+    how incremental curation reruns avoid reprocessing the base corpus.
+
+    Ops: ``'D'`` deletes the base row with that id; ``'U'``/``'I'``
+    emit the changeset payload (an upsert — any base row with the same
+    id is superseded). Ids must be unique within the changeset
+    (standard MERGE precondition; violations produce duplicate rows
+    rather than an error, same as SQL MERGE without a guard).
+
+    Plan: only the changeset's ID COLUMN ever touches the base — in
+    ``broadcast`` mode (default) the distinct-id table ships once via
+    ``ray.put`` and the base is filtered map-only (base payload never
+    shuffles); ``bucketed`` mode anti-joins by hash bucket for
+    changesets too large to broadcast. Surviving changeset rows union
+    in, schema-aligned to the base."""
+    from vector_ray.stages.join import broadcast_join, bucketed_join
+
+    base_cols = list(base.schema().names)
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return t.select([id_col])
+
+    ch_ids = changes.map_batches(ids_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    if mode == "broadcast":
+        kept = broadcast_join(base, ch_ids, on=[id_col],
+                              join_type="anti",
+                              max_broadcast_rows=max_broadcast_rows)
+    elif mode == "bucketed":
+        kept = bucketed_join(base, ch_ids, on=[id_col],
+                             join_type="anti", buckets=buckets)
+    else:
+        raise ValueError(f"apply_changeset: unknown mode={mode!r}")
+
+    def surviving(t: pa.Table) -> pa.Table:
+        ops = pc.cast(t[op_col], pa.string())
+        t = t.filter(pc.invert(pc.equal(pc.fill_null(ops, ""), "D")))
+        return t.select(base_cols)
+
+    upserts = changes.map_batches(surviving, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return kept.union(upserts)
