@@ -739,6 +739,23 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_audit_docs(sf_dir):
+    """Data-quality audit (stages/expect.audit): five rule kinds in one
+    counting pass + an exact distinct-values pass for `unique`
+    (violations = rows - distinct). Oracle: UNION ALL of SQL FILTER
+    aggregates mirroring each rule."""
+    from vector_ray.stages.expect import audit
+
+    ds = _rp(sf_dir, "documents")
+    return audit(ds, [
+        ("chars_range", "range", "n_chars", 50, 500),
+        ("lang_not_null", "not_null", "lang"),
+        ("lang_set", "in_set", "lang", ["en", "de", "fr"]),
+        ("source_regex", "regex", "source", r"^src1"),
+        ("source_unique", "unique", "source"),
+    ])
+
+
 def q_apply_changeset(sf_dir):
     """MERGE INTO (stages/diff.apply_changeset): deletes, upserts and
     inserts applied to the documents snapshot; only the changeset's id
@@ -2846,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "audit_docs": q_audit_docs,
         "apply_changeset": q_apply_changeset,
         "knn_graph": q_knn_graph,
         "retention_cohorts": q_retention_cohorts,
@@ -3017,6 +3035,25 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "audit_docs": (
+            "SELECT 'chars_range' AS rule, 'range' AS kind, "
+            "'n_chars' AS col, COUNT(n_chars) AS checked, "
+            "COUNT(*) FILTER (WHERE n_chars IS NOT NULL AND "
+            "(n_chars < 50 OR n_chars > 500)) AS violations "
+            "FROM documents "
+            "UNION ALL SELECT 'lang_not_null', 'not_null', 'lang', "
+            "COUNT(*), COUNT(*) FILTER (WHERE lang IS NULL) "
+            "FROM documents "
+            "UNION ALL SELECT 'lang_set', 'in_set', 'lang', "
+            "COUNT(lang), COUNT(*) FILTER (WHERE lang IS NOT NULL AND "
+            "lang NOT IN ('en', 'de', 'fr')) FROM documents "
+            "UNION ALL SELECT 'source_regex', 'regex', 'source', "
+            "COUNT(source), COUNT(*) FILTER (WHERE source IS NOT NULL "
+            "AND NOT regexp_matches(source, '^src1')) FROM documents "
+            "UNION ALL SELECT 'source_unique', 'unique', 'source', "
+            "COUNT(source), COUNT(source) - COUNT(DISTINCT source) "
+            "FROM documents"
+        ),
         "apply_changeset": (
             "WITH ch AS ("
             "SELECT doc_id, text, lang, source, n_chars, 'D' AS op "

@@ -1311,6 +1311,55 @@ class TestSnapshotDiff:
         assert dict(zip(out["doc_id"], out["status"])) == {2: "changed"}
 
 
+class TestAudit:
+    def test_all_rule_kinds(self):
+        from vector_ray.stages.expect import audit
+
+        t = pa.table({
+            "id": pa.array([1, 2, 2, 3, None], pa.int64()),
+            "lang": pa.array(["en", "xx", None, "de", "en"]),
+            "n": pa.array([5, 50, 500, 5000, None], pa.int64()),
+            "src": pa.array(["a1", "b2", "a3", "zz", "a4"]),
+        })
+        out = audit(rd.from_arrow(t).repartition(3), [
+            ("id_uniq", "unique", "id"),
+            ("lang_nn", "not_null", "lang"),
+            ("lang_set", "in_set", "lang", ["en", "de"]),
+            ("n_range", "range", "n", 10, 1000),
+            ("src_re", "regex", "src", r"^a"),
+        ]).to_pandas().set_index("rule")
+        # id: 4 non-null, 3 distinct -> 1 duplicate
+        assert (out.loc["id_uniq", "checked"],
+                out.loc["id_uniq", "violations"]) == (4, 1)
+        assert (out.loc["lang_nn", "checked"],
+                out.loc["lang_nn", "violations"]) == (5, 1)
+        assert (out.loc["lang_set", "checked"],
+                out.loc["lang_set", "violations"]) == (4, 1)
+        # n: 4 non-null; 5 and 5000 outside [10, 1000]
+        assert (out.loc["n_range", "checked"],
+                out.loc["n_range", "violations"]) == (4, 2)
+        # src: b2 and zz don't match ^a
+        assert (out.loc["src_re", "checked"],
+                out.loc["src_re", "violations"]) == (5, 2)
+
+    def test_duplicate_rule_names_rejected(self):
+        from vector_ray.stages.expect import audit
+
+        t = pa.table({"x": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            audit(rd.from_arrow(t), [("r", "not_null", "x"),
+                                     ("r", "unique", "x")])
+
+    def test_empty_dataset(self):
+        from vector_ray.stages.expect import audit
+
+        t = pa.table({"x": pa.array([], pa.int64())})
+        out = audit(rd.from_arrow(t), [("nn", "not_null", "x"),
+                                       ("uq", "unique", "x")]).to_pandas()
+        assert list(out["checked"]) == [0, 0]
+        assert list(out["violations"]) == [0, 0]
+
+
 class TestApplyChangeset:
     BASE = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
                      "text": pa.array(["a", "b", "c", "d"])})
