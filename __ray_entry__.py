@@ -739,6 +739,39 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_asof_tolerance(sf_dir):
+    """As-of join with a match-window tolerance (stages/join.asof_join
+    tolerance=): the latest purchase at most 3 days before each event;
+    older matches fall back to null exactly like pandas merge_asof.
+    Oracle: ASOF LEFT JOIN + CASE window filter."""
+    import pandas as pd
+
+    from vector_ray.stages.join import asof_join
+
+    ev = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    purchases = _rp(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": p["user_id"], "ts": p["ts"],
+                         "pts": p["ts"]})
+
+    purchases = purchases.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = asof_join(ev, purchases, by=["user_id"], on="ts", buckets=8,
+                    tolerance=pd.Timedelta(days=3))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "last_purchase_us": pc.cast(
+                pc.cast(t["pts"], pa.int64()), pa.float64()),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_audit_docs(sf_dir):
     """Data-quality audit (stages/expect.audit): five rule kinds in one
     counting pass + an exact distinct-values pass for `unique`
@@ -1395,8 +1428,10 @@ def q_rank_lineitem(sf_dir):
         "rnk": ("rank", None),
         "drnk": ("dense_rank", None),
         "prnk": ("percent_rank", None),
+        "cume": ("cume_dist", None),
         "fv": ("first_value", "l_quantity"),
         "lv": ("last_value", "l_quantity"),
+        "nv2": ("nth_value", "l_quantity", 2),
     })
     # ntile needs a UNIQUE order (tie order changes tile assignment);
     # chained second pass over (quantity, linenumber)
@@ -2863,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "asof_tolerance": q_asof_tolerance,
         "audit_docs": q_audit_docs,
         "apply_changeset": q_apply_changeset,
         "knn_graph": q_knn_graph,
@@ -3035,6 +3071,15 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "asof_tolerance": (
+            "SELECT e.event_id, CAST(epoch_us(CASE WHEN "
+            "e.ts - p.ts <= INTERVAL 3 DAY THEN p.ts END) AS BIGINT) "
+            "AS last_purchase_us "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
         "audit_docs": (
             "SELECT 'chars_range' AS rule, 'range' AS kind, "
             "'n_chars' AS col, COUNT(n_chars) AS checked, "
@@ -3767,9 +3812,12 @@ def _golden_oracles() -> dict[str, str]:
             "RANK() OVER w AS rnk, "
             "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
             "PERCENT_RANK() OVER w AS prnk, "
+            "CUME_DIST() OVER w AS cume, "
             "FIRST_VALUE(l_quantity) OVER w AS fv, "
             "LAST_VALUE(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND UNBOUNDED FOLLOWING) AS lv, "
+            "NTH_VALUE(l_quantity, 2) OVER (w ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING) AS nv2, "
             "CAST(NTILE(3) OVER (PARTITION BY l_orderkey ORDER BY "
             "l_quantity, l_linenumber) AS BIGINT) AS tile "
             "FROM lineitem "

@@ -959,6 +959,61 @@ class TestPartitionedShift:
         assert by[("a", 2, 0)]["prnk"] == (2 - 1) / 3
         assert by[("b", 7, 4)]["rnk"] == 1 and by[("b", 7, 4)]["prnk"] == 0.0
 
+    def test_cume_dist_and_nth_value(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        # key a order values 1, 2, 2, 4 (tie), key b single row
+        t = pa.table({
+            "k": ["a", "a", "a", "a", "b"],
+            "o": pa.array([2, 1, 4, 2, 7], pa.int64()),
+            "v": pa.array([20.0, 10.0, 40.0, 21.0, 70.0]),
+            "i": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        })
+        out = partitioned_shift(rd.from_arrow(t).repartition(2),
+                                ["k"], ["o"], {
+            "cd": ("cume_dist", None),
+            "nv2": ("nth_value", "v", 2),
+            "nv5": ("nth_value", "v", 5),
+        }).take_all()
+        by = {(r["k"], r["o"], r["i"]): r for r in out}
+        assert by[("a", 1, 1)]["cd"] == 1 / 4
+        # both tie rows share cume_dist = rows-with-value<=2 / 4 = 3/4
+        assert by[("a", 2, 0)]["cd"] == 3 / 4
+        assert by[("a", 2, 3)]["cd"] == 3 / 4
+        assert by[("a", 4, 2)]["cd"] == 1.0
+        assert by[("b", 7, 4)]["cd"] == 1.0
+        # nth_value(2): second row in order (one of the o=2 ties —
+        # deterministic because the sort is stable on the sorted table)
+        assert by[("a", 1, 1)]["nv2"] in (20.0, 21.0)
+        assert by[("a", 1, 1)]["nv2"] == by[("a", 4, 2)]["nv2"]
+        assert by[("b", 7, 4)]["nv2"] is None    # partition too small
+        assert by[("a", 1, 1)]["nv5"] is None
+
+    def test_asof_tolerance(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from vector_ray.stages.join import asof_join
+
+        left = pa.table({
+            "k": ["u", "u", "u"],
+            "t": pa.array([10, 20, 100], pa.int64()),
+        })
+        right = pa.table({
+            "k": ["u", "u"],
+            "t": pa.array([8, 15], pa.int64()),
+            "val": pa.array([1.0, 2.0]),
+        })
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        by=["k"], on="t", tolerance=10,
+                        buckets=2).to_pandas().sort_values("t")
+        vals = [None if pd.isna(x) else x for x in out["val"]]
+        # t=10 matches 8 (gap 2), t=20 matches 15 (gap 5),
+        # t=100's candidate 15 is outside tolerance 10 -> null
+        assert vals == [1.0, 2.0, None]
+
     def test_ntile_first_last(self):
         import ray.data as rd
 

@@ -131,6 +131,30 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
                     pr = (rank - 1) / np.maximum(rl - 1, 1)
                     pr[rl == 1] = 0.0
                     g = g.append_column(out, pa.array(pr, pa.float64()))
+        elif fn == "cume_dist":
+            # ANSI CUME_DIST: rows with order value <= current, over the
+            # partition size — i.e. (exclusive end of the tie group -
+            # run start) / run_len, all from the same boundary masks
+            new_val = _run_starts(g, list(keys) + list(order_by))
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            tie_idx = np.nonzero(new_val)[0]
+            tie_len = np.diff(np.append(tie_idx, n))
+            tie_end = np.repeat(tie_idx + tie_len, tie_len)  # exclusive
+            g = g.append_column(out, pa.array(
+                (tie_end - run_start) / np.repeat(run_len, run_len),
+                pa.float64()))
+        elif fn == "nth_value":
+            # value of the win-th row (1-based) of the WHOLE partition
+            # frame; null when the partition has fewer rows
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            rl = np.repeat(run_len, run_len)
+            ok = rl >= int(win)
+            take = pa.array(
+                np.where(ok, run_start + int(win) - 1, 0), pa.int64(),
+                mask=~ok)
+            g = g.append_column(out, v.take(take))
         elif fn == "ntile":
             # ANSI NTILE(N): earlier tiles take the extra rows;
             # tile = floor(pos*N/run_len)+1 reproduces that exactly
@@ -166,10 +190,12 @@ def partitioned_shift(ds, keys: Sequence[str], order_by: Sequence[str],
                       specs: Dict[str, Tuple[str, str]], *,
                       num_buckets=None):
     """Append window columns per ``specs``: out_col → (fn, col); fn ∈
-    {lag, lead, delta, cumsum, rolling_sum, ffill, row_number, rank,
-    dense_rank, percent_rank, ntile, first_value, last_value} (col
-    ignored for row_number — pass any column or None). ``order_by``
-    should be unique per key for deterministic results."""
+    {lag, lead, delta, cumsum, rolling_sum, ffill, bfill, row_number,
+    rank, dense_rank, percent_rank, cume_dist, ntile, nth_value,
+    first_value, last_value} (col ignored for row_number — pass any
+    column or None; ``("nth_value", col, n)`` takes the 1-based n-th
+    row of the whole partition). ``order_by`` should be unique per key
+    for deterministic results."""
     keys = list(keys)
     order_by = list(order_by)
     specs = {o: tuple(v) for o, v in specs.items()}
