@@ -739,6 +739,34 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_connected_components(sf_dir):
+    """Distributed hash-min connected components (ml/components.py) on
+    a deterministic chain graph over doc_ids: chain edges (i, i+1)
+    inside 7-wide groups plus merge edges joining group g to g+1 when
+    g % 3 == 0 — 14-node-diameter paths, the worst case for label
+    propagation (clique-ish LSH clusters converge in 2-3 rounds; this
+    needs the full O(diameter) schedule). The closed-form component
+    minimum makes the oracle plain SQL arithmetic."""
+    from vector_ray.ml.components import connected_components
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        hi = 499  # doc_ids are dense 0..499 at every sf
+        chain = ids[(ids % 7 != 6) & (ids + 1 <= hi)]
+        g = ids[(ids % 7 == 0) & ((ids // 7) % 3 == 0) & (ids + 7 <= hi)]
+        return pa.table({
+            "a": pa.array(np.concatenate([chain, g]), pa.int64()),
+            "b": pa.array(np.concatenate([chain + 1, g + 7]), pa.int64()),
+        })
+
+    edges = docs.map_batches(make_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = connected_components(edges, a_col="a", b_col="b")
+    return _finish(out)
+
+
 def q_asof_tolerance(sf_dir):
     """As-of join with a match-window tolerance (stages/join.asof_join
     tolerance=): the latest purchase at most 3 days before each event;
@@ -2898,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "connected_components": q_connected_components,
         "asof_tolerance": q_asof_tolerance,
         "audit_docs": q_audit_docs,
         "apply_changeset": q_apply_changeset,
@@ -3071,6 +3100,14 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        # chain (i, i+1) within 7-wide groups + merge (7g, 7g+7) for
+        # g % 3 == 0: the component minimum is 7*(b-1) when b = id//7
+        # has b % 3 == 1 (merged into the previous group), else 7b
+        "connected_components": (
+            "SELECT doc_id AS node, CAST(7 * ((doc_id // 7) - "
+            "CASE WHEN (doc_id // 7) % 3 = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS label FROM documents"
+        ),
         "asof_tolerance": (
             "SELECT e.event_id, CAST(epoch_us(CASE WHEN "
             "e.ts - p.ts <= INTERVAL 3 DAY THEN p.ts END) AS BIGINT) "
