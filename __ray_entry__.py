@@ -739,6 +739,36 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_rolling_range(sf_dir):
+    """Time-based trailing windows (stages/shift.py
+    rolling_count_range / rolling_sum_range): per-user count and
+    integer sum over the last hour of events — SQL RANGE frames with
+    the ANSI later-peers rule, computed with ONE searchsorted over
+    int64-banded per-run order values per bucket (no per-key Python).
+    Oracle: ANSI RANGE BETWEEN INTERVAL 1 HOUR PRECEDING."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks()
+        w = np.asarray(eid.to_numpy(zero_copy_only=False)) % 100
+        return pa.table({
+            "event_id": eid,
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = partitioned_shift(prepped, ["user_id"], ["ts_us"], {
+        "cnt1h": ("rolling_count_range", None, 3_600_000_000),
+        "sum1h": ("rolling_sum_range", "w", 3_600_000_000),
+    })
+    return _finish(out.select_columns(["event_id", "cnt1h", "sum1h"]))
+
+
 def q_connected_components(sf_dir):
     """Distributed hash-min connected components (ml/components.py) on
     a deterministic chain graph over doc_ids: chain edges (i, i+1)
@@ -2926,6 +2956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "rolling_range": q_rolling_range,
         "connected_components": q_connected_components,
         "asof_tolerance": q_asof_tolerance,
         "audit_docs": q_audit_docs,
@@ -3100,6 +3131,12 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "rolling_range": (
+            "SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS cnt1h, "
+            "CAST(SUM(event_id % 100) OVER w AS BIGINT) AS sum1h "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
         # chain (i, i+1) within 7-wide groups + merge (7g, 7g+7) for
         # g % 3 == 0: the component minimum is 7*(b-1) when b = id//7
         # has b % 3 == 1 (merged into the previous group), else 7b

@@ -991,6 +991,35 @@ class TestPartitionedShift:
         assert by[("b", 7, 4)]["nv2"] is None    # partition too small
         assert by[("a", 1, 1)]["nv5"] is None
 
+    def test_rolling_range_window_with_peers(self):
+        import ray.data as rd
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        # key a times: 0, 10, 10 (peers), 25, 100 ; win = 20
+        t = pa.table({
+            "k": ["a"] * 5 + ["b"],
+            "o": pa.array([0, 10, 10, 25, 100, 7], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32], pa.int64()),
+            "i": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        })
+        out = partitioned_shift(rd.from_arrow(t).repartition(2),
+                                ["k"], ["o"], {
+            "c": ("rolling_count_range", None, 20),
+            "s": ("rolling_sum_range", "v", 20),
+        }).take_all()
+        by = {(r["k"], r["i"]): (r["c"], r["s"]) for r in out}
+        # o=0: frame [-20, 0] -> itself
+        assert by[("a", 0)] == (1, 1)
+        # o=10 peers: frame [-10, 10] includes BOTH peers (ANSI rule)
+        assert by[("a", 1)] == (3, 7)
+        assert by[("a", 2)] == (3, 7)
+        # o=25: frame [5, 25] -> the two 10s and itself
+        assert by[("a", 3)] == (3, 14)
+        # o=100: frame [80, 100] -> itself only
+        assert by[("a", 4)] == (1, 16)
+        assert by[("b", 5)] == (1, 32)
+
     def test_asof_tolerance(self):
         import pandas as pd
         import ray.data as rd

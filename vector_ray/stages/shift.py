@@ -18,10 +18,16 @@ running sum), ``row_number`` (1-based within key, in order_by order),
 ``rolling_sum`` (spec ``("rolling_sum", col, N)`` — inclusive trailing
 N-row window, clamped at the key start; SQL ``ROWS BETWEEN N-1
 PRECEDING AND CURRENT ROW``), ``rank``/``dense_rank``/``percent_rank``
-(ANSI tie semantics over the ``order_by`` values; col ignored),
-``ntile`` (spec ``("ntile", None, N)``), ``first_value``/``last_value``
+/``cume_dist`` (ANSI tie semantics over the ``order_by`` values; col
+ignored), ``ntile`` (spec ``("ntile", None, N)``), ``nth_value``
+(spec ``("nth_value", col, n)``), ``first_value``/``last_value``
 (over the WHOLE key partition, i.e. SQL's ``ROWS BETWEEN UNBOUNDED
-PRECEDING AND UNBOUNDED FOLLOWING`` frame).
+PRECEDING AND UNBOUNDED FOLLOWING`` frame), and VALUE-based trailing
+windows ``rolling_sum_range``/``rolling_count_range`` (spec
+``(fn, col, win)`` — SQL ``RANGE BETWEEN win PRECEDING AND CURRENT
+ROW`` over the first ``order_by`` column incl. the later-peers rule;
+integer order columns band exactly through int64, one global
+searchsorted per bucket).
 """
 
 from __future__ import annotations
@@ -77,6 +83,49 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             run_start = np.repeat(starts, np.diff(np.append(starts, n)))
             lo = np.maximum(idx - int(win) + 1, run_start)
             g = g.append_column(out, pa.array(cs[idx + 1] - cs[lo]))
+        elif fn in ("rolling_sum_range", "rolling_count_range"):
+            # VALUE-based trailing window (SQL RANGE BETWEEN win
+            # PRECEDING AND CURRENT ROW) over the FIRST order_by
+            # column, which must be numeric (timestamps: pass the
+            # int64 epoch). Vectorized across every run at once: the
+            # order values are sorted within each run, so shifting
+            # each run onto its own non-overlapping numeric band
+            # (+ run_id * span) makes the whole bucket globally
+            # sorted and ONE searchsorted finds every window start.
+            o_arr = g[order_by[0]].combine_chunks()
+            if pa.types.is_timestamp(o_arr.type) or pa.types.is_date(o_arr.type):
+                o_arr = o_arr.cast(pa.int64())
+            o = np.asarray(o_arr.to_numpy(zero_copy_only=False))
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            if np.issubdtype(o.dtype, np.integer):
+                # exact int64 banding; rebase to min so span * #runs
+                # stays far from overflow for any realistic bucket
+                o = o.astype(np.int64) - int(o.min())
+                span = int(o.max()) + int(win) + 1
+                if span * (int(run_id[-1]) + 1) >= 2**62:
+                    raise ValueError(
+                        "rolling range window: order range x runs "
+                        "exceeds int64 banding capacity")
+                shifted = o + run_id * span
+                lo = np.searchsorted(shifted, shifted - int(win),
+                                     side="left")
+            else:
+                o = o.astype(np.float64)
+                span = (np.max(o) - np.min(o)) + float(win) + 1.0
+                shifted = o + run_id * span
+                lo = np.searchsorted(shifted, shifted - float(win),
+                                     side="left")
+            lo = np.maximum(lo, run_start)
+            # ANSI RANGE frames end at the LAST PEER of the current
+            # row (ties in the order value), not at the row itself
+            hi = np.searchsorted(shifted, shifted, side="right")
+            if fn == "rolling_count_range":
+                g = g.append_column(out, pa.array(hi - lo, pa.int64()))
+            else:
+                x = np.asarray(v.to_numpy(zero_copy_only=False))
+                cs = np.concatenate(([0], np.cumsum(x)))
+                g = g.append_column(out, pa.array(cs[hi] - cs[lo]))
         elif fn == "ffill":
             # last non-null value at-or-before each row within the key
             # run (SQL last_value(x IGNORE NULLS) OVER (... ROWS
