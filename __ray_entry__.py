@@ -739,6 +739,36 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_theta_join(sf_dir):
+    """Non-equi (theta) join (stages/join.broadcast_cross_join): every
+    order paired with every region whose price floor it clears — the
+    banding-rule shape no hash join expresses. Right side broadcast
+    once; left batches chunked so the materialized product stays
+    bounded. Oracle: plain SQL cross join + inequality."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.stages.join import broadcast_cross_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey"])
+
+    def pred(t: pa.Table):
+        thr = pc.multiply(pc.add(pc.cast(t["r_regionkey"], pa.float64()),
+                                 1.0), 50_000.0)
+        return pc.greater(t["o_totalprice"], thr)
+
+    out = broadcast_cross_join(orders, region, predicate=pred)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "r_regionkey": pc.cast(t["r_regionkey"], pa.int64()),
+        })
+
+    return _finish(out.map_batches(final, batch_format="pyarrow"))
+
+
 def q_rolling_range(sf_dir):
     """Time-based trailing windows (stages/shift.py
     rolling_count_range / rolling_sum_range): per-user count and
@@ -2956,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "theta_join": q_theta_join,
         "rolling_range": q_rolling_range,
         "connected_components": q_connected_components,
         "asof_tolerance": q_asof_tolerance,
@@ -3131,6 +3162,11 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "theta_join": (
+            "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
+            "AS r_regionkey FROM orders o, region r "
+            "WHERE o.o_totalprice > 50000 * (r.r_regionkey + 1)"
+        ),
         "rolling_range": (
             "SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS cnt1h, "
             "CAST(SUM(event_id % 100) OVER w AS BIGINT) AS sum1h "

@@ -991,6 +991,33 @@ class TestPartitionedShift:
         assert by[("b", 7, 4)]["nv2"] is None    # partition too small
         assert by[("a", 1, 1)]["nv5"] is None
 
+    def test_broadcast_cross_join(self):
+        import ray.data as rd
+
+        from vector_ray.stages.join import broadcast_cross_join
+
+        left = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+        right = pa.table({"y": pa.array([10, 20], pa.int64())})
+        # unfiltered product
+        out = broadcast_cross_join(
+            rd.from_arrow(left).repartition(2), right).to_pandas()
+        assert sorted(zip(out["x"], out["y"])) == [
+            (1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20)]
+        # theta predicate + tiny product chunking
+        out2 = broadcast_cross_join(
+            rd.from_arrow(left), right,
+            predicate=lambda t: pc.greater(pc.multiply(t["x"], 10), t["y"]),
+            max_product_rows=2).to_pandas()
+        assert sorted(zip(out2["x"], out2["y"])) == [
+            (2, 10), (3, 10), (3, 20)]
+        # guards
+        with pytest.raises(ValueError):
+            broadcast_cross_join(rd.from_arrow(left), right,
+                                 max_broadcast_rows=1)
+        with pytest.raises(ValueError):
+            broadcast_cross_join(rd.from_arrow(left),
+                                 pa.table({"x": pa.array([1])}))
+
     def test_rolling_range_window_with_peers(self):
         import ray.data as rd
 

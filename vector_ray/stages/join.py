@@ -210,6 +210,68 @@ def broadcast_join(
                             zero_copy_batch=True)
 
 
+def broadcast_cross_join(
+    left,
+    right,
+    *,
+    predicate=None,
+    max_broadcast_rows: int = 100_000,
+    max_product_rows: int = 1 << 20,
+):
+    """Theta join: cartesian product against a SMALL right side with an
+    optional vectorized ``predicate(joined: pa.Table) -> BooleanArray``
+    evaluated batch-wise (the non-equi join shape — banding rules,
+    inequality lookups, grid expansion). The right side ships once via
+    ``ray.put``; each left batch is chunked so a materialized product
+    never exceeds ``max_product_rows`` rows. Column-name clashes raise
+    (rename beforehand)."""
+    import ray
+
+    if not isinstance(right, pa.Table):
+        rt = pa.concat_tables(
+            [b for b in ray.get(right.to_arrow_refs()) if len(b)],
+            promote_options="permissive")
+        right = rt.combine_chunks()
+    if len(right) > max_broadcast_rows:
+        raise ValueError(
+            f"cross-join side has {len(right)} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}")
+    clash = set(left.schema().names) & set(right.column_names)
+    if clash:
+        raise ValueError(f"broadcast_cross_join: column clash {sorted(clash)}")
+    ref = ray.put(right)
+
+    def product(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        nr = max(len(r), 1)
+        step = max(1, max_product_rows // nr)
+        outs = []
+        for s in range(0, len(t), step):
+            lt = t.slice(s, step)
+            nl = len(lt)
+            li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), len(r)))
+            ri = pa.array(np.tile(np.arange(len(r), dtype=np.int64), nl))
+            joined = pa.table({
+                **{c: lt[c].take(li) for c in lt.column_names},
+                **{c: r[c].take(ri) for c in r.column_names},
+            })
+            if predicate is not None:
+                mask = predicate(joined)
+                joined = joined.filter(mask)
+            outs.append(joined)
+        if not outs:
+            return pa.table({
+                **{c: pa.array([], left.schema().field(c).type)
+                   for c in left.schema().names},
+                **{c: pa.array([], right.schema.field(c).type)
+                   for c in right.column_names},
+            })
+        return pa.concat_tables(outs)
+
+    return left.map_batches(product, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def asof_join(
     left,
     right,
