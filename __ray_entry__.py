@@ -739,6 +739,20 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_entropy_docs(sf_dir):
+    """Byte-entropy quality signal (ml/text.ByteEntropy): integer
+    micro-nat Shannon entropy of each doc's UTF-8 byte histogram — one
+    bincount per batch, no per-row Python, bit-identical under any
+    partitioning. Oracle: independent Counter-based golden rendered as
+    VALUES."""
+    from vector_ray.ml.text import ByteEntropy
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(ByteEntropy().transform, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return _finish(out.select_columns(["doc_id", "n_bytes", "ent_micro"]))
+
+
 def q_theta_join(sf_dir):
     """Non-equi (theta) join (stages/join.broadcast_cross_join): every
     order paired with every region whose price floor it clears — the
@@ -2986,6 +3000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "entropy_docs": q_entropy_docs,
         "theta_join": q_theta_join,
         "rolling_range": q_rolling_range,
         "connected_components": q_connected_components,
@@ -3678,6 +3693,7 @@ def _golden_oracles() -> dict[str, str]:
     spec.loader.exec_module(golden)
     tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "entropy_docs": golden.byte_entropy_sql(),
         "quantile_band": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE value >= (SELECT quantile_disc(value, 0.25) FROM events) "

@@ -328,6 +328,50 @@ class TestEmbeddingDup:
         assert max(max(r["a"], r["b"]) for r in pairs) < 64
 
 
+class TestByteEntropy:
+    def test_matches_counter_reference_and_handles_edge_docs(self):
+        import math
+        from collections import Counter
+
+        from vector_ray.ml.text import byte_entropy_batch
+
+        texts = ["aaaa", "abcd", "", None, "héllo wörld", "a" * 700]
+        col = pa.array(texts, pa.string())
+        lens, ent = byte_entropy_batch(col)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8")
+            assert lens[i] == len(b)
+            if not b:
+                assert ent[i] == 0
+                continue
+            # reference: float entropy within quantization error
+            c = Counter(b)
+            ref = -sum((k / len(b)) * math.log(k / len(b))
+                       for k in c.values())
+            got = ent[i] / len(b) / 1e6
+            assert abs(got - ref) < 1e-4, (s, got, ref)
+        # uniform bytes have zero entropy; 4 distinct = ln 4
+        assert ent[0] == 0
+        assert abs(ent[1] / 4 / 1e6 - math.log(4)) < 1e-5
+
+    def test_batching_invariance(self):
+        from vector_ray.ml.text import byte_entropy_batch
+
+        texts = ["x" * i + "yz" * (i % 3) for i in range(1, 40)]
+        col = pa.array(texts, pa.string())
+        _, whole = byte_entropy_batch(col)
+        parts = []
+        for s in range(0, len(texts), 7):
+            _, e = byte_entropy_batch(pa.array(texts[s:s + 7], pa.string()))
+            parts.extend(e.tolist())
+        assert whole.tolist() == parts
+        # sliced input with nulls
+        col2 = pa.array([None, "ab", "cc", None, "ab"]).slice(1)
+        lens2, ent2 = byte_entropy_batch(col2)
+        assert lens2.tolist() == [2, 2, 0, 2]
+        assert ent2[0] == ent2[3]
+
+
 class TestLangId:
     def test_accuracy_on_documents(self):
         import pyarrow.parquet as pq

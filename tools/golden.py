@@ -1713,3 +1713,34 @@ def weighted_sample_sql(k: int = 50, seed: int = 9) -> str:
     order = _np.lexsort((ids, -key))[:k]
     rows = [(int(ids[i]), int(w[i])) for i in order]
     return _values_sql(rows, ["doc_id", "n_chars"], ["BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# byte_entropy — integer micro-nat Shannon entropy of the UTF-8 byte
+# distribution (ml/text.byte_entropy_batch). Independent per-doc
+# Counter-based reimplementation; the log table uses the same ARRAY
+# np.log (scalar math.log can differ by an ulp).
+
+
+def byte_entropy_sql() -> str:
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = (text or "").encode("utf-8", "ignore")
+        n = len(b)
+        if n == 0:
+            rows.append((doc_id, 0, 0))
+            continue
+        table = np.zeros(n + 1, np.int64)
+        table[1:] = np.round(
+            np.log(np.arange(1, n + 1, dtype=np.float64)) * 1_000_000
+        ).astype(np.int64)
+        c = Counter(b)
+        ent = n * int(table[n]) - sum(
+            cnt * int(table[cnt]) for cnt in c.values())
+        rows.append((doc_id, n, ent))
+    return _values_sql(rows, ["doc_id", "n_bytes", "ent_micro"],
+                       ["BIGINT", "BIGINT", "BIGINT"])

@@ -335,6 +335,82 @@ class CompressionRatio(BatchStep):
         return F.set_(tbl, self.out, pa.array(r, pa.float64()))
 
 
+_ENT_SCALE = 1_000_000
+
+
+def _ent_log_table(maxn: int) -> np.ndarray:
+    """L(c) = round(ln(c) * 1e6) for c in [0, maxn] (L(0) = 0). Array
+    np.log on an arange — any mirror implementation must use the SAME
+    array op (scalar math.log can differ by one ulp)."""
+    t = np.zeros(maxn + 1, np.int64)
+    if maxn >= 1:
+        t[1:] = np.round(
+            np.log(np.arange(1, maxn + 1, dtype=np.float64)) * _ENT_SCALE
+        ).astype(np.int64)
+    return t
+
+
+def byte_entropy_batch(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc Shannon entropy of the UTF-8 byte distribution, as the
+    INTEGER micro-nat total ``ent_micro = n*L(n) - sum_b c_b*L(c_b)``
+    with ``L(c) = round(ln c * 1e6)`` — exact integer sums, so results
+    are bit-identical under any batching/partitioning (the lm_score
+    pattern); ``entropy_nats ~= ent_micro / n / 1e6``. Low entropy
+    flags templated/repetitive gibberish, high entropy flags binary
+    junk — the cheap quality gate next to compression_ratio (one
+    bincount per batch instead of a zlib pass per doc).
+
+    Returns ``(n_bytes, ent_micro)`` int64 arrays."""
+    from vector_ray.expr.kernels import _flat_utf8
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr, data, offs = _flat_utf8(arr)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lo = int(offs[0])
+    data = data[lo:int(offs[-1])]
+    offs = offs - lo
+    lens = np.diff(offs).astype(np.int64)
+    if arr.null_count:
+        valid = np.asarray(pc.is_valid(arr).to_numpy(zero_copy_only=False))
+        lens = np.where(valid, lens, 0)
+        # drop null docs' bytes from the flat view by rebuilding the
+        # repeat off the masked lengths and the true byte starts
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts = offs[:-1]
+        byte_pos = np.repeat(starts, lens) + (
+            np.arange(lens.sum(), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens))
+        bts = data[byte_pos]
+    else:
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        bts = data
+    key = doc_idx * 256 + bts.astype(np.int64)
+    counts = np.bincount(key, minlength=n * 256)
+    L = _ent_log_table(int(lens.max()) if len(lens) else 1)
+    contrib = (counts * L[counts]).reshape(n, 256).sum(axis=1)
+    ent = lens * L[lens] - contrib
+    return lens, ent
+
+
+class ByteEntropy(BatchStep):
+    """Append ``n_bytes: int64`` and ``ent_micro: int64`` (see
+    byte_entropy_batch); ``entropy: float64`` in nats derives as
+    ent_micro / n_bytes / 1e6 (0 for empty docs)."""
+
+    def __init__(self, field: str = "text", prefix: str = ""):
+        self.field = field
+        self.prefix = prefix
+
+    def transform(self, tbl: pa.Table) -> pa.Table:
+        lens, ent = byte_entropy_batch(tbl[self.field])
+        tbl = F.set_(tbl, self.prefix + "n_bytes", pa.array(lens, pa.int64()))
+        tbl = F.set_(tbl, self.prefix + "ent_micro", pa.array(ent, pa.int64()))
+        dens = np.divide(ent, np.maximum(lens, 1) * 1e6)
+        return F.set_(tbl, self.prefix + "entropy", pa.array(dens, pa.float64()))
+
+
 class NormalizeText(BatchStep):
     """Canonical text normalization before hashing/dedup (the CCNet /
     OSCAR preprocessing step: Wenzek et al. 2020 normalize text before
