@@ -1985,6 +1985,8 @@ def q_grouped_corr(sf_dir):
         "ql_cov": ("cov", "l_quantity", "l_linenumber"),
         "ql_corr": ("corr", "l_quantity", "l_linenumber"),
         "q_wmean": ("wmean", "l_quantity", "l_linenumber"),
+        "q_slope": ("slope", "l_quantity", "l_linenumber"),
+        "q_icept": ("intercept", "l_quantity", "l_linenumber"),
     })
     return _finish(out)
 
@@ -3822,8 +3824,15 @@ def _golden_oracles() -> dict[str, str]:
             "(sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)"
             "/count(*)) * (sum(l_linenumber*l_linenumber) - "
             "sum(l_linenumber)*sum(l_linenumber)/count(*))) AS ql_corr,"
-            " sum(l_quantity*l_linenumber)/sum(l_linenumber) AS q_wmean"
-            " FROM lineitem GROUP BY l_returnflag"
+            " sum(l_quantity*l_linenumber)/sum(l_linenumber) AS q_wmean,"
+            " (sum(l_quantity*l_linenumber) - sum(l_quantity)*"
+            "sum(l_linenumber)/count(*)) / (sum(l_quantity*l_quantity)"
+            " - sum(l_quantity)*sum(l_quantity)/count(*)) AS q_slope,"
+            " sum(l_linenumber)/count(*) - ((sum(l_quantity*"
+            "l_linenumber) - sum(l_quantity)*sum(l_linenumber)/count(*))"
+            " / (sum(l_quantity*l_quantity) - sum(l_quantity)*"
+            "sum(l_quantity)/count(*))) * (sum(l_quantity)/count(*)) "
+            "AS q_icept FROM lineitem GROUP BY l_returnflag"
         ),
         "grouped_var": (
             "SELECT l_returnflag,"

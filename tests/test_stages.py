@@ -1375,6 +1375,41 @@ class TestCovCorrAggregate:
             assert out.loc[0, "c"] == want_cov, parts
             assert abs(out.loc[0, "r"] - want_corr) < 1e-12, parts
 
+    def test_slope_intercept_match_polyfit(self):
+        import numpy as np
+
+        from vector_ray.stages.aggregate import grouped_aggregate
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 50, 200).astype(float)
+        y = 3.0 * x + 5.0 + rng.integers(-4, 5, 200)
+        t = pa.table({"k": pa.array(["g"] * 200),
+                      "x": pa.array(x), "y": pa.array(y)})
+        for parts in (1, 4):
+            out = grouped_aggregate(
+                rd.from_arrow(t).repartition(parts), ["k"],
+                {"m": ("slope", "x", "y"),
+                 "b": ("intercept", "x", "y")}).to_pandas()
+            m_ref, b_ref = np.polyfit(x, y, 1)
+            assert abs(out.loc[0, "m"] - m_ref) < 1e-9, parts
+            assert abs(out.loc[0, "b"] - b_ref) < 1e-9, parts
+
+    def test_slope_degenerate_x_is_null(self):
+        import math
+
+        from vector_ray.stages.aggregate import grouped_aggregate
+
+        t = pa.table({"k": pa.array(["a"] * 3 + ["b"]),
+                      "x": pa.array([2.0, 2.0, 2.0, 1.0]),
+                      "y": pa.array([1.0, 2.0, 3.0, 4.0])})
+        out = grouped_aggregate(rd.from_arrow(t), ["k"], {
+            "m": ("slope", "x", "y"),
+            "b": ("intercept", "x", "y"),
+        }).to_pandas().set_index("k")
+        # constant x and single-row groups both have zero x-variance
+        assert math.isnan(out.loc["a", "m"]) and math.isnan(out.loc["a", "b"])
+        assert math.isnan(out.loc["b", "m"]) and math.isnan(out.loc["b", "b"])
+
 
 def test_bfill_resets_at_key_boundaries(ray_session=None):
     from vector_ray.stages.shift import partitioned_shift

@@ -175,12 +175,13 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
                 tbl = tbl.append_column(pre + "w", wm)
                 need = [(pre + "swx", (pre + "wx", "sum")),
                         (pre + "sw", (pre + "w", "sum"))]
-            elif kind in ("cov", "corr"):
+            elif kind in ("cov", "corr", "slope", "intercept"):
                 # two-column spec (kind, x_col, y_col): mergeable
                 # (n, Σx, Σy, Σxy[, Σx², Σy²]) partials. Rows where
-                # EITHER side is null are excluded (SQL covar_samp
-                # semantics): the pairwise mask is applied to every
-                # partial column so n/Σ agree.
+                # EITHER side is null are excluded (SQL covar_samp /
+                # regr_* semantics): the pairwise mask is applied to
+                # every partial column so n/Σ agree. slope/intercept =
+                # least-squares y-on-x (SQL regr_slope/regr_intercept).
                 ycol = _o[0]
                 x = pc.cast(tbl[col], pa.float64())
                 y = pc.cast(tbl[ycol], pa.float64())
@@ -195,13 +196,14 @@ def _partial_batch(tbl: pa.Table, keys, specs) -> pa.Table:
                         (pre + "sx", (pre + "x", "sum")),
                         (pre + "sy", (pre + "y", "sum")),
                         (pre + "sxy", (pre + "xy", "sum"))]
-                if kind == "corr":
+                if kind in ("corr", "slope", "intercept"):
                     tbl = tbl.append_column(pre + "xx",
                                             pc.multiply(xm, xm))
+                    need += [(pre + "sxx", (pre + "xx", "sum"))]
+                if kind == "corr":
                     tbl = tbl.append_column(pre + "yy",
                                             pc.multiply(ym, ym))
-                    need += [(pre + "sxx", (pre + "xx", "sum")),
-                             (pre + "syy", (pre + "yy", "sum"))]
+                    need += [(pre + "syy", (pre + "yy", "sum"))]
             elif kind == "last":
                 # value at max seq within batch: batch is already in row order
                 need = [(name, (col, "last"))]
@@ -255,7 +257,8 @@ def _gk_batch(tbl: pa.Table, keys) -> pa.Table:
 
 
 _ARROW_MERGEABLE = ("sum", "count", "min", "max", "mean", "last", "first",
-                    "var", "std", "cov", "corr", "wmean")
+                    "var", "std", "cov", "corr", "slope", "intercept",
+                    "wmean")
 
 
 def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
@@ -284,11 +287,12 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
         elif kind == "wmean":
             aggs.append((f"{name}__swx", "sum"))
             aggs.append((f"{name}__sw", "sum"))
-        elif kind in ("cov", "corr"):
+        elif kind in ("cov", "corr", "slope", "intercept"):
             for suf in ("n", "sx", "sy", "sxy"):
                 aggs.append((f"{name}__{suf}", "sum"))
-            if kind == "corr":
+            if kind in ("corr", "slope", "intercept"):
                 aggs.append((f"{name}__sxx", "sum"))
+            if kind == "corr":
                 aggs.append((f"{name}__syy", "sum"))
     raw = pa.TableGroupBy(
         g.select(["__gk"] + sorted({c for c, _a in aggs})), "__gk"
@@ -331,7 +335,7 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
             cols[name] = pc.if_else(
                 ok, pc.divide(swx, pc.if_else(ok, sw, pa.scalar(1.0))),
                 pa.nulls(len(raw), pa.float64()))
-        elif kind in ("cov", "corr"):
+        elif kind in ("cov", "corr", "slope", "intercept"):
             n = pc.cast(pc.fill_null(raw[f"{name}__n_sum"], 0),
                         pa.float64())
             sx = pc.fill_null(pc.cast(raw[f"{name}__sx_sum"],
@@ -345,6 +349,22 @@ def _merge_bucket(g: pa.Table, keys, specs) -> pa.Table:
             covn = pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), nn))
             if kind == "cov":
                 v = pc.divide(covn, pc.subtract(nn, pa.scalar(1.0)))
+            elif kind in ("slope", "intercept"):
+                # least-squares y-on-x; op order is the public contract
+                # (oracles mirror it): slope = (Σxy − ΣxΣy/n) /
+                # (Σx² − ΣxΣx/n); intercept = Σy/n − slope·(Σx/n).
+                # Degenerate x (zero variance) → null, incl. n == 1.
+                sxx = pc.fill_null(pc.cast(raw[f"{name}__sxx_sum"],
+                                           pa.float64()), 0)
+                vxn = pc.subtract(sxx, pc.divide(pc.multiply(sx, sx), nn))
+                ok = pc.and_(ok, pc.not_equal(vxn, pa.scalar(0.0)))
+                slope = pc.divide(covn,
+                                  pc.if_else(ok, vxn, pa.scalar(1.0)))
+                if kind == "slope":
+                    v = slope
+                else:
+                    v = pc.subtract(pc.divide(sy, nn),
+                                    pc.multiply(slope, pc.divide(sx, nn)))
             else:
                 sxx = pc.fill_null(pc.cast(raw[f"{name}__sxx_sum"],
                                            pa.float64()), 0)
@@ -434,8 +454,10 @@ def grouped_aggregate(
 
     ``specs``: out_col → (kind, in_col), kind ∈ {sum, count, min, max,
     mean, var, std, set, nunique, approx_nunique, histogram, last,
-    first}. `count` counts non-null of in_col; var/std are sample
-    (ddof=1) via mergeable (n, Σx, Σx²) partials.
+    first} plus the two-column kinds (kind, x_col, y_col) ∈ {cov,
+    corr, wmean, slope, intercept} (least-squares y-on-x — SQL
+    regr_slope / regr_intercept). `count` counts non-null of in_col;
+    var/std are sample (ddof=1) via mergeable (n, Σx, Σx²) partials.
     """
     keys = list(keys)
     # spec tuple: (kind, col[, options]) — kinds: sum count min max mean
