@@ -382,6 +382,12 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "pq_search",
         "funnel_events",
         "retention_cohorts",
+        "knn_graph",
+        "theta_join",
+        "rolling_range",
+        "entropy_docs",
+        "apply_changeset",
+        "audit_docs",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
