@@ -739,6 +739,78 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_file_sink_roundtrip(sf_dir):
+    """Templated FileSink end-to-end (sinks/FileSink: {{ lang }} path
+    template, ndjson codec, gzip): write the documents table one
+    directory per language, then decode every part file back and
+    return the rows — the oracle is the identity SELECT, so a lost /
+    duplicated / mis-routed row breaks the hash. A fresh temp dir per
+    call keeps reruns independent (part files are append-only)."""
+    import gzip
+    import json
+    import tempfile
+
+    from vector_ray.sinks import FileSink
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    root = tempfile.mkdtemp(prefix="vr_sink_")
+    sink = FileSink(os.path.join(root, "{{ lang }}"), codec="ndjson",
+                    compression="gzip")
+    manifest = sink.write(ds)
+    rows = {"doc_id": [], "lang": [], "text": []}
+    for path, _n in sorted(manifest):
+        lang_dir = os.path.basename(os.path.dirname(path))
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                r = json.loads(line)
+                rows["doc_id"].append(r["doc_id"])
+                rows["lang"].append(r["lang"])
+                rows["text"].append(r["text"])
+                if r["lang"] != lang_dir:
+                    raise AssertionError(
+                        f"row routed to wrong template dir: "
+                        f"{r['lang']} in {lang_dir}")
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "lang": pa.array(rows["lang"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+    })
+
+
+def q_resumable_pipeline(sf_dir):
+    """Generic resumable runner (state/resumable.run_resumable): a
+    filter+project pipeline over the documents fragment with manifest
+    lineage, run TWICE into the same directory — the second run must
+    skip every partition (asserted; a driver error surfaces as a red
+    row) and the returned rows come from the durable per-partition
+    parquet, so a skip/dup/loss in the resume path breaks the hash."""
+    import glob
+    import tempfile
+
+    import ray.data as rd
+
+    from vector_ray.state.resumable import run_resumable
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = tempfile.mkdtemp(prefix="vr_resume_")
+
+    def pipeline(ds):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["lang"], "en")
+            return t.filter(keep).select(["doc_id", "source"])
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    first = run_resumable([src], root, pipeline)
+    second = run_resumable([src], root, pipeline)
+    if second["skipped"] != second["partitions"]:
+        raise AssertionError(
+            f"resume failed to skip: {second}")
+    files = sorted(glob.glob(os.path.join(root, "parts", "*", "*.parquet")))
+    return _finish(rd.read_parquet(files))
+
+
 def q_entropy_docs(sf_dir):
     """Byte-entropy quality signal (ml/text.ByteEntropy): integer
     micro-nat Shannon entropy of each doc's UTF-8 byte histogram — one
@@ -3002,6 +3074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "file_sink_roundtrip": q_file_sink_roundtrip,
+        "resumable_pipeline": q_resumable_pipeline,
         "entropy_docs": q_entropy_docs,
         "theta_join": q_theta_join,
         "rolling_range": q_rolling_range,
@@ -3179,6 +3253,12 @@ def oracle_sql() -> dict[str, str]:
         f"'{d}'" for d in _decontam_bench_table()["doc_id"].to_pylist()
     )
     return {
+        "file_sink_roundtrip": (
+            "SELECT doc_id, lang, text FROM documents"
+        ),
+        "resumable_pipeline": (
+            "SELECT doc_id, source FROM documents WHERE lang = 'en'"
+        ),
         "theta_join": (
             "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
             "AS r_regionkey FROM orders o, region r "
