@@ -287,6 +287,32 @@ class TestCurationTransforms:
         assert all(r["n_tri"] > 0 and r["nll_micro"] > 0 for r in rows)
 
 
+def test_registered_knn_graph_and_byte_entropy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.pipelines.config import TRANSFORMS
+
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    kg = TRANSFORMS["knn_graph"]({"k": 3, "n_clusters": 2,
+                                  "sample_size": 64})
+    out = kg.apply(rd.from_arrow(emb).repartition(2)).take_all()
+    assert len(out) == 40 * 3
+    assert all(r["src"] != r["dst"] for r in out)
+
+    be = TRANSFORMS["byte_entropy"]({})
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["aaaa", "abcd"])})
+    rows = be.transform(docs)
+    assert rows["ent_micro"].to_pylist()[0] == 0
+    assert rows["ent_micro"].to_pylist()[1] > 0
+
+
 def test_registered_reshape_transforms(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -678,6 +678,37 @@ def _build_compression_ratio(cfg):
                             level=int(cfg.get("level", 6)))
 
 
+@register_transform("byte_entropy")
+def _build_byte_entropy(cfg):
+    from vector_ray.ml.text import ByteEntropy
+
+    return ByteEntropy(cfg.get("field", "text"),
+                       prefix=cfg.get("prefix", ""))
+
+
+@register_transform("knn_graph")
+def _build_knn_graph(cfg):
+    from vector_ray.ml.ann import knn_graph
+    from vector_ray.stages.base import Step
+
+    class _KnnGraph(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return knn_graph(
+                ds,
+                k=int(cfg.get("k", 5)),
+                n_clusters=int(cfg.get("n_clusters", 64)),
+                n_probe=cfg.get("n_probe"),
+                vec_col=cfg.get("field", "embedding"),
+                id_col=cfg.get("id_field", "vec_id"),
+                sample_size=int(cfg.get("sample_size", 2048)),
+                max_cluster=int(cfg.get("max_cluster", 200_000)),
+            )
+
+    return _KnnGraph()
+
+
 @register_transform("fingerprint")
 def _build_fingerprint(cfg):
     from vector_ray.ml.text import Fingerprint
