@@ -739,6 +739,31 @@ def q_simhash_docs(sf_dir):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_minhash_index(sf_dir):
+    """Incremental near-dup (ml/dedup.minhash_index_build/probe): the
+    old half of the corpus is persisted as an LSH index (band buckets +
+    signatures, never payloads); the new half probes it — candidates
+    via one (band, band_hash, id) exchange against the index buckets,
+    verify from stored signatures. Oracle: the cross-split subset of
+    the independent golden LSH pair list."""
+    import tempfile
+
+    from vector_ray.ml.dedup import minhash_index_build, minhash_index_probe
+
+    def half(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["doc_id"], 250)
+            return t.filter(m if lo else pc.invert(m))
+
+        return _rp(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    old, new = half(True), half(False)
+    idx = tempfile.mkdtemp(prefix="vr_mhidx_")
+    minhash_index_build(old, idx)
+    return _finish(minhash_index_probe(new, idx))
+
+
 def q_file_sink_roundtrip(sf_dir):
     """Templated FileSink end-to-end (sinks/FileSink: {{ lang }} path
     template, ndjson codec, gzip): write the documents table one
@@ -3074,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "minhash_index": q_minhash_index,
         "file_sink_roundtrip": q_file_sink_roundtrip,
         "resumable_pipeline": q_resumable_pipeline,
         "entropy_docs": q_entropy_docs,
@@ -3775,6 +3801,7 @@ def _golden_oracles() -> dict[str, str]:
     spec.loader.exec_module(golden)
     tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "minhash_index": golden.minhash_index_sql(),
         "entropy_docs": golden.byte_entropy_sql(),
         "quantile_band": (
             "SELECT event_id, user_id, value FROM events "

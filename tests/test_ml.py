@@ -328,6 +328,57 @@ class TestEmbeddingDup:
         assert max(max(r["a"], r["b"]) for r in pairs) < 64
 
 
+class TestMinhashIndex:
+    def test_probe_finds_cross_corpus_dups_only(self, tmp_path):
+        from vector_ray.ml.dedup import (minhash_index_build,
+                                         minhash_index_probe)
+
+        rng_words = [f"w{i:03d}" for i in range(300)]
+        old_texts = [" ".join(rng_words[i:i + 40]) for i in range(0, 200, 10)]
+        old = pa.table({
+            "doc_id": pa.array(range(len(old_texts)), pa.int64()),
+            "text": pa.array(old_texts),
+        })
+        # new corpus: one exact copy of old doc 3, one near copy of old
+        # doc 5 (one word changed), and docs disjoint from the old
+        # corpus's word range (old covers words 0..229)
+        near = old_texts[5].replace("w051", "zzz")
+        new_texts = [old_texts[3], near,
+                     " ".join(rng_words[250:290]),
+                     " ".join(rng_words[230:270])]
+        new = pa.table({
+            "doc_id": pa.array([1000, 1001, 1002, 1003], pa.int64()),
+            "text": pa.array(new_texts),
+        })
+        idx = str(tmp_path / "mhidx")
+        params = minhash_index_build(
+            rd.from_arrow(old).repartition(3), idx)
+        assert params["bands"] * (params["num_hashes"] //
+                                  params["bands"]) == params["num_hashes"]
+        out = minhash_index_probe(
+            rd.from_arrow(new).repartition(2), idx,
+            jaccard_threshold=0.5).take_all()
+        got = {(r["index_id"], r["new_id"]): r["est_jaccard"] for r in out}
+        assert got[(3, 1000)] == 1.0
+        assert (5, 1001) in got and got[(5, 1001)] >= 0.5
+        # unrelated new docs produce no pairs; old-old pairs never appear
+        assert all(b >= 1000 and a < 1000 for a, b in got)
+        assert {b for _, b in got} == {1000, 1001}
+
+    def test_probe_empty_when_no_matches(self, tmp_path):
+        from vector_ray.ml.dedup import (minhash_index_build,
+                                         minhash_index_probe)
+
+        old = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array(["alpha beta gamma delta " * 5])})
+        new = pa.table({"doc_id": pa.array([10], pa.int64()),
+                        "text": pa.array(["totally different content " * 5])})
+        idx = str(tmp_path / "mhidx2")
+        minhash_index_build(rd.from_arrow(old), idx)
+        out = minhash_index_probe(rd.from_arrow(new), idx).take_all()
+        assert out == []
+
+
 class TestByteEntropy:
     def test_matches_counter_reference_and_handles_edge_docs(self):
         import math

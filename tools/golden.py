@@ -1744,3 +1744,26 @@ def byte_entropy_sql() -> str:
         rows.append((doc_id, n, ent))
     return _values_sql(rows, ["doc_id", "n_bytes", "ent_micro"],
                        ["BIGINT", "BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# minhash_index — incremental near-dup probe (ml/dedup.minhash_index_
+# build/probe): old half of documents is the index, new half probes it.
+# Identical LSH spec to minhash_pairs; the cross-split subset of the
+# full-corpus pair list IS the probe result.
+
+
+def minhash_index_sql(split: int = 250) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    seeds = [(1 * 1_000_003 + h * 2_654_435_761) & M64 for h in range(64)]
+    ids, sigs = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        buf = np.frombuffer((text or "").lower().encode("utf-8", "ignore"),
+                            np.uint8)
+        ids.append(int(doc_id))
+        sigs.append(_window_sig(buf, 5, np.array(seeds, np.uint64)))
+    rows = _lsh_pairs(ids, sigs, bands=16, num_hashes=64, threshold=0.7)
+    cross = [(a, b, est) for a, b, est in rows if a < split <= b]
+    return _values_sql(cross, ["index_id", "new_id", "est_jaccard"],
+                       ["BIGINT", "BIGINT", "DOUBLE"])

@@ -1163,3 +1163,215 @@ def token_minhash_dedup(
         )
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — INCREMENTAL near-dup: build the index once
+# over the standing corpus, probe each new crawl/shard against it
+# without touching the old payloads again (the RefinedWeb-style
+# "dedup new data against everything seen so far" step; the exact-
+# membership analogue is ml/bloom.py, this is the near-dup one).
+
+
+def _band_hash_rows(texts: list, ids: np.ndarray, *, num_hashes: int,
+                    bands: int, k: int) -> pa.Table:
+    """(band, band_hash[int64 view], id) rows — bands per doc. The
+    band hash folds the signature rows with the same sm64 chain the
+    in-corpus LSH uses, so an index built here buckets identically."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(texts, num_hashes=num_hashes, k=k)
+    band_hashes = np.empty((len(texts), bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+        acc = np.zeros(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                acc = _sm64(acc ^ chunk[:, j])
+        band_hashes[:, b] = acc
+    n = len(texts)
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        # int64 REINTERPRETATION: u64 group keys overflow Python ints
+        "band_hash": pa.array(
+            band_hashes.reshape(-1).view(np.int64), pa.int64()),
+        "id": pa.array(np.repeat(ids, bands), pa.int64()),
+    })
+
+
+def minhash_index_build(
+    ds,
+    index_dir: str,
+    *,
+    field: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> dict:
+    """Write a near-dup index: ``buckets/`` parquet (band, band_hash,
+    id — the LSH join side) and ``sigs/`` parquet (id, sig
+    FixedSizeList<u64> — the verify side), plus ``params.json``. Ids
+    must be int64-castable and DISJOINT from any ids probed later.
+    Payloads are never stored: the index costs bands x 12 B + 8
+    B x num_hashes per doc."""
+    import json
+    import os
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()).combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        return _band_hash_rows(texts, ids, num_hashes=num_hashes,
+                               bands=bands, k=k)
+
+    def sigrows(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        sig = minhash_signature(texts, num_hashes=num_hashes, k=k)
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), num_hashes),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(explode, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "buckets"))
+    ds.map_batches(sigrows, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "sigs"))
+    params = {"num_hashes": num_hashes, "bands": bands, "k": k}
+    with open(os.path.join(index_dir, "params.json"), "w") as fh:
+        json.dump(params, fh)
+    return params
+
+
+def minhash_index_probe(
+    ds,
+    index_dir: str,
+    *,
+    field: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 512,
+    max_candidates: int = 5_000_000,
+):
+    """Probe new docs against a persisted index: returns a Dataset
+    (index_id, new_id, est_jaccard) — every (old, new) pair sharing at
+    least one LSH band bucket whose signature agreement clears the
+    threshold. Same two-pass candidate/verify plan as in-corpus
+    minhash: the all-to-all moves only (band, band_hash, id) rows;
+    signatures are fetched for candidate ids only (new side recomputed,
+    old side read back from ``sigs/``). Compose with
+    ``_filter_out_ids(ds, id_col, dup_new_ids)`` to drop seen docs."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "params.json")) as fh:
+        params = json.load(fh)
+    num_hashes, bands, k = (params["num_hashes"], params["bands"],
+                            params["k"])
+
+    def explode_new(t: pa.Table) -> pa.Table:
+        texts = t[field].to_pylist()
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()).combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        out = _band_hash_rows(texts, ids, num_hashes=num_hashes,
+                              bands=bands, k=k)
+        return out.append_column("side", pa.array(
+            np.ones(len(out), np.int8)))
+
+    new_rows = ds.map_batches(explode_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    idx_rows = rd.read_parquet(
+        os.path.join(index_dir, "buckets")).map_batches(
+        lambda t: t.append_column("side", pa.array(
+            np.zeros(len(t), np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    both = new_rows.union(idx_rows)
+
+    def cross_pairs(g: pa.Table) -> pa.Table:
+        sides = np.asarray(g["side"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(g["id"].to_numpy(zero_copy_only=False))
+        old = np.sort(ids[sides == 0])
+        new = np.sort(ids[sides == 1])
+        if len(old) == 0 or len(new) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        if len(old) > max_bucket or len(new) > max_bucket:
+            import logging
+
+            logging.getLogger("vector_ray.dedup").warning(
+                "index-probe LSH bucket capped (old=%d new=%d cap=%d)",
+                len(old), len(new), max_bucket)
+            old, new = old[:max_bucket], new[:max_bucket]
+        return pa.table({
+            "a": pa.array(np.repeat(old, len(new)), pa.int64()),
+            "b": pa.array(np.tile(new, len(old)), pa.int64()),
+        })
+
+    from vector_ray.stages.bucketed import (bucketed_first,
+                                            bucketed_segment_groups)
+
+    _empty = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64())})
+    cand = bucketed_first(
+        bucketed_segment_groups(both, ["band", "band_hash"], cross_pairs,
+                                _empty),
+        ["a", "b"]).materialize()
+    n_cand = cand.count()
+    empty_out = rd.from_arrow(pa.table({
+        "index_id": pa.array([], pa.int64()),
+        "new_id": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64())}))
+    if n_cand == 0:
+        return empty_out
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"minhash_index_probe: {n_cand} candidates exceed "
+            f"max_candidates={max_candidates}")
+    cand_t = _collect_arrow(cand)
+    need_new = np.unique(np.asarray(cand_t["b"]))
+    need_old = np.unique(np.asarray(cand_t["a"]))
+    new_ref = ray.put(pa.array(need_new, pa.int64()))
+
+    def sigs_for_new(t: pa.Table) -> pa.Table:
+        want = ray.get(new_ref)
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=want)
+        sub = t.filter(pc.fill_null(mask, False))
+        if len(sub) == 0:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.uint64(), num_hashes))})
+        sig = minhash_signature(sub[field].to_pylist(),
+                                num_hashes=num_hashes, k=k)
+        return pa.table({
+            "id": pc.cast(sub[id_col], pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), num_hashes)})
+
+    new_sigs = _collect_arrow(ds.map_batches(
+        sigs_for_new, batch_format="pyarrow", zero_copy_batch=True))
+    old_ref = ray.put(pa.array(need_old, pa.int64()))
+
+    def sigs_from_index(t: pa.Table) -> pa.Table:
+        want = ray.get(old_ref)
+        mask = pc.is_in(t["id"], value_set=want)
+        return t.filter(pc.fill_null(mask, False))
+
+    old_sigs = _collect_arrow(rd.read_parquet(
+        os.path.join(index_dir, "sigs")).map_batches(
+        sigs_from_index, batch_format="pyarrow", zero_copy_batch=True))
+    sig_tbl = pa.concat_tables([old_sigs, new_sigs])
+    pairs = _verify_candidate_pairs(
+        cand, sig_tbl, est_name="est_jaccard",
+        threshold=jaccard_threshold, num_hashes=num_hashes)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["index_id", "new_id", "est_jaccard"])
+
+    return pairs.map_batches(rename, batch_format="pyarrow",
+                             zero_copy_batch=True)
