@@ -764,6 +764,27 @@ def q_minhash_index(sf_dir):
     return _finish(minhash_index_probe(new, idx))
 
 
+def q_inverted_search(sf_dir):
+    """Persisted inverted-index BM25 (ml/search_index.py): postings
+    hive-partitioned by fnv1a(term) % buckets, search reads ONLY the
+    probed term buckets (pruning asserted in-query), df from the probed
+    postings, fixed-term-order float64 scoring inside a doc_id-bucketed
+    shuffle. Oracle: independent candidates-only BM25 golden."""
+    import tempfile
+
+    from vector_ray.ml.search_index import (inverted_index_build,
+                                            inverted_index_search)
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="vr_invidx_")
+    inverted_index_build(ds, idx)
+    out, stats = inverted_index_search(idx, "index data stream block",
+                                       k=20)
+    if not stats["files_read"] < stats["files_total"]:
+        raise AssertionError(f"no partition pruning: {stats}")
+    return out
+
+
 def q_file_sink_roundtrip(sf_dir):
     """Templated FileSink end-to-end (sinks/FileSink: {{ lang }} path
     template, ndjson codec, gzip): write the documents table one
@@ -3099,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "inverted_search": q_inverted_search,
         "minhash_index": q_minhash_index,
         "file_sink_roundtrip": q_file_sink_roundtrip,
         "resumable_pipeline": q_resumable_pipeline,
@@ -3801,6 +3823,7 @@ def _golden_oracles() -> dict[str, str]:
     spec.loader.exec_module(golden)
     tokp = _tokens_q_path()
     _GOLDEN_CACHE.update({
+        "inverted_search": golden.inverted_search_sql(),
         "minhash_index": golden.minhash_index_sql(),
         "entropy_docs": golden.byte_entropy_sql(),
         "quantile_band": (

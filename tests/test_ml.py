@@ -1192,6 +1192,62 @@ class TestBM25:
             bm25_score(rd.from_arrow(self._docs()), "   ")
 
 
+class TestInvertedIndex:
+    def _docs(self, n=60):
+        # varied corpus: every doc mentions some of the query terms with
+        # different frequencies and lengths
+        texts = []
+        for i in range(n):
+            words = ["filler%d" % (i % 7)] * (i % 5)
+            if i % 2 == 0:
+                words += ["fast"] * (1 + i % 3)
+            if i % 3 == 0:
+                words += ["table", "scan"]
+            if i % 11 == 0:
+                words += ["merge"]
+            words += ["pad%d" % j for j in range(i % 4)]
+            texts.append(" ".join(words))
+        texts.append("")            # empty doc: counts toward N only
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+
+    def test_matches_in_memory_bm25_and_prunes(self, tmp_path):
+        from vector_ray.ml.corpus import bm25_search
+        from vector_ray.ml.search_index import (inverted_index_build,
+                                                inverted_index_search)
+
+        t = self._docs()
+        idx = str(tmp_path / "inv")
+        st = inverted_index_build(
+            rd.from_arrow(t).repartition(4), idx, num_buckets=16)
+        assert st["n_docs"] == len(t)
+        got, stats = inverted_index_search(idx, "fast table scan merge",
+                                           k=10)
+        want = bm25_search(rd.from_arrow(t).repartition(3),
+                           "fast table scan merge", k=10)
+        assert got.to_pylist() == want.to_pylist()  # bit-identical
+        # 4 terms -> at most 4 of 16 buckets read
+        assert stats["buckets_probed"] <= 4
+        assert stats["files_read"] < stats["files_total"]
+
+    def test_no_match_and_errors(self, tmp_path):
+        import pytest as _pt
+
+        from vector_ray.ml.search_index import (inverted_index_build,
+                                                inverted_index_search)
+
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["alpha beta", "beta gamma"])})
+        idx = str(tmp_path / "inv2")
+        inverted_index_build(rd.from_arrow(t), idx, num_buckets=8)
+        out, _ = inverted_index_search(idx, "nosuchword")
+        assert len(out) == 0
+        with _pt.raises(ValueError, match="empty query"):
+            inverted_index_search(idx, "   ")
+
+
 class TestPCA:
     def _embeds(self, n=400, d=16, seed=7):
         import numpy as np

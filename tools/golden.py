@@ -1767,3 +1767,62 @@ def minhash_index_sql(split: int = 250) -> str:
     cross = [(a, b, est) for a, b, est in rows if a < split <= b]
     return _values_sql(cross, ["index_id", "new_id", "est_jaccard"],
                        ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+# ---------------------------------------------------------------------------
+# inverted_search — persisted inverted-index BM25 (ml/search_index.py):
+# same integer tf/dl/df + fixed-term-order float64 accumulation as
+# bm25_search_sql, but candidates-only (docs sharing >= 1 query term —
+# index semantics: no posting row, no score). The chosen query must
+# match well over k docs so the candidates-only cut can't mask a
+# ranking bug.
+
+
+def inverted_search_sql(query: str = "index data stream block",
+                        k: int = 20, k1: float = 1.2,
+                        b: float = 0.75) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    terms = []
+    for w in query.split():
+        if w and w not in terms:
+            terms.append(w)
+    m = len(terms)
+    tidx = {w: j for j, w in enumerate(terms)}
+
+    tfs, dls = [], []
+    df = np.zeros(m, np.int64)
+    for s in texts:
+        words = [w for w in (s or "").split() if w]
+        tf = [0] * m
+        for w in words:
+            j = tidx.get(w)
+            if j is not None:
+                tf[j] += 1
+        tfs.append(tf)
+        dls.append(len(words))
+        for j in range(m):
+            if tf[j] > 0:
+                df[j] += 1
+    n_docs = len(texts)
+    avgdl = sum(dls) / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    scored = []
+    for i in range(n_docs):
+        if not any(tfs[i]):
+            continue  # candidates-only: doc has no posting for any term
+        norm = k1 * (1.0 - b + b * (dls[i] / avgdl))
+        s = 0.0
+        for j in range(m):
+            tfj = tfs[i][j]
+            s += idf[j] * (tfj * (k1 + 1.0)) / (tfj + norm)
+        scored.append((doc_ids[i], dls[i], float(s)))
+    assert len(scored) > 2 * k, "query must match well over k docs"
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    rows = [(d, dl, sc, rank) for rank, (d, dl, sc)
+            in enumerate(scored[:k])]
+    return _values_sql(rows, ["doc_id", "dl", "bm25", "rank"],
+                       ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"])
