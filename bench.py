@@ -388,6 +388,8 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "entropy_docs",
         "apply_changeset",
         "audit_docs",
+        "minhash_index",
+        "inverted_search",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
