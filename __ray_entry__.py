@@ -2458,6 +2458,37 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_skew_join_docs(sf_dir):
+    """Skew-aware hybrid join: 'en' holds ~40% of documents, so it is
+    detected hot and joins map-only against the broadcast right slice
+    while the tail langs go through the bucketed shuffle."""
+    from vector_ray.stages.join import skew_join
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "lang"])
+    counts = _rp(sf_dir, "documents", columns=["lang"]).groupby("lang").count()
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["lang", "lang_docs"])
+
+    counts = counts.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+    out = skew_join(docs, counts, ["lang"], hot_frac=0.2, buckets=8)
+    return _finish(out)
+
+
+def q_bloom_join_lineitem(sf_dir):
+    """Bloom-prefiltered bucketed join: ~80% of lineitem rows are
+    dropped before the shuffle because their order key cannot match
+    the (selective) right side."""
+    from vector_ray.stages.join import bucketed_join
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 400000")
+    out = bucketed_join(li, big, ["l_orderkey"], right_on=["o_orderkey"],
+                        buckets=8, bloom_prefilter=True, bloom_bits=1 << 20)
+    return _finish(out.select_columns(["l_orderkey", "l_quantity", "o_totalprice"]))
+
+
 def q_asof_last_purchase(sf_dir):
     from vector_ray.stages.join import asof_join
 
@@ -3120,6 +3151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "skew_join_docs": q_skew_join_docs,
+        "bloom_join_lineitem": q_bloom_join_lineitem,
         "inverted_search": q_inverted_search,
         "minhash_index": q_minhash_index,
         "file_sink_roundtrip": q_file_sink_roundtrip,
@@ -3539,6 +3572,15 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": (
             "SELECT o_orderkey, o_totalprice, c_name FROM orders "
             "JOIN customer ON c_custkey = o_custkey"
+        ),
+        "skew_join_docs": (
+            "SELECT d.doc_id, d.lang, c.lang_docs FROM documents d JOIN "
+            "(SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) c "
+            "USING (lang)"
+        ),
+        "bloom_join_lineitem": (
+            "SELECT l_orderkey, l_quantity, o_totalprice FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey WHERE o_totalprice > 400000"
         ),
         "asof_last_purchase": (
             "SELECT e.event_id, CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_us "

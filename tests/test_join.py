@@ -222,3 +222,96 @@ class TestJoinSkew:
         assert s_got == s_want
         # hot-key rows all carried the right value
         assert all(r["rv"] == 70 for r in got[:10] if r["k"] == 7)
+
+
+class TestSkewJoin:
+    def _skewed(self):
+        # 2/3 of left rows on key "hot"; right has one row per key
+        n = 3000
+        ks = np.where(np.arange(n) % 3 < 2, "hot",
+                      np.char.add("c", (np.arange(n) % 7).astype(str)))
+        left = pa.table({"k": ks.astype(object), "lv": np.arange(n)})
+        rk = ["hot"] + [f"c{i}" for i in range(7)] + ["only_right"]
+        right = pa.table({"k": rk, "rv": np.arange(len(rk)) * 10})
+        return ds_of(left, 6), ds_of(right, 2)
+
+    def test_matches_bucketed_per_type(self):
+        from vector_ray.stages.join import skew_join
+
+        l, r = self._skewed()
+        for jt in ("inner", "left", "semi", "anti"):
+            want = sorted(
+                tuple(sorted(row.items()))
+                for row in bucketed_join(l, r, ["k"], join_type=jt, buckets=4).take_all()
+            )
+            got = sorted(
+                tuple(sorted(row.items()))
+                for row in skew_join(l, r, ["k"], join_type=jt, buckets=4,
+                                     hot_frac=0.05).take_all()
+            )
+            assert got == want, jt
+
+    def test_no_hot_keys_falls_back(self):
+        from vector_ray.stages.join import skew_join
+
+        l = ds_of(pa.table({"k": [f"u{i}" for i in range(200)],
+                            "lv": list(range(200))}), 4)
+        r = ds_of(pa.table({"k": [f"u{i}" for i in range(0, 200, 2)],
+                            "rv": list(range(100))}), 2)
+        out = skew_join(l, r, ["k"], hot_frac=0.05).take_all()
+        assert len(out) == 100
+
+    def test_hot_key_routes_and_right_only_key_dropped(self):
+        from vector_ray.stages.join import skew_join
+
+        l, r = self._skewed()
+        out = skew_join(l, r, ["k"], hot_frac=0.05).take_all()
+        hot_rows = [row for row in out if row["k"] == "hot"]
+        assert len(hot_rows) == 2000 and all(row["rv"] == 0 for row in hot_rows)
+        assert not any(row["k"] == "only_right" for row in out)
+
+    def test_bad_join_type_raises(self):
+        from vector_ray.stages.join import skew_join
+
+        l, r = self._skewed()
+        try:
+            skew_join(l, r, ["k"], join_type="full")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError")
+
+
+class TestBloomPrefilterJoin:
+    def test_inner_matches_plain(self):
+        left = pa.table({"k": [f"u{i}" for i in range(500)],
+                         "lv": list(range(500))})
+        right = pa.table({"k": [f"u{i}" for i in range(0, 500, 25)],
+                          "rv": list(range(20))})
+        plain = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in bucketed_join(ds_of(left, 4), ds_of(right), ["k"]).take_all())
+        bloomed = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in bucketed_join(ds_of(left, 4), ds_of(right), ["k"],
+                                   bloom_prefilter=True,
+                                   bloom_bits=1 << 16).take_all())
+        assert bloomed == plain and len(plain) == 20
+
+    def test_semi_and_multikey(self):
+        left = pa.table({"a": ["x", "x", "y", "z"], "b": [1, 2, 1, 9],
+                         "lv": [10, 20, 30, 40]})
+        right = pa.table({"a": ["x", "y"], "b": [1, 1], "rv": [7, 8]})
+        out = bucketed_join(ds_of(left), ds_of(right), ["a", "b"],
+                            join_type="semi", bloom_prefilter=True,
+                            bloom_bits=1 << 16).take_all()
+        assert sorted(r["lv"] for r in out) == [10, 30]
+
+    def test_outer_types_rejected(self):
+        try:
+            bucketed_join(ds_of(LEFT), ds_of(RIGHT), ["k"], join_type="left",
+                          bloom_prefilter=True)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError")

@@ -18,6 +18,12 @@ needs large×large joins; two implementations:
   ships once via ``ray.put`` and the big side never shuffles.
 - ``asof_join()``: sort-within-bucket + ``pandas.merge_asof`` per
   bucket — the as-of/range join for event streams.
+- ``skew_join()``: hybrid plan for skewed keys — detected heavy
+  hitters join map-only against a broadcast right slice, the cold
+  tail goes through the bucketed shuffle.
+- ``bucketed_join(bloom_prefilter=True)``: a Bloom filter built over
+  the right side's keys drops never-matching left rows BEFORE the
+  shuffle — the semi-join pushdown for selective joins.
 """
 
 from __future__ import annotations
@@ -64,15 +70,22 @@ def join(
                          right_on=right_on)
 
 
+def _combo_hash(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """One u64 fingerprint per row over the (stringified) key tuple —
+    the shared hash for bucket assignment, Bloom prefilters and hot-key
+    routing (all three MUST agree so routing stays consistent)."""
+    parts = [pc.cast(t[k], pa.string()) for k in keys]
+    combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    fp = F.fingerprint(pc.fill_null(combo, "\x00"))
+    return np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64)
+
+
 def _with_bucket(ds, keys, buckets: int, side: int, pad_schema: "pa.Schema"):
     """Tag with (bucket, side) and pad to the union schema so the two
     sides can union (Ray union requires identical schemas)."""
 
     def add(t: pa.Table) -> pa.Table:
-        parts = [pc.cast(t[k], pa.string()) for k in keys]
-        combo = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
-        fp = F.fingerprint(pc.fill_null(combo, "\x00"))
-        b = np.asarray(fp.to_numpy(zero_copy_only=False), dtype=np.uint64) % np.uint64(buckets)
+        b = _combo_hash(t, keys) % np.uint64(buckets)
         cols = {}
         for f in pad_schema:
             if f.name == _BUCKET:
@@ -104,6 +117,24 @@ def _union_schema(left, right) -> "pa.Schema":
     return pa.schema(fields)
 
 
+def _key_bloom(ds, keys: Sequence[str], *, m_bits: int, k: int):
+    """Distributed Bloom filter over a dataset's key-tuple fingerprints
+    (reuses ml.bloom's sparse-word build; the hash fed in is
+    ``_combo_hash`` so probe sites can reuse the same function)."""
+    from vector_ray.ml.bloom import bloom_build
+
+    keys = list(keys)
+
+    def addh(t: pa.Table) -> pa.Table:
+        # u64 travels as its int64 bit pattern (Arrow ints are signed);
+        # ml.bloom's _key_hashes casts back modulo 2^64 = same bits
+        return pa.table({"__key_hash": pa.array(_combo_hash(t, keys).view(np.int64))})
+
+    return bloom_build(
+        ds.map_batches(addh, batch_format="pyarrow", zero_copy_batch=True),
+        "__key_hash", m_bits=m_bits, k=k)
+
+
 def bucketed_join(
     left,
     right,
@@ -112,11 +143,44 @@ def bucketed_join(
     join_type: str = "inner",
     buckets: int = 16,
     right_on: Optional[Sequence[str]] = None,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 24,
+    bloom_k: int = 4,
 ):
     """Explicit partitioned hash join: union both (tagged) sides, group
-    by bucket, Arrow-join the two sides inside each group."""
+    by bucket, Arrow-join the two sides inside each group.
+
+    ``bloom_prefilter=True`` is the semi-join pushdown for SELECTIVE
+    joins: a Bloom filter is built over the right side's keys (sparse
+    distributed build, ~``bloom_bits/8`` bytes broadcast once) and left
+    rows whose key is definitely absent are dropped BEFORE the shuffle
+    — at 100 TB the all-to-all exchange then carries only
+    probable-match rows. False positives just ride the shuffle and are
+    dropped by the real join, so results are exact; false negatives are
+    impossible. Only valid for join types where unmatched LEFT rows
+    never surface (inner / semi / right outer) — note it costs one
+    extra pass over the right side's key columns (prune columns at the
+    read when the right side is big)."""
     on = list(on)
     r_on = list(right_on) if right_on else on
+    if bloom_prefilter:
+        import ray
+
+        from vector_ray.ml.bloom import Bloom
+
+        if join_type not in ("inner", "semi", "left semi", "right", "right outer"):
+            raise ValueError(
+                f"bloom_prefilter drops unmatched left rows — invalid for "
+                f"join_type={join_type!r} (inner/semi/right only)")
+        bl = _key_bloom(right, r_on, m_bits=bloom_bits, k=bloom_k)
+        bref = ray.put((bl.m_bits, bl.k, bl.words))
+
+        def pre(t: pa.Table) -> pa.Table:
+            m, kk, words = ray.get(bref)
+            b = Bloom(m, kk, words)
+            return t.filter(pa.array(b.contains_hashes(_combo_hash(t, on))))
+
+        left = left.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     l_names = left.schema().names
     r_names = right.schema().names
     schema = _union_schema(left, right)
@@ -381,3 +445,131 @@ def range_join(
 
     return j.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def skew_join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    join_type: str = "inner",
+    right_on: Optional[Sequence[str]] = None,
+    buckets: int = 16,
+    hot_frac: float = 0.01,
+    max_hot: int = 64,
+    per_block_cap: int = 8,
+    max_broadcast_rows: int = 5_000_000,
+):
+    """Skew-aware hybrid hash join. A hash-partitioned join sends ALL
+    rows of one key to one bucket, so a key holding s% of a 100 TB left
+    side turns into one s%-of-100-TB straggler task. Plan:
+
+    1. detect heavy hitters with one cheap pass over the left key
+       columns: per-block Arrow group-count keeps keys above
+       ``hot_frac/2`` of their block (a key with global share >=
+       ``hot_frac`` has that share in expectation in every block, so
+       per-block candidacy cannot miss it), capped at
+       ``per_block_cap`` candidates per block — the driver sees
+       O(blocks * per_block_cap) candidate rows, never the key space;
+    2. rows are routed hot/cold by key FINGERPRINT membership (the
+       same ``_combo_hash`` both sides, so a fingerprint collision
+       routes both sides of that key identically — results stay
+       exact);
+    3. hot keys join map-only via ``broadcast_join`` (the right slice
+       for <= ``max_hot`` keys ships once; no hot row ever shuffles),
+       the cold tail goes through the ordinary ``bucketed_join``,
+       and the two branches union.
+
+    Valid for join types where unmatched RIGHT rows never surface
+    (inner / left / semi / anti): every left row lands in exactly one
+    branch. Keys that are NULL are never classified hot. With no key
+    above ``hot_frac`` this degrades to a plain ``bucketed_join``
+    (detection pass aside)."""
+    import ray
+
+    on = list(on)
+    r_on = list(right_on) if right_on else on
+    jt_ok = ("inner", "left", "left outer", "semi", "left semi",
+             "anti", "left anti")
+    if join_type not in jt_ok:
+        raise ValueError(f"skew_join: join_type={join_type!r} not in {jt_ok}")
+
+    ls = left.schema()
+    key_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(ls.names, ls.types) if n in on])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        g = t.select(on).group_by(on).aggregate([([], "count_all")])
+        thresh = max(2, int(hot_frac * len(t) / 2))
+        g = g.filter(pc.greater_equal(g["count_all"], thresh))
+        if len(g) > per_block_cap:
+            idx = pc.sort_indices(
+                g, sort_keys=[("count_all", "descending")])[:per_block_cap]
+            g = g.take(idx)
+        marker = pa.table({
+            **{k: pa.nulls(1, key_schema.field(k).type) for k in on},
+            "count_all": pa.array([len(t)], pa.int64()),
+        })
+        cols = {k: pc.cast(g[k], key_schema.field(k).type) for k in on}
+        cols["count_all"] = pc.cast(g["count_all"], pa.int64())
+        return pa.concat_tables([pa.table(cols), marker])
+
+    cand = pa.concat_tables(
+        [b for b in ray.get(
+            left.map_batches(candidates, batch_format="pyarrow",
+                             zero_copy_batch=True).to_arrow_refs())
+         if len(b)],
+        promote_options="permissive")
+    key_null = pc.is_null(cand[on[0]])
+    for k in on[1:]:
+        key_null = pc.and_(key_null, pc.is_null(cand[k]))
+    total = pc.sum(cand.filter(key_null)["count_all"]).as_py() or 0
+    real = cand.filter(pc.invert(key_null))
+    summed = real.group_by(on).aggregate([("count_all", "sum")])
+    hot = summed.filter(pc.greater_equal(
+        summed["count_all_sum"], max(2.0, hot_frac * max(total, 1))))
+    if len(hot) > max_hot:
+        idx = pc.sort_indices(
+            hot, sort_keys=[("count_all_sum", "descending")])[:max_hot]
+        hot = hot.take(idx)
+    if len(hot) == 0:
+        return bucketed_join(left, right, on, join_type=join_type,
+                             buckets=buckets, right_on=r_on)
+
+    hot_hashes = np.unique(_combo_hash(hot.select(on), on))
+    href = ray.put(hot_hashes)
+
+    def splitter(keys):
+        def split(t: pa.Table, keep_hot: bool) -> pa.Table:
+            mask = np.isin(_combo_hash(t, keys), ray.get(href))
+            return t.filter(pa.array(mask if keep_hot else ~mask))
+        return split
+
+    lsplit, rsplit = splitter(on), splitter(r_on)
+    left_hot = left.map_batches(lambda t: lsplit(t, True),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    left_cold = left.map_batches(lambda t: lsplit(t, False),
+                                 batch_format="pyarrow", zero_copy_batch=True)
+    right_hot = right.map_batches(lambda t: rsplit(t, True),
+                                  batch_format="pyarrow", zero_copy_batch=True)
+    right_cold = right.map_batches(lambda t: rsplit(t, False),
+                                   batch_format="pyarrow", zero_copy_batch=True)
+
+    jt_b = {"inner": "inner", "left": "left", "left outer": "left",
+            "semi": "semi", "left semi": "semi",
+            "anti": "anti", "left anti": "anti"}[join_type]
+    hot_out = broadcast_join(left_hot, right_hot, on, join_type=jt_b,
+                             right_on=r_on,
+                             max_broadcast_rows=max_broadcast_rows)
+    cold_out = bucketed_join(left_cold, right_cold, on,
+                             join_type=join_type, buckets=buckets,
+                             right_on=r_on)
+    l_names = left.schema().names
+    r_names = right.schema().names
+    if jt_b in ("semi", "anti"):
+        out_cols = list(l_names)
+    else:
+        out_cols = list(l_names) + [
+            c for c in r_names if c not in r_on and c not in l_names]
+    return hot_out.select_columns(out_cols).union(
+        cold_out.select_columns(out_cols))
