@@ -2073,6 +2073,21 @@ def q_snapshot_diff(sf_dir):
         rd.from_arrow(tbl(new)).repartition(4)))
 
 
+def q_scd2_user_state(sf_dir):
+    """SCD Type-2 history (stages/diff.scd2): the events stream read
+    as a per-user state changelog (user_id, ts, event_type) becomes
+    validity intervals — consecutive identical states collapsed, each
+    surviving change valid until the next one, the last open-ended.
+    One hash-bucket shuffle on user_id; per-bucket flat sort + numpy
+    consecutive-row passes (no per-key Python). Oracle: LAG collapse +
+    LEAD validity window functions."""
+    from vector_ray.stages.diff import scd2
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return _finish(scd2(ds, id_col="user_id", ts_col="ts",
+                        attr_cols=["event_type"]))
+
+
 def q_grouped_var(sf_dir):
     """Grouped sample variance/stddev via mergeable (n, Σx, Σx²)
     partials (stages/aggregate.py var/std kinds). l_quantity is
@@ -3151,6 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "scd2_user_state": q_scd2_user_state,
         "skew_join_docs": q_skew_join_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
         "inverted_search": q_inverted_search,
@@ -3978,6 +3994,18 @@ def _golden_oracles() -> dict[str, str]:
         "bpe_merges": golden.bpe_merges_sql(),
         "bpe_encode_docs": golden.bpe_encode_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
+        "scd2_user_state": (
+            "WITH s AS (SELECT user_id, ts, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS prev FROM events), "
+            "c AS (SELECT user_id, event_type, ts AS valid_from "
+            "FROM s WHERE prev IS NULL OR prev <> event_type) "
+            "SELECT user_id, event_type, valid_from, "
+            "LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from) AS valid_to, "
+            "(LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from) IS NULL) AS is_current FROM c"
+        ),
         "range_join_events": golden.range_join_sql(),
         "grouped_mode": (
             "SELECT o_orderstatus, top_priority FROM ("

@@ -1656,3 +1656,51 @@ def test_wmean_pairwise_nulls_partition_invariant(ray_session=None):
         out = grouped_aggregate(rd.from_arrow(t).repartition(parts), ["k"],
                                 {"m": ("wmean", "x", "w")}).to_pandas()
         assert out.loc[0, "m"] == want, parts
+
+
+class TestScd2:
+    def _run(self, rows, **kw):
+        from vector_ray.stages.diff import scd2
+
+        t = pa.table({
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "state": pa.array([r[2] for r in rows], pa.string())})
+        out = scd2(rd.from_arrow(t).repartition(3), id_col="id",
+                   ts_col="ts", attr_cols=["state"], **kw).to_pandas()
+        return out.sort_values(["id", "valid_from"]).reset_index(drop=True)
+
+    def test_collapse_and_intervals(self):
+        rows = [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"),
+                (1, 50, "a"), (2, 5, "x")]
+        out = self._run(rows)
+        assert list(out["valid_from"]) == [10, 30, 50, 5]
+        assert list(out["state"]) == ["a", "b", "a", "x"]
+        # valid_to = next change's ts, open (NaN) on the last version
+        assert list(out["valid_to"].fillna(-1)) == [30, 50, -1, -1]
+        assert list(out["is_current"]) == [False, False, True, True]
+
+    def test_no_collapse_keeps_every_row(self):
+        rows = [(1, 10, "a"), (1, 20, "a"), (1, 30, "a")]
+        out = self._run(rows, collapse=False)
+        assert len(out) == 3
+        assert list(out["valid_to"].fillna(-1)) == [20, 30, -1]
+
+    def test_partition_invariant(self):
+        import pandas as pd
+
+        from vector_ray.stages.diff import scd2
+
+        rows = [(i % 7, i * 3 + (i % 7), "s" + str((i * 5) % 3))
+                for i in range(200)]
+        t = pa.table({
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "state": pa.array([r[2] for r in rows], pa.string())})
+        outs = []
+        for parts in (1, 8):
+            o = scd2(rd.from_arrow(t).repartition(parts), id_col="id",
+                     ts_col="ts", attr_cols=["state"]).to_pandas()
+            outs.append(o.sort_values(["id", "valid_from"])
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])

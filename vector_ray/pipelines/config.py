@@ -709,6 +709,27 @@ def _build_knn_graph(cfg):
     return _KnnGraph()
 
 
+@register_transform("scd2")
+def _build_scd2(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.diff import scd2
+
+    class _Scd2(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return scd2(
+                ds,
+                id_col=cfg.get("id_field", "id"),
+                ts_col=cfg.get("ts_field", "ts"),
+                attr_cols=list(cfg.get("fields", [])),
+                collapse=bool(cfg.get("collapse", True)),
+                num_buckets=cfg.get("buckets"),
+            )
+
+    return _Scd2()
+
+
 @register_transform("fingerprint")
 def _build_fingerprint(cfg):
     from vector_ray.ml.text import Fingerprint

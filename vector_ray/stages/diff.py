@@ -19,6 +19,8 @@ standard trade for never shuffling payloads.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -120,3 +122,73 @@ def apply_changeset(base, changes, *, id_col: str = "doc_id",
     upserts = changes.map_batches(surviving, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return kept.union(upserts)
+
+
+def scd2(changelog, *, id_col: str, ts_col: str,
+         attr_cols: Sequence[str], collapse: bool = True,
+         num_buckets: int | None = None):
+    """SCD Type-2 history builder: turn an append-only changelog of
+    (id, ts, attrs...) into validity intervals
+
+        (id, attrs..., valid_from, valid_to, is_current)
+
+    where ``valid_to`` is the next change's timestamp (null = open /
+    current version). With ``collapse=True`` (default) rows whose
+    attributes are identical to the id's immediately preceding row are
+    dropped first, so back-to-back no-op updates don't split an
+    interval.
+
+    Plan: ONE hash-bucket shuffle on ``id_col``
+    (stages/bucketed.bucketed_map_groups); each bucket sorts by
+    (id, ts) once and does flat numpy passes — the collapse mask and
+    the lead(ts) are both consecutive-row comparisons over the sorted
+    runs (O(buckets) Python calls, any key skew fine because the work
+    is per-bucket vectorized, never per-key). ``ts_col`` must be
+    unique within an id (true of any event-sourced changelog).
+
+    Completes the changelog family: snapshot_diff (what changed),
+    apply_changeset (merge it in), scd2 (keep the full history).
+    No reference counterpart (SURVEY §2 "beyond the reference").
+    """
+    import numpy as np
+
+    from vector_ray.stages.bucketed import _run_starts, bucketed_map_groups
+
+    attr_cols = list(attr_cols)
+    out_cols = [id_col] + attr_cols
+
+    def bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.select([id_col, ts_col] + attr_cols)
+        if len(g) == 0:
+            sch = g.schema
+            ts_t = sch.field(ts_col).type
+            return pa.table(
+                {c: pa.array([], sch.field(c).type) for c in out_cols}
+                | {"valid_from": pa.array([], ts_t),
+                   "valid_to": pa.array([], ts_t),
+                   "is_current": pa.array([], pa.bool_())})
+        g = g.combine_chunks().sort_by(
+            [(id_col, "ascending"), (ts_col, "ascending")])
+        if collapse:
+            keep = _run_starts(g, [id_col] + attr_cols)
+            g = g.filter(pa.array(keep)).combine_chunks()
+        n = len(g)
+        new_run = _run_starts(g, [id_col])
+        run_end = np.zeros(n, bool)
+        run_end[-1] = True
+        run_end[:-1] = new_run[1:]
+        ts = g[ts_col].combine_chunks()
+        nxt = ts.take(pa.array(
+            np.minimum(np.arange(n, dtype=np.int64) + 1, n - 1),
+            pa.int64()))
+        valid_to = pc.if_else(pa.array(~run_end), nxt,
+                              pa.scalar(None, ts.type))
+        return pa.table(
+            {c: g[c] for c in out_cols}
+            | {"valid_from": ts, "valid_to": valid_to,
+               "is_current": pa.array(run_end)})
+
+    return bucketed_map_groups(changelog, [id_col], bucket,
+                               num_buckets=num_buckets)
