@@ -2473,6 +2473,21 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_kmeans_embeddings(sf_dir):
+    """Distributed full-data k-means (ml/cluster.py): exact-integer
+    Lloyd iterations on the 2^20 grid — assignment and centroid
+    updates are partitioning-independent, so the whole fit is
+    hash-gated. Output: per-cluster member count + polynomial checksum
+    of the ascending member ids (any reassignment anywhere flips a
+    hash). Oracle: single-threaded integer mirror (tools/golden.py
+    kmeans_sql)."""
+    from vector_ray.ml.cluster import kmeans_cluster_stats, kmeans_train
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_train(ds, n_clusters=8, iters=5)
+    return _finish(kmeans_cluster_stats(ds, cent))
+
+
 def q_skew_join_docs(sf_dir):
     """Skew-aware hybrid join: 'en' holds ~40% of documents, so it is
     detected hot and joins map-only against the broadcast right slice
@@ -3167,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries with standing green rows from earlier rounds.
     return {
         "scd2_user_state": q_scd2_user_state,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "skew_join_docs": q_skew_join_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
         "inverted_search": q_inverted_search,
@@ -3994,6 +4010,7 @@ def _golden_oracles() -> dict[str, str]:
         "bpe_merges": golden.bpe_merges_sql(),
         "bpe_encode_docs": golden.bpe_encode_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
+        "kmeans_embeddings": golden.kmeans_sql(),
         "scd2_user_state": (
             "WITH s AS (SELECT user_id, ts, event_type, "
             "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -1756,3 +1756,69 @@ def test_gopher_quality_batch_matches_python_mirror(ray_session=None):
         assert q["n_stop"][i] == sum(
             1 for w in words if w.lower().strip(".,!?;:") in stop)
         assert q["doc_bytes"][i] == len(t.encode())
+
+
+class TestKmeansFull:
+    def _blobs(self, n=240, d=8, k=3, spread=0.02):
+        # three tight blobs, deterministic
+        rng = np.random.default_rng(7)
+        cents = rng.normal(size=(k, d))
+        x = (cents[np.arange(n) % k]
+             + rng.normal(scale=spread, size=(n, d))).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % k).astype(np.int32))})
+
+    def test_recovers_blobs_and_partition_invariant(self):
+        from vector_ray.ml.cluster import kmeans_assign, kmeans_train
+
+        t = self._blobs()
+        outs = []
+        for parts in (1, 7):
+            ds = rd.from_arrow(t).repartition(parts)
+            cent = kmeans_train(ds, n_clusters=3, iters=4)
+            a = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+            outs.append((cent, a["cluster"].to_numpy()))
+        assert np.array_equal(outs[0][0], outs[1][0])  # identical centroids
+        assert np.array_equal(outs[0][1], outs[1][1])
+        # each true blob maps to exactly one k-means cluster
+        lab = t["label"].to_numpy()
+        a = outs[0][1]
+        for g in range(3):
+            assert len(set(a[lab == g])) == 1
+        assert len(set(a)) == 3
+
+    def test_empty_cluster_keeps_centroid(self):
+        from vector_ray.ml.cluster import kmeans_train
+
+        # 4 identical points, k=2: one cluster starves, run completes
+        t = pa.table({
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 4,
+                                  pa.list_(pa.float32()))})
+        cent = kmeans_train(rd.from_arrow(t), n_clusters=2, iters=3)
+        assert cent.shape == (2, 2)
+
+    def test_cluster_stats_hash(self):
+        from vector_ray.ml.cluster import kmeans_cluster_stats, kmeans_train
+
+        t = self._blobs(n=60)
+        ds = rd.from_arrow(t).repartition(4)
+        cent = kmeans_train(ds, n_clusters=3, iters=3)
+        st = kmeans_cluster_stats(ds, cent).to_pandas()
+        assert st["n"].sum() == 60
+        # checksum mirror: h = fold(h*P + id) over ascending member ids
+        from vector_ray.ml.cluster import kmeans_assign
+
+        adf = kmeans_assign(ds, cent).to_pandas()
+        M = (1 << 64) - 1
+        for _, row in st.iterrows():
+            ids = sorted(adf.loc[adf["cluster"] == row["cluster"],
+                                 "vec_id"].tolist())
+            h = 0
+            for v in ids:
+                h = (h * 0x100000001B3 + (v & M)) & M
+            if h >= 1 << 63:
+                h -= 1 << 64
+            assert row["id_hash"] == h and row["n"] == len(ids)

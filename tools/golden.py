@@ -1826,3 +1826,57 @@ def inverted_search_sql(query: str = "index data stream block",
             in enumerate(scored[:k])]
     return _values_sql(rows, ["doc_id", "dl", "bm25", "rank"],
                        ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"])
+
+
+def kmeans_sql(n_clusters: int = 8, iters: int = 5) -> str:
+    """Single-threaded mirror of ml/cluster.py kmeans_train +
+    kmeans_cluster_stats over the embeddings table: same 2^20 integer
+    grid, bottom-k-by-(fnv1a(id), id) init, exact-integer argmin
+    assignment (ties to the lowest cluster), python-bigint centroid
+    sums with float(bigint)/count → np.rint regrid, per-cluster
+    polynomial checksum of the ascending member ids (mod 2^64, int64
+    bit pattern)."""
+    t = pq.read_table(os.path.join(sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    x = np.asarray(t["embedding"].to_pylist(), np.float64)
+    scale = 1 << 20
+    q = np.rint(x * scale).astype(np.int64)
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (fnv1a_int(str(ids[i])), ids[i]))
+    qc = q[order[:n_clusters]].copy()
+    k = len(qc)
+
+    def assign(qm, qcm):
+        cross = qm @ qcm.T
+        cn = np.einsum("ij,ij->i", qcm, qcm)
+        return np.argmin(cn[None, :] - 2 * cross, axis=1)
+
+    for _ in range(iters):
+        a = assign(q, qc)
+        new = qc.copy()
+        for c in range(k):
+            members = np.nonzero(a == c)[0]
+            if len(members):
+                sums = [sum(int(v) for v in q[members, j])
+                        for j in range(q.shape[1])]
+                mean = np.array([float(s) for s in sums],
+                                np.float64) / len(members)
+                new[c] = np.rint(mean).astype(np.int64)
+        qc = new
+
+    a = assign(q, qc)
+    rows = []
+    for c in range(k):
+        members = sorted(int(ids[i]) for i in np.nonzero(a == c)[0])
+        if not members:
+            continue
+        h = 0
+        for v in members:
+            h = (h * 0x100000001B3 + (v & M64)) & M64
+        if h >= 1 << 63:
+            h -= 1 << 64
+        rows.append((c, len(members), h))
+    return _values_sql(rows, ["cluster", "n", "id_hash"],
+                       ["BIGINT", "BIGINT", "BIGINT"])
