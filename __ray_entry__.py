@@ -2473,6 +2473,33 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_standardize_lineitem(sf_dir):
+    """z-score standardization (stages/feature.standardize): one
+    moment scan (n, Σx, Σx² — exact f64 for the integer-valued
+    l_quantity), then a map-only transform; the explicit
+    (x−Σx/n)/sqrt((Σx²−(Σx)²/n)/(n−1)) formula is mirrored verbatim
+    in the SQL so every IEEE op matches."""
+    from vector_ray.stages.feature import standardize
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return _finish(standardize(ds, ["l_quantity"]))
+
+
+def q_bucketize_events(sf_dir):
+    """Discretization (stages/feature.bucketize): equal-width bins
+    from an exact min/max scan (the quantile machinery's bin formula)
+    AND equal-frequency bins whose cut points are actual data values
+    from exact_quantiles (quantile_disc rank rule) — both map-only
+    after O(1) fitted state, no float reconstruction anywhere."""
+    from vector_ray.stages.feature import bucketize
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    ds = bucketize(ds, "value", bins=10, mode="width", out="wbin")
+    ds = bucketize(ds, "value", bins=10, mode="quantile", out="qbin")
+    return _finish(ds)
+
+
 def q_kmeans_embeddings(sf_dir):
     """Distributed full-data k-means (ml/cluster.py): exact-integer
     Lloyd iterations on the 2^20 grid — assignment and centroid
@@ -3183,6 +3210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "scd2_user_state": q_scd2_user_state,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "standardize_lineitem": q_standardize_lineitem,
+        "bucketize_events": q_bucketize_events,
         "skew_join_docs": q_skew_join_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
         "inverted_search": q_inverted_search,
@@ -4011,6 +4040,25 @@ def _golden_oracles() -> dict[str, str]:
         "bpe_encode_docs": golden.bpe_encode_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
+        "standardize_lineitem": (
+            "WITH m AS (SELECT COUNT(l_quantity) AS n, "
+            "SUM(l_quantity) AS sx, SUM(l_quantity*l_quantity) AS sxx "
+            "FROM lineitem) "
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) "
+            "AS l_linenumber, l_quantity, "
+            "(l_quantity - sx/n) / sqrt((sxx - sx*sx/n)/(n-1)) "
+            "AS l_quantity_z FROM lineitem, m"
+        ),
+        "bucketize_events": (
+            "WITH m AS (SELECT min(value) AS mn, max(value) AS mx "
+            "FROM events) "
+            "SELECT event_id, value, "
+            "LEAST(GREATEST(CAST(FLOOR((value - mn) * "
+            "(CAST(10 AS DOUBLE) / (mx - mn))) AS BIGINT), 0), 9) "
+            "AS wbin, "
+            "CAST(value > (SELECT quantile_disc(value, 1/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 2/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 3/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 4/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 5/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 6/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 7/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 8/10.0) FROM events) AS BIGINT) + CAST(value > (SELECT quantile_disc(value, 9/10.0) FROM events) AS BIGINT) "
+            "AS qbin FROM events, m"
+        ),
         "scd2_user_state": (
             "WITH s AS (SELECT user_id, ts, event_type, "
             "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -1704,3 +1704,55 @@ class TestScd2:
             outs.append(o.sort_values(["id", "valid_from"])
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestFeature:
+    def test_standardize_nulls_and_invariance(self):
+        import pandas as pd
+
+        from vector_ray.stages.feature import standardize
+
+        t = pa.table({"x": pa.array([1.0, 2.0, None, 4.0, 8.0],
+                                    pa.float64())})
+        outs = []
+        for parts in (1, 4):
+            o = standardize(rd.from_arrow(t).repartition(parts),
+                            ["x"]).to_pandas().sort_values(
+                "x", na_position="last").reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        vals = [1.0, 2.0, 4.0, 8.0]
+        mu = sum(vals) / 4
+        sd = (sum((v - mu) ** 2 for v in vals) / 3) ** 0.5
+        got = outs[0].dropna().reset_index(drop=True)
+        for i, v in enumerate(vals):
+            assert abs(got["x_z"][i] - (v - mu) / sd) < 1e-12
+        assert outs[0]["x_z"].isna().sum() == 1
+
+    def test_standardize_zero_variance(self):
+        from vector_ray.stages.feature import standardize
+
+        t = pa.table({"x": pa.array([3.0, 3.0, 3.0], pa.float64())})
+        o = standardize(rd.from_arrow(t), ["x"]).to_pandas()
+        assert o["x_z"].isna().all()
+
+    def test_bucketize_width(self):
+        from vector_ray.stages.feature import bucketize
+
+        t = pa.table({"x": pa.array([0.0, 1.0, 4.9, 5.0, 9.99, 10.0],
+                                    pa.float64())})
+        o = bucketize(rd.from_arrow(t).repartition(2), "x", bins=10,
+                      mode="width").to_pandas().sort_values("x")
+        assert list(o["x_bin"]) == [0, 1, 4, 5, 9, 9]  # max clips to 9
+
+    def test_bucketize_quantile_ties(self):
+        from vector_ray.stages.feature import bucketize
+
+        # heavy tie on the cut value: ties sit in the LOWER bin
+        t = pa.table({"x": pa.array([1.0] * 6 + [2.0, 3.0],
+                                    pa.float64())})
+        o = bucketize(rd.from_arrow(t).repartition(3), "x", bins=4,
+                      mode="quantile").to_pandas().sort_values("x")
+        b = list(o["x_bin"])
+        assert all(v == b[0] for v in b[:6])  # all 1.0s share a bin
+        assert b[6] > b[0] and b[7] >= b[6]

@@ -709,6 +709,39 @@ def _build_knn_graph(cfg):
     return _KnnGraph()
 
 
+@register_transform("standardize")
+def _build_standardize(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import standardize
+
+    class _Standardize(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return standardize(ds, list(cfg.get("fields", [])),
+                               suffix=cfg.get("suffix", "_z"),
+                               ddof=int(cfg.get("ddof", 1)))
+
+    return _Standardize()
+
+
+@register_transform("bucketize")
+def _build_bucketize(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import bucketize
+
+    class _Bucketize(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return bucketize(ds, cfg["field"],
+                             bins=int(cfg.get("bins", 10)),
+                             mode=cfg.get("mode", "width"),
+                             out=cfg.get("out"))
+
+    return _Bucketize()
+
+
 @register_transform("scd2")
 def _build_scd2(cfg):
     from vector_ray.stages.base import Step

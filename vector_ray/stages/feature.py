@@ -1,0 +1,135 @@
+"""Feature-engineering primitives over numeric columns — the
+fit-then-transform pair every training-data pipeline needs before
+numeric features reach a model: ``standardize`` (z-score) and
+``bucketize`` (equal-width / equal-frequency discretization).
+
+Both are fit-broadcast-map plans: ONE streaming scan reduces the
+fitted statistics to O(1) driver state (moment partials / min-max /
+quantile cut points), then a map-only pass applies them per batch —
+nothing shuffles, payloads never move, and the transform composes
+with any downstream stage.
+
+Determinism notes (what makes these hash-gateable):
+- standardize moments are float64 (Σx, Σx²) partials — EXACT (hence
+  order-independent) whenever the column is integer-valued below
+  2^53, the common case for counts/quantities; the final formula
+  (x − Σx/n) / sqrt((Σx² − (Σx)²/n)/(n−1)) is mirrored verbatim in
+  the SQL oracle so every IEEE op matches.
+- bucketize "width" uses the quantile machinery's bin formula
+  floor((x − lo) · (nb / (hi − lo))) (stages/quantile._row_bins — the
+  count and transform scans can never disagree); "quantile" cut
+  points are actual data values from stages/quantile.exact_quantiles
+  (quantile_disc rank rule), so bin edges compare exactly — no float
+  reconstruction anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _f64(t: pa.Table, col: str) -> np.ndarray:
+    a = pc.cast(t[col], pa.float64()).combine_chunks()
+    return np.asarray(a.to_numpy(zero_copy_only=False))
+
+
+def standardize(ds, cols: Sequence[str], *, suffix: str = "_z",
+                ddof: int = 1):
+    """Append ``<col><suffix>: float64`` z-scores for each column.
+    One moment scan (n, Σx, Σx² per column — a 3·len(cols)-value
+    partial per block), then a map-only transform. Null inputs stay
+    null; a zero-variance column yields nulls (no 0/0)."""
+    cols = list(cols)
+
+    def part(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = _f64(t, c)
+            m = ~np.isnan(v)
+            out[f"n_{c}"] = pa.array([int(m.sum())], pa.int64())
+            out[f"sx_{c}"] = pa.array([float(v[m].sum())], pa.float64())
+            out[f"sxx_{c}"] = pa.array([float((v[m] * v[m]).sum())],
+                                       pa.float64())
+        return pa.table(out)
+
+    rows = ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    stats = {}
+    for c in cols:
+        n = sum(r[f"n_{c}"] for r in rows)
+        sx = sum(r[f"sx_{c}"] for r in rows)
+        sxx = sum(r[f"sxx_{c}"] for r in rows)
+        if n >= 2:
+            mu = sx / n
+            var = (sxx - sx * sx / n) / (n - ddof)
+            sd = float(np.sqrt(var)) if var > 0 else None
+        else:
+            mu, sd = (sx / n if n else None), None
+        stats[c] = (mu, sd)
+
+    def transform(t: pa.Table) -> pa.Table:
+        for c in cols:
+            mu, sd = stats[c]
+            if sd is None:
+                z = pa.array([None] * len(t), pa.float64())
+            else:
+                v = _f64(t, c)
+                z = pa.array((v - mu) / sd, pa.float64(),
+                             mask=np.isnan(v))
+            t = t.append_column(c + suffix, z)
+        return t
+
+    return ds.map_batches(transform, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bucketize(ds, col: str, *, bins: int = 10, mode: str = "width",
+              out: str | None = None):
+    """Append ``out`` (default ``<col>_bin``) int64 in [0, bins).
+
+    mode="width": equal-width bins over the observed [min, max]
+    (floor((x − lo) · bins/(hi − lo)), top edge clipped into the last
+    bin — the quantile machinery's formula).
+    mode="quantile": equal-frequency bins — cut points are the
+    j/bins-quantiles (quantile_disc rank rule, actual data values);
+    bin = #cuts < x, so ties sit with the lower bin exactly like a
+    ``x > cut`` CASE ladder. Nulls stay null."""
+    if out is None:
+        out = col + "_bin"
+    nb = int(bins)
+
+    if mode == "width":
+        from vector_ray.stages.quantile import _row_bins, _stats_scan
+
+        n, lo, hi = _stats_scan(ds, col)
+
+        def tf(t: pa.Table) -> pa.Table:
+            v = _f64(t, col)
+            b = _row_bins(v, np.full(len(v), lo), np.full(len(v), hi),
+                          nb)
+            return t.append_column(
+                out, pa.array(b, pa.int64(), mask=np.isnan(v)))
+
+    elif mode == "quantile":
+        from vector_ray.stages.quantile import exact_quantiles
+
+        cuts = exact_quantiles(ds, col, [j / nb for j in range(1, nb)])
+        cuts_arr = np.asarray([c for c in cuts if c is not None],
+                              np.float64)
+
+        def tf(t: pa.Table) -> pa.Table:
+            v = _f64(t, col)
+            b = np.searchsorted(cuts_arr, v, side="left")
+            return t.append_column(
+                out, pa.array(b.astype(np.int64), pa.int64(),
+                              mask=np.isnan(v)))
+
+    else:
+        raise ValueError(f"bucketize: unknown mode={mode!r}")
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
