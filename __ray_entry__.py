@@ -2473,6 +2473,30 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_ewma_events(sf_dir):
+    """Per-key exponential moving average (stages/shift.py "ewma"
+    window fn): y_i = α·x_i + (1−α)·y_{i−1} vectorized via w^{-p}
+    rescaling over run-relative chunks laid out rectangularly so each
+    key's float ops are bit-identical whatever other keys share the
+    bucket. Oracle: single-threaded mirror of the same chunked
+    arithmetic (tools/golden.py ewma_sql)."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = partitioned_shift(ds, ["user_id"], ["ts"],
+                            {"ewma": ("ewma", "value", 0.25)})
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "value": t["value"],
+            "ewma": t["ewma"]})
+
+    return _finish(out.map_batches(shape, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 def q_standardize_lineitem(sf_dir):
     """z-score standardization (stages/feature.standardize): one
     moment scan (n, Σx, Σx² — exact f64 for the integer-valued
@@ -3211,6 +3235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_state": q_scd2_user_state,
         "kmeans_embeddings": q_kmeans_embeddings,
         "standardize_lineitem": q_standardize_lineitem,
+        "ewma_events": q_ewma_events,
         "bucketize_events": q_bucketize_events,
         "skew_join_docs": q_skew_join_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
@@ -4040,6 +4065,7 @@ def _golden_oracles() -> dict[str, str]:
         "bpe_encode_docs": golden.bpe_encode_sql(),
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
+        "ewma_events": golden.ewma_sql(),
         "standardize_lineitem": (
             "WITH m AS (SELECT COUNT(l_quantity) AS n, "
             "SUM(l_quantity) AS sx, SUM(l_quantity*l_quantity) AS sxx "

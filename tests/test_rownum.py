@@ -73,3 +73,60 @@ class TestGlobalRowNumber:
         from collections import Counter
         sizes = Counter(r["shard"] for r in out)
         assert sizes == {0: 30, 1: 30, 2: 30, 3: 10}
+
+
+class TestEwma:
+    def test_matches_sequential_recurrence_all_alphas(self):
+        import numpy as np
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        rng = np.random.default_rng(3)
+        n = 2000
+        k = rng.integers(0, 5, n)
+        ts = np.arange(n)
+        x = rng.normal(size=n) * 10
+        t = pa.table({"k": pa.array(k, pa.int64()),
+                      "ts": pa.array(ts, pa.int64()),
+                      "x": pa.array(x, pa.float64())})
+        for alpha in (0.0, 0.3, 0.999, 1.0):
+            outs = []
+            for parts in (1, 6):
+                o = partitioned_shift(
+                    rd.from_arrow(t).repartition(parts), ["k"], ["ts"],
+                    {"e": ("ewma", "x", alpha)}).to_pandas()
+                o = o.sort_values(["k", "ts"])
+                outs.append(o["e"].to_numpy())
+            assert np.array_equal(outs[0], outs[1]), alpha
+            o = partitioned_shift(rd.from_arrow(t), ["k"], ["ts"],
+                                  {"e": ("ewma", "x", alpha)}).to_pandas()
+            o = o.sort_values(["k", "ts"])
+            for key in range(5):
+                xs = x[k == key][np.argsort(ts[k == key])]
+                got = o.loc[o["k"] == key, "e"].to_numpy()
+                y = np.empty(len(xs))
+                y[0] = xs[0]
+                for i in range(1, len(xs)):
+                    y[i] = alpha * xs[i] + (1 - alpha) * y[i - 1]
+                assert np.allclose(got, y, rtol=1e-9, atol=1e-12), alpha
+
+    def test_long_run_chunking(self):
+        # one key longer than the chunk width L forces carry handoffs
+        import numpy as np
+
+        from vector_ray.stages.shift import partitioned_shift
+
+        n, alpha = 1500, 0.9  # w=0.1 -> L = floor(230/ln10) = 99
+        x = np.sin(np.arange(n))
+        t = pa.table({"k": pa.array([1] * n, pa.int64()),
+                      "ts": pa.array(np.arange(n), pa.int64()),
+                      "x": pa.array(x, pa.float64())})
+        o = partitioned_shift(rd.from_arrow(t).repartition(4), ["k"],
+                              ["ts"], {"e": ("ewma", "x", alpha)})
+        got = o.to_pandas().sort_values("ts")["e"].to_numpy()
+        y = np.empty(n)
+        y[0] = x[0]
+        for i in range(1, n):
+            y[i] = alpha * x[i] + (1 - alpha) * y[i - 1]
+        assert np.allclose(got, y, rtol=1e-9, atol=1e-12)
+        assert np.all(np.isfinite(got))

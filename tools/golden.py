@@ -1880,3 +1880,47 @@ def kmeans_sql(n_clusters: int = 8, iters: int = 5) -> str:
         rows.append((c, len(members), h))
     return _values_sql(rows, ["cluster", "n", "id_hash"],
                        ["BIGINT", "BIGINT", "BIGINT"])
+
+
+def ewma_sql(alpha: float = 0.25) -> str:
+    """Single-threaded mirror of stages/shift.py fn=="ewma" over the
+    events table (key=user_id, order=ts, col=value): identical chunked
+    w^{-p} rescaling arithmetic (same L bound, same pw/pwin power
+    arrays, same cumsum order — trailing-zero padding in the engine's
+    rectangular layout adds exactly 0.0, so the 1-D per-key mirror is
+    bit-identical)."""
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["user_id", "ts", "value"])
+    import pandas as pd
+    df = t.to_pandas().sort_values(["user_id", "ts"], kind="stable")
+    w = 1.0 - alpha
+    rows = []
+    for uid, g in df.groupby("user_id", sort=True):
+        x = g["value"].to_numpy(np.float64)
+        n = len(x)
+        if w <= 0.0:
+            y = x.copy()
+        elif w >= 1.0:
+            y = np.full(n, x[0])
+        else:
+            L = int(min(256, max(1, np.floor(230.0 / -np.log(w)))))
+            pw = w ** -np.arange(L, dtype=np.float64)
+            pwin = w ** np.arange(L, dtype=np.float64)
+            y = np.empty(n, np.float64)
+            c = 0.0
+            for kk in range(int(np.ceil(n / L))):
+                xs = x[kk * L:(kk + 1) * L]
+                m = len(xs)
+                p = np.arange(m)
+                tt = alpha * xs * pw[p]
+                tt[0] = xs[0] if kk == 0 else alpha * xs[0] + w * c
+                um = np.cumsum(tt)
+                y[kk * L:kk * L + m] = um * pwin[p]
+                c = um[m - 1] * pwin[m - 1]
+            # engine computes carry at lastp within the padded row —
+            # identical to um[m-1]*pwin[m-1] above
+        ts_us = (g["ts"].astype("int64")).to_numpy()
+        for i in range(n):
+            rows.append((int(uid), int(ts_us[i]), float(x[i]), float(y[i])))
+    return _values_sql(rows, ["user_id", "ts_us", "value", "ewma"],
+                       ["BIGINT", "BIGINT", "DOUBLE", "DOUBLE"])

@@ -27,7 +27,12 @@ windows ``rolling_sum_range``/``rolling_count_range`` (spec
 ``(fn, col, win)`` — SQL ``RANGE BETWEEN win PRECEDING AND CURRENT
 ROW`` over the first ``order_by`` column incl. the later-peers rule;
 integer order columns band exactly through int64, one global
-searchsorted per bucket).
+searchsorted per bucket), and ``ewma`` (spec ``("ewma", col, alpha)``
+— per-key exponential moving average y_i = α·x_i + (1−α)·y_{i−1},
+y_0 = x_0, i.e. pandas ``ewm(alpha).mean(adjust=False)``; vectorized
+via w^{-p} rescaling over run-relative chunks in a (runs × L)
+rectangle so each key's float sequence is bit-identical on any
+partitioning/bucket mix; nulls poison the key from their position on).
 """
 
 from __future__ import annotations
@@ -126,6 +131,59 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
                 x = np.asarray(v.to_numpy(zero_copy_only=False))
                 cs = np.concatenate(([0], np.cumsum(x)))
                 g = g.append_column(out, pa.array(cs[hi] - cs[lo]))
+        elif fn == "ewma":
+            # exponential moving average, recurrence y_i = α·x_i +
+            # (1−α)·y_{i−1} with y_0 = x_0 (pandas ewm adjust=False).
+            # Vectorized via the w^{-p} rescaling trick, processed in
+            # run-relative CHUNKS laid out as a (runs × L) rectangle so
+            # each run's cumsum is a self-contained axis-1 pass —
+            # per-key results are bit-identical whatever other keys
+            # share the bucket (trailing zero padding adds exactly 0.0),
+            # which keeps the op golden-mirrorable per key. L bounds
+            # w^{-p} ≤ 1e100 so the rescaling never overflows; loop
+            # count is ceil(longest_run / L) — never per key.
+            alpha = float(win)
+            w = 1.0 - alpha
+            x = np.asarray(v.to_numpy(zero_copy_only=False), np.float64)
+            run_len = np.diff(np.append(starts, n))
+            run_start = np.repeat(starts, run_len)
+            pos = idx - run_start
+            if w <= 0.0:  # α=1: y = x
+                y = x.copy()
+            elif w >= 1.0:  # α=0: y = first value of the run
+                y = x[run_start]
+            else:
+                L = int(min(256, max(1, np.floor(230.0 / -np.log(w)))))
+                nruns = len(starts)
+                carry = np.zeros(nruns, np.float64)
+                y = np.empty(n, np.float64)
+                pw = w ** -np.arange(L, dtype=np.float64)  # w^{-p}
+                pwin = w ** np.arange(L, dtype=np.float64)  # w^{+p}
+                kmax = int(np.ceil(run_len.max() / L))
+                for kk in range(kmax):
+                    sel = np.nonzero((pos >= kk * L)
+                                     & (pos < (kk + 1) * L))[0]
+                    if not len(sel):
+                        break
+                    p = pos[sel] - kk * L
+                    rid_sel = run_id[sel]
+                    active = np.unique(rid_sel)
+                    rix = np.searchsorted(active, rid_sel)
+                    tm = np.zeros((len(active), L), np.float64)
+                    tm[rix, p] = alpha * x[sel] * pw[p]
+                    if kk == 0:
+                        tm[rix[p == 0], 0] = x[sel[p == 0]]
+                    else:
+                        f = p == 0
+                        tm[rix[f], 0] = (alpha * x[sel[f]]
+                                         + w * carry[rid_sel[f]])
+                    um = np.cumsum(tm, axis=1)
+                    y[sel] = um[rix, p] * pwin[p]
+                    lastp = np.minimum(run_len[active] - 1 - kk * L,
+                                       L - 1)
+                    carry[active] = (um[np.arange(len(active)), lastp]
+                                     * pwin[lastp])
+            g = g.append_column(out, pa.array(y))
         elif fn == "ffill":
             # last non-null value at-or-before each row within the key
             # run (SQL last_value(x IGNORE NULLS) OVER (... ROWS
