@@ -2497,6 +2497,17 @@ def q_ewma_events(sf_dir):
                                    zero_copy_batch=True))
 
 
+def q_winsorize_events(sf_dir):
+    """Quantile clipping (stages/feature.winsorize): cut points are
+    actual data values from exact_quantiles (quantile_disc rank rule)
+    broadcast into a map-only clip — comparisons exact, hash-gated
+    against LEAST/GREATEST over quantile_disc subqueries."""
+    from vector_ray.stages.feature import winsorize
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    return _finish(winsorize(ds, "value", p_lo=0.05, p_hi=0.95))
+
+
 def q_standardize_lineitem(sf_dir):
     """z-score standardization (stages/feature.standardize): one
     moment scan (n, Σx, Σx² — exact f64 for the integer-valued
@@ -3237,6 +3248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize_lineitem": q_standardize_lineitem,
         "ewma_events": q_ewma_events,
         "bucketize_events": q_bucketize_events,
+        "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
         "bloom_join_lineitem": q_bloom_join_lineitem,
         "inverted_search": q_inverted_search,
@@ -4066,6 +4078,12 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "winsorize_events": (
+            "WITH m AS (SELECT quantile_disc(value, 0.05) AS lo, "
+            "quantile_disc(value, 0.95) AS hi FROM events) "
+            "SELECT event_id, value, "
+            "LEAST(GREATEST(value, lo), hi) AS value_w FROM events, m"
+        ),
         "standardize_lineitem": (
             "WITH m AS (SELECT COUNT(l_quantity) AS n, "
             "SUM(l_quantity) AS sx, SUM(l_quantity*l_quantity) AS sxx "

@@ -1756,3 +1756,15 @@ class TestFeature:
         b = list(o["x_bin"])
         assert all(v == b[0] for v in b[:6])  # all 1.0s share a bin
         assert b[6] > b[0] and b[7] >= b[6]
+
+    def test_winsorize_clips_at_data_values(self):
+        from vector_ray.stages.feature import winsorize
+
+        vals = [float(i) for i in range(1, 101)]
+        t = pa.table({"x": pa.array(vals, pa.float64())})
+        o = winsorize(rd.from_arrow(t).repartition(3), "x",
+                      p_lo=0.10, p_hi=0.90).to_pandas().sort_values("x")
+        # quantile_disc rank rule: k = ceil(p*n) -> 10th and 90th values
+        assert o["x_w"].min() == 10.0 and o["x_w"].max() == 90.0
+        mid = o[(o["x"] > 10) & (o["x"] < 90)]
+        assert (mid["x_w"] == mid["x"]).all()

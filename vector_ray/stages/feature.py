@@ -87,6 +87,28 @@ def standardize(ds, cols: Sequence[str], *, suffix: str = "_z",
                           zero_copy_batch=True)
 
 
+def winsorize(ds, col: str, *, p_lo: float = 0.01, p_hi: float = 0.99,
+              suffix: str = "_w"):
+    """Append ``<col><suffix>``: the column clipped at its p_lo / p_hi
+    quantiles (outlier capping before standardize). The cut points are
+    actual data values from stages/quantile.exact_quantiles
+    (quantile_disc rank rule), so the clip compares exactly — no float
+    reconstruction. One refinement scan fits, then map-only."""
+    from vector_ray.stages.quantile import exact_quantiles
+
+    lo, hi = exact_quantiles(ds, col, [p_lo, p_hi])
+
+    def tf(t: pa.Table) -> pa.Table:
+        v = _f64(t, col)
+        return t.append_column(
+            col + suffix,
+            pa.array(np.clip(v, lo, hi), pa.float64(),
+                     mask=np.isnan(v)))
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def bucketize(ds, col: str, *, bins: int = 10, mode: str = "width",
               out: str | None = None):
     """Append ``out`` (default ``<col>_bin``) int64 in [0, bins).
