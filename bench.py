@@ -390,6 +390,12 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "audit_docs",
         "minhash_index",
         "inverted_search",
+        "scd2_user_state",
+        "kmeans_embeddings",
+        "standardize_lineitem",
+        "bucketize_events",
+        "ewma_events",
+        "winsorize_events",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
