@@ -2473,6 +2473,28 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_rate_events(sf_dir):
+    """Counter-rate extraction (stages/shift.py "rate" window fn): the
+    metrics-pipeline step that turns monotonic counter samples into
+    increments, treating any decrease as a counter reset (emit the
+    post-reset value). One bucket shuffle on the key; oracle is the
+    equivalent LAG + CASE window expression."""
+    from vector_ray.stages.shift import partitioned_shift
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = partitioned_shift(ds, ["user_id"], ["ts"],
+                            {"rate": ("rate", "value")})
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "rate": t["rate"]})
+
+    return _finish(out.map_batches(shape, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 def q_ewma_events(sf_dir):
     """Per-key exponential moving average (stages/shift.py "ewma"
     window fn): y_i = α·x_i + (1−α)·y_{i−1} vectorized via w^{-p}
@@ -3247,6 +3269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "standardize_lineitem": q_standardize_lineitem,
         "ewma_events": q_ewma_events,
+        "rate_events": q_rate_events,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4078,6 +4101,13 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "rate_events": (
+            "WITH s AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS d, value FROM events) "
+            "SELECT user_id, ts_us, "
+            "CASE WHEN d < 0 THEN value ELSE d END AS rate FROM s"
+        ),
         "winsorize_events": (
             "WITH m AS (SELECT quantile_disc(value, 0.05) AS lo, "
             "quantile_disc(value, 0.95) AS hi FROM events) "

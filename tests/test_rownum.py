@@ -130,3 +130,18 @@ class TestEwma:
             y[i] = alpha * x[i] + (1 - alpha) * y[i - 1]
         assert np.allclose(got, y, rtol=1e-9, atol=1e-12)
         assert np.all(np.isfinite(got))
+
+
+def test_rate_counter_resets():
+    from vector_ray.stages.shift import partitioned_shift
+
+    t = pa.table({"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array([1, 2, 3, 4, 1], pa.int64()),
+                  "x": pa.array([10.0, 15.0, 3.0, 8.0, 7.0],
+                                pa.float64())})
+    o = partitioned_shift(rd.from_arrow(t).repartition(2), ["k"],
+                          ["ts"], {"r": ("rate", "x")}).to_pandas()
+    o = o.sort_values(["k", "ts"]).reset_index(drop=True)
+    # first row null; 15-10=5; 3<15 -> reset -> 3; 8-3=5; key 2 first
+    assert o["r"].isna().tolist() == [True, False, False, False, True]
+    assert o["r"].dropna().tolist() == [5.0, 3.0, 5.0]

@@ -17,7 +17,8 @@ Functions: ``lag``/``lead`` (offset 1, null at run edges), ``delta``
 running sum), ``row_number`` (1-based within key, in order_by order),
 ``rolling_sum`` (spec ``("rolling_sum", col, N)`` — inclusive trailing
 N-row window, clamped at the key start; SQL ``ROWS BETWEEN N-1
-PRECEDING AND CURRENT ROW``), ``rank``/``dense_rank``/``percent_rank``
+PRECEDING AND CURRENT ROW``), ``rate`` (counter-reset-aware delta: a decrease emits the
+post-reset value), ``rank``/``dense_rank``/``percent_rank``
 /``cume_dist`` (ANSI tie semantics over the ``order_by`` values; col
 ignored), ``ntile`` (spec ``("ntile", None, N)``), ``nth_value``
 (spec ``("nth_value", col, n)``), ``first_value``/``last_value``
@@ -74,6 +75,17 @@ def _shift_bucket(g: pa.Table, keys, order_by, specs) -> pa.Table:
             take = pa.array(np.maximum(idx - 1, 0), pa.int64())
             g = g.append_column(
                 out, pc.subtract(v, _mask(v.take(take), new_run)))
+        elif fn == "rate":
+            # counter-reset-aware delta (monotonic-counter rate): x −
+            # lag(x), except a DECREASE means the counter reset and the
+            # increment since reset is the current value itself. First
+            # row of a key → null (kleene: null delta stays null).
+            import pyarrow.compute as pc
+
+            take = pa.array(np.maximum(idx - 1, 0), pa.int64())
+            d = pc.subtract(v, _mask(v.take(take), new_run))
+            g = g.append_column(
+                out, pc.if_else(pc.less(d, 0), v, d))
         elif fn == "cumsum":
             x = np.asarray(v.to_numpy(zero_copy_only=False))
             cs = np.cumsum(x)
