@@ -2473,6 +2473,18 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_argmax_events(sf_dir):
+    """Grouped argmax (stages/aggregate.grouped_argmax): per event
+    type, the full row at the maximum value — one bucket shuffle +
+    vectorized sorted-run keep-first, deterministic tie-break on
+    event_id. Oracle: QUALIFY row_number window."""
+    from vector_ray.stages.aggregate import grouped_argmax
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return _finish(grouped_argmax(ds, ["event_type"], "value",
+                                  tie_col="event_id"))
+
+
 def q_rate_events(sf_dir):
     """Counter-rate extraction (stages/shift.py "rate" window fn): the
     metrics-pipeline step that turns monotonic counter samples into
@@ -3270,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize_lineitem": q_standardize_lineitem,
         "ewma_events": q_ewma_events,
         "rate_events": q_rate_events,
+        "argmax_events": q_argmax_events,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4101,6 +4114,11 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "argmax_events": (
+            "SELECT event_type, event_id, value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id) = 1"
+        ),
         "rate_events": (
             "WITH s AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -111,3 +111,29 @@ class TestBucketedMapGroups:
         out = bucketed_map_groups(rd.from_arrow(t).repartition(2), ["k"], bucket_sum).take_all()
         got = {r["k"]: r["v_sum"] for r in out}
         assert got == {"a": 4, "b": 2, "c": 4}
+
+
+def test_grouped_argmax_argmin_ties_and_invariance():
+    import pandas as pd
+
+    from vector_ray.stages.aggregate import grouped_argmax, grouped_argmin
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+        "x": pa.array([5.0, 9.0, 9.0, 1.0, 1.0], pa.float64())})
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        mx = grouped_argmax(ds, ["k"], "x", tie_col="id").to_pandas()
+        mn = grouped_argmin(ds, ["k"], "x", tie_col="id").to_pandas()
+        outs.append((mx.sort_values("k").reset_index(drop=True),
+                     mn.sort_values("k").reset_index(drop=True)))
+    pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+    mx, mn = outs[0]
+    # ties break to the SMALLEST id
+    assert mx.loc[mx["k"] == 1, "id"].item() == 11
+    assert mx.loc[mx["k"] == 2, "id"].item() == 20
+    assert mn.loc[mn["k"] == 1, "id"].item() == 10
+    assert mn.loc[mn["k"] == 2, "id"].item() == 20

@@ -661,3 +661,42 @@ def grouped_mode(ds, keys: Sequence[str], col: str, *, out: str = "mode",
 
     return bucketed_map_groups(counts, keys, head_per_key,
                                num_buckets=buckets)
+
+
+def grouped_argmax(ds, keys, x_col: str, *, tie_col: str,
+                   keep=None, num_buckets=None):
+    """Per key, the whole row at the MAXIMUM of ``x_col`` (SQL
+    ``arg_max`` / ``QUALIFY row_number() OVER (PARTITION BY keys ORDER
+    BY x DESC, tie) = 1``) — deterministic via the ascending
+    ``tie_col``. One hash-bucket shuffle + a vectorized sorted-run
+    keep-first per bucket (stages/bucketed.bucketed_first), never a
+    per-group Python call. ``keep`` optionally projects columns first
+    (do this — only shipped columns shuffle)."""
+    from vector_ray.stages.bucketed import bucketed_first
+
+    keys = list(keys)
+    if keep is not None:
+        cols = list(dict.fromkeys(keys + [x_col, tie_col] + list(keep)))
+        ds = ds.map_batches(lambda t, _c=cols: t.select(_c),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_first(
+        ds, keys,
+        order_by=[(x_col, "descending"), (tie_col, "ascending")],
+        num_buckets=num_buckets)
+
+
+def grouped_argmin(ds, keys, x_col: str, *, tie_col: str,
+                   keep=None, num_buckets=None):
+    """Per key, the whole row at the MINIMUM of ``x_col`` — see
+    :func:`grouped_argmax`."""
+    from vector_ray.stages.bucketed import bucketed_first
+
+    keys = list(keys)
+    if keep is not None:
+        cols = list(dict.fromkeys(keys + [x_col, tie_col] + list(keep)))
+        ds = ds.map_batches(lambda t, _c=cols: t.select(_c),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_first(
+        ds, keys,
+        order_by=[(x_col, "ascending"), (tie_col, "ascending")],
+        num_buckets=num_buckets)

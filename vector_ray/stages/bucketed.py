@@ -78,12 +78,18 @@ def keep_first_per_key(
     t: pa.Table, key_cols: Sequence[str], order_by: Optional[str] = None
 ) -> pa.Table:
     """Vectorized first-row-per-key over a whole table: sort by
-    (keys, order_by) then keep run starts. No per-key Python work."""
+    (keys, order_by) then keep run starts. No per-key Python work.
+    ``order_by`` is a column name (ascending) or a list of
+    (col, "ascending"|"descending") pairs for argmax-style picks."""
     if len(t) == 0:
         return t
     sort_keys = [(k, "ascending") for k in key_cols]
-    if order_by and order_by in t.column_names:
-        sort_keys.append((order_by, "ascending"))
+    if isinstance(order_by, str):
+        if order_by in t.column_names:
+            sort_keys.append((order_by, "ascending"))
+    elif order_by:
+        sort_keys.extend((c, d) for c, d in order_by
+                         if c in t.column_names)
     t = t.sort_by(sort_keys)
     single = key_cols[0] if len(key_cols) == 1 else None
     if (
