@@ -2473,6 +2473,30 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_semantic_join(sf_dir):
+    """Cross-corpus ANN join (ml/ann.semantic_join): even vec_ids are
+    the query corpus, odd vec_ids the retrieval corpus; exact mode
+    (probe every cluster) so the result equals the brute-force cosine
+    top-3 join. Oracle: cross join + QUALIFY row_number (rank + ids
+    only — float cosine never enters the hash, knn_graph convention)."""
+    from vector_ray.ml.ann import semantic_join
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def split(parity):
+        def fn(t: pa.Table) -> pa.Table:
+            mod = pc.cast(np_mod(t["vec_id"], 2), pa.int64())
+            return t.filter(pc.equal(mod, parity))
+        return fn
+
+    left = ds.map_batches(split(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ds.map_batches(split(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = semantic_join(left, right, k=3, n_clusters=8, n_probe=None)
+    return _finish(out.select_columns(["src", "dst", "rank"]))
+
+
 def q_argmax_events(sf_dir):
     """Grouped argmax (stages/aggregate.grouped_argmax): per event
     type, the full row at the maximum value — one bucket shuffle +
@@ -3283,6 +3307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events": q_ewma_events,
         "rate_events": q_rate_events,
         "argmax_events": q_argmax_events,
+        "semantic_join": q_semantic_join,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4114,6 +4139,16 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "semantic_join": (
+            "WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS c "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) "
+            "SELECT src, dst, CAST(row_number() OVER "
+            "(PARTITION BY src ORDER BY c DESC, dst) - 1 AS BIGINT) "
+            "AS rank FROM s QUALIFY row_number() OVER "
+            "(PARTITION BY src ORDER BY c DESC, dst) <= 3"
+        ),
         "argmax_events": (
             "SELECT event_type, event_id, value FROM events "
             "QUALIFY row_number() OVER (PARTITION BY event_type "

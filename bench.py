@@ -398,6 +398,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "winsorize_events",
         "rate_events",
         "argmax_events",
+        "semantic_join",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

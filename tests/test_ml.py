@@ -1822,3 +1822,50 @@ class TestKmeansFull:
             if h >= 1 << 63:
                 h -= 1 << 64
             assert row["id_hash"] == h and row["n"] == len(ids)
+
+
+class TestSemanticJoin:
+    def test_exact_matches_bruteforce(self):
+        from vector_ray.ml.ann import semantic_join
+
+        rng = np.random.default_rng(11)
+        L, R, d = 40, 60, 16
+        lv = rng.normal(size=(L, d)).astype(np.float32)
+        rv = rng.normal(size=(R, d)).astype(np.float32)
+        left = pa.table({"vec_id": pa.array(np.arange(L), pa.int64()),
+                         "embedding": pa.array(list(lv),
+                                               pa.list_(pa.float32()))})
+        right = pa.table({"vec_id": pa.array(np.arange(100, 100 + R),
+                                             pa.int64()),
+                          "embedding": pa.array(list(rv),
+                                                pa.list_(pa.float32()))})
+        out = semantic_join(rd.from_arrow(left).repartition(3),
+                            rd.from_arrow(right).repartition(4),
+                            k=4, n_clusters=5, n_probe=None).to_pandas()
+        # brute force in float64 (same normalization path)
+        ln = lv.astype(np.float64)
+        ln /= np.linalg.norm(ln, axis=1, keepdims=True)
+        rn = rv.astype(np.float64)
+        rn /= np.linalg.norm(rn, axis=1, keepdims=True)
+        sims = ln @ rn.T
+        assert len(out) == L * 4
+        for i in range(L):
+            got = out[out["src"] == i].sort_values("rank")
+            want = np.argsort(-sims[i], kind="stable")[:4] + 100
+            assert list(got["dst"]) == list(want)
+
+    def test_probe_subset_still_ranked(self):
+        from vector_ray.ml.ann import semantic_join
+
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=(80, 8)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(80), pa.int64()),
+                      "embedding": pa.array(list(v),
+                                            pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t)
+        out = semantic_join(ds, ds, k=3, n_clusters=6,
+                            n_probe=2).to_pandas()
+        # every src got <= 3 neighbors with contiguous ranks
+        for src, g in out.groupby("src"):
+            assert list(g.sort_values("rank")["rank"]) == list(
+                range(len(g)))

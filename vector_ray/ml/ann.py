@@ -452,3 +452,142 @@ def knn_graph(
     from vector_ray.stages.bucketed import bucketed_map_groups
 
     return bucketed_map_groups(local, ["src"], merge)
+
+
+def semantic_join(
+    left,
+    right,
+    *,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    right_vec_col: str | None = None,
+    right_id_col: str | None = None,
+    sample_size: int = 2048,
+    seed: int = 5,
+    max_cluster: int = 200_000,
+    query_chunk: int = 256,
+):
+    """Cross-corpus ANN join: for every LEFT row, the top-k cosine
+    neighbors among RIGHT rows — (src, dst, cosine, rank). The
+    two-dataset generalization of :func:`knn_graph` (same IVF scatter
+    plan, no self-exclusion): centroids train on RIGHT's id-hash
+    sample; right vectors ship ONCE to their argmax cluster, left
+    vectors replicate to their ``n_probe`` nearest centroids; one
+    shuffle co-locates each cluster, a chunked float64 matmul finds
+    local top-k, and a bucketed merge keeps the global top-k per src.
+    ``n_probe=None`` probes every cluster → EXACT join (oracle shape);
+    small n_probe is the scale path. The link step of RETRO-style
+    retrieval corpus construction and cross-snapshot semantic dedup."""
+    rvec = right_vec_col or vec_col
+    rid = right_id_col or id_col
+    sample = _hash_sample_matrix(right, rvec, rid, sample_size)
+    cent = kmeans_fit(sample, n_clusters, seed=seed).astype(np.float64)
+    ncl = len(cent)
+    probe = ncl if n_probe is None else min(int(n_probe), ncl)
+    cref = ray.put(cent)
+
+    def scatter_member(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        m = _as_matrix(t[rvec]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        own = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+        ids = t[rid].combine_chunks() if isinstance(
+            t[rid], pa.ChunkedArray) else t[rid]
+        vecs = t[rvec].combine_chunks() if isinstance(
+            t[rvec], pa.ChunkedArray) else t[rvec]
+        return pa.table({
+            "cluster": pa.array(own), "__jid": ids, "__jvec": vecs,
+            "role": pa.array(np.zeros(len(t), np.int8))})
+
+    def scatter_query(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        m = _as_matrix(t[vec_col]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        vecs = t[vec_col].combine_chunks() if isinstance(
+            t[vec_col], pa.ChunkedArray) else t[vec_col]
+        sims = m @ cm.T
+        if probe >= ncl:
+            pr = np.tile(np.arange(ncl, dtype=np.int32), len(t))
+        else:
+            pr = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            pr = pr.astype(np.int32).reshape(-1)
+        qidx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64),
+                                  probe if probe < ncl else ncl))
+        return pa.table({
+            "cluster": pa.array(pr), "__jid": ids.take(qidx),
+            "__jvec": vecs.take(qidx),
+            "role": pa.array(np.ones(len(qidx), np.int8))})
+
+    members = right.select_columns([rid, rvec]).map_batches(
+        scatter_member, batch_format="pyarrow", zero_copy_batch=True)
+    queries = left.select_columns([id_col, vec_col]).map_batches(
+        scatter_query, batch_format="pyarrow", zero_copy_batch=True)
+    scattered = members.union(queries)
+
+    def cluster_knn(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        roles = np.asarray(g["role"].to_numpy(zero_copy_only=False))
+        mem = g.filter(pa.array(roles == 0))
+        qry = g.filter(pa.array(roles == 1))
+        empty = pa.table({
+            "src": pa.array([], g["__jid"].type),
+            "dst": pa.array([], g["__jid"].type),
+            "cosine": pa.array([], pa.float64())})
+        if len(mem) == 0 or len(qry) == 0:
+            return empty
+        if len(mem) > max_cluster:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_join: cluster with %d members truncated to "
+                "max_cluster=%d", len(mem), max_cluster)
+            mem = mem.slice(0, max_cluster)
+        mm = _as_matrix(mem["__jvec"]).astype(np.float64)
+        mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        mid_np = np.asarray(mem["__jid"].combine_chunks()
+                            .to_numpy(zero_copy_only=False))
+        qm = _as_matrix(qry["__jvec"]).astype(np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        qid_np = np.asarray(qry["__jid"].combine_chunks()
+                            .to_numpy(zero_copy_only=False))
+        outs = []
+        for s in range(0, len(qm), query_chunk):
+            qc = qm[s:s + query_chunk]
+            qi = qid_np[s:s + query_chunk]
+            sims = qc @ mm.T
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qc)), kk)
+            cols = idx.reshape(-1)
+            outs.append(pa.table({
+                "src": pa.array(np.repeat(qi, kk)),
+                "dst": pa.array(mid_np[cols]),
+                "cosine": pa.array(sims[rows, cols], pa.float64())}))
+        return pa.concat_tables(outs) if outs else empty
+
+    local = scattered.groupby("cluster").map_groups(
+        cluster_knn, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return g.append_column("rank", pa.array([], pa.int64()))
+        g = g.combine_chunks().sort_by([
+            ("src", "ascending"), ("cosine", "descending"),
+            ("dst", "ascending")])
+        from vector_ray.stages.bucketed import _run_starts
+
+        new_run = _run_starts(g, ["src"])
+        starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(starts, len(g)))
+        pos = np.arange(len(g)) - np.repeat(starts, run_len)
+        g = g.append_column("rank", pa.array(pos, pa.int64()))
+        return g.filter(pa.array(pos < k))
+
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(local, ["src"], merge)
