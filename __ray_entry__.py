@@ -2473,6 +2473,32 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_log_templates(sf_dir):
+    """Drain-style log template mining (stages/templates.py): lines
+    group by (token_count, first_token); a position wildcards iff any
+    two lines disagree, decided by mergeable min/max token partials —
+    only O(templates × positions) rows ever shuffle. Fixture: log
+    lines rendered deterministically from the events table; oracle
+    computes each group's expected template by independent
+    DISTINCT-count SQL."""
+    from vector_ray.stages.templates import log_templates
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def render(t: pa.Table) -> pa.Table:
+        hl = pc.if_else(pc.greater_equal(t["value"], 0.5),
+                        pa.scalar("high"), pa.scalar("low"))
+        msg = pc.binary_join_element_wise(
+            pc.cast(t["event_type"], pa.string()), pa.scalar("user"),
+            pc.cast(t["user_id"], pa.string()), pa.scalar("value"),
+            hl, pa.scalar(" "))
+        return pa.table({"message": msg})
+
+    lines = ds.map_batches(render, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _finish(log_templates(lines, "message"))
+
+
 def q_semantic_join(sf_dir):
     """Cross-corpus ANN join (ml/ann.semantic_join): even vec_ids are
     the query corpus, odd vec_ids the retrieval corpus; exact mode
@@ -3308,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_events": q_rate_events,
         "argmax_events": q_argmax_events,
         "semantic_join": q_semantic_join,
+        "log_templates": q_log_templates,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4139,6 +4166,17 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "log_templates": (
+            "SELECT CAST(5 AS BIGINT) AS n_tok, event_type AS t0, "
+            "event_type || ' user ' || "
+            "(CASE WHEN COUNT(DISTINCT user_id) > 1 THEN '<*>' "
+            "ELSE CAST(MIN(user_id) AS VARCHAR) END) || ' value ' || "
+            "(CASE WHEN COUNT(DISTINCT (CASE WHEN value >= 0.5 "
+            "THEN 'high' ELSE 'low' END)) > 1 THEN '<*>' "
+            "ELSE MIN(CASE WHEN value >= 0.5 THEN 'high' ELSE 'low' "
+            "END) END) AS template, COUNT(*) AS n_lines "
+            "FROM events GROUP BY event_type"
+        ),
         "semantic_join": (
             "WITH s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
             "list_cosine_similarity(a.embedding, b.embedding) AS c "

@@ -399,6 +399,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "rate_events",
         "argmax_events",
         "semantic_join",
+        "log_templates",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -1768,3 +1768,41 @@ class TestFeature:
         assert o["x_w"].min() == 10.0 and o["x_w"].max() == 90.0
         mid = o[(o["x"] > 10) & (o["x"] < 90)]
         assert (mid["x_w"] == mid["x"]).all()
+
+
+class TestLogTemplates:
+    def test_mining_and_invariance(self):
+        import pandas as pd
+
+        from vector_ray.stages.templates import log_templates
+
+        lines = (["auth user u%d login ok" % i for i in range(20)]
+                 + ["auth user u7 login failed"]
+                 + ["db conn pool exhausted"] * 3
+                 + ["db conn pool exhausted"]
+                 + ["", "   "])
+        t = pa.table({"message": pa.array(lines)})
+        outs = []
+        for parts in (1, 5):
+            o = log_templates(rd.from_arrow(t).repartition(parts),
+                              "message").to_pandas()
+            outs.append(o.sort_values(["n_tok", "t0"])
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        o = outs[0]
+        assert list(o["template"]) == [
+            "db conn pool exhausted",  # fully constant group
+            "auth user <*> login <*>"]
+        assert list(o["n_lines"]) == [4, 21]
+
+    def test_max_tokens_truncates(self):
+        from vector_ray.stages.templates import log_templates
+
+        lines = ["a " + " ".join(str(i) for i in range(50)),
+                 "a " + " ".join(str(i) for i in range(50))]
+        t = pa.table({"message": pa.array(lines)})
+        o = log_templates(rd.from_arrow(t), "message",
+                          max_tokens=4).to_pandas()
+        assert len(o) == 1
+        assert o["template"][0] == "a 0 1 2"  # positions past cap dropped
+        assert o["n_tok"][0] == 51  # group key keeps the true length

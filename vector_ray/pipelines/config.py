@@ -742,6 +742,23 @@ def _build_bucketize(cfg):
     return _Bucketize()
 
 
+@register_transform("log_templates")
+def _build_log_templates(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.templates import log_templates
+
+    class _LogTemplates(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return log_templates(
+                ds, cfg.get("field", "message"),
+                max_tokens=int(cfg.get("max_tokens", 32)),
+                num_buckets=cfg.get("buckets"))
+
+    return _LogTemplates()
+
+
 @register_transform("scd2")
 def _build_scd2(cfg):
     from vector_ray.stages.base import Step
