@@ -2473,6 +2473,17 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_one_hot_events(sf_dir):
+    """One-hot encoding (stages/feature.one_hot): one distinct scan
+    fits the sorted vocabulary (hard-capped — one-hot is for bounded
+    categoricals), then map-only 0/1 columns. Oracle: explicit CASE
+    columns per category."""
+    from vector_ray.stages.feature import one_hot
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
+    return _finish(one_hot(ds, "event_type"))
+
+
 def q_log_templates(sf_dir):
     """Drain-style log template mining (stages/templates.py): lines
     group by (token_count, first_token); a position wildcards iff any
@@ -3335,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": q_argmax_events,
         "semantic_join": q_semantic_join,
         "log_templates": q_log_templates,
+        "one_hot_events": q_one_hot_events,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4166,6 +4178,9 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "one_hot_events": (
+            "SELECT event_id, event_type, COALESCE(CAST(event_type = 'click' AS BIGINT), 0) AS event_type_click, COALESCE(CAST(event_type = 'error' AS BIGINT), 0) AS event_type_error, COALESCE(CAST(event_type = 'purchase' AS BIGINT), 0) AS event_type_purchase, COALESCE(CAST(event_type = 'signup' AS BIGINT), 0) AS event_type_signup, COALESCE(CAST(event_type = 'view' AS BIGINT), 0) AS event_type_view FROM events"
+        ),
         "log_templates": (
             "SELECT CAST(5 AS BIGINT) AS n_tok, event_type AS t0, "
             "event_type || ' user ' || "

@@ -1806,3 +1806,16 @@ class TestLogTemplates:
         assert len(o) == 1
         assert o["template"][0] == "a 0 1 2"  # positions past cap dropped
         assert o["n_tok"][0] == 51  # group key keeps the true length
+
+    def test_one_hot_nulls_and_cap(self):
+        import pytest as _pytest
+
+        from vector_ray.stages.feature import one_hot
+
+        t = pa.table({"c": pa.array(["a", "b", None, "a"], pa.string())})
+        o = one_hot(rd.from_arrow(t).repartition(2), "c").to_pandas()
+        assert list(o["c_a"]) == [1, 0, 0, 1]
+        assert list(o["c_b"]) == [0, 1, 0, 0]
+        big = pa.table({"c": pa.array([str(i) for i in range(100)])})
+        with _pytest.raises(ValueError, match="max_categories"):
+            one_hot(rd.from_arrow(big), "c", max_categories=10)

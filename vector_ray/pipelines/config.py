@@ -759,6 +759,22 @@ def _build_log_templates(cfg):
     return _LogTemplates()
 
 
+@register_transform("one_hot")
+def _build_one_hot(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import one_hot
+
+    class _OneHot(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return one_hot(ds, cfg["field"],
+                           max_categories=int(cfg.get("max_categories", 64)),
+                           prefix=cfg.get("prefix"))
+
+    return _OneHot()
+
+
 @register_transform("scd2")
 def _build_scd2(cfg):
     from vector_ray.stages.base import Step

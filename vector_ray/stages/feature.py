@@ -87,6 +87,39 @@ def standardize(ds, cols: Sequence[str], *, suffix: str = "_z",
                           zero_copy_batch=True)
 
 
+def one_hot(ds, col: str, *, max_categories: int = 64,
+            prefix: str | None = None):
+    """One-hot encode a categorical column: fit = one distinct scan
+    (per-batch unique partials, driver keeps the sorted vocabulary,
+    hard error beyond ``max_categories`` — one-hot is for bounded
+    vocabularies; hash or target-encode anything wider), transform =
+    map-only 0/1 int64 columns ``<prefix>_<value>`` in sorted-value
+    order. Nulls encode as all-zeros."""
+    pre = prefix if prefix is not None else col
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = pc.unique(pc.cast(t[col], pa.string()))
+        return pa.table({"v": u.filter(pc.is_valid(u))})
+
+    vals = sorted({r["v"] for r in ds.map_batches(
+        uniq, batch_format="pyarrow", zero_copy_batch=True).take_all()})
+    if len(vals) > max_categories:
+        raise ValueError(
+            f"one_hot: {col!r} has {len(vals)} categories "
+            f"(> max_categories={max_categories})")
+
+    def tf(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[col], pa.string())
+        for v in vals:
+            hit = pc.cast(pc.fill_null(pc.equal(s, v), False),
+                          pa.int64())
+            t = t.append_column(f"{pre}_{v}", hit)
+        return t
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def winsorize(ds, col: str, *, p_lo: float = 0.01, p_hi: float = 0.99,
               suffix: str = "_w"):
     """Append ``<col><suffix>``: the column clipped at its p_lo / p_hi
