@@ -2473,6 +2473,21 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_target_encode(sf_dir):
+    """Target encoding (stages/feature.target_encode): category →
+    smoothed mean of the integer-valued l_quantity, fit via one
+    grouped (sum, count) scan bounded by the category count, applied
+    with a vectorized index_in dictionary probe. Formula mirrored
+    verbatim in the SQL oracle."""
+    from vector_ray.stages.feature import target_encode
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_quantity"])
+    return _finish(target_encode(ds, "l_returnflag", "l_quantity",
+                                 smoothing=10.0))
+
+
 def q_one_hot_events(sf_dir):
     """One-hot encoding (stages/feature.one_hot): one distinct scan
     fits the sorted vocabulary (hard-capped — one-hot is for bounded
@@ -3347,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_join": q_semantic_join,
         "log_templates": q_log_templates,
         "one_hot_events": q_one_hot_events,
+        "target_encode": q_target_encode,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4178,6 +4194,17 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "target_encode": (
+            "WITH g AS (SELECT SUM(l_quantity) AS gs, "
+            "COUNT(l_quantity) AS gn FROM lineitem), "
+            "c AS (SELECT l_returnflag AS k, SUM(l_quantity) AS s, "
+            "COUNT(l_quantity) AS n FROM lineitem GROUP BY 1) "
+            "SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS "
+            "l_linenumber, l.l_returnflag, l.l_quantity, "
+            "(c.s + 10.0 * (g.gs / g.gn)) / (c.n + 10.0) "
+            "AS l_returnflag_te "
+            "FROM lineitem l, g JOIN c ON l.l_returnflag = c.k"
+        ),
         "one_hot_events": (
             "SELECT event_id, event_type, COALESCE(CAST(event_type = 'click' AS BIGINT), 0) AS event_type_click, COALESCE(CAST(event_type = 'error' AS BIGINT), 0) AS event_type_error, COALESCE(CAST(event_type = 'purchase' AS BIGINT), 0) AS event_type_purchase, COALESCE(CAST(event_type = 'signup' AS BIGINT), 0) AS event_type_signup, COALESCE(CAST(event_type = 'view' AS BIGINT), 0) AS event_type_view FROM events"
         ),

@@ -401,6 +401,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "semantic_join",
         "log_templates",
         "one_hot_events",
+        "target_encode",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

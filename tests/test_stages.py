@@ -1819,3 +1819,20 @@ class TestLogTemplates:
         big = pa.table({"c": pa.array([str(i) for i in range(100)])})
         with _pytest.raises(ValueError, match="max_categories"):
             one_hot(rd.from_arrow(big), "c", max_categories=10)
+
+    def test_target_encode_smoothing_and_unseen(self):
+        from vector_ray.stages.feature import target_encode
+
+        t = pa.table({"c": pa.array(["a", "a", "b", None], pa.string()),
+                      "y": pa.array([1.0, 3.0, 10.0, 100.0],
+                                    pa.float64())})
+        o = target_encode(rd.from_arrow(t).repartition(2), "c", "y",
+                          smoothing=0.0).to_pandas()
+        gmean = (1 + 3 + 10 + 100) / 4
+        got = dict(zip(o["c"].fillna("<null>"), o["c_te"]))
+        assert got["a"] == 2.0 and got["b"] == 10.0
+        assert got["<null>"] == gmean  # null category -> global mean
+        o2 = target_encode(rd.from_arrow(t), "c", "y",
+                           smoothing=2.0).to_pandas()
+        got2 = dict(zip(o2["c"].fillna("<null>"), o2["c_te"]))
+        assert abs(got2["a"] - (4 + 2 * gmean) / 4) < 1e-12

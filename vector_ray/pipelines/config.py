@@ -775,6 +775,24 @@ def _build_one_hot(cfg):
     return _OneHot()
 
 
+@register_transform("target_encode")
+def _build_target_encode(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import target_encode
+
+    class _TargetEncode(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return target_encode(
+                ds, cfg["field"], cfg["target"],
+                smoothing=float(cfg.get("smoothing", 0.0)),
+                max_categories=int(cfg.get("max_categories", 100000)),
+                out=cfg.get("out"))
+
+    return _TargetEncode()
+
+
 @register_transform("scd2")
 def _build_scd2(cfg):
     from vector_ray.stages.base import Step

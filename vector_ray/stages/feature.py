@@ -120,6 +120,52 @@ def one_hot(ds, col: str, *, max_categories: int = 64,
                           zero_copy_batch=True)
 
 
+def target_encode(ds, col: str, target: str, *, smoothing: float = 0.0,
+                  max_categories: int = 100_000, out: str | None = None):
+    """Target (mean) encoding: each category maps to the smoothed mean
+    of ``target`` — enc(c) = (Σ_target(c) + smoothing·global_mean) /
+    (n(c) + smoothing). Fit is one grouped (Σ, n) scan whose result is
+    bounded by the category count (hard error past
+    ``max_categories``); transform is a map-only dictionary probe.
+    Exact (hence hash-gateable) when the target is integer-valued;
+    unseen/null categories get the global mean."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    if out is None:
+        out = col + "_te"
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.cast(t[col], pa.string()),
+                         target: pc.cast(t[target], pa.float64())})
+
+    stats = grouped_aggregate(
+        ds.map_batches(proj, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [col], {"s": ("sum", target), "n": ("count", target)}).take_all()
+    if len(stats) > max_categories:
+        raise ValueError(
+            f"target_encode: {col!r} has {len(stats)} categories "
+            f"(> max_categories={max_categories})")
+    gs = sum(r["s"] for r in stats)
+    gn = sum(r["n"] for r in stats)
+    gmean = gs / gn if gn else 0.0
+    enc = {r[col]: (r["s"] + smoothing * gmean) / (r["n"] + smoothing)
+           if (r["n"] + smoothing) > 0 else gmean
+           for r in stats if r[col] is not None}
+
+    vocab = pa.array(list(enc.keys()), pa.string())
+    codes = pa.array(list(enc.values()), pa.float64())
+
+    def tf(t: pa.Table) -> pa.Table:
+        # vectorized dictionary probe: index_in + take, miss → gmean
+        idx = pc.index_in(pc.cast(t[col], pa.string()), vocab)
+        vals = pc.fill_null(codes.take(idx), gmean)
+        return t.append_column(out, vals)
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def winsorize(ds, col: str, *, p_lo: float = 0.01, p_hi: float = 0.99,
               suffix: str = "_w"):
     """Append ``<col><suffix>``: the column clipped at its p_lo / p_hi
