@@ -89,9 +89,19 @@ def _assign_int(q: np.ndarray, qc: np.ndarray) -> np.ndarray:
 
 def kmeans_train(ds, *, n_clusters: int = 8, iters: int = 5,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 reducers: int = 8) -> np.ndarray:
+                 reducers: int = 8, cache: bool = True) -> np.ndarray:
     """Fit centroids; returns float64[k, d] (= quantized grid / SCALE).
-    ``iters`` streaming scans of the dataset, O(k·d) driver state."""
+    ``iters`` streaming scans of the dataset, O(k·d) driver state.
+
+    ``cache=True`` (default) projects to (id, vec) and materializes
+    that ONCE into the object store, so the per-iteration scans re-read
+    Arrow blocks instead of re-decoding parquet ``iters`` times; Ray
+    spills to disk if the projection outgrows the store. Pass False to
+    stream from source every iteration (lowest memory footprint)."""
+    if cache:
+        ds = ds.map_batches(
+            lambda t: t.select([id_col, vec_col]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
     qc = _bottomk_init(ds, n_clusters, vec_col, id_col)
     k = len(qc)
 
