@@ -2473,6 +2473,16 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_minmax_events(sf_dir):
+    """Min-max scaling (stages/feature.minmax_scale): one exact
+    min/max scan then map-only (x-min)/(max-min) — same IEEE op order
+    as the SQL mirror."""
+    from vector_ray.stages.feature import minmax_scale
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    return _finish(minmax_scale(ds, "value"))
+
+
 def q_target_encode(sf_dir):
     """Target encoding (stages/feature.target_encode): category →
     smoothed mean of the integer-valued l_quantity, fit via one
@@ -3363,6 +3373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q_log_templates,
         "one_hot_events": q_one_hot_events,
         "target_encode": q_target_encode,
+        "minmax_events": q_minmax_events,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4194,6 +4205,11 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "minmax_events": (
+            "WITH m AS (SELECT min(value) AS mn, max(value) AS mx "
+            "FROM events) SELECT event_id, value, "
+            "(value - mn) / (mx - mn) AS value_mm FROM events, m"
+        ),
         "target_encode": (
             "WITH g AS (SELECT SUM(l_quantity) AS gs, "
             "COUNT(l_quantity) AS gn FROM lineitem), "

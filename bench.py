@@ -402,6 +402,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "log_templates",
         "one_hot_events",
         "target_encode",
+        "minmax_events",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -1836,3 +1836,15 @@ class TestLogTemplates:
                            smoothing=2.0).to_pandas()
         got2 = dict(zip(o2["c"].fillna("<null>"), o2["c_te"]))
         assert abs(got2["a"] - (4 + 2 * gmean) / 4) < 1e-12
+
+    def test_minmax_scale(self):
+        from vector_ray.stages.feature import minmax_scale
+
+        t = pa.table({"x": pa.array([2.0, 4.0, None, 6.0], pa.float64())})
+        o = minmax_scale(rd.from_arrow(t).repartition(2),
+                         "x").to_pandas().sort_values(
+            "x", na_position="last").reset_index(drop=True)
+        assert list(o["x_mm"].dropna()) == [0.0, 0.5, 1.0]
+        c = pa.table({"x": pa.array([3.0, 3.0], pa.float64())})
+        oc = minmax_scale(rd.from_arrow(c), "x").to_pandas()
+        assert oc["x_mm"].isna().all()

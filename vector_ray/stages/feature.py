@@ -87,6 +87,28 @@ def standardize(ds, cols: Sequence[str], *, suffix: str = "_z",
                           zero_copy_batch=True)
 
 
+def minmax_scale(ds, col: str, *, suffix: str = "_mm"):
+    """Append ``<col><suffix>`` = (x − min)/(max − min) ∈ [0, 1] from
+    one exact min/max scan (stages/quantile._stats_scan); constant
+    columns yield nulls. Same IEEE op order as the SQL mirror."""
+    from vector_ray.stages.quantile import _stats_scan
+
+    n, lo, hi = _stats_scan(ds, col)
+    span = hi - lo
+
+    def tf(t: pa.Table) -> pa.Table:
+        v = _f64(t, col)
+        if span > 0:
+            out = pa.array((v - lo) / span, pa.float64(),
+                           mask=np.isnan(v))
+        else:
+            out = pa.array([None] * len(t), pa.float64())
+        return t.append_column(col + suffix, out)
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def one_hot(ds, col: str, *, max_categories: int = 64,
             prefix: str | None = None):
     """One-hot encode a categorical column: fit = one distinct scan
