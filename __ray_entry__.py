@@ -3363,6 +3363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-3 additions are new) — any cap/cutoff then drops only
     # queries with standing green rows from earlier rounds.
     return {
+        "token_near_dup": q_token_near_dup,
+        "flagship_tokenized": q_flagship_tokenized,
         "scd2_user_state": q_scd2_user_state,
         "kmeans_embeddings": q_kmeans_embeddings,
         "standardize_lineitem": q_standardize_lineitem,
@@ -3464,8 +3466,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "chunk_sequences": q_chunk_sequences,
         "decontaminate": q_decontaminate,
-        "token_near_dup": q_token_near_dup,
-        "flagship_tokenized": q_flagship_tokenized,
         "enrich_find_ranges": q_enrich_find_ranges,
         "stdlib_tail": q_stdlib_tail,
         "config_syslog_metrics": q_config_syslog_metrics,
