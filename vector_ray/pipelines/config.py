@@ -793,6 +793,38 @@ def _build_target_encode(cfg):
     return _TargetEncode()
 
 
+@register_transform("winsorize")
+def _build_winsorize(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import winsorize
+
+    class _Winsorize(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return winsorize(ds, cfg["field"],
+                             p_lo=float(cfg.get("p_lo", 0.01)),
+                             p_hi=float(cfg.get("p_hi", 0.99)),
+                             suffix=cfg.get("suffix", "_w"))
+
+    return _Winsorize()
+
+
+@register_transform("minmax_scale")
+def _build_minmax_scale(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.feature import minmax_scale
+
+    class _MinmaxScale(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return minmax_scale(ds, cfg["field"],
+                                suffix=cfg.get("suffix", "_mm"))
+
+    return _MinmaxScale()
+
+
 @register_transform("scd2")
 def _build_scd2(cfg):
     from vector_ray.stages.base import Step
