@@ -2473,6 +2473,16 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_robust_scale(sf_dir):
+    """Robust scaling (stages/feature.robust_scale): (x - median)/IQR
+    with data-value quantiles (quantile_disc rank rule) — only the
+    final two float ops exist, mirrored verbatim in the SQL."""
+    from vector_ray.stages.feature import robust_scale
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "value"])
+    return _finish(robust_scale(ds, "value"))
+
+
 def q_minmax_events(sf_dir):
     """Min-max scaling (stages/feature.minmax_scale): one exact
     min/max scan then map-only (x-min)/(max-min) — same IEEE op order
@@ -3376,6 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "one_hot_events": q_one_hot_events,
         "target_encode": q_target_encode,
         "minmax_events": q_minmax_events,
+        "robust_scale_events": q_robust_scale,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4205,6 +4216,13 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "robust_scale_events": (
+            "WITH m AS (SELECT quantile_disc(value, 0.25) AS q1, "
+            "quantile_disc(value, 0.5) AS med, "
+            "quantile_disc(value, 0.75) AS q3 FROM events) "
+            "SELECT event_id, value, "
+            "(value - med) / (q3 - q1) AS value_r FROM events, m"
+        ),
         "minmax_events": (
             "WITH m AS (SELECT min(value) AS mn, max(value) AS mx "
             "FROM events) SELECT event_id, value, "

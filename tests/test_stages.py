@@ -1848,3 +1848,14 @@ class TestLogTemplates:
         c = pa.table({"x": pa.array([3.0, 3.0], pa.float64())})
         oc = minmax_scale(rd.from_arrow(c), "x").to_pandas()
         assert oc["x_mm"].isna().all()
+
+    def test_robust_scale(self):
+        from vector_ray.stages.feature import robust_scale
+
+        vals = [float(i) for i in range(1, 101)]
+        t = pa.table({"x": pa.array(vals, pa.float64())})
+        o = robust_scale(rd.from_arrow(t).repartition(3),
+                         "x").to_pandas().sort_values("x")
+        # quantile_disc: q1=25, med=50, q3=75 -> (x-50)/50
+        assert o["x_r"].iloc[0] == (1 - 50) / 50
+        assert o["x_r"].iloc[-1] == (100 - 50) / 50

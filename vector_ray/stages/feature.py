@@ -109,6 +109,31 @@ def minmax_scale(ds, col: str, *, suffix: str = "_mm"):
                           zero_copy_batch=True)
 
 
+def robust_scale(ds, col: str, *, suffix: str = "_r"):
+    """Append ``<col><suffix>`` = (x − median)/IQR — the
+    outlier-insensitive sibling of :func:`standardize`. Median and the
+    25/75 quartiles are actual data values from
+    stages/quantile.exact_quantiles (quantile_disc rank rule), so the
+    only float arithmetic is the mirrored (x − med)/(q3 − q1); a zero
+    IQR yields nulls."""
+    from vector_ray.stages.quantile import exact_quantiles
+
+    q1, med, q3 = exact_quantiles(ds, col, [0.25, 0.5, 0.75])
+    iqr = q3 - q1
+
+    def tf(t: pa.Table) -> pa.Table:
+        v = _f64(t, col)
+        if iqr > 0:
+            out = pa.array((v - med) / iqr, pa.float64(),
+                           mask=np.isnan(v))
+        else:
+            out = pa.array([None] * len(t), pa.float64())
+        return t.append_column(col + suffix, out)
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def one_hot(ds, col: str, *, max_categories: int = 64,
             prefix: str | None = None):
     """One-hot encode a categorical column: fit = one distinct scan
