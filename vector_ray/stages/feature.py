@@ -146,7 +146,14 @@ def one_hot(ds, col: str, *, max_categories: int = 64,
 
     def uniq(t: pa.Table) -> pa.Table:
         u = pc.unique(pc.cast(t[col], pa.string()))
-        return pa.table({"v": u.filter(pc.is_valid(u))})
+        u = u.filter(pc.is_valid(u))
+        if len(u) > max_categories:
+            # fail INSIDE the task: a single over-wide batch must not
+            # ship batches x max_categories rows to the driver first
+            raise ValueError(
+                f"one_hot: {col!r} exceeds max_categories="
+                f"{max_categories} within one batch ({len(u)} distinct)")
+        return pa.table({"v": u})
 
     vals = sorted({r["v"] for r in ds.map_batches(
         uniq, batch_format="pyarrow", zero_copy_batch=True).take_all()})
