@@ -2473,6 +2473,20 @@ def q_join_orders_customers(sf_dir):
     return _finish(out.select_columns(["o_orderkey", "o_totalprice", "c_name"]))
 
 
+def q_grouped_standardize(sf_dir):
+    """Per-key z-score (stages/feature.grouped_standardize): each
+    return-flag series normalized against its own exact (n, Σ, Σ²)
+    moments, broadcast as an index_in-probed table — formula mirrored
+    verbatim in the SQL join oracle."""
+    from vector_ray.stages.feature import grouped_standardize
+
+    ds = _rp(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_quantity"])
+    return _finish(grouped_standardize(ds, ["l_returnflag"],
+                                       "l_quantity"))
+
+
 def q_robust_scale(sf_dir):
     """Robust scaling (stages/feature.robust_scale): (x - median)/IQR
     with data-value quantiles (quantile_disc rank rule) — only the
@@ -3387,6 +3401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": q_target_encode,
         "minmax_events": q_minmax_events,
         "robust_scale_events": q_robust_scale,
+        "grouped_standardize": q_grouped_standardize,
         "bucketize_events": q_bucketize_events,
         "winsorize_events": q_winsorize_events,
         "skew_join_docs": q_skew_join_docs,
@@ -4216,6 +4231,17 @@ def _golden_oracles() -> dict[str, str]:
         "snapshot_diff": golden.snapshot_diff_sql(),
         "kmeans_embeddings": golden.kmeans_sql(),
         "ewma_events": golden.ewma_sql(),
+        "grouped_standardize": (
+            "WITH c AS (SELECT l_returnflag AS k, "
+            "COUNT(l_quantity) AS n, SUM(l_quantity) AS sx, "
+            "SUM(l_quantity*l_quantity) AS sxx FROM lineitem "
+            "GROUP BY 1) "
+            "SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS "
+            "l_linenumber, l.l_returnflag, l.l_quantity, "
+            "(l.l_quantity - c.sx/c.n) / "
+            "sqrt((c.sxx - c.sx*c.sx/c.n)/(c.n - 1)) AS l_quantity_z "
+            "FROM lineitem l JOIN c ON l.l_returnflag = c.k"
+        ),
         "robust_scale_events": (
             "WITH m AS (SELECT quantile_disc(value, 0.25) AS q1, "
             "quantile_disc(value, 0.5) AS med, "

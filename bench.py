@@ -404,6 +404,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "target_encode",
         "minmax_events",
         "robust_scale_events",
+        "grouped_standardize",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

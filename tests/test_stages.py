@@ -1861,3 +1861,18 @@ class TestLogTemplates:
         # quantile_disc: q1=25, med=50, q3=75 -> (x-50)/50
         assert o["x_r"].iloc[0] == (1 - 50) / 50
         assert o["x_r"].iloc[-1] == (100 - 50) / 50
+
+    def test_grouped_standardize(self):
+        from vector_ray.stages.feature import grouped_standardize
+
+        t = pa.table({"k": pa.array(["a"] * 4 + ["b"] * 2 + ["c"]),
+                      "x": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0,
+                                     7.0], pa.float64())})
+        o = grouped_standardize(rd.from_arrow(t).repartition(3), ["k"],
+                                "x").to_pandas()
+        a = o[o["k"] == "a"].sort_values("x")
+        mu, sd = 2.5, (sum((v - 2.5) ** 2 for v in [1, 2, 3, 4]) / 3) ** 0.5
+        assert abs(a["x_z"].iloc[0] - (1 - mu) / sd) < 1e-12
+        b = o[o["k"] == "b"].sort_values("x")
+        assert abs(b["x_z"].iloc[1] - (20 - 15) / (50 ** 0.5)) < 1e-9
+        assert o.loc[o["k"] == "c", "x_z"].isna().all()  # single row

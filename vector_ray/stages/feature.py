@@ -109,6 +109,64 @@ def minmax_scale(ds, col: str, *, suffix: str = "_mm"):
                           zero_copy_batch=True)
 
 
+def grouped_standardize(ds, keys, col: str, *, suffix: str = "_z",
+                        ddof: int = 1, max_keys: int = 1_000_000):
+    """Per-KEY z-score — normalize each series against its own mean
+    and stddev (the anomaly-scoring step of a metrics pipeline). Fit
+    is one grouped (n, Σx, Σx²) scan (stages/aggregate two-phase
+    partials, result bounded by the key count — hard error past
+    ``max_keys``); apply is a map-only vectorized index_in probe of
+    the broadcast per-key (μ, σ) table. Exact for integer-valued
+    columns; single-row or zero-variance keys yield null."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    keys = list(keys)
+    if len(keys) != 1:
+        raise ValueError("grouped_standardize: exactly one key column")
+    key = keys[0]
+
+    stats = grouped_aggregate(ds, [key], {
+        "n": ("count", col), "sx": ("sum", col)}).take_all()
+    # second moment via a projected scan (sum of squares)
+    def sq(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.float64())
+        return pa.table({key: t[key], "xx": pc.multiply(v, v)})
+
+    stats2 = grouped_aggregate(
+        ds.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
+        [key], {"sxx": ("sum", "xx")}).take_all()
+    if len(stats) > max_keys:
+        raise ValueError(
+            f"grouped_standardize: {len(stats)} keys (> max_keys)")
+    sxx = {r[key]: r["sxx"] for r in stats2}
+    ks, mus, sds = [], [], []
+    for r in stats:
+        n, sx = r["n"], r["sx"]
+        if n >= 2:
+            mu = sx / n
+            var = (sxx[r[key]] - sx * sx / n) / (n - ddof)
+            sd = float(np.sqrt(var)) if var > 0 else None
+        else:
+            mu, sd = (sx / n if n else None), None
+        ks.append(r[key])
+        mus.append(mu)
+        sds.append(sd)
+    vocab = pa.array([str(k) for k in ks], pa.string())
+    mu_arr = pa.array(mus, pa.float64())
+    sd_arr = pa.array(sds, pa.float64())
+
+    def tf(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t[key], pa.string()), vocab)
+        mu = mu_arr.take(idx)
+        sd = sd_arr.take(idx)
+        v = pc.cast(t[col], pa.float64())
+        z = pc.divide(pc.subtract(v, mu), sd)
+        return t.append_column(col + suffix, z)
+
+    return ds.map_batches(tf, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def robust_scale(ds, col: str, *, suffix: str = "_r"):
     """Append ``<col><suffix>`` = (x − median)/IQR — the
     outlier-insensitive sibling of :func:`standardize`. Median and the
