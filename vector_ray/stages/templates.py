@@ -37,7 +37,15 @@ WILDCARD = "<*>"
 def _explode_tokens(t: pa.Table, field: str, max_tokens: int):
     """(n_tok, t0, pos, tok) rows for every non-empty token of every
     line, positions past max_tokens dropped. Fully vectorized."""
-    s = pc.utf8_split_whitespace(pc.cast(t[field], pa.string()))
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.offset:
+        # compact sliced batches before the split: flatten/parent-index
+        # pairs over a non-zero-offset source have shown intermittent
+        # misalignment through the object-store roundtrip
+        col = col.take(np.arange(len(col), dtype=np.int64))
+    s = pc.utf8_split_whitespace(pc.cast(col, pa.string()))
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
     flat = s.flatten()
