@@ -26,7 +26,15 @@ from vector_ray.stages.bucketed import bucketed_map_groups
 def _split_words(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     """Whitespace-split to list<string>, empty tokens dropped (matches
     DuckDB ``regexp_split_to_array(trim(text), '\\s+')`` on non-empty
-    docs)."""
+    docs). Sliced inputs are compacted first: non-zero-offset string
+    batches through the object-store roundtrip have shown intermittent
+    flatten/parent-index misalignment (see stages/templates.py)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if getattr(arr, "offset", 0):
+        import numpy as np
+
+        arr = arr.take(np.arange(len(arr), dtype=np.int64))
     return pc.utf8_split_whitespace(arr)
 
 
@@ -34,7 +42,9 @@ def _word_count_partial(t: pa.Table, col: str) -> pa.Table:
     flat = pc.list_flatten(_split_words(t[col]))
     if len(flat) > 0:
         flat = flat.filter(pc.not_equal(flat, ""))
-    vc = flat.combine_chunks().value_counts()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vc = flat.value_counts()
     return pa.table({
         "word": vc.field("values"),
         "cnt": pc.cast(vc.field("counts"), pa.int64()),
