@@ -1020,25 +1020,31 @@ def q_apply_changeset(sf_dir):
     base = _rp(sf_dir, "documents")
 
     def make_changes(t: pa.Table) -> pa.Table:
+        # Literal arrays MUST be explicitly typed: a zero-match block
+        # would otherwise produce null-typed columns, giving blocks
+        # with divergent schemas (the r3 driver failure mode).
         mod = pc.cast(np_mod(t["doc_id"], 10), pa.int64())
         dels = t.filter(pc.equal(mod, 0))
-        dels = dels.append_column("op", pa.array(["D"] * len(dels)))
+        dels = dels.append_column(
+            "op", pa.array(["D"] * len(dels), pa.string()))
         ups = t.filter(pc.equal(mod, 1))
         ups = ups.set_column(
             ups.column_names.index("source"), "source",
-            pa.array(["patched"] * len(ups)))
+            pa.array(["patched"] * len(ups), pa.string()))
         ups = ups.set_column(
             ups.column_names.index("n_chars"), "n_chars",
             pc.add(ups["n_chars"], 1000))
-        ups = ups.append_column("op", pa.array(["U"] * len(ups)))
+        ups = ups.append_column(
+            "op", pa.array(["U"] * len(ups), pa.string()))
         ins = t.filter(pc.equal(mod, 2))
         ins = ins.set_column(
             ins.column_names.index("doc_id"), "doc_id",
             pc.add(ins["doc_id"], 1_000_000))
         ins = ins.set_column(
             ins.column_names.index("source"), "source",
-            pa.array(["inserted"] * len(ins)))
-        ins = ins.append_column("op", pa.array(["I"] * len(ins)))
+            pa.array(["inserted"] * len(ins), pa.string()))
+        ins = ins.append_column(
+            "op", pa.array(["I"] * len(ins), pa.string()))
         return pa.concat_tables([dels, ups, ins])
 
     changes = _rp(sf_dir, "documents").map_batches(
@@ -3381,62 +3387,13 @@ def q_heavy_hitters(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS: the r2 driver sweep recorded exactly the first 50
-    # registry entries, so queries without a prior CORRECTNESS row come
-    # FIRST (token_near_dup / flagship_tokenized had no r2 row; the
-    # round-3 additions are new) — any cap/cutoff then drops only
-    # queries with standing green rows from earlier rounds.
+    # ORDER MATTERS: the driver sweep records only the FIRST 50 entries
+    # per round. r4 rotation: apply_changeset (the r3 red row) first,
+    # then the 59 queries that have never received a driver CORRECTNESS
+    # row (r1+r2+r3 union = 100 green names), then the standing-green
+    # remainder. Next round: rotate the unsampled tail to the front.
     return {
-        "token_near_dup": q_token_near_dup,
-        "flagship_tokenized": q_flagship_tokenized,
-        "scd2_user_state": q_scd2_user_state,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "standardize_lineitem": q_standardize_lineitem,
-        "ewma_events": q_ewma_events,
-        "rate_events": q_rate_events,
-        "argmax_events": q_argmax_events,
-        "semantic_join": q_semantic_join,
-        "log_templates": q_log_templates,
-        "one_hot_events": q_one_hot_events,
-        "target_encode": q_target_encode,
-        "minmax_events": q_minmax_events,
-        "robust_scale_events": q_robust_scale,
-        "grouped_standardize": q_grouped_standardize,
-        "bucketize_events": q_bucketize_events,
-        "winsorize_events": q_winsorize_events,
-        "skew_join_docs": q_skew_join_docs,
-        "bloom_join_lineitem": q_bloom_join_lineitem,
-        "inverted_search": q_inverted_search,
-        "minhash_index": q_minhash_index,
-        "file_sink_roundtrip": q_file_sink_roundtrip,
-        "resumable_pipeline": q_resumable_pipeline,
-        "entropy_docs": q_entropy_docs,
-        "theta_join": q_theta_join,
-        "rolling_range": q_rolling_range,
-        "connected_components": q_connected_components,
-        "asof_tolerance": q_asof_tolerance,
-        "audit_docs": q_audit_docs,
         "apply_changeset": q_apply_changeset,
-        "knn_graph": q_knn_graph,
-        "retention_cohorts": q_retention_cohorts,
-        "funnel_events": q_funnel_events,
-        "pq_search": q_pq_search,
-        "hist_quantiles": q_hist_quantiles,
-        "bm25_search": q_bm25_search,
-        "pca_embeddings": q_pca_embeddings,
-        "nb_classify_docs": q_nb_classify,
-        "normalize_text_docs": q_normalize_text,
-        "mad_outliers": q_mad_outliers,
-        "dsir_select": q_dsir_select,
-        "cube_orders": q_cube_orders,
-        "rank_lineitem": q_rank_lineitem,
-        "broadcast_join_parts": q_broadcast_join_parts,
-        "compression_ratio": q_compression_ratio,
-        "set_ops": q_set_ops,
-        "union_align": q_union_align,
-        "pivot_events": q_pivot_events,
-        "unpivot_orders": q_unpivot_orders,
-        "window_shift": q_window_shift,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -3496,6 +3453,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stdlib_tail": q_stdlib_tail,
         "config_syslog_metrics": q_config_syslog_metrics,
         "simhash_pairs": q_simhash_pairs,
+        # --- standing driver-green rows from r1-r3 below this line ---
+        "token_near_dup": q_token_near_dup,
+        "flagship_tokenized": q_flagship_tokenized,
+        "scd2_user_state": q_scd2_user_state,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "standardize_lineitem": q_standardize_lineitem,
+        "ewma_events": q_ewma_events,
+        "rate_events": q_rate_events,
+        "argmax_events": q_argmax_events,
+        "semantic_join": q_semantic_join,
+        "log_templates": q_log_templates,
+        "one_hot_events": q_one_hot_events,
+        "target_encode": q_target_encode,
+        "minmax_events": q_minmax_events,
+        "robust_scale_events": q_robust_scale,
+        "grouped_standardize": q_grouped_standardize,
+        "bucketize_events": q_bucketize_events,
+        "winsorize_events": q_winsorize_events,
+        "skew_join_docs": q_skew_join_docs,
+        "bloom_join_lineitem": q_bloom_join_lineitem,
+        "inverted_search": q_inverted_search,
+        "minhash_index": q_minhash_index,
+        "file_sink_roundtrip": q_file_sink_roundtrip,
+        "resumable_pipeline": q_resumable_pipeline,
+        "entropy_docs": q_entropy_docs,
+        "theta_join": q_theta_join,
+        "rolling_range": q_rolling_range,
+        "connected_components": q_connected_components,
+        "asof_tolerance": q_asof_tolerance,
+        "audit_docs": q_audit_docs,
+        "knn_graph": q_knn_graph,
+        "retention_cohorts": q_retention_cohorts,
+        "funnel_events": q_funnel_events,
+        "pq_search": q_pq_search,
+        "hist_quantiles": q_hist_quantiles,
+        "bm25_search": q_bm25_search,
+        "pca_embeddings": q_pca_embeddings,
+        "nb_classify_docs": q_nb_classify,
+        "normalize_text_docs": q_normalize_text,
+        "mad_outliers": q_mad_outliers,
+        "dsir_select": q_dsir_select,
+        "cube_orders": q_cube_orders,
+        "rank_lineitem": q_rank_lineitem,
+        "broadcast_join_parts": q_broadcast_join_parts,
+        "compression_ratio": q_compression_ratio,
+        "set_ops": q_set_ops,
+        "union_align": q_union_align,
+        "pivot_events": q_pivot_events,
+        "unpivot_orders": q_unpivot_orders,
+        "window_shift": q_window_shift,
         "filter_events": q_filter_events,
         "route_events": q_route_events,
         "remap_fields": q_remap_fields,
@@ -3522,7 +3529,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_words": q_unnest_words,
         "session_events": q_session_events,
         "geoip_events": q_geoip_events,
-        # non-SQL-expressible (driver records rows-only checks)
         "approx_distinct_users": q_approx_distinct_users,
         "tumbling_histogram": q_tumbling_histogram,
         "sample_events": q_sample_events,

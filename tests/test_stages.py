@@ -1534,6 +1534,38 @@ class TestApplyChangeset:
                 id_col="doc_id", max_broadcast_rows=2,
             ).to_pandas()
 
+    def test_divergent_block_schemas_union_cleanly(self):
+        # r3 driver regression: a changeset block whose literal column
+        # came out null-typed (zero-match filter + untyped pa.array)
+        # made kept.union(upserts) fail on block-schema mismatch.
+        # surviving() must cast every block to the base schema.
+        from vector_ray.stages.diff import apply_changeset
+
+        base = pa.table({
+            "doc_id": pa.array(range(1, 33), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(1, 33)]),
+        })
+        ch_good = pa.table({
+            "doc_id": pa.array([2], pa.int64()),
+            "text": pa.array(["B2"], pa.string()),
+            "op": pa.array(["U"], pa.string()),
+        })
+        # null-typed text AND op columns (what an untyped empty /
+        # all-None literal produces)
+        ch_bad = pa.table({
+            "doc_id": pa.array([5], pa.int64()),
+            "text": pa.array([None]),
+            "op": pa.array([None]),
+        })
+        changes = rd.from_arrow([ch_good, ch_bad])
+        for mode in ("broadcast", "bucketed"):
+            out = apply_changeset(
+                rd.from_arrow(base).repartition(8), changes,
+                id_col="doc_id", mode=mode).to_pandas()
+            got = dict(zip(out["doc_id"], out["text"]))
+            assert got[2] == "B2" and got[5] is None, mode
+            assert len(out) == 32, mode
+
     def test_roundtrip_with_snapshot_diff_payload(self):
         # apply_changeset(old, changes) == new when changes carries the
         # new payload for added/changed ids and D rows for removed ids

@@ -97,7 +97,13 @@ def apply_changeset(base, changes, *, id_col: str = "doc_id",
     in, schema-aligned to the base."""
     from vector_ray.stages.join import broadcast_join, bucketed_join
 
-    base_cols = list(base.schema().names)
+    bsch = base.schema()
+    base_cols = list(bsch.names)
+    # Arrow target schema for the upsert side: per-block literal/null
+    # columns in the changeset (e.g. a zero-match filter producing a
+    # null-typed array) would otherwise make union() see two different
+    # block schemas and fail — align every surviving block explicitly.
+    target = pa.schema(zip(bsch.names, bsch.types))
 
     def ids_only(t: pa.Table) -> pa.Table:
         return t.select([id_col])
@@ -117,7 +123,8 @@ def apply_changeset(base, changes, *, id_col: str = "doc_id",
     def surviving(t: pa.Table) -> pa.Table:
         ops = pc.cast(t[op_col], pa.string())
         t = t.filter(pc.invert(pc.equal(pc.fill_null(ops, ""), "D")))
-        return t.select(base_cols)
+        t = t.select(base_cols)
+        return t.cast(target)
 
     upserts = changes.map_batches(surviving, batch_format="pyarrow",
                                   zero_copy_batch=True)
