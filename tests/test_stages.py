@@ -1908,3 +1908,78 @@ class TestLogTemplates:
         b = o[o["k"] == "b"].sort_values("x")
         assert abs(b["x_z"].iloc[1] - (20 - 15) / (50 ** 0.5)) < 1e-9
         assert o.loc[o["k"] == "c", "x_z"].isna().all()  # single row
+
+    def test_grouped_standardize_bool_and_null_keys(self):
+        # ADVICE r3: str(k) fit-vocab vs Arrow cast probe disagreed on
+        # boolean keys ('True' vs 'true') and a null-key group matched
+        # rows whose string key is literally 'None'. Both must z-score
+        # against their OWN group now.
+        from vector_ray.stages.feature import grouped_standardize
+
+        t = pa.table({"k": pa.array([True, True, False, False],
+                                    pa.bool_()),
+                      "x": pa.array([1.0, 3.0, 10.0, 30.0])})
+        o = grouped_standardize(rd.from_arrow(t).repartition(2), ["k"],
+                                "x").to_pandas()
+        tr = o[o["k"] == True].sort_values("x")  # noqa: E712
+        sd = (((1 - 2) ** 2 + (3 - 2) ** 2) / 1) ** 0.5
+        assert abs(tr["x_z"].iloc[0] - (1 - 2) / sd) < 1e-12
+
+        t2 = pa.table({"k": pa.array([None, None, "None", "None"],
+                                     pa.string()),
+                       "x": pa.array([1.0, 3.0, 100.0, 300.0])})
+        o2 = grouped_standardize(rd.from_arrow(t2).repartition(2),
+                                 ["k"], "x").to_pandas()
+        nullg = o2[o2["k"].isna()].sort_values("x")
+        litg = o2[o2["k"] == "None"].sort_values("x")
+        sdn = (((1 - 2) ** 2 + (3 - 2) ** 2) / 1) ** 0.5
+        sdl = (((100 - 200) ** 2 + (300 - 200) ** 2) / 1) ** 0.5
+        assert abs(nullg["x_z"].iloc[0] - (1 - 2) / sdn) < 1e-12
+        assert abs(litg["x_z"].iloc[0] - (100 - 200) / sdl) < 1e-12
+
+    def test_target_encode_all_null_category(self):
+        # ADVICE r3: a category whose target values are ALL null made
+        # the smoothed mean TypeError (None + float)
+        from vector_ray.stages.feature import target_encode
+
+        t = pa.table({"c": pa.array(["a", "a", "b", "b"]),
+                      "y": pa.array([1.0, 3.0, None, None])})
+        o = target_encode(rd.from_arrow(t).repartition(2), "c", "y",
+                          smoothing=2.0).to_pandas()
+        gmean = 2.0
+        enc_b = (0.0 + 2.0 * gmean) / (0 + 2.0)
+        assert abs(o.loc[o["c"] == "b", "c_te"].iloc[0] - enc_b) < 1e-12
+        enc_a = (4.0 + 2.0 * gmean) / (2 + 2.0)
+        assert abs(o.loc[o["c"] == "a", "c_te"].iloc[0] - enc_a) < 1e-12
+
+    def test_robust_scale_winsorize_all_null(self):
+        # ADVICE r3: all-null column crashed on None cut points; must
+        # degrade to an all-null output like minmax_scale
+        from vector_ray.stages.feature import robust_scale, winsorize
+
+        t = pa.table({"x": pa.array([None, None], pa.float64())})
+        o = robust_scale(rd.from_arrow(t), "x").to_pandas()
+        assert o["x_r"].isna().all()
+        o2 = winsorize(rd.from_arrow(t), "x").to_pandas()
+        assert o2["x_w"].isna().all()
+
+    def test_semantic_join_exact_mode_rejects_truncation(self):
+        import numpy as np
+
+        from vector_ray.ml.ann import semantic_join
+
+        rng = np.random.default_rng(7)
+        n, d = 40, 8
+        t = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [rng.standard_normal(d).tolist() for _ in range(n)],
+                pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t)
+        with pytest.raises(Exception, match="max_cluster"):
+            semantic_join(ds, ds, k=3, n_clusters=1, n_probe=None,
+                          max_cluster=10).to_pandas()
+        # approximate path still truncates (warns, no raise)
+        out = semantic_join(ds, ds, k=3, n_clusters=1, n_probe=1,
+                            max_cluster=10).to_pandas()
+        assert len(out) > 0

@@ -541,6 +541,16 @@ def semantic_join(
         if len(mem) == 0 or len(qry) == 0:
             return empty
         if len(mem) > max_cluster:
+            if n_probe is None:
+                # exact mode (probe all clusters) advertises brute-force
+                # equality — silently dropping members would break it;
+                # fail loud and tell the caller how to proceed
+                raise ValueError(
+                    f"semantic_join: cluster with {len(mem)} members "
+                    f"exceeds max_cluster={max_cluster} in exact mode "
+                    f"(n_probe=None); raise max_cluster, increase "
+                    f"n_clusters, or set n_probe for the approximate "
+                    f"path (which truncates oversized clusters)")
             import logging
 
             logging.getLogger(__name__).warning(

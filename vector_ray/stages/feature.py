@@ -125,38 +125,58 @@ def grouped_standardize(ds, keys, col: str, *, suffix: str = "_z",
         raise ValueError("grouped_standardize: exactly one key column")
     key = keys[0]
 
-    stats = grouped_aggregate(ds, [key], {
-        "n": ("count", col), "sx": ("sum", col)}).take_all()
+    from vector_ray.stages.quantile import _probe_str
+
+    def _collect(dset) -> pa.Table:
+        import ray
+        blocks = ray.get(dset.to_arrow_refs())
+        blocks = [b for b in blocks if len(b)]
+        if not blocks:
+            return None
+        return pa.concat_tables(blocks).combine_chunks()
+
+    st = _collect(grouped_aggregate(ds, [key], {
+        "n": ("count", col), "sx": ("sum", col)}))
     # second moment via a projected scan (sum of squares)
     def sq(t: pa.Table) -> pa.Table:
         v = pc.cast(t[col], pa.float64())
         return pa.table({key: t[key], "xx": pc.multiply(v, v)})
 
-    stats2 = grouped_aggregate(
+    st2 = _collect(grouped_aggregate(
         ds.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
-        [key], {"sxx": ("sum", "xx")}).take_all()
-    if len(stats) > max_keys:
+        [key], {"sxx": ("sum", "xx")}))
+    if st is not None and len(st) > max_keys:
         raise ValueError(
-            f"grouped_standardize: {len(stats)} keys (> max_keys)")
-    sxx = {r[key]: r["sxx"] for r in stats2}
-    ks, mus, sds = [], [], []
-    for r in stats:
-        n, sx = r["n"], r["sx"]
-        if n >= 2:
-            mu = sx / n
-            var = (sxx[r[key]] - sx * sx / n) / (n - ddof)
-            sd = float(np.sqrt(var)) if var > 0 else None
-        else:
-            mu, sd = (sx / n if n else None), None
-        ks.append(r[key])
-        mus.append(mu)
-        sds.append(sd)
-    vocab = pa.array([str(k) for k in ks], pa.string())
-    mu_arr = pa.array(mus, pa.float64())
-    sd_arr = pa.array(sds, pa.float64())
+            f"grouped_standardize: {len(st)} keys (> max_keys)")
+    if st is None:
+        vocab = pa.array([], pa.string())
+        mu_arr = pa.array([], pa.float64())
+        sd_arr = pa.array([], pa.float64())
+    else:
+        # Probe vocabulary built from the ARROW key values themselves
+        # (cast-to-string + null sentinel, quantile._probe_str) so the
+        # fit-side and apply-side serializations can never disagree —
+        # Python str(k) diverges from Arrow cast for booleans
+        # ('True' vs 'true'), some floats, and a null key ('None').
+        vocab = _probe_str(st[key])
+        sxx = st2["sxx"].take(
+            pc.index_in(vocab, _probe_str(st2[key])))
+        n = st["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = pc.cast(st["sx"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        sxx_np = pc.cast(sxx, pa.float64()).to_numpy(
+            zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu = np.where(n > 0, sx / n, np.nan)
+            var = np.where(n >= 2,
+                           (sxx_np - sx * sx / np.maximum(n, 1))
+                           / np.maximum(n - ddof, 1e-300), np.nan)
+        sd = np.sqrt(np.where(var > 0, var, np.nan))
+        mu_arr = pa.array(mu, pa.float64(), mask=~np.isfinite(mu))
+        sd_arr = pa.array(sd, pa.float64(), mask=~np.isfinite(sd))
 
     def tf(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(pc.cast(t[key], pa.string()), vocab)
+        idx = pc.index_in(_probe_str(t[key]), vocab)
         mu = mu_arr.take(idx)
         sd = sd_arr.take(idx)
         v = pc.cast(t[col], pa.float64())
@@ -177,7 +197,9 @@ def robust_scale(ds, col: str, *, suffix: str = "_r"):
     from vector_ray.stages.quantile import exact_quantiles
 
     q1, med, q3 = exact_quantiles(ds, col, [0.25, 0.5, 0.75])
-    iqr = q3 - q1
+    # empty / all-null column: quantiles are None — degrade to an
+    # all-null output column (minmax_scale's constant-column behavior)
+    iqr = (q3 - q1) if (q1 is not None and q3 is not None) else 0.0
 
     def tf(t: pa.Table) -> pa.Table:
         v = _f64(t, col)
@@ -258,10 +280,15 @@ def target_encode(ds, col: str, target: str, *, smoothing: float = 0.0,
         raise ValueError(
             f"target_encode: {col!r} has {len(stats)} categories "
             f"(> max_categories={max_categories})")
-    gs = sum(r["s"] for r in stats)
+    # r["s"] is None when every target value in the category is null
+    # (grouped sum of no valid rows) — coalesce to 0.0 so the smoothed
+    # mean doesn't TypeError on None + float; n is 0 for such
+    # categories, so with smoothing they encode to the global mean.
+    gs = sum(r["s"] or 0.0 for r in stats)
     gn = sum(r["n"] for r in stats)
     gmean = gs / gn if gn else 0.0
-    enc = {r[col]: (r["s"] + smoothing * gmean) / (r["n"] + smoothing)
+    enc = {r[col]: ((r["s"] or 0.0) + smoothing * gmean)
+           / (r["n"] + smoothing)
            if (r["n"] + smoothing) > 0 else gmean
            for r in stats if r[col] is not None}
 
@@ -291,6 +318,10 @@ def winsorize(ds, col: str, *, p_lo: float = 0.01, p_hi: float = 0.99,
 
     def tf(t: pa.Table) -> pa.Table:
         v = _f64(t, col)
+        if lo is None or hi is None:
+            # empty / all-null column: no cut points — all-null output
+            return t.append_column(
+                col + suffix, pa.array([None] * len(t), pa.float64()))
         return t.append_column(
             col + suffix,
             pa.array(np.clip(v, lo, hi), pa.float64(),

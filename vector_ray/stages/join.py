@@ -467,10 +467,16 @@ def skew_join(
     1. detect heavy hitters with one cheap pass over the left key
        columns: per-block Arrow group-count keeps keys above
        ``hot_frac/2`` of their block (a key with global share >=
-       ``hot_frac`` has that share in expectation in every block, so
-       per-block candidacy cannot miss it), capped at
-       ``per_block_cap`` candidates per block — the driver sees
-       O(blocks * per_block_cap) candidate rows, never the key space;
+       ``hot_frac`` has that share in expectation in every block),
+       capped at ``per_block_cap`` candidates per block — the driver
+       sees O(blocks * per_block_cap) candidate rows, never the key
+       space. Detection is PROBABILISTIC / best-effort: a globally-hot
+       key can be evicted by the per-block cap in blocks with many
+       local heavy hitters, and the driver-side sum only counts blocks
+       where the key survived — a missed hot key simply takes the cold
+       (ordinary bucketed) path, so RESULTS STAY EXACT; only the
+       straggler protection degrades. Raise ``per_block_cap`` /
+       lower ``hot_frac`` for adversarial skew profiles;
     2. rows are routed hot/cold by key FINGERPRINT membership (the
        same ``_combo_hash`` both sides, so a fingerprint collision
        routes both sides of that key identically — results stay
