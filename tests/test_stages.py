@@ -333,6 +333,89 @@ class TestReduce:
         sums = sorted(x["v"] for x in rows)
         assert sums == [2, 2]  # rows 1-2 close a group; rows 3-4 flush at end
 
+    def test_conditional_bucketed_matches_pandas_reference(self):
+        # the vectorized conditional path (salted=True, r4) must agree
+        # with the per-key pandas reference (salted=False) across every
+        # strategy, with both ends_when and starts_when active
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n = 600
+        t = pa.table({
+            "k": [f"k{i % 7}" for i in range(n)],
+            "seq": list(range(n)),
+            "done": [i % 5 == 3 for i in range(n)],
+            "fresh": [i % 11 == 7 for i in range(n)],
+            "v": pa.array(
+                [None if i % 13 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(0, 100, n))],
+                pa.int64()),
+            "msg": pa.array(
+                [None if i % 9 == 0 else f"m{i}" for i in range(n)]),
+            "fc": [f"f{i}" for i in range(n)],
+            "lc": [f"l{i}" for i in range(n)],
+            "fl": pa.array(
+                [None if i % 17 == 0 else [f"a{i % 4}", f"b{i % 3}"]
+                 for i in range(n)], pa.list_(pa.string())),
+            "ar": pa.array(
+                [None if i % 19 == 0
+                 else [float(j) for j in range(i % 4)]
+                 for i in range(n)], pa.list_(pa.float64())),
+        })
+        strategies = {
+            "v": "sum", "msg": "concat_newline", "fc": "discard",
+            "lc": "retain", "fl": "flat_unique", "ar": "longest_array",
+            "done": "max", "fresh": "min",
+        }
+        kw = dict(merge_strategies=strategies, order_by="seq",
+                  ends_when=C.eq("done", True),
+                  starts_when=C.eq("fresh", True))
+        fast = Reduce(["k"], salted=True, **kw)
+        ref = Reduce(["k"], salted=False, **kw)
+
+        def keyed(ds):
+            return {(r["k"], r["seq"]): r for r in ds.take_all()}
+
+        a = keyed(fast.apply(ds_of(t, blocks=4)))
+        b = keyed(ref.apply(ds_of(t, blocks=4)))
+        assert set(a) == set(b) and len(a) > 7
+        for key in a:
+            for col in ("v", "msg", "fc", "lc", "n_rows", "done",
+                        "fresh"):
+                av, bv = a[key][col], b[key][col]
+                if isinstance(bv, float) and np.isnan(bv):
+                    assert av is None or (isinstance(av, float)
+                                          and np.isnan(av))
+                else:
+                    assert av == bv, (key, col, av, bv)
+            assert list(a[key]["fl"]) == list(b[key]["fl"]), key
+            ae, be = a[key]["ar"], b[key]["ar"]
+            if be is None or (isinstance(be, float) and np.isnan(be)):
+                assert ae is None, key
+            else:
+                assert list(ae) == list(be), key
+
+    def test_conditional_high_cardinality_keys(self):
+        # 10^5 distinct keys with ends_when: must run O(buckets) Python
+        # (the bucketed plan), finish fast, and stay exact
+        import numpy as np
+
+        n = 200_000  # 2 rows per key
+        key = np.repeat(np.arange(100_000, dtype=np.int64), 2)
+        seq = np.tile(np.array([0, 1], np.int64), 100_000)
+        done = np.tile(np.array([True, False]), 100_000)
+        t = pa.table({"k": pa.array(key), "seq": pa.array(seq),
+                      "done": pa.array(done),
+                      "v": pa.array(np.ones(n, np.int64))})
+        r = Reduce(["k"], merge_strategies={"v": "sum"}, order_by="seq",
+                   ends_when=C.eq("done", True))
+        out = r.apply(ds_of(t, blocks=8))
+        df = out.to_pandas()
+        # every key: row0 (done) closes a 1-row group, row1 flushes
+        assert len(df) == 200_000
+        assert (df["v"] == 1).all()
+        assert (df["n_rows"] == 1).all()
+
 
 class TestAggregate:
     def test_mean_and_all_null_group(self):

@@ -43,17 +43,19 @@ def _merge_series(s: pd.Series, strategy: str):
     if strategy == "min":
         return vals.min() if len(vals) else None
     if strategy == "array":
-        return list(s)
+        # plain Python lists (not ndarrays): ragged ndarray cells break
+        # Ray's pandas-block conversion
+        return [list(v) if isinstance(v, np.ndarray) else v for v in s]
     if strategy == "concat":
         return " ".join(str(v) for v in vals)
     if strategy == "concat_newline":
         return "\n".join(str(v) for v in vals)
     if strategy == "shortest_array":
         arrays = [v for v in vals if isinstance(v, (list, np.ndarray))]
-        return min(arrays, key=len) if arrays else None
+        return list(min(arrays, key=len)) if arrays else None
     if strategy == "longest_array":
         arrays = [v for v in vals if isinstance(v, (list, np.ndarray))]
-        return max(arrays, key=len) if arrays else None
+        return list(max(arrays, key=len)) if arrays else None
     if strategy == "flat_unique":
         out = []
         seen = set()
@@ -354,10 +356,168 @@ class Reduce(Step):
         )
         return bucketed_map_groups(partial, self.group_by, self._fast_merge)
 
+    # -- vectorized conditional path ---------------------------------------
+    # ends_when / starts_when force whole-key co-location (a boundary can
+    # only be found with every row of the key in order), but NOT per-key
+    # Python: one hash-bucket shuffle, then per bucket ONE sort by
+    # (keys, order_by), ONE vectorized condition evaluation, numpy
+    # cumsum/searchsorted-style run segmentation, and run-based Arrow
+    # aggregation. Sub-groups are CONTIGUOUS runs after the sort, so list
+    # outputs build zero-copy via ListArray.from_arrays(run_offsets, col).
+    # Python invocations: O(buckets), never O(distinct keys) — the shape
+    # the reference's boundary conditions (reduce/mod.rs:221-257) need at
+    # high-cardinality group_by.
+
+    def _conditional_bucket(self, g: pa.Table) -> pa.Table:
+        from vector_ray.stages.bucketed import _run_starts
+
+        g = g.combine_chunks()
+        n = len(g)
+        if n == 0:
+            return g
+        sort_keys = [(k, "ascending") for k in self.group_by]
+        if self.order_by:
+            sort_keys.append((self.order_by, "ascending"))
+        g = g.sort_by(sort_keys).combine_chunks()
+        key_new = _run_starts(g, self.group_by)
+        rs_idx = np.flatnonzero(key_new)
+        run_len = np.diff(np.append(rs_idx, n))
+
+        def _mask(cond) -> np.ndarray:
+            m = cond(g)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            return np.asarray(
+                pc.fill_null(m, False).to_numpy(zero_copy_only=False), bool)
+
+        # per-key segment ids from the GLOBAL cumsums: subtract each
+        # key-run's base so every key restarts at segment 0
+        seg = np.zeros(n, np.int64)
+        if self.starts_when is not None:
+            s = _mask(self.starts_when)
+            cs = np.cumsum(s)
+            seg += cs - np.repeat((cs - s)[rs_idx], run_len)
+        if self.ends_when is not None:
+            e = _mask(self.ends_when)
+            ce = np.cumsum(e)
+            closed = ce - e  # exclusive prefix: an end row closes AFTER itself
+            seg += closed - np.repeat(closed[rs_idx], run_len)
+
+        new_sub = key_new.copy()
+        new_sub[1:] |= seg[1:] != seg[:-1]
+        offs = np.flatnonzero(new_sub)            # sub-group starts
+        ends = np.append(offs[1:], n)
+        counts = ends - offs
+        gid = np.cumsum(new_sub) - 1
+        G = len(offs)
+        first_pa = pa.array(offs, pa.int64())
+        last_pa = pa.array(ends - 1, pa.int64())
+
+        data_cols = [c for c in g.column_names if c not in self.group_by]
+        by_strat: dict = {}
+        for c in data_cols:
+            by_strat.setdefault(self._strategy(c), []).append(c)
+
+        computed: dict = {}
+        for c in by_strat.get("discard", []):
+            computed[c] = g[c].take(first_pa)
+        for c in by_strat.get("retain", []):
+            computed[c] = g[c].take(last_pa)
+
+        agg_cols = (by_strat.get("sum", []) + by_strat.get("min", [])
+                    + by_strat.get("max", []))
+        if agg_cols:
+            t2 = pa.table({"__gid": pa.array(gid),
+                           **{c: g[c] for c in agg_cols}})
+            raw = pa.TableGroupBy(t2, "__gid").aggregate(
+                [(c, self._strategy(c)) for c in agg_cols]).sort_by("__gid")
+            for c in agg_cols:
+                computed[c] = raw[f"{c}_{self._strategy(c)}"]
+
+        list_offs = pa.array(np.append(offs, n).astype(np.int32))
+        for c in by_strat.get("array", []):
+            computed[c] = pa.ListArray.from_arrays(
+                list_offs, g[c].combine_chunks())
+
+        for strat in ("concat", "concat_newline"):
+            sep = " " if strat == "concat" else "\n"
+            for c in by_strat.get(strat, []):
+                col = g[c].combine_chunks()
+                valid = np.asarray(pc.is_valid(col).to_numpy(
+                    zero_copy_only=False), bool)
+                vcnt = np.add.reduceat(valid.astype(np.int64), offs)
+                voff = pa.array(np.concatenate(
+                    [[0], np.cumsum(vcnt)]).astype(np.int32))
+                sv = pc.cast(col.filter(pa.array(valid)), pa.string())
+                computed[c] = pc.binary_join(
+                    pa.ListArray.from_arrays(voff, sv), sep)
+
+        for c in by_strat.get("flat_unique", []):
+            col = g[c].combine_chunks()
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                parents = np.asarray(pc.list_parent_indices(col)
+                                     .to_numpy(zero_copy_only=False))
+                flat = pc.list_flatten(col)
+                egid = gid[parents]
+            else:
+                valid = np.asarray(pc.is_valid(col).to_numpy(
+                    zero_copy_only=False), bool)
+                flat = col.filter(pa.array(valid))
+                egid = gid[valid]
+            import pandas as _pd
+
+            fv = flat.to_pandas()
+            keep = ~_pd.DataFrame({"g": egid, "v": fv}).duplicated(
+                ["g", "v"]).to_numpy()
+            kept_idx = np.flatnonzero(keep)
+            kcnt = np.bincount(egid[kept_idx], minlength=G)
+            koff = pa.array(np.concatenate(
+                [[0], np.cumsum(kcnt)]).astype(np.int32))
+            computed[c] = pa.ListArray.from_arrays(
+                koff, flat.take(pa.array(kept_idx, pa.int64())))
+
+        for strat in ("shortest_array", "longest_array"):
+            for c in by_strat.get(strat, []):
+                col = g[c].combine_chunks()
+                lens = pc.list_value_length(col)
+                lnp = np.asarray(pc.cast(lens, pa.float64()).to_numpy(
+                    zero_copy_only=False), np.float64)
+                bad = np.isnan(lnp)
+                key = np.where(bad, np.inf,
+                               lnp if strat == "shortest_array" else -lnp)
+                order = np.lexsort((np.arange(n), key, gid))
+                sg = gid[order]
+                firsts = np.ones(len(sg), bool)
+                firsts[1:] = sg[1:] != sg[:-1]
+                pick = np.full(G, -1, np.int64)
+                pick[sg[firsts]] = order[firsts]
+                has = np.add.reduceat((~bad).astype(np.int64), offs) > 0
+                idx = pa.array(np.where(has, pick, 0), pa.int64(),
+                               mask=~has)
+                computed[c] = col.take(idx)
+
+        out: dict = {}
+        for k in self.group_by:
+            out[k] = g[k].take(first_pa)
+        for c in data_cols:
+            out[c] = computed[c]
+        if self.count_col:
+            out[self.count_col] = pa.array(counts, pa.int64())
+        return pa.table(out)
+
     def apply(self, ds):
         if self._fast_eligible():
             return self._apply_fast(ds)
-        if self.salted and self.ends_when is None and self.starts_when is None:
+        if self.ends_when is not None or self.starts_when is not None:
+            if not self.salted:
+                # explicit unsalted debug path: per-key pandas reference
+                return ds.groupby(self.group_by).map_groups(
+                    self._reduce_group, batch_format="pandas")
+            from vector_ray.stages.bucketed import bucketed_map_groups
+
+            return bucketed_map_groups(
+                ds, self.group_by, self._conditional_bucket)
+        if self.salted:
             from vector_ray.stages.salt import salted_group_reduce
 
             return salted_group_reduce(
