@@ -1869,3 +1869,56 @@ class TestSemanticJoin:
         for src, g in out.groupby("src"):
             assert list(g.sort_values("rank")["rank"]) == list(
                 range(len(g)))
+
+
+class TestBucketedBottomk:
+    def test_fan_in_bounded_and_selection_exact(self):
+        # r3 verdict #4: the driver must collect O(buckets * k), not
+        # O(blocks * k) candidate rows, and the two-level merge must
+        # still select exactly the global bottom-k
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.ml.ann import _bucketed_bottomk
+
+        rng = np.random.default_rng(3)
+        k, blocks, per = 16, 200, 16
+        tables = []
+        for b in range(blocks):
+            h = rng.integers(0, 2**63, per).astype(np.uint64)
+            tables.append(pa.table({
+                "v": pa.array(np.arange(per) + b * per),
+                "__h": pa.array(h, pa.uint64())}))
+        cand = rd.from_arrow(tables)
+        out = _bucketed_bottomk(cand, k, num_buckets=8).take_all()
+        # fan-in bound: at most buckets * k rows reach the driver
+        assert len(out) <= 8 * k
+        # selection exactness: global bottom-k by __h is fully present
+        allh = np.sort(np.concatenate(
+            [t["__h"].to_numpy() for t in tables]))
+        got = np.sort(np.array([r["__h"] for r in out], np.uint64))[:k]
+        assert list(got[:k]) == list(allh[:k])
+
+    def test_hash_sample_matrix_layout_invariant(self):
+        # the sample must be a pure function of the id set: same rows,
+        # same ORDER, for any block layout (hash-sorted contract)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.ml.ann import _hash_sample_matrix
+
+        rng = np.random.default_rng(5)
+        n, d = 300, 6
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [rng.standard_normal(d).astype(np.float32).tolist()
+                 for _ in range(n)], pa.list_(pa.float32()))})
+        a = _hash_sample_matrix(rd.from_arrow(t).repartition(1),
+                                "embedding", "vec_id", 64)
+        b = _hash_sample_matrix(rd.from_arrow(t).repartition(13),
+                                "embedding", "vec_id", 64)
+        assert a.shape == (64, d)
+        assert np.array_equal(a, b)

@@ -75,13 +75,48 @@ def knn_brute(
     return local.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
 
 
+def _bucketed_bottomk(cand, k: int, *, num_buckets: int = 32,
+                      tie_col: str | None = None):
+    """Two-level bottom-k merge for candidate streams carrying a
+    ``__h`` uint64 column: bucket by ``__h % num_buckets``, keep the
+    per-bucket bottom-``k`` (sorted by ``__h`` [, tie_col]), so the
+    driver's final merge reads O(num_buckets * k) rows instead of
+    O(blocks * k) — at 10^5 blocks x 2048-row samples the one-level
+    collect is hundreds of GB on one node; this is bounded. Any global
+    bottom-k row is within its own bucket's bottom-k, so selection is
+    exact."""
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["__h"].combine_chunks().to_numpy(
+            zero_copy_only=False) if isinstance(t["__h"], pa.ChunkedArray)
+            else t["__h"].to_numpy(zero_copy_only=False), np.uint64)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def bucket_keep(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"]).combine_chunks()
+        if len(g) <= k:
+            return g
+        keys = [("__h", "ascending")]
+        if tie_col is not None:
+            keys.append((tie_col, "ascending"))
+        return g.sort_by(keys).slice(0, k)
+
+    return cand.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__b").map_groups(bucket_keep, batch_format="pyarrow")
+
+
 def _hash_sample_matrix(ds, vec_col: str, id_col: str, sample_size: int) -> np.ndarray:
     """Uniform deterministic training sample: the global bottom-
     ``sample_size`` rows by a hash of the id (a bottom-k sketch) —
     unbiased across fragments, unlike ``ds.limit`` which reads only the
     first blocks and inherits their key/cluster skew. Each block
-    contributes at most ``sample_size`` candidate rows; the driver
-    merge keeps the global bottom-k."""
+    contributes at most ``sample_size`` candidates, an intermediate
+    bucketed bottom-k (``_bucketed_bottomk``) bounds the driver fan-in
+    to O(buckets * sample_size), and the returned rows are sorted by
+    the id hash — like ``ml/pq._hash_sorted_sample``, the sample (and
+    anything trained on it) is a pure function of the id SET, not of
+    block layout or arrival order."""
     import pyarrow.compute as pc
 
     from vector_ray.expr import F
@@ -99,14 +134,16 @@ def _hash_sample_matrix(ds, vec_col: str, id_col: str, sample_size: int) -> np.n
             h = h[idx]
         return out.append_column("__h", pa.array(h, pa.uint64()))
 
-    rows = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    cand = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    rows = _bucketed_bottomk(cand, sample_size).take_all()
     if not rows:
         return np.empty((0, 0), np.float32)
     hs = np.array([r["__h"] for r in rows], np.uint64)
-    keep = (
-        np.argpartition(hs, sample_size - 1)[:sample_size]
-        if len(hs) > sample_size else np.arange(len(hs))
-    )
+    if len(hs) > sample_size:
+        sel = np.argpartition(hs, sample_size - 1)[:sample_size]
+    else:
+        sel = np.arange(len(hs))
+    keep = sel[np.argsort(hs[sel], kind="stable")]
     return np.array([rows[int(i)][vec_col] for i in keep], dtype=np.float32)
 
 

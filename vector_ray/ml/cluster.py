@@ -70,8 +70,16 @@ def _bottomk_init(ds, n_clusters: int, vec_col: str, id_col: str) -> np.ndarray:
             h = h[idx]
         return t.append_column("__h", pa.array(h, pa.uint64()))
 
-    cand = ds.map_batches(part, batch_format="pyarrow",
-                          zero_copy_batch=True).take_all()
+    from vector_ray.ml.ann import _bucketed_bottomk
+
+    cand_ds = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # two-level merge: per-bucket bottom-k bounds the driver fan-in to
+    # O(buckets * k) rows instead of O(blocks * k); the final
+    # (h, id)-sorted pick below is unchanged, so the selected centroids
+    # are identical to the one-level collect
+    cand = _bucketed_bottomk(cand_ds, n_clusters,
+                             tie_col=id_col).take_all()
     if not cand:
         raise ValueError("kmeans: empty input")
     cand.sort(key=lambda r: (int(r["__h"]), r[id_col]))

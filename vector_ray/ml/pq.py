@@ -36,10 +36,11 @@ from vector_ray.ml.ann import _as_matrix
 def _hash_sorted_sample(ds, vec_col: str, id_col: str,
                         sample_size: int) -> np.ndarray:
     """Bottom-``sample_size`` rows by fnv1a(str(id)), returned SORTED
-    by that hash — unlike ml/ann._hash_sample_matrix the row ORDER is
-    a pure function of the id set, independent of block layout and
+    by that hash — like ml/ann._hash_sample_matrix, the row ORDER is a
+    pure function of the id set, independent of block layout and
     take_all ordering, which the seeded kmeans init needs to be
-    reproducible (and golden-mirrorable)."""
+    reproducible (and golden-mirrorable). Driver fan-in is bounded by
+    the bucketed two-level merge (ml/ann._bucketed_bottomk)."""
     import pyarrow.compute as pc
 
     from vector_ray.expr import F
@@ -56,8 +57,11 @@ def _hash_sorted_sample(ds, vec_col: str, id_col: str,
             h = h[idx]
         return out.append_column("__h", pa.array(h, pa.uint64()))
 
-    rows = ds.map_batches(part, batch_format="pyarrow",
-                          zero_copy_batch=True).take_all()
+    from vector_ray.ml.ann import _bucketed_bottomk
+
+    cand = ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rows = _bucketed_bottomk(cand, sample_size).take_all()
     if not rows:
         return np.empty((0, 0), np.float32)
     hs = np.array([r["__h"] for r in rows], np.uint64)
