@@ -1922,3 +1922,34 @@ class TestBucketedBottomk:
                                 "embedding", "vec_id", 64)
         assert a.shape == (64, d)
         assert np.array_equal(a, b)
+
+
+class TestMinhashFlatBuffer:
+    def test_arrow_column_matches_list_path(self):
+        # r4: the text-LSH hot path hashes straight off the Arrow
+        # values buffer (utf8_lower, no to_pylist); signatures must be
+        # byte-identical to the legacy list path, C kernel or fallback,
+        # including sliced (non-zero-offset) columns
+        import numpy as np
+        import pyarrow as pa
+
+        import vector_ray.native as nv
+        from vector_ray.ml.dedup import minhash_signature
+
+        texts = ["Hello World THIS is a test", "", None, "ab",
+                 "x" * 300, "CASE folding AND    spaces", "short"]
+        col = pa.array(texts, pa.string())
+        want = minhash_signature(texts, num_hashes=32, k=5)
+        got = minhash_signature(col, num_hashes=32, k=5)
+        assert np.array_equal(got, want)
+        sl = col.slice(2, 4)
+        assert np.array_equal(
+            minhash_signature(sl, num_hashes=32, k=5), want[2:6])
+        orig = nv.get_lib
+        nv.get_lib = lambda: None
+        try:
+            fa = minhash_signature(col, num_hashes=32, k=5)
+            fb = minhash_signature(texts, num_hashes=32, k=5)
+        finally:
+            nv.get_lib = orig
+        assert np.array_equal(fa, fb)

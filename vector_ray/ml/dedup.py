@@ -112,28 +112,81 @@ def _verify_candidate_pairs(cand_ds, sig_tbl: pa.Table, *, est_name: str,
 # minhash
 
 
-def _shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All k-char shingle hashes per doc → (flat uint64 hashes, offsets)."""
-    # build shingle hashes via a rolling polynomial over byte windows
-    offs = [0]
-    hashes = []
-    for t in texts:
-        b = (t or "").lower().encode("utf-8", "ignore")
-        if len(b) < k:
-            import zlib
+def _flat_lower_utf8(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 bytes, int64 offsets) of a lowercased Arrow string
+    column, straight off the Arrow values buffer — ZERO per-row Python.
+    ``pc.utf8_lower`` is the vectorized stand-in for Python
+    ``str.lower()`` (identical on ASCII; a handful of exotic casings
+    differ, which only shifts which shingles a non-ASCII doc hashes —
+    signatures stay internally consistent)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    lc = pc.utf8_lower(pc.fill_null(col, ""))
+    if isinstance(lc, pa.ChunkedArray):
+        lc = lc.combine_chunks()
+    if lc.offset != 0:  # compact slices: buffer math below assumes 0
+        lc = lc.take(np.arange(len(lc)))
+    bufs = lc.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, len(lc) + 1).astype(np.int64)
+    if bufs[2] is None:
+        return np.empty(0, np.uint8), offs - offs[0]
+    data = np.frombuffer(bufs[2], np.uint8)
+    base = offs[0]
+    return data[base:offs[-1]], offs - base
 
-            arr = np.array([zlib.crc32(b)], dtype=np.uint64)
-        else:
-            a = np.frombuffer(b, dtype=np.uint8)
-            # polynomial rolling hash over windows, vectorized via cumulative trick
-            win = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
-            mult = np.power(np.uint64(257), np.arange(k, dtype=np.uint64), dtype=np.uint64)
-            arr = (win * mult).sum(axis=1, dtype=np.uint64)
-            arr = np.unique(arr)
-        hashes.append(arr)
-        offs.append(offs[-1] + len(arr))
-    flat = np.concatenate(hashes) if hashes else np.empty(0, np.uint64)
-    return flat, np.array(offs, dtype=np.int64)
+
+def _texts_to_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Flat lowercase utf8 bytes + offsets from either an Arrow string
+    column (vectorized, the hot path) or a Python list (legacy)."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        return _flat_lower_utf8(texts)
+    bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
+    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offs[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return flat, offs
+
+
+def _shingle_hashes_flat(flat: np.ndarray, offs: np.ndarray,
+                         k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes per doc → (flat uint64 hashes, output
+    offsets), fully vectorized over the flat byte buffer: one rolling
+    polynomial pass for every window in the corpus, gathered per doc by
+    index arithmetic; docs shorter than ``k`` hash whole via the
+    table-driven crc32 kernel. (Duplicate shingles are kept — the
+    MinHash minimum is unaffected, so the old per-doc ``np.unique`` was
+    pure overhead.)"""
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    counts = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    hashes = np.empty(out_offs[-1], np.uint64)
+
+    long = lens >= k
+    if long.any():
+        N = len(flat) - k + 1
+        f64 = flat.astype(np.uint64)
+        mult = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
+                        dtype=np.uint64)
+        acc = np.zeros(N, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc += f64[j:j + N] * mult[j]
+        cnts = counts[long]
+        within = (np.arange(cnts.sum(), dtype=np.int64)
+                  - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        src = np.repeat(offs[:-1][long], cnts) + within
+        dst = np.repeat(out_offs[:-1][long], cnts) + within
+        hashes[dst] = acc[src]
+    short = ~long
+    if short.any():
+        crc = _crc32_words(flat, offs[:-1][short],
+                           lens[short]).astype(np.uint64)
+        hashes[out_offs[:-1][short]] = crc
+    return hashes, out_offs
 
 
 def _sm64(x: np.ndarray) -> np.ndarray:
@@ -142,27 +195,29 @@ def _sm64(x: np.ndarray) -> np.ndarray:
     return _splitmix64(x)
 
 
-def minhash_signature(texts: list, *, num_hashes: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
-    """(n_docs, num_hashes) uint64 MinHash signatures.
+def minhash_signature(texts, *, num_hashes: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 MinHash signatures. ``texts`` may be
+    an Arrow string Array/ChunkedArray (the hot path: lowercased flat
+    bytes come straight off the Arrow values buffer via
+    ``pc.utf8_lower`` — no per-row Python) or a Python list (legacy).
 
     Fast path: the native fused kernel (vector_ray.native) runs the
     byte-shingle rolling hash + all minima in one C pass over the
-    concatenated lowercase text bytes. Fallback: numpy reduceat path.
+    concatenated lowercase text bytes. Fallback: numpy rolling-poly +
+    reduceat over the same flat buffer (``_shingle_hashes_flat``).
     (The two paths use different shingle hash functions, so signatures
     are internally consistent per process configuration but not
     interchangeable across paths — fine for LSH use.)"""
     from vector_ray.native import get_lib
 
+    n_docs = len(texts)
+    flat_u8, offsets = _texts_to_flat(texts)
     lib = get_lib()
-    if lib is not None and hasattr(lib, "token_minhash_fused") and texts:
+    if lib is not None and hasattr(lib, "token_minhash_fused") and n_docs:
         import ctypes
 
-        bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
-        offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in bufs], out=offsets[1:])
-        flat_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int32)
-        if len(flat_bytes) == 0:
-            return np.full((len(texts), num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(flat_u8) == 0:
+            return np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
             mults = np.array(
                 [np.uint64(0x9E3779B97F4A7C15) * np.uint64(j + 1) for j in range(k)],
@@ -172,29 +227,28 @@ def minhash_signature(texts: list, *, num_hashes: int = 64, k: int = 5, seed: in
             [(seed * 1_000_003 + h * 2_654_435_761) & 0xFFFFFFFFFFFFFFFF for h in range(num_hashes)],
             dtype=np.uint64,
         )
-        out = np.empty((len(texts), num_hashes), dtype=np.uint64)
-        flat_c = np.ascontiguousarray(flat_bytes)
+        out = np.empty((n_docs, num_hashes), dtype=np.uint64)
+        flat_c = np.ascontiguousarray(flat_u8.astype(np.int32))
         offs_c = np.ascontiguousarray(offsets)
         lib.token_minhash_fused(
             flat_c.ctypes.data_as(ctypes.c_void_p),
-            offs_c.ctypes.data_as(ctypes.c_void_p), len(texts), k,
+            offs_c.ctypes.data_as(ctypes.c_void_p), n_docs, k,
             mults.ctypes.data_as(ctypes.c_void_p),
             seeds.ctypes.data_as(ctypes.c_void_p), num_hashes,
             out.ctypes.data_as(ctypes.c_void_p),
         )
         return out
-    flat, offs = _shingle_hashes(texts, k)
-    n = len(texts)
-    sig = np.full((n, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    flat, offs = _shingle_hashes_flat(flat_u8, offsets, k)
     if len(flat) == 0:
         return sig
     starts = offs[:-1]
-    nonempty = offs[1:] > offs[:-1]
     for i in range(num_hashes):
         with np.errstate(over="ignore"):
             perm = _sm64(flat ^ np.uint64(seed * 1_000_003 + i * 2_654_435_761))
-        mins = np.minimum.reduceat(perm, np.maximum(starts, 0))[: len(starts)]
-        sig[nonempty, i] = mins[nonempty]
+        sig[:, i] = np.minimum.reduceat(perm, starts)[:len(starts)]
     return sig
 
 
@@ -245,17 +299,16 @@ def minhash_lsh_dedup(
     assert bands * rows_per_band == num_hashes
 
     def sigs(t: pa.Table) -> pa.Table:
-        texts = t[field].to_pylist()
-        sig = minhash_signature(texts, num_hashes=num_hashes, k=k)
-        band_hashes = np.empty((len(texts), bands), dtype=np.uint64)
+        n = len(t)
+        sig = minhash_signature(t[field], num_hashes=num_hashes, k=k)
+        band_hashes = np.empty((n, bands), dtype=np.uint64)
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.zeros(len(texts), dtype=np.uint64)
+            acc = np.zeros(n, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for j in range(rows_per_band):
                     acc = _sm64(acc ^ chunk[:, j])
             band_hashes[:, b] = acc
-        n = len(texts)
         ids = np.repeat(np.asarray(t[id_col]), bands)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table(
@@ -318,7 +371,7 @@ def minhash_lsh_dedup(
         if len(sub) == 0:
             return pa.table({"id": pa.array([], pa.int64()),
                              "sig": pa.array([], pa.list_(pa.uint64(), num_hashes))})
-        sig = minhash_signature(sub[field].to_pylist(), num_hashes=num_hashes, k=k)
+        sig = minhash_signature(sub[field], num_hashes=num_hashes, k=k)
         return pa.table({
             "id": pc.cast(sub[id_col], pa.int64()),
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -1173,7 +1226,7 @@ def token_minhash_dedup(
 # membership analogue is ml/bloom.py, this is the near-dup one).
 
 
-def _band_hash_rows(texts: list, ids: np.ndarray, *, num_hashes: int,
+def _band_hash_rows(texts, ids: np.ndarray, *, num_hashes: int,
                     bands: int, k: int) -> pa.Table:
     """(band, band_hash[int64 view], id) rows — bands per doc. The
     band hash folds the signature rows with the same sm64 chain the
@@ -1218,15 +1271,13 @@ def minhash_index_build(
     import os
 
     def explode(t: pa.Table) -> pa.Table:
-        texts = t[field].to_pylist()
         ids = np.asarray(pc.cast(t[id_col], pa.int64()).combine_chunks()
                          .to_numpy(zero_copy_only=False))
-        return _band_hash_rows(texts, ids, num_hashes=num_hashes,
+        return _band_hash_rows(t[field], ids, num_hashes=num_hashes,
                                bands=bands, k=k)
 
     def sigrows(t: pa.Table) -> pa.Table:
-        texts = t[field].to_pylist()
-        sig = minhash_signature(texts, num_hashes=num_hashes, k=k)
+        sig = minhash_signature(t[field], num_hashes=num_hashes, k=k)
         return pa.table({
             "id": pc.cast(t[id_col], pa.int64()),
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -1276,10 +1327,9 @@ def minhash_index_probe(
                             params["k"])
 
     def explode_new(t: pa.Table) -> pa.Table:
-        texts = t[field].to_pylist()
         ids = np.asarray(pc.cast(t[id_col], pa.int64()).combine_chunks()
                          .to_numpy(zero_copy_only=False))
-        out = _band_hash_rows(texts, ids, num_hashes=num_hashes,
+        out = _band_hash_rows(t[field], ids, num_hashes=num_hashes,
                               bands=bands, k=k)
         return out.append_column("side", pa.array(
             np.ones(len(out), np.int8)))
@@ -1346,7 +1396,7 @@ def minhash_index_probe(
             return pa.table({
                 "id": pa.array([], pa.int64()),
                 "sig": pa.array([], pa.list_(pa.uint64(), num_hashes))})
-        sig = minhash_signature(sub[field].to_pylist(),
+        sig = minhash_signature(sub[field],
                                 num_hashes=num_hashes, k=k)
         return pa.table({
             "id": pc.cast(sub[id_col], pa.int64()),
