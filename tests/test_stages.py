@@ -319,6 +319,55 @@ class TestReduce:
         assert rows["hot"]["m"] == f"x{n - 2}"  # last by seq among evens
         assert rows["hot"]["seq"] == 0
 
+    def test_salted_vector_all_strategies_match_reference(self):
+        # r4: the salted two-phase plan is fully vectorized; every
+        # strategy (incl. array / concat_newline / shortest_array /
+        # longest_array over list columns) must match the per-key
+        # pandas reference
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        n = 400
+        t = pa.table({
+            "k": [f"k{i % 5}" for i in range(n)],
+            "seq": list(range(n)),
+            "v": pa.array(
+                [None if i % 13 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(0, 50, n))],
+                pa.int64()),
+            "ar": pa.array(
+                [None if i % 7 == 0 else [f"e{j}" for j in range(i % 4)]
+                 for i in range(n)], pa.list_(pa.string())),
+            "la": pa.array(
+                [None if i % 11 == 3
+                 else [float(j) for j in range((i * 3) % 5)]
+                 for i in range(n)], pa.list_(pa.float64())),
+            "msg": pa.array(
+                [None if i % 6 == 0 else f"w{i % 9}" for i in range(n)]),
+        })
+        strategies = {"v": "min", "ar": "shortest_array",
+                      "la": "longest_array", "msg": "concat_newline",
+                      "seq": "array"}
+        a = {r["k"]: r for r in Reduce(
+            ["k"], merge_strategies=strategies, order_by="seq",
+            salted=True, salt_buckets=8).apply(
+                ds_of(t, blocks=4)).take_all()}
+        b = {r["k"]: r for r in Reduce(
+            ["k"], merge_strategies=strategies, order_by="seq",
+            salted=False).apply(ds_of(t, blocks=4)).take_all()}
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k]["v"] == b[k]["v"], k
+            assert a[k]["msg"] == b[k]["msg"], k
+            assert list(a[k]["seq"]) == list(b[k]["seq"]), k
+            for col in ("ar", "la"):
+                av, bv = a[k][col], b[k][col]
+                if bv is None:
+                    assert av is None, (k, col)
+                else:
+                    assert list(av) == list(bv), (k, col, av, bv)
+            assert a[k]["n_rows"] == b[k]["n_rows"], k
+
     def test_ends_when_segments(self):
         t = pa.table(
             {

@@ -505,6 +505,286 @@ class Reduce(Step):
             out[self.count_col] = pa.array(counts, pa.int64())
         return pa.table(out)
 
+    # -- vectorized salted two-phase plan ----------------------------------
+    # The generic (non-fast-eligible) strategy mix previously ran one
+    # pandas callback per (key, salt) sub-group through
+    # salted_group_reduce — a bucket with 10^5 distinct keys did 10^5
+    # Python fn(sub) calls. Both phases are now single vectorized passes
+    # per bucket: run-segmentation over the sorted bucket, Arrow hash
+    # aggs for sum/min/max, offset takes for discard/retain, and
+    # ListArray.from_arrays over contiguous runs for the list-shaped
+    # strategies, with __o_<col> order carriers exactly mirroring the
+    # pandas partial/merge contract. salted_group_reduce remains the
+    # generic fallback for CUSTOM reduce_fn UDFs only (its per-group
+    # bound is documented there).
+
+    def _vector_partial_bucket(self, g: pa.Table) -> pa.Table:
+        """Phase 1: one row per (key, salt) sub-group with mergeable
+        partial columns (+ order carriers)."""
+        from vector_ray.stages.bucketed import _run_starts
+
+        g = g.combine_chunks()
+        ob = self.order_by
+        group_cols = self.group_by + ["__salt"]
+        sort_keys = [(k, "ascending") for k in group_cols]
+        if ob:
+            sort_keys.append((ob, "ascending"))
+        g = g.sort_by(sort_keys).combine_chunks()
+        n = len(g)
+        new_sub = _run_starts(g, group_cols)
+        offs = np.flatnonzero(new_sub)
+        ends = np.append(offs[1:], n)
+        gid = np.cumsum(new_sub) - 1
+        first_pa = pa.array(offs, pa.int64())
+        last_pa = pa.array(ends - 1, pa.int64())
+        list_offs = pa.array(np.append(offs, n).astype(np.int32))
+        G = len(offs)
+        ob_col = g[ob].combine_chunks() if ob else None
+
+        data_cols = [c for c in g.column_names if c not in group_cols]
+        out: dict = {}
+        for k in self.group_by:
+            out[k] = g[k].take(first_pa)
+
+        agg_cols = [c for c in data_cols
+                    if self._strategy(c) in ("sum", "min", "max")]
+        agg_res = {}
+        if agg_cols:
+            t2 = pa.table({"__gid": pa.array(gid),
+                           **{c: g[c] for c in agg_cols}})
+            raw = pa.TableGroupBy(t2, "__gid").aggregate(
+                [(c, self._strategy(c)) for c in agg_cols]).sort_by("__gid")
+            for c in agg_cols:
+                agg_res[c] = raw[f"{c}_{self._strategy(c)}"]
+
+        for c in data_cols:
+            s = self._strategy(c)
+            if s in ("sum", "min", "max"):
+                out[c] = agg_res[c]
+            elif s in ("discard", "retain"):
+                pick = first_pa if s == "discard" else last_pa
+                out[c] = g[c].take(pick)
+                if ob:
+                    out[f"__o_{c}"] = ob_col.take(pick)
+            elif s == "array":
+                out[c] = pa.ListArray.from_arrays(
+                    list_offs, g[c].combine_chunks())
+                if ob:
+                    out[f"__o_{c}"] = pa.ListArray.from_arrays(
+                        list_offs, ob_col)
+            elif s in ("concat", "concat_newline", "flat_unique"):
+                col = g[c].combine_chunks()
+                valid = np.asarray(pc.is_valid(col).to_numpy(
+                    zero_copy_only=False), bool)
+                vcnt = np.add.reduceat(valid.astype(np.int64), offs)
+                voff = pa.array(np.concatenate(
+                    [[0], np.cumsum(vcnt)]).astype(np.int32))
+                vmask = pa.array(valid)
+                out[c] = pa.ListArray.from_arrays(voff, col.filter(vmask))
+                if ob:
+                    out[f"__o_{c}"] = pa.ListArray.from_arrays(
+                        voff, ob_col.filter(vmask))
+            elif s in ("shortest_array", "longest_array"):
+                col = g[c].combine_chunks()
+                lens = pc.list_value_length(col)
+                lnp = np.asarray(pc.cast(lens, pa.float64()).to_numpy(
+                    zero_copy_only=False), np.float64)
+                bad = np.isnan(lnp)
+                key = np.where(bad, np.inf,
+                               lnp if s == "shortest_array" else -lnp)
+                order = np.lexsort((np.arange(n), key, gid))
+                sg = gid[order]
+                firsts = np.ones(len(sg), bool)
+                firsts[1:] = sg[1:] != sg[:-1]
+                pick = np.full(G, -1, np.int64)
+                pick[sg[firsts]] = order[firsts]
+                has = np.add.reduceat((~bad).astype(np.int64), offs) > 0
+                idx = pa.array(np.where(has, pick, 0), pa.int64(),
+                               mask=~has)
+                out[c] = col.take(idx)
+                if ob:
+                    out[f"__o_{c}"] = ob_col.take(idx)
+            else:
+                raise ValueError(f"unknown merge strategy {s}")
+        if self.count_col:
+            out[self.count_col] = pa.array(ends - offs, pa.int64())
+        return pa.table(out)
+
+    def _vector_merge_bucket(self, g: pa.Table) -> pa.Table:
+        """Phase 2: one row per key over phase-1 partial rows; order
+        reconstructed from the __o_ carriers."""
+        from vector_ray.stages.bucketed import _run_starts
+
+        g = g.combine_chunks()
+        ob = self.order_by
+        g = g.sort_by(
+            [(k, "ascending") for k in self.group_by]).combine_chunks()
+        n = len(g)
+        new_sub = _run_starts(g, self.group_by)
+        offs = np.flatnonzero(new_sub)
+        ends = np.append(offs[1:], n)
+        gid = np.cumsum(new_sub) - 1
+        first_pa = pa.array(offs, pa.int64())
+        G = len(offs)
+
+        data_cols = self._data_cols(g.column_names)
+        out: dict = {}
+        for k in self.group_by:
+            out[k] = g[k].take(first_pa)
+
+        def _onp(name):
+            o = g[name].combine_chunks()
+            return np.asarray(o.to_numpy(zero_copy_only=False))
+
+        def _pick_rows(order_key, take_max=False) -> pa.Array:
+            """Per-run row pick: the row with the min (or max) order
+            key in each key-run (tie → arrival order)."""
+            order = np.lexsort((np.arange(n), order_key, gid))
+            sg = gid[order]
+            mark = np.ones(len(sg), bool)
+            if take_max:
+                mark[:-1] = sg[1:] != sg[:-1]  # run lasts = max key
+            else:
+                mark[1:] = sg[1:] != sg[:-1]   # run firsts = min key
+            pick = np.zeros(G, np.int64)
+            pick[sg[mark]] = order[mark]
+            return pa.array(pick, pa.int64())
+
+        def _flatten_ordered(c: str):
+            """Flatten the partial list cells of ``c`` (and its order
+            carrier) to element level, ordered per key by the carried
+            order (stable), → (elem_gid, elements pa.Array, counts)."""
+            col = g[c].combine_chunks()
+            parents = np.asarray(pc.list_parent_indices(col)
+                                 .to_numpy(zero_copy_only=False))
+            flat = pc.list_flatten(col)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            egid = gid[parents] if len(parents) else parents
+            if ob and f"__o_{c}" in g.column_names:
+                ocol = g[f"__o_{c}"].combine_chunks()
+                oflat = pc.list_flatten(ocol)
+                onp = np.asarray(oflat.to_numpy(zero_copy_only=False))
+                order = np.lexsort((np.arange(len(egid)), onp, egid))
+            else:
+                order = np.lexsort((np.arange(len(egid)), egid))
+            egid = egid[order]
+            flat = flat.take(pa.array(order, pa.int64()))
+            counts = np.bincount(egid, minlength=G)
+            return egid, flat, counts
+
+        agg_cols = [c for c in data_cols
+                    if self._strategy(c) in ("sum", "min", "max")]
+        agg_res = {}
+        need_cnt = bool(self.count_col)
+        if agg_cols or need_cnt:
+            t2 = pa.table({"__gid": pa.array(gid),
+                           **{c: g[c] for c in agg_cols},
+                           **({self.count_col: g[self.count_col]}
+                              if need_cnt else {})})
+            aggs = [(c, self._strategy(c)) for c in agg_cols]
+            if need_cnt:
+                aggs.append((self.count_col, "sum"))
+            raw = pa.TableGroupBy(t2, "__gid").aggregate(aggs).sort_by(
+                "__gid")
+            for c in agg_cols:
+                agg_res[c] = raw[f"{c}_{self._strategy(c)}"]
+            if need_cnt:
+                agg_res[self.count_col] = pc.cast(
+                    raw[f"{self.count_col}_sum"], pa.int64())
+
+        for c in data_cols:
+            s = self._strategy(c)
+            if s in ("sum", "min", "max"):
+                out[c] = agg_res[c]
+            elif s in ("discard", "retain"):
+                if ob and f"__o_{c}" in g.column_names:
+                    pick = _pick_rows(_onp(f"__o_{c}"),
+                                      take_max=(s == "retain"))
+                else:
+                    pick = (first_pa if s == "discard"
+                            else pa.array(ends - 1, pa.int64()))
+                out[c] = g[c].take(pick)
+            elif s == "array":
+                _, flat, counts = _flatten_ordered(c)
+                loff = pa.array(np.concatenate(
+                    [[0], np.cumsum(counts)]).astype(np.int32))
+                out[c] = pa.ListArray.from_arrays(loff, flat)
+            elif s in ("concat", "concat_newline"):
+                sep = " " if s == "concat" else "\n"
+                _, flat, counts = _flatten_ordered(c)
+                loff = pa.array(np.concatenate(
+                    [[0], np.cumsum(counts)]).astype(np.int32))
+                out[c] = pc.binary_join(pa.ListArray.from_arrays(
+                    loff, pc.cast(flat, pa.string())), sep)
+            elif s == "flat_unique":
+                egid, flat, _ = _flatten_ordered(c)
+                # exactly ONE more flatten level: cells of a LIST
+                # column dedupe at the element level (pandas-path
+                # parity — deeper nesting is not recursed there either)
+                if pa.types.is_list(flat.type) or \
+                        pa.types.is_large_list(flat.type):
+                    par2 = np.asarray(pc.list_parent_indices(flat)
+                                      .to_numpy(zero_copy_only=False))
+                    egid = egid[par2] if len(par2) else \
+                        par2.astype(np.int64)
+                    flat = pc.list_flatten(flat)
+                    if isinstance(flat, pa.ChunkedArray):
+                        flat = flat.combine_chunks()
+                import pandas as _pd
+
+                keep = ~_pd.DataFrame(
+                    {"g": egid, "v": flat.to_pandas()}
+                ).duplicated(["g", "v"]).to_numpy()
+                if len(keep) == 0:
+                    keep = np.zeros(0, bool)
+                kept_idx = np.flatnonzero(keep)
+                kcnt = np.bincount(egid[kept_idx], minlength=G)
+                koff = pa.array(np.concatenate(
+                    [[0], np.cumsum(kcnt)]).astype(np.int32))
+                out[c] = pa.ListArray.from_arrays(
+                    koff, flat.take(pa.array(kept_idx, pa.int64())))
+            elif s in ("shortest_array", "longest_array"):
+                col = g[c].combine_chunks()
+                lens = pc.list_value_length(col)
+                lnp = np.asarray(pc.cast(lens, pa.float64()).to_numpy(
+                    zero_copy_only=False), np.float64)
+                bad = np.isnan(lnp)
+                key = np.where(bad, np.inf,
+                               lnp if s == "shortest_array" else -lnp)
+                if ob and f"__o_{c}" in g.column_names:
+                    onp = _onp(f"__o_{c}")
+                    order = np.lexsort((np.arange(n), onp, key, gid))
+                else:
+                    order = np.lexsort((np.arange(n), key, gid))
+                sg = gid[order]
+                firsts = np.ones(len(sg), bool)
+                firsts[1:] = sg[1:] != sg[:-1]
+                pick = np.full(G, -1, np.int64)
+                pick[sg[firsts]] = order[firsts]
+                has = np.zeros(G, bool)
+                np.logical_or.at(has, gid, ~bad)
+                idx = pa.array(np.where(has, pick, 0), pa.int64(),
+                               mask=~has)
+                out[c] = col.take(idx)
+            else:
+                raise ValueError(f"unknown merge strategy {s}")
+        if self.count_col:
+            out[self.count_col] = agg_res[self.count_col]
+        return pa.table(out)
+
+    def _apply_salted_vector(self, ds):
+        from vector_ray.stages.bucketed import bucketed_map_groups
+        from vector_ray.stages.salt import add_salt
+
+        salted = add_salt(ds, self.group_by, buckets=self.salt_buckets,
+                          salt_source=self.order_by)
+        phase1 = bucketed_map_groups(
+            salted, self.group_by + ["__salt"],
+            self._vector_partial_bucket)
+        return bucketed_map_groups(
+            phase1, self.group_by, self._vector_merge_bucket)
+
     def apply(self, ds):
         if self._fast_eligible():
             return self._apply_fast(ds)
@@ -518,10 +798,5 @@ class Reduce(Step):
             return bucketed_map_groups(
                 ds, self.group_by, self._conditional_bucket)
         if self.salted:
-            from vector_ray.stages.salt import salted_group_reduce
-
-            return salted_group_reduce(
-                ds, self.group_by, self._partial_group, self._merge_group,
-                buckets=self.salt_buckets, salt_source=self.order_by,
-            )
+            return self._apply_salted_vector(ds)
         return ds.groupby(self.group_by).map_groups(self._reduce_group, batch_format="pandas")

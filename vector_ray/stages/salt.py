@@ -69,6 +69,15 @@ def salted_group_reduce(
     runs per key over the sub-results. A key with 30% of all rows
     becomes `buckets` sub-groups of ~2% each — no single reducer
     receives the whole hot key.
+
+    SCALE BOUND: this is the generic CUSTOM-UDF fallback — the inner
+    loop iterates ``df.groupby`` per (key, salt) group in Python, so a
+    bucket holding 10^5 distinct keys pays 10^5 ``fn(sub)`` calls. The
+    built-in ``Reduce`` merge strategies no longer route through here:
+    they run the fully vectorized two-phase plan
+    (``Reduce._vector_partial_bucket`` / ``_vector_merge_bucket``,
+    O(buckets) Python calls). Use this only for reductions that cannot
+    be expressed with those strategies.
     """
     keys = list(keys)
     merge_fn = merge_fn or reduce_fn
