@@ -253,3 +253,42 @@ class TestClassifiedRoutingExample:
         # normalize_text ran: no double spaces, no uppercase
         assert all(("  " not in s) and (s == s.lower())
                    for s in t["norm"].to_pylist())
+
+
+class TestVrlRepl:
+    def test_one_shot_program(self, tmp_path):
+        import json
+
+        ev = tmp_path / "ev.json"
+        ev.write_text('{"message": "hello", "status": "500"}\n'
+                      '{"message": "bye", "status": "404"}\n')
+        prog = tmp_path / "prog.yaml"
+        prog.write_text(
+            "ops:\n"
+            "  - {fn: upcase, field: message, target: loud}\n"
+            "  - {fn: coerce, field: status, kind: int}\n")
+        r = run_cli("vrl", str(prog), "--input", str(ev))
+        assert r.returncode == 0, r.stderr
+        lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+        assert lines[0] == {"message": "hello", "status": 500,
+                            "loud": "HELLO"}
+        assert lines[1]["loud"] == "BYE"
+
+    def test_repl_applies_ops_and_survives_errors(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        ev = tmp_path / "ev.json"
+        ev.write_text('{"message": "hi there"}')
+        r = subprocess.run(
+            [sys.executable, "-m", "vector_ray", "vrl",
+             "--input", str(ev)],
+            input=("{fn: upcase, field: message}\n"
+                   "{fn: nosuch, field: x}\n"
+                   ".\n.exit\n"),
+            cwd=REPO, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        out = [json.loads(x) for x in r.stdout.strip().splitlines()]
+        assert out[-1]["message"] == "HI THERE"
+        assert "nosuch" in r.stderr

@@ -342,6 +342,53 @@ def _build_geoip(cfg):
                        target=cfg.get("target", "geoip"))
 
 
+def compile_remap_op(op):
+    """Compile ONE declarative remap op (see ``_build_remap``) to a
+    ``tbl -> tbl`` callable. Module-level so the ``vrl`` REPL
+    (cli.py) can apply ops one at a time against a sample event —
+    the analogue of the reference's ``vector vrl`` REPL
+    (src/cli.rs:176-208) for this engine's declarative programs."""
+    from vector_ray.expr import F
+    import pyarrow.compute as _pc
+
+    fn = op["fn"]
+    if fn == "set":
+        if "template" in op:
+            return lambda t, op=op: F.set_(t, op["field"], F.render(t, op["template"]))
+        return lambda t, op=op: F.set_(t, op["field"], op["value"])
+    if fn in ("upcase", "downcase", "strip_whitespace"):
+        kern = {"upcase": F.upcase, "downcase": F.downcase,
+                "strip_whitespace": F.strip_whitespace}[fn]
+        return lambda t, op=op, kern=kern: F.set_(
+            t, op.get("target", op["field"]), kern(t[op["field"]])
+        )
+    if fn == "strip_ansi":
+        return lambda t, op=op: F.set_(
+            t, op.get("target", op["field"]), F.strip_ansi_escape_codes(t[op["field"]])
+        )
+    if fn == "replace":
+        return lambda t, op=op: F.set_(
+            t, op.get("target", op["field"]),
+            F.replace(t[op["field"]], op["pattern"], op["replacement"],
+                      regex=op.get("regex", False)),
+        )
+    if fn == "coerce":
+        return lambda t, op=op: F.set_(t, op["field"], F.coerce(t[op["field"]], op["kind"]))
+    if fn == "del":
+        return lambda t, op=op: F.del_(t, *op["fields"])
+    if fn == "rename":
+        return lambda t, op=op: F.rename(t, op["fields"])
+    if fn == "fingerprint":
+        return lambda t, op=op: F.set_(
+            t, op.get("target", "fp"), F.fingerprint(_pc.cast(t[op["field"]], pa.string()))
+        )
+    if fn == "parse_regex":
+        return lambda t, op=op: F.merge_struct(
+            t, _pc.extract_regex(t[op["field"]], op["pattern"])
+        )
+    raise ConfigError(f"unknown remap op fn {fn!r}")
+
+
 @register_transform("remap")
 def _build_remap(cfg):
     """Declarative remap: a serial op list compiled to one vectorized
@@ -358,51 +405,9 @@ def _build_remap(cfg):
       - {fn: fingerprint, field: x, target: y}
       - {fn: parse_regex, field: x, pattern: p}   (captures merged to root)
     """
-    from vector_ray.expr import F
     from vector_ray.stages.remap import Remap
-    import pyarrow.compute as _pc
 
-    ops = cfg["ops"]
-
-    def compile_op(op):
-        fn = op["fn"]
-        if fn == "set":
-            if "template" in op:
-                return lambda t, op=op: F.set_(t, op["field"], F.render(t, op["template"]))
-            return lambda t, op=op: F.set_(t, op["field"], op["value"])
-        if fn in ("upcase", "downcase", "strip_whitespace"):
-            kern = {"upcase": F.upcase, "downcase": F.downcase,
-                    "strip_whitespace": F.strip_whitespace}[fn]
-            return lambda t, op=op, kern=kern: F.set_(
-                t, op.get("target", op["field"]), kern(t[op["field"]])
-            )
-        if fn == "strip_ansi":
-            return lambda t, op=op: F.set_(
-                t, op.get("target", op["field"]), F.strip_ansi_escape_codes(t[op["field"]])
-            )
-        if fn == "replace":
-            return lambda t, op=op: F.set_(
-                t, op.get("target", op["field"]),
-                F.replace(t[op["field"]], op["pattern"], op["replacement"],
-                          regex=op.get("regex", False)),
-            )
-        if fn == "coerce":
-            return lambda t, op=op: F.set_(t, op["field"], F.coerce(t[op["field"]], op["kind"]))
-        if fn == "del":
-            return lambda t, op=op: F.del_(t, *op["fields"])
-        if fn == "rename":
-            return lambda t, op=op: F.rename(t, op["fields"])
-        if fn == "fingerprint":
-            return lambda t, op=op: F.set_(
-                t, op.get("target", "fp"), F.fingerprint(_pc.cast(t[op["field"]], pa.string()))
-            )
-        if fn == "parse_regex":
-            return lambda t, op=op: F.merge_struct(
-                t, _pc.extract_regex(t[op["field"]], op["pattern"])
-            )
-        raise ConfigError(f"unknown remap op fn {fn!r}")
-
-    compiled = [compile_op(op) for op in ops]
+    compiled = [compile_remap_op(op) for op in cfg["ops"]]
 
     def program(t: pa.Table) -> pa.Table:
         for c in compiled:
