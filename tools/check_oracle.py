@@ -54,7 +54,9 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("VR_CHECK_CPUS", "8")),
+             include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
