@@ -292,3 +292,70 @@ class TestVrlRepl:
         out = [json.loads(x) for x in r.stdout.strip().splitlines()]
         assert out[-1]["message"] == "HI THERE"
         assert "nosuch" in r.stderr
+
+
+class TestComponentTools:
+    """`list` / `generate` / `tap` / `top` — the reference's component
+    tooling surface (src/list.rs, src/generate.rs, src/tap, src/top)."""
+
+    def test_list_text_and_json(self):
+        import json
+
+        r = run_cli("list")
+        assert r.returncode == 0, r.stderr
+        assert "Sources:" in r.stdout and "- remap" in r.stdout
+        r = run_cli("list", "--format", "json")
+        inv = json.loads(r.stdout)
+        assert set(inv) == {"sources", "transforms", "sinks"}
+        for t in ("filter", "reduce", "route", "compound", "dedupe"):
+            assert t in inv["transforms"]
+        assert "parquet" in inv["sources"] and "parquet" in inv["sinks"]
+        assert len(inv["transforms"]) > 90
+
+    def test_generate_validates_and_runs(self, tmp_path):
+        import yaml
+
+        out = tmp_path / "gen.yaml"
+        r = run_cli("generate", "generator/regex_parser,filter/console",
+                    "--file", str(out))
+        assert r.returncode == 0, r.stderr
+        cfg = yaml.safe_load(out.read_text())
+        assert list(cfg["sources"]) == ["source1"]
+        assert cfg["transforms"]["transform2"]["inputs"] == ["transform1"]
+        assert cfg["sinks"]["sink1"]["inputs"] == ["transform2"]
+        # named components: foo:generator/bar:remap
+        r = run_cli("generate", "foo:generator/bar:remap")
+        assert r.returncode == 0, r.stderr
+        named = yaml.safe_load(r.stdout)
+        assert list(named["sources"]) == ["foo"]
+        assert named["transforms"]["bar"]["inputs"] == ["foo"]
+        # the skeleton actually executes end to end
+        r = run_cli("run", str(out), "--num-cpus", "2")
+        assert r.returncode == 0, r.stderr
+        assert "sink1" in r.stdout
+
+    def test_tap_prints_ndjson_sample(self, tmp_path):
+        import json
+
+        out = tmp_path / "gen.yaml"
+        run_cli("generate", "generator/regex_parser/console",
+                "--file", str(out))
+        r = run_cli("tap", str(out), "transform1", "--limit", "3",
+                    "--num-cpus", "2")
+        assert r.returncode == 0, r.stderr
+        rows = [json.loads(x) for x in r.stdout.strip().splitlines()]
+        assert len(rows) == 3
+        assert all("word" in row for row in rows)
+
+    def test_top_reports_per_component_rows(self, tmp_path):
+        out = tmp_path / "gen.yaml"
+        run_cli("generate", "generator/regex_parser/console",
+                "--file", str(out))
+        r = run_cli("top", str(out), "--num-cpus", "2")
+        assert r.returncode == 0, r.stderr
+        lines = r.stdout.strip().splitlines()
+        assert lines[0].startswith("COMPONENT")
+        by_name = {ln.split()[0]: ln.split() for ln in lines[1:]}
+        assert by_name["source1"][3] == "1000"   # rows_out
+        assert by_name["transform1"][3] == "1000"
+        assert by_name["sink1"][1] == "sink"

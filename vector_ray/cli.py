@@ -9,6 +9,15 @@
   python -m vector_ray vrl [program.yaml] [--input event.json]
                                                      # remap-program REPL /
                                                      # one-shot evaluator
+  python -m vector_ray list [--format text|json]     # available components
+  python -m vector_ray generate <src/trans1,trans2/sink> [--file out.yaml]
+                                                     # config skeleton
+  python -m vector_ray tap <config> <node[.port]> [--limit N]
+                                                     # sample a component's
+                                                     # output as NDJSON
+  python -m vector_ray top <config>                  # per-component rows/sec
+                                                     # table (batch analogue
+                                                     # of live `vector top`)
 
 ``vrl`` is the analogue of the reference's `vector vrl` REPL
 (src/cli.rs:176-208) for this engine's DECLARATIVE remap programs
@@ -117,20 +126,144 @@ def vrl_main(args) -> int:
             print(f"error: {e}", file=sys.stderr)
 
 
+# `vector generate` (src/generate.rs): expression
+# "sources/transforms/sinks" (comma lists, optional "name:" prefixes)
+# → runnable config skeleton. Skeletons carry each type's required
+# fields with placeholder values; unlisted types emit {"type": t}.
+_GEN_SRC = {
+    "parquet": {"path": "/path/to/*.parquet"},
+    "csv": {"path": "/path/to/*.csv"},
+    "json": {"path": "/path/to/*.ndjson"},
+    "text": {"path": "/path/to/*.log"},
+    "file": {"path": "/path/to/*.log", "framing": "newline"},
+    "generator": {"count": 1000, "format": "apache"},
+    "tokens_synth": {"count": 10_000},
+    "web_docs": {"count": 2000},
+    "link_graph": {"edges": 20_000, "nodes": 4000},
+}
+_GEN_TRANS = {
+    "filter": {"condition": {"field": "message", "op": "exists"}},
+    "field_filter": {"field": "message", "value": "error"},
+    "sample": {"rate": 10, "key_field": "message"},
+    "remap": {"ops": [{"fn": "set", "field": "processed", "value": True}]},
+    "route": {"route": {"errors": {"field": "message", "op": "exists"}}},
+    "regex_parser": {"field": "message", "regex": r"^(?P<word>\S+)"},
+    "log_to_metric": {"metrics": [{"type": "counter", "name": "events"}]},
+}
+_GEN_SINK = {
+    "parquet": {"path": "/tmp/vector_ray_out"},
+    "csv": {"path": "/tmp/vector_ray_out"},
+    "json": {"path": "/tmp/vector_ray_out"},
+    "file": {"path": "/tmp/vector_ray_out/{source}.ndjson",
+             "encoding": {"codec": "ndjson"}},
+    "console": {"limit": 20},
+}
+
+
+def generate_config(expression: str) -> dict:
+    """Build the config dict for a generate expression. Topology rules
+    mirror the reference (src/generate.rs:46-57): the first transform
+    consumes every source, each later transform its predecessor; sinks
+    consume the last transform, or every source if none."""
+
+    def parse_seg(seg: str, kind: str):
+        comps = []
+        for i, item in enumerate(x for x in seg.split(",") if x.strip()):
+            name, _, typ = item.rpartition(":")
+            comps.append((name or f"{kind}{i + 1}", typ.strip()))
+        return comps
+
+    segs = expression.split("/")
+    if len(segs) > 3:
+        raise ValueError("expression has more than 3 '/'-separated parts")
+    segs += [""] * (3 - len(segs))
+    sources = parse_seg(segs[0], "source")
+    transforms = parse_seg(segs[1], "transform")
+    sinks = parse_seg(segs[2], "sink")
+
+    cfg: dict = {}
+    if sources:
+        cfg["sources"] = {
+            n: {"type": t, **_GEN_SRC.get(t, {})} for n, t in sources
+        }
+    prev = [n for n, _ in sources]
+    if transforms:
+        cfg["transforms"] = {}
+        for n, t in transforms:
+            cfg["transforms"][n] = {
+                "type": t, "inputs": prev, **_GEN_TRANS.get(t, {})
+            }
+            prev = [n]
+    if sinks:
+        cfg["sinks"] = {
+            n: {"type": t, "inputs": prev, **_GEN_SINK.get(t, {})}
+            for n, t in sinks
+        }
+    return cfg
+
+
+def list_main(args) -> int:
+    from vector_ray.pipelines.config import component_inventory
+
+    inv = component_inventory()
+    if args.format == "json":
+        print(json.dumps(inv))
+        return 0
+    for kind in ("sources", "transforms", "sinks"):
+        print(f"{kind.capitalize()}:")
+        for name in inv[kind]:
+            print(f"- {name}")
+    return 0
+
+
+def generate_main(args) -> int:
+    import yaml
+
+    from vector_ray.pipelines.config import validate
+
+    cfg = generate_config(args.config)
+    validate(cfg)  # a skeleton that doesn't validate is a bug
+    text = yaml.safe_dump(cfg, sort_keys=False)
+    if args.file:
+        with open(args.file, "w") as f:
+            f.write(text)
+        print(args.file)
+    else:
+        print(text, end="")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vector_ray")
     ap.add_argument("command",
-                    choices=["run", "validate", "graph", "test", "vrl"])
-    ap.add_argument("config", nargs="?")
+                    choices=["run", "validate", "graph", "test", "vrl",
+                             "list", "generate", "tap", "top"])
+    ap.add_argument("config", nargs="?",
+                    help="config file (run/validate/graph/test/tap/top), "
+                         "program file (vrl), or expression (generate)")
+    ap.add_argument("node", nargs="?",
+                    help="tap: component reference, e.g. parse or route1.errors")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--input", default=None,
                     help="vrl: JSON event file (object, array, or NDJSON)")
+    ap.add_argument("--format", default="text", choices=["text", "json"],
+                    help="list: output encoding")
+    ap.add_argument("--file", default=None,
+                    help="generate: write the config here instead of stdout")
+    ap.add_argument("--limit", type=int, default=10,
+                    help="tap: number of events to print")
     args = ap.parse_args(argv)
 
     if args.command == "vrl":
         return vrl_main(args)
+    if args.command == "list":
+        return list_main(args)
     if not args.config:
         ap.error(f"{args.command} requires a config file")
+    if args.command == "generate":
+        return generate_main(args)
+    if args.command == "tap" and not args.node:
+        ap.error("tap requires a component reference")
 
     from vector_ray.pipelines.config import Topology, graph, run_unit_tests, validate
 
@@ -171,6 +304,31 @@ def main(argv=None):
                 failed += not r["passed"]
             print(f"{len(results) - failed}/{len(results)} tests passed")
             return 1 if failed else 0
+
+        if args.command == "tap":
+            # `vector tap` (src/tap/): observe a component's output.
+            # Batch form: build just that node's sub-graph and print a
+            # sample of its output rows as NDJSON.
+            topo = Topology(cfg)
+            for row in topo.node_dataset(args.node).take(args.limit):
+                print(json.dumps(row, default=str))
+            return 0
+
+        if args.command == "top":
+            from vector_ray.pipelines.config import component_stats
+
+            stats = component_stats(cfg)
+            wc = max(len(s["component"]) for s in stats) + 2
+            tc = max(len(s["type"]) for s in stats) + 2
+            print(f"{'COMPONENT':<{wc}}{'KIND':<11}{'TYPE':<{tc}}"
+                  f"{'ROWS_OUT':>10}  {'WALL_S':>7}  {'ROWS/S':>10}")
+            for s in stats:
+                rate = (f"{s['rows_out'] / s['wall_s']:.0f}"
+                        if s["wall_s"] else "-")
+                print(f"{s['component']:<{wc}}{s['kind']:<11}"
+                      f"{s['type']:<{tc}}{s['rows_out']:>10}  "
+                      f"{s['wall_s']:>7.3f}  {rate:>10}")
+            return 0
 
         # run
         topo = Topology(cfg)

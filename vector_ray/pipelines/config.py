@@ -117,6 +117,28 @@ def build_condition(spec) -> Cond:
 
 TRANSFORMS: Dict[str, Callable[[dict], Any]] = {}
 
+# Source/sink types accepted by Topology._source_dataset / Topology.run
+# (keep in sync with their dispatch chains; test_cli_tools asserts a
+# config using each listed type validates). Backs `vector_ray list`,
+# the analogue of the reference's `vector list` (src/list.rs:44-76).
+SOURCE_TYPES = [
+    "csv", "file", "generator", "json", "link_graph", "parquet",
+    "text", "tokens_synth", "web_docs",
+]
+SINK_TYPES = [
+    "blackhole", "console", "csv", "file", "json", "memory", "parquet",
+]
+
+
+def component_inventory() -> Dict[str, List[str]]:
+    """{'sources': [...], 'transforms': [...], 'sinks': [...]} — every
+    component type the config registry can build, sorted."""
+    return {
+        "sources": sorted(SOURCE_TYPES),
+        "transforms": sorted(set(TRANSFORMS) | {"compound", "route", "swimlanes"}),
+        "sinks": sorted(SINK_TYPES),
+    }
+
 
 def register_transform(name: str):
     def deco(fn):
@@ -1766,6 +1788,43 @@ def graph(config: dict) -> str:
             out.write(f'  "{i.split(".")[0]}" -> "{n}"\n')
     out.write("}\n")
     return out.getvalue()
+
+
+def component_stats(config: dict) -> List[dict]:
+    """Batch analogue of `vector top` (src/top/: live per-component
+    event counters of a running instance): execute the graph node by
+    node and report rows_out + wall seconds for each component. Each
+    node is materialized once and cached, so every edge executes
+    exactly once in dependency order; sinks report the rows flowing
+    INTO them without writing any output."""
+    import time
+
+    topo = Topology(config)
+    cache: dict = {}
+    out: List[dict] = []
+
+    def _mat(ref: str, kind: str, typ: str):
+        t0 = time.time()
+        ds = topo.node_dataset(ref, _cache=cache)
+        m = ds.materialize()
+        cache[ref] = m
+        out.append({"component": ref, "kind": kind, "type": typ,
+                    "rows_out": m.count(),
+                    "wall_s": round(time.time() - t0, 3)})
+
+    for name, cfg in topo.sources.items():
+        _mat(name, "source", cfg["type"])
+    for name, cfg in topo.transforms.items():
+        _mat(name, "transform", cfg["type"])
+    for name, cfg in topo.sinks.items():
+        inputs = cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]]
+        t0 = time.time()
+        dss = [topo.node_dataset(i, _cache=cache) for i in inputs]
+        ds = dss[0].union(*dss[1:]) if len(dss) > 1 else dss[0]
+        out.append({"component": name, "kind": "sink", "type": cfg["type"],
+                    "rows_out": ds.count(),
+                    "wall_s": round(time.time() - t0, 3)})
+    return out
 
 
 def load_config(src) -> Topology:
