@@ -22,12 +22,12 @@ import pyarrow.compute as pc
 import ray
 
 
-def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
+def _as_matrix(col: pa.ChunkedArray, dtype=np.float32) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.FixedSizeListArray):
-        flat = np.asarray(arr.values, dtype=np.float32)
+        flat = np.asarray(arr.values, dtype=dtype)
         return flat.reshape(len(arr), arr.type.list_size)
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     return flat.reshape(len(arr), flat.size // max(len(arr), 1))
 
 
@@ -78,32 +78,45 @@ def knn_brute(
 def _bucketed_bottomk(cand, k: int, *, num_buckets: int = 32,
                       tie_col: str | None = None):
     """Two-level bottom-k merge for candidate streams carrying a
-    ``__h`` uint64 column: bucket by ``__h % num_buckets``, keep the
-    per-bucket bottom-``k`` (sorted by ``__h`` [, tie_col]), so the
-    driver's final merge reads O(num_buckets * k) rows instead of
-    O(blocks * k) — at 10^5 blocks x 2048-row samples the one-level
-    collect is hundreds of GB on one node; this is bounded. Any global
-    bottom-k row is within its own bucket's bottom-k, so selection is
-    exact."""
-    def bucketize(t: pa.Table) -> pa.Table:
-        h = np.asarray(t["__h"].combine_chunks().to_numpy(
-            zero_copy_only=False) if isinstance(t["__h"], pa.ChunkedArray)
-            else t["__h"].to_numpy(zero_copy_only=False), np.uint64)
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
-
-    def bucket_keep(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"]).combine_chunks()
-        if len(g) <= k:
-            return g
+    ``__h`` uint64 column: coalesce the per-block candidate sets into
+    ``num_buckets`` merged blocks (metadata-level repartition — no
+    hash/sort exchange) and keep each merged block's bottom-``k``
+    (sorted by ``__h`` [, tie_col]), so the driver's final merge reads
+    O(num_buckets * k) rows instead of O(blocks * k) — at 10^5 blocks
+    x 2048-row samples the one-level collect is hundreds of GB on one
+    node; this is bounded. Selection is exact regardless of which
+    candidates land in which merged block: any global bottom-k row is
+    within its own block's bottom-k."""
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if len(t) <= k:
+            return t
         keys = [("__h", "ascending")]
         if tie_col is not None:
             keys.append((tie_col, "ascending"))
-        return g.sort_by(keys).slice(0, k)
+        return t.sort_by(keys).slice(0, k)
 
-    return cand.map_batches(
-        bucketize, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__b").map_groups(bucket_keep, batch_format="pyarrow")
+    return cand.repartition(num_buckets).map_batches(
+        keep, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+
+def _bottomk_table(cand, k: int, *, num_buckets: int = 32,
+                   tie_col: str | None = None) -> pa.Table | None:
+    """`_bucketed_bottomk` + driver collection as ONE Arrow table
+    (``take_batch(pyarrow)`` — no per-row Python dict conversion,
+    which costs ~1 s at 65k rows x 64-dim vectors). The merged stream
+    is bounded at num_buckets*k rows by construction; None when
+    empty."""
+    merged = _bucketed_bottomk(cand, k, num_buckets=num_buckets,
+                               tie_col=tie_col)
+    try:
+        t = merged.take_batch(num_buckets * k + 1, batch_format="pyarrow")
+    except ValueError as e:
+        if "empty" in str(e).lower():
+            return None
+        raise
+    return t.combine_chunks()
 
 
 def _hash_sample_matrix(ds, vec_col: str, id_col: str, sample_size: int) -> np.ndarray:
@@ -135,16 +148,16 @@ def _hash_sample_matrix(ds, vec_col: str, id_col: str, sample_size: int) -> np.n
         return out.append_column("__h", pa.array(h, pa.uint64()))
 
     cand = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-    rows = _bucketed_bottomk(cand, sample_size).take_all()
-    if not rows:
+    t = _bottomk_table(cand, sample_size)
+    if t is None or t.num_rows == 0:
         return np.empty((0, 0), np.float32)
-    hs = np.array([r["__h"] for r in rows], np.uint64)
+    hs = np.asarray(t["__h"].to_numpy(zero_copy_only=False), np.uint64)
     if len(hs) > sample_size:
         sel = np.argpartition(hs, sample_size - 1)[:sample_size]
     else:
         sel = np.arange(len(hs))
     keep = sel[np.argsort(hs[sel], kind="stable")]
-    return np.array([rows[int(i)][vec_col] for i in keep], dtype=np.float32)
+    return _as_matrix(t[vec_col])[keep]
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 5) -> np.ndarray:

@@ -70,7 +70,7 @@ def _bottomk_init(ds, n_clusters: int, vec_col: str, id_col: str) -> np.ndarray:
             h = h[idx]
         return t.append_column("__h", pa.array(h, pa.uint64()))
 
-    from vector_ray.ml.ann import _bucketed_bottomk
+    from vector_ray.ml.ann import _as_matrix, _bottomk_table
 
     cand_ds = ds.map_batches(part, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -78,13 +78,12 @@ def _bottomk_init(ds, n_clusters: int, vec_col: str, id_col: str) -> np.ndarray:
     # O(buckets * k) rows instead of O(blocks * k); the final
     # (h, id)-sorted pick below is unchanged, so the selected centroids
     # are identical to the one-level collect
-    cand = _bucketed_bottomk(cand_ds, n_clusters,
-                             tie_col=id_col).take_all()
-    if not cand:
+    t = _bottomk_table(cand_ds, n_clusters, tie_col=id_col)
+    if t is None or t.num_rows == 0:
         raise ValueError("kmeans: empty input")
-    cand.sort(key=lambda r: (int(r["__h"]), r[id_col]))
-    vecs = [r[vec_col] for r in cand[:n_clusters]]
-    return np.rint(np.asarray(vecs, np.float64) * SCALE).astype(np.int64)
+    t = t.sort_by([("__h", "ascending"), (id_col, "ascending")])
+    vecs = _as_matrix(t.slice(0, n_clusters)[vec_col], dtype=np.float64)
+    return np.rint(vecs * SCALE).astype(np.int64)
 
 
 def _assign_int(q: np.ndarray, qc: np.ndarray) -> np.ndarray:

@@ -57,16 +57,16 @@ def _hash_sorted_sample(ds, vec_col: str, id_col: str,
             h = h[idx]
         return out.append_column("__h", pa.array(h, pa.uint64()))
 
-    from vector_ray.ml.ann import _bucketed_bottomk
+    from vector_ray.ml.ann import _as_matrix, _bottomk_table
 
     cand = ds.map_batches(part, batch_format="pyarrow",
                           zero_copy_batch=True)
-    rows = _bucketed_bottomk(cand, sample_size).take_all()
-    if not rows:
+    t = _bottomk_table(cand, sample_size)
+    if t is None or t.num_rows == 0:
         return np.empty((0, 0), np.float32)
-    hs = np.array([r["__h"] for r in rows], np.uint64)
-    order = np.lexsort((np.arange(len(hs)), hs))[:sample_size]
-    return np.array([rows[int(i)][vec_col] for i in order], np.float32)
+    hs = np.asarray(t["__h"].to_numpy(zero_copy_only=False), np.uint64)
+    order = np.argsort(hs, kind="stable")[:sample_size]
+    return _as_matrix(t[vec_col])[order]
 
 
 def _kmeans_l2(x: np.ndarray, ncent: int, *, iters: int = 10,

@@ -128,12 +128,16 @@ def grouped_standardize(ds, keys, col: str, *, suffix: str = "_z",
     from vector_ray.stages.quantile import _probe_str
 
     def _collect(dset) -> pa.Table:
-        import ray
-        blocks = ray.get(dset.to_arrow_refs())
-        blocks = [b for b in blocks if len(b)]
-        if not blocks:
-            return None
-        return pa.concat_tables(blocks).combine_chunks()
+        # take_batch(pyarrow) streams the (max_keys-bounded) aggregate
+        # into one Arrow table; to_arrow_refs() costs a full
+        # materialize() — ~2x this whole stage's time at sf0.1.
+        try:
+            t = dset.take_batch(max_keys + 1, batch_format="pyarrow")
+        except ValueError as e:
+            if "empty" in str(e).lower():
+                return None
+            raise
+        return t.combine_chunks()
 
     st = _collect(grouped_aggregate(ds, [key], {
         "n": ("count", col), "sx": ("sum", col)}))
