@@ -1061,6 +1061,37 @@ def np_mod(col, m: int) -> pa.Array:
     return pa.array(v % m)
 
 
+def q_approx_quantiles(sf_dir):
+    """Per-key sample quantiles (stages/quantile.
+    grouped_approx_quantiles): deterministic per-key bottom-k
+    id-hash sample + nearest-rank — the unbounded-key-cardinality
+    scale path grouped_exact_quantiles' max_keys bound points to.
+    k=64 < the per-type row count at sf0.01, so the sampling path is
+    genuinely exercised. Oracle: independent single-threaded mirror
+    (tools/golden.py grouped_approx_quantiles_sql)."""
+    from vector_ray.stages.quantile import grouped_approx_quantiles
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    out = grouped_approx_quantiles(
+        ds, "event_type", "value", [0.5, 0.9, 0.99],
+        id_col="event_id", k=64, seed=7)
+    return _finish(out)
+
+
+def q_diverse_select(sf_dir):
+    """Farthest-point-first diversity selection (ml/select.
+    diverse_select): bounded salted-hash candidate sample, driver-side
+    k-center greedy, ids+ranks only in the output (hash-stability
+    convention). Oracle: independent single-threaded mirror
+    (tools/golden.py diverse_select_sql)."""
+    from vector_ray.ml.select import diverse_select
+
+    ds = _rp(sf_dir, "embeddings",
+             columns=["vec_id", "embedding"]).repartition(6)
+    return diverse_select(ds, 32, candidates=256, seed=3)
+
+
 def q_knn_graph(sf_dir):
     """k-NN graph (ml/ann.knn_graph): every vector is both query and
     member; IVF scatter (member once + query replica per probed
@@ -3394,6 +3425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder. Next round: rotate the unsampled tail to the front.
     return {
         "apply_changeset": q_apply_changeset,
+        "approx_quantiles": q_approx_quantiles,
+        "diverse_select": q_diverse_select,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -4550,5 +4583,7 @@ def _golden_oracles() -> dict[str, str]:
         "shuffle_order": golden.shuffle_order_sql(5, 64),
         "semantic_dedup": golden.semantic_dedup_sql(),
         "lm_perplexity": golden.lm_perplexity_sql(),
+        "approx_quantiles": golden.grouped_approx_quantiles_sql(),
+        "diverse_select": golden.diverse_select_sql(),
     })
     return _GOLDEN_CACHE

@@ -405,6 +405,8 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "minmax_events",
         "robust_scale_events",
         "grouped_standardize",
+        "approx_quantiles",
+        "diverse_select",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -1924,3 +1924,74 @@ def ewma_sql(alpha: float = 0.25) -> str:
             rows.append((int(uid), int(ts_us[i]), float(x[i]), float(y[i])))
     return _values_sql(rows, ["user_id", "ts_us", "value", "ewma"],
                        ["BIGINT", "BIGINT", "DOUBLE", "DOUBLE"])
+
+
+# ---------------------------------------------------------------------------
+# grouped_approx_quantiles (stages/quantile.py) — single-threaded
+# reference: per-key bottom-k of sm64(fnv1a(id|seed)), nearest-rank
+# (quantile_disc) over the sorted sample values.
+
+
+def grouped_approx_quantiles_sql(key: str = "event_type",
+                                 col: str = "value",
+                                 ps: tuple = (0.5, 0.9, 0.99),
+                                 k: int = 64, seed: int = 7) -> str:
+    import math
+
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["event_id", key, col])
+    ids = t["event_id"].to_pylist()
+    keys = t[key].to_pylist()
+    vals = t[col].to_pylist()
+    per_key: dict = {}
+    for i, kk, v in zip(ids, keys, vals):
+        if v is None:
+            continue
+        per_key.setdefault(kk, []).append((salted_int(i, seed), i, v))
+
+    def pname(p: float) -> str:
+        pct = round(p * 100, 6)
+        return f"p{int(pct)}" if pct == int(pct) else f"p{p}"
+
+    rows = []
+    for kk in sorted(per_key):
+        samp = sorted(per_key[kk])[:k]
+        sv = sorted(v for _, _, v in samp)
+        n = len(sv)
+        rows.append(tuple([kk] + [
+            float(sv[min(max(math.ceil(p * n) - 1, 0), n - 1)])
+            for p in ps]))
+    return _values_sql(rows, [key] + [pname(p) for p in ps],
+                       ["VARCHAR"] + ["DOUBLE"] * len(ps))
+
+
+# ---------------------------------------------------------------------------
+# diverse_select (ml/select.py) — single-threaded farthest-point-first
+# reference over the same bottom-`candidates` salted-hash sample.
+
+
+def diverse_select_sql(k: int = 32, candidates: int = 256,
+                       seed: int = 3) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    hs = np.asarray([salted_int(int(i), seed) for i in ids_all],
+                    np.uint64)
+    order = np.lexsort((ids_all, hs))[:candidates]
+    ids = ids_all[order]
+    x = np.asarray(t["embedding"].to_pylist(), np.float64)[order]
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    n = len(ids)
+    kk = min(k, n)
+    sel = np.empty(kk, np.int64)
+    sel[0] = 0
+    maxsim = x @ x[0]
+    maxsim[0] = np.inf
+    for r in range(1, kk):
+        i = int(np.argmin(maxsim))
+        sel[r] = i
+        np.maximum(maxsim, x @ x[i], out=maxsim)
+        maxsim[i] = np.inf
+    rows = [(int(ids[s]), r) for r, s in enumerate(sel)]
+    return _values_sql(rows, ["vec_id", "rank"], ["BIGINT", "BIGINT"])

@@ -1056,6 +1056,44 @@ def _build_heavy_hitters(cfg):
     return _HeavyHitters()
 
 
+@register_transform("approx_quantiles")
+def _build_approx_quantiles(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.quantile import grouped_approx_quantiles
+
+    class _ApproxQ(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return grouped_approx_quantiles(
+                ds, cfg["group_by"], cfg["field"],
+                cfg.get("quantiles", [0.5, 0.9, 0.99]),
+                id_col=cfg["id_field"], k=cfg.get("k", 1024),
+                seed=cfg.get("seed", 0))
+
+    return _ApproxQ()
+
+
+@register_transform("diverse_select")
+def _build_diverse_select(cfg):
+    import ray.data as rd
+
+    from vector_ray.ml.select import diverse_select
+    from vector_ray.stages.base import Step
+
+    class _Diverse(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return rd.from_arrow(diverse_select(
+                ds, cfg["k"], id_col=cfg.get("id_field", "vec_id"),
+                vec_col=cfg.get("vector_field", "embedding"),
+                candidates=cfg.get("candidates", 1024),
+                seed=cfg.get("seed", 0)))
+
+    return _Diverse()
+
+
 @register_transform("uniform_sample_k")
 def _build_uniform_sample_k(cfg):
     from vector_ray.ml.sampling import uniform_sample_k

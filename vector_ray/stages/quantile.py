@@ -250,8 +250,9 @@ def grouped_exact_quantiles(
         raise ValueError(
             f"grouped_exact_quantiles: {n_keys} distinct keys exceeds "
             f"max_keys={max_keys}; exact grouped quantiles keep O(keys) "
-            "candidate state — raise max_keys or use the histogram "
-            "sketch aggregate for approximate per-key quantiles"
+            "candidate state — raise max_keys, or use "
+            "grouped_approx_quantiles (bottom-k sample, O(k) per key "
+            "with no key-count bound) / the histogram sketch aggregate"
         )
     blocks = ray.get(stats.to_arrow_refs())
     rt = pa.concat_tables([b for b in blocks if len(b)]).combine_chunks()
@@ -495,3 +496,103 @@ def mad_outlier_filter(ds, col: str, *, k: float = 3.0,
         return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pcol_name(p: float) -> str:
+    pct = round(p * 100, 6)
+    return f"p{int(pct)}" if pct == int(pct) else f"p{p}"
+
+
+def grouped_approx_quantiles(
+    ds,
+    key: str,
+    col: str,
+    ps: Sequence[float],
+    *,
+    id_col: str,
+    k: int = 1024,
+    seed: int = 0,
+):
+    """Per-key approximate quantiles from a deterministic bottom-k
+    hash sample — the UNBOUNDED-cardinality scale path that
+    :func:`grouped_exact_quantiles` (hard ``max_keys`` bound, O(keys)
+    driver state) explicitly punts to.
+
+    Plan: each block forwards at most ``k`` rows per key it contains
+    (the local bottom-``k`` of a salted id hash — ml/sampling's
+    bottom-k reservoir, here per key via ``grouped_topk``); the merged
+    per-key sample (≤ k rows, uniform without replacement over the
+    key's rows) is reduced to nearest-rank quantiles inside ONE
+    bucketed vectorized pass. Nothing is ever O(keys) on the driver,
+    no full sort, the data column never shuffles — only the sample.
+
+    Rank rule matches DuckDB ``quantile_disc`` on the SAMPLE
+    (idx = ceil(p·n)−1): every output is an actual data value. The
+    sample — hence the output — is a pure function of the id set and
+    ``seed``, independent of block layout, so results are
+    bit-reproducible on any cluster shape. Error is the standard
+    bottom-k-sample quantile bound (rank error O(1/√k) w.h.p.);
+    keys with ≤ k rows are EXACT. Nulls in ``col`` are ignored.
+
+    Returns one row per key: (key, p50-style column per requested p).
+    """
+    from vector_ray.ml.sampling import _salted_hash
+    from vector_ray.stages.bucketed import bucketed_map_groups
+    from vector_ray.stages.topk import grouped_topk
+
+    _H = "__vr_qh"
+    ps_l = [float(p) for p in ps]
+    if not ps_l or any(not (0.0 <= p <= 1.0) for p in ps_l):
+        raise ValueError("grouped_approx_quantiles: ps must be in [0, 1]")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[col]))
+        out = t.select([key, col, id_col] if id_col not in (key, col)
+                       else [key, col])
+        return out.append_column(
+            _H, pa.array(_salted_hash(t, id_col, seed), pa.uint64()))
+
+    sample = grouped_topk(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        [key], _H, k, descending=False, tiebreak=id_col)
+
+    def finish(g: pa.Table) -> pa.Table:
+        gs = g.sort_by([(key, "ascending"), (col, "ascending")])
+        kp = np.asarray(_probe_str(gs[key]).to_numpy(zero_copy_only=False),
+                        object)
+        v = pc.cast(gs[col], pa.float64()).to_numpy(zero_copy_only=False)
+        if len(kp) == 0:
+            cols = {key: gs[key]}
+            for p in ps_l:
+                cols[_pcol_name(p)] = pa.array([], pa.float64())
+            return pa.table(cols)
+        starts = np.flatnonzero(np.concatenate([[True], kp[1:] != kp[:-1]]))
+        ends = np.append(starts[1:], len(kp))
+        n = ends - starts
+        cols = {key: gs[key].combine_chunks().take(
+            pa.array(starts, pa.int64()))}
+        for p in ps_l:
+            idx = starts + np.clip(
+                np.ceil(p * n).astype(np.int64) - 1, 0, n - 1)
+            cols[_pcol_name(p)] = pa.array(v[idx], pa.float64())
+        return pa.table(cols)
+
+    return bucketed_map_groups(sample.drop_columns([_H]), [key], finish)
+
+
+def approx_quantiles(ds, col: str, ps: Sequence[float], *,
+                     id_col: str, k: int = 4096, seed: int = 0):
+    """Global approximate quantiles from one deterministic bottom-k
+    hash sample (see :func:`grouped_approx_quantiles`): a single-row
+    table with a p50-style column per requested p. O(k) memory
+    anywhere, one narrow pass + a ≤ k-row merge; exact when the
+    dataset has ≤ k rows."""
+    _ALL = "__vr_all"
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(_ALL, pa.array(np.zeros(len(t), np.int8)))
+
+    out = grouped_approx_quantiles(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        _ALL, col, ps, id_col=id_col, k=k, seed=seed)
+    return out.drop_columns([_ALL])
