@@ -1092,6 +1092,19 @@ def q_diverse_select(sf_dir):
     return diverse_select(ds, 32, candidates=256, seed=3)
 
 
+def q_fuzzy_join(sf_dir):
+    """Blocked edit-distance self join (stages/fuzzy.fuzzy_join):
+    PassJoin segment-pigeonhole candidates (exact recall), vectorized
+    banded-Levenshtein verify per hash bucket, cross-bucket pair
+    dedupe. Oracle: plain SQL via DuckDB's levenshtein()."""
+    from vector_ray.stages.fuzzy import fuzzy_join
+
+    ds = _rp(sf_dir, "supplier",
+             columns=["s_suppkey", "s_name"]).repartition(4)
+    return _finish(fuzzy_join(ds, on="s_name", id_col="s_suppkey",
+                              max_dist=1))
+
+
 def q_knn_graph(sf_dir):
     """k-NN graph (ml/ann.knn_graph): every vector is both query and
     member; IVF scatter (member once + query replica per probed
@@ -3427,6 +3440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
         "diverse_select": q_diverse_select,
+        "fuzzy_join_suppliers": q_fuzzy_join,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -3634,6 +3648,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
             "AS r_regionkey FROM orders o, region r "
             "WHERE o.o_totalprice > 50000 * (r.r_regionkey + 1)"
+        ),
+        "fuzzy_join_suppliers": (
+            "SELECT a.s_suppkey AS l_id, b.s_suppkey AS r_id, "
+            "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist "
+            "FROM supplier a JOIN supplier b "
+            "ON a.s_suppkey < b.s_suppkey "
+            "AND levenshtein(a.s_name, b.s_name) <= 1"
         ),
         "rolling_range": (
             "SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS cnt1h, "
