@@ -1105,6 +1105,27 @@ def q_fuzzy_join(sf_dir):
                               max_dist=1))
 
 
+def q_zorder_events(sf_dir):
+    """Z-order clustering key (stages/zorder.zorder_sort): exact
+    global min/max pass, fixed-point quantization, Morton bit
+    interleave — one distributed sort on the uint64 key clusters the
+    write for multi-column min/max pruning. Oracle: independent
+    bit-by-bit single-threaded mirror (tools/golden.py
+    zorder_events_sql)."""
+    from vector_ray.stages.zorder import zorder_sort
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "value"]).repartition(6)
+    out = zorder_sort(ds, ["user_id", "value"], bits=16, keep_key=True)
+
+    def to_i64(t):
+        return t.set_column(t.schema.get_field_index("zkey"), "zkey",
+                            pc.cast(t["zkey"], pa.int64()))
+
+    return _finish(out.select_columns(["event_id", "zkey"]).map_batches(
+        to_i64, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_knn_graph(sf_dir):
     """k-NN graph (ml/ann.knn_graph): every vector is both query and
     member; IVF scatter (member once + query replica per probed
@@ -3441,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": q_approx_quantiles,
         "diverse_select": q_diverse_select,
         "fuzzy_join_suppliers": q_fuzzy_join,
+        "zorder_events": q_zorder_events,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -4606,5 +4628,6 @@ def _golden_oracles() -> dict[str, str]:
         "lm_perplexity": golden.lm_perplexity_sql(),
         "approx_quantiles": golden.grouped_approx_quantiles_sql(),
         "diverse_select": golden.diverse_select_sql(),
+        "zorder_events": golden.zorder_events_sql(),
     })
     return _GOLDEN_CACHE

@@ -1995,3 +1995,37 @@ def diverse_select_sql(k: int = 32, candidates: int = 256,
         maxsim[i] = np.inf
     rows = [(int(ids[s]), r) for r, s in enumerate(sel)]
     return _values_sql(rows, ["vec_id", "rank"], ["BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# zorder_sort (stages/zorder.py) — single-threaded Morton-key mirror:
+# exact global min/max, identical IEEE fixed-point quantization,
+# bit-by-bit interleave.
+
+
+def zorder_events_sql(bits: int = 16) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["event_id", "user_id", "value"])
+    ids = t["event_id"].to_pylist()
+    cols = []
+    for name in ("user_id", "value"):
+        xs = [v for v in t[name].to_pylist() if v is not None]
+        lo, hi = float(min(xs)), float(max(xs))
+        top = (1 << bits) - 1
+        scale = float(top) / (hi - lo)
+        q = []
+        for v in t[name].to_pylist():
+            if v is None or hi <= lo:
+                q.append(0)
+            else:
+                s = np.floor((np.float64(v) - lo) * scale)
+                q.append(int(min(max(s, 0.0), float(top))))
+        cols.append(q)
+    rows = []
+    for i, (qa, qb) in enumerate(zip(*cols)):
+        z = 0
+        for b in range(bits):
+            z |= ((qa >> b) & 1) << (2 * b)
+            z |= ((qb >> b) & 1) << (2 * b + 1)
+        rows.append((int(ids[i]), z))
+    return _values_sql(rows, ["event_id", "zkey"], ["BIGINT", "BIGINT"])
