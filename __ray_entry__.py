@@ -1105,6 +1105,29 @@ def q_fuzzy_join(sf_dir):
                               max_dist=1))
 
 
+def q_vrl_remap_events(sf_dir):
+    """A VRL program STRING compiled and run verbatim
+    (expr/vrl.compile_vrl -> one vectorized batch fn; reference
+    parity with remap's `source = '...'` config shape,
+    src/transforms/remap.rs). Oracle: plain SQL."""
+    from vector_ray.expr.vrl import compile_vrl
+
+    fn = compile_vrl(
+        """
+        .sev = upcase(.event_type)
+        .score = .value * 2.0 + 1.0
+        if .value > 75.0 { .band = "high" }
+        else if .value > 25.0 { .band = "mid" }
+        else { .band = "low" }
+        del(.props)
+        """
+    )
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value", "props"])
+    return _finish(ds.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+
+
 def q_zorder_events(sf_dir):
     """Z-order clustering key (stages/zorder.zorder_sort): exact
     global min/max pass, fixed-point quantization, Morton bit
@@ -3463,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diverse_select": q_diverse_select,
         "fuzzy_join_suppliers": q_fuzzy_join,
         "zorder_events": q_zorder_events,
+        "vrl_remap_events": q_vrl_remap_events,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -3670,6 +3694,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
             "AS r_regionkey FROM orders o, region r "
             "WHERE o.o_totalprice > 50000 * (r.r_regionkey + 1)"
+        ),
+        "vrl_remap_events": (
+            "SELECT event_id, event_type, value, "
+            "upper(event_type) AS sev, value * 2.0 + 1.0 AS score, "
+            "CASE WHEN value > 75.0 THEN 'high' "
+            "WHEN value > 25.0 THEN 'mid' ELSE 'low' END AS band "
+            "FROM events"
         ),
         "fuzzy_join_suppliers": (
             "SELECT a.s_suppkey AS l_id, b.s_suppkey AS r_id, "

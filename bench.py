@@ -409,6 +409,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "diverse_select",
         "fuzzy_join_suppliers",
         "zorder_events",
+        "vrl_remap_events",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -6,7 +6,7 @@
   python -m vector_ray graph    <config.yaml|toml>   # DOT export
   python -m vector_ray test     <config.yaml|toml>   # run the [tests] section
                                                      # (unit_test harness)
-  python -m vector_ray vrl [program.yaml] [--input event.json]
+  python -m vector_ray vrl [program.yaml|.vrl] [--input event.json]
                                                      # remap-program REPL /
                                                      # one-shot evaluator
   python -m vector_ray list [--format text|json]     # available components
@@ -20,12 +20,13 @@
                                                      # of live `vector top`)
 
 ``vrl`` is the analogue of the reference's `vector vrl` REPL
-(src/cli.rs:176-208) for this engine's DECLARATIVE remap programs
-(SURVEY §2.4: the Python kernel API replaces the VRL parser, so the
-REPL speaks remap ops, not VRL source): start from an event (--input
-JSON file or `{}`), type one op per line as inline YAML/JSON
-(`{fn: upcase, field: message}`), and the updated event prints after
-each step. `.` reprints, `.reset` restores the input, `.exit` quits.
+(src/cli.rs:176-208): it speaks BOTH this engine's declarative remap
+ops (inline YAML/JSON, `{fn: upcase, field: message}`) and actual VRL
+source for the supported subset (expr/vrl.py — `.sev = upcase(.t)`,
+`if`/`del`, stdlib calls); a `.vrl` program file runs verbatim. Start
+from an event (--input JSON file or `{}`), type one op or statement
+per line, and the updated event prints after each step. `.` reprints,
+`.reset` restores the input, `.exit` quits.
 With a program file argument it runs one-shot: apply the op list to
 every input event and print NDJSON. Runs without Ray (single-event
 Arrow evaluation).
@@ -86,6 +87,16 @@ def vrl_main(args) -> int:
             events = [json.loads(line) for line in text.splitlines()
                       if line.strip()]
     if args.config:  # one-shot: program file over every event
+        if args.config.endswith(".vrl"):
+            # reference-parity: an actual VRL program string
+            from vector_ray.expr.vrl import compile_vrl
+
+            with open(args.config) as f:
+                fn = compile_vrl(f.read())
+            for ev in events:
+                print(json.dumps(_table_to_event(fn(_event_to_table(ev))),
+                                 default=str))
+            return 0
         prog = _load(args.config)
         ops = prog["ops"] if isinstance(prog, dict) else prog
         for ev in events:
@@ -115,12 +126,18 @@ def vrl_main(args) -> int:
             print(json.dumps(ev, default=str))
             continue
         try:
-            op = yaml.safe_load(line)
-            if not isinstance(op, dict) or "fn" not in op:
-                raise ValueError(
-                    "op must be a mapping with an 'fn' key, e.g. "
-                    "{fn: upcase, field: message}")
-            ev = _vrl_apply([op], ev)
+            op = None
+            try:
+                op = yaml.safe_load(line)
+            except Exception:
+                pass
+            if isinstance(op, dict) and "fn" in op:
+                ev = _vrl_apply([op], ev)
+            else:  # fall back to VRL source (".f = upcase(.g)", if, del)
+                from vector_ray.expr.vrl import compile_vrl
+
+                t = compile_vrl(line)(_event_to_table(ev))
+                ev = _table_to_event(t)
             print(json.dumps(ev, default=str))
         except Exception as e:  # keep the session alive on bad ops
             print(f"error: {e}", file=sys.stderr)

@@ -429,6 +429,13 @@ def _build_remap(cfg):
     """
     from vector_ray.stages.remap import Remap
 
+    if "source" in cfg:  # reference-parity: a VRL program string
+        if "ops" in cfg:
+            raise ConfigError("remap: give either 'source' or 'ops'")
+        from vector_ray.expr.vrl import compile_vrl
+
+        return Remap(compile_vrl(cfg["source"]))
+
     compiled = [compile_remap_op(op) for op in cfg["ops"]]
 
     def program(t: pa.Table) -> pa.Table:
