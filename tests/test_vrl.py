@@ -103,6 +103,37 @@ class TestCompile:
         stmts = parse_vrl('.a = 1\ndel(.b)')
         assert [s[0] for s in stmts] == ["set", "del"]
 
+    def test_root_merge_and_exists(self):
+        t = pa.table({
+            "msg": pa.array(['{"user":"u1","n":3}',
+                             '{"user":"u2","n":5}', "not json"]),
+            "opt": pa.array(["x", None, "y"]),
+        })
+        out = compile_vrl("""
+            . = merge(., parse_json!(.msg))
+            .has = exists(.opt)
+            if exists(.user) { .tag = "parsed" } else { .tag = "raw" }
+            del(.msg)
+        """)(t)
+        assert out["user"].to_pylist() == ["u1", "u2", None]
+        assert out["n"].to_pylist() == [3, 5, None]
+        assert out["has"].to_pylist() == [True, False, True]
+        assert out["tag"].to_pylist() == ["parsed", "parsed", "raw"]
+        assert "msg" not in out.column_names
+        with pytest.raises(VrlError, match="root write"):
+            compile_vrl(". = .a")
+        with pytest.raises(VrlError, match="unconditional"):
+            compile_vrl(
+                'if .opt == "x" { . = merge(., parse_json(.msg)) }')(t)
+
+    def test_parse_json_kernel(self):
+        from vector_ray.expr import F
+
+        s = pa.array(['{"a":1}', None, "[]", "{bad"])
+        out = F.parse_json(s)
+        assert out[0].as_py() == {"a": 1}
+        assert out[1].as_py() is None and out[3].as_py() is None
+
 
 class TestSurfaces:
     def test_remap_source_config(self):

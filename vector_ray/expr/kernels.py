@@ -166,6 +166,40 @@ def decode_base64(a):
     )
 
 
+def parse_json(a):
+    """JSON-object string column → struct column (VRL ``parse_json``;
+    invalid or non-object rows → null). Fast path feeds the WHOLE
+    column to pyarrow.json's C++ NDJSON reader in one shot; the
+    per-row json.loads fallback only runs when rows are invalid,
+    null, or contain embedded newlines (same strategy as
+    stages/parsers.JsonParser)."""
+    a = _arr(a)
+    n = len(a)
+    if n == 0:
+        return pa.nulls(0, pa.struct([]))
+    if a.null_count == 0 and not pc.any(
+            pc.match_substring(a, "\n")).as_py():
+        try:
+            import io
+
+            import pyarrow.json as pj
+
+            buf = ("\n".join(a.to_pylist()) + "\n").encode()
+            parsed = pj.read_json(io.BytesIO(buf))
+            if parsed.num_rows == n:
+                return parsed.to_struct_array().combine_chunks()
+        except Exception:
+            pass
+    rows = []
+    for v in a.to_pylist():
+        try:
+            obj = _json.loads(v) if v is not None else None
+            rows.append(obj if isinstance(obj, dict) else None)
+        except Exception:
+            rows.append(None)
+    return pa.array(rows)
+
+
 def encode_json(tbl_or_arr):
     """Row → JSON string. Non-hot-path utility (metric_to_log etc.)."""
     if isinstance(tbl_or_arr, pa.Table):

@@ -23,6 +23,11 @@ chosen to cover the overwhelming majority of real remap programs:
                         ``sha2``, ``to_int`` …); a trailing ``!``
                         (VRL's fallible marker) is accepted and
                         stripped — fallible kernels yield null rows
+- ``exists(.field)``    per-row presence (absent column -> false,
+                        present column -> validity mask)
+- root merge            ``. = merge(., parse_json!(.msg))`` — the
+                        canonical "parse and hoist to top level"
+                        idiom; the struct's fields become columns
 - comments              ``# …``
 
 Compilation model (this is the scale story): the program is parsed
@@ -57,6 +62,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+  | (?P<root>\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
   | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[=<>+\-*/%!(),{};])
     """,
@@ -151,6 +157,16 @@ class _Parser:
             return self.if_stmt()
         if k == "ident" and v in ("for_each", "abort", "return"):
             raise VrlError(f"vrl: {v!r} is outside the supported subset")
+        if k == "root":
+            self.next()
+            self.expect("=")
+            expr = self.expr()
+            # only `. = merge(., <struct expr>)` writes the root
+            if not (expr[0] == "call" and expr[1] == "merge"
+                    and len(expr[2]) == 2 and expr[2][0] == ("root",)):
+                raise VrlError("vrl: the only supported root write is "
+                               "`. = merge(., <struct expr>)`")
+            return ("rootmerge", expr[2][1])
         if k == "path":
             save = self.i
             segs = self.next()[1][1:].split(".")
@@ -218,6 +234,8 @@ class _Parser:
             return ("lit", v)
         if k == "path":
             return ("path", v[1:].split("."))
+        if k == "root":
+            return ("root",)
         if k == "ident":
             if v == "true":
                 return ("lit", True)
@@ -303,6 +321,14 @@ def _eval(node, tbl: pa.Table):
     if kind == "call":
         from vector_ray.expr import F  # noqa: F401  (kernels resolved)
 
+        if node[1] == "exists" and len(node[2]) == 1 \
+                and node[2][0][0] == "path":
+            # per-row presence: absent column -> all-false; present
+            # column -> validity (columnar events fold absent into null)
+            col = _eval(node[2][0], tbl)
+            if col is None:
+                return False
+            return pc.is_valid(col)
         fn = _resolve_fn(node[1])
         args = [_eval(a, tbl) for a in node[2]]
         if args and args[0] is None:
@@ -409,6 +435,16 @@ def _apply(stmts, tbl: pa.Table, mask) -> pa.Table:
                 rest = pc.invert(seen)
                 m = rest if mask is None else pc.and_(mask, rest)
                 tbl = _apply(else_body, tbl, m)
+        elif kind == "rootmerge":
+            if mask is not None:
+                raise VrlError("vrl: `. = merge(., ...)` must be "
+                               "unconditional (top level)")
+            v = _eval(st[1], tbl)
+            if not (isinstance(v, (pa.Array, pa.ChunkedArray))
+                    and pa.types.is_struct(v.type)):
+                raise VrlError("vrl: root merge needs a struct "
+                               "expression (e.g. parse_json!(.msg))")
+            tbl = F.merge_struct(tbl, v)
         elif kind == "expr":
             _eval(st[1], tbl)  # evaluated for effect-free parity
         else:
@@ -431,7 +467,7 @@ def compile_vrl(source: str) -> Callable[[pa.Table], pa.Table]:
     def check(nodes):
         for nd in nodes:
             if isinstance(nd, tuple):
-                if nd[0] == "call":
+                if nd[0] == "call" and nd[1] != "exists":
                     _resolve_fn(nd[1])
                 elif nd[0] == "set" and len(nd[1]) != 1:
                     raise VrlError(
