@@ -1105,6 +1105,19 @@ def q_fuzzy_join(sf_dir):
                               max_dist=1))
 
 
+def q_grouped_heavy_hitters(sf_dir):
+    """Per-key heavy hitters (ml/corpus.grouped_heavy_hitters): keyed
+    count partials, per-key Misra-Gries compression, one bucketed
+    sum+topk pass. capacity >> per-lang vocab at sf0.01 => exact;
+    oracle: GROUP BY + row_number() SQL."""
+    from vector_ray.ml.corpus import grouped_heavy_hitters
+
+    ds = _rp(sf_dir, "documents",
+             columns=["lang", "text"]).repartition(4)
+    return _finish(grouped_heavy_hitters(ds, "lang", col="text", k=5,
+                                         capacity=200_000))
+
+
 def q_vrl_remap_events(sf_dir):
     """A VRL program STRING compiled and run verbatim
     (expr/vrl.compile_vrl -> one vectorized batch fn; reference
@@ -3487,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_suppliers": q_fuzzy_join,
         "zorder_events": q_zorder_events,
         "vrl_remap_events": q_vrl_remap_events,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -3694,6 +3708,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
             "AS r_regionkey FROM orders o, region r "
             "WHERE o.o_totalprice > 50000 * (r.r_regionkey + 1)"
+        ),
+        "grouped_heavy_hitters": (
+            r"WITH w AS (SELECT lang, UNNEST(regexp_split_to_array("
+            r"text, '\s+')) AS word FROM documents), "
+            "c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM w WHERE word <> '' GROUP BY 1, 2), "
+            "r AS (SELECT lang, word, cnt, row_number() OVER "
+            "(PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM c) "
+            "SELECT lang, word, cnt FROM r WHERE rn <= 5"
         ),
         "vrl_remap_events": (
             "SELECT event_id, event_type, value, "

@@ -502,3 +502,83 @@ def repetition_stats(t: pa.Table, *, col: str = "text", id_col: str = "doc_id",
         "dup_word_frac": pa.array(dup),
         "top_word_frac": pa.array(topf),
     })
+
+
+def _keyed_count_partial(t: pa.Table, key: str, col: str) -> pa.Table:
+    """Per-batch (key, word, count) triples — the keyed analogue of
+    ``_word_count_partial`` (same whitespace split, empty words
+    dropped; Arrow C++ group-count per block)."""
+    words = _split_words(t[col])
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = pc.list_parent_indices(words)
+    keys = t[key].combine_chunks().take(parents)
+    tt = pa.table({key: keys, "word": flat})
+    if len(flat):
+        tt = tt.filter(pc.and_kleene(pc.not_equal(flat, ""),
+                                     pc.is_valid(flat)))
+    g = pa.TableGroupBy(tt, [key, "word"]).aggregate([([], "count_all")])
+    return g.rename_columns([key, "word", "cnt"]).set_column(
+        2, "cnt", pc.cast(g.column(2), pa.int64()))
+
+
+def _mg_compress_per_key(t: pa.Table, key: str, capacity: int) -> pa.Table:
+    """Per-KEY Misra-Gries compression, vectorized across every key in
+    the block at once: sort by (key, cnt desc), run-segment, subtract
+    each oversized key's (capacity+1)-th largest count and drop the
+    non-positive remainder. Each key forwards <= capacity rows."""
+    if t.num_rows == 0:
+        return t
+    ts = t.sort_by([(key, "ascending"), ("cnt", "descending")])
+    kp = np.asarray(
+        pc.cast(ts[key], pa.string()).fill_null("\x00")
+        .to_numpy(zero_copy_only=False), object)
+    cnt = np.asarray(ts["cnt"].to_numpy(zero_copy_only=False), np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], kp[1:] != kp[:-1]]))
+    lens = np.diff(np.append(starts, len(kp)))
+    run = np.repeat(np.arange(len(starts)), lens)
+    thresh_pos = np.minimum(starts + capacity, len(kp) - 1)
+    d_run = np.where(lens > capacity, cnt[thresh_pos], 0)
+    d = d_run[run]
+    keep = cnt > d
+    out = ts.filter(pa.array(keep))
+    return out.set_column(
+        out.schema.get_field_index("cnt"), "cnt",
+        pa.array(cnt[keep] - d[keep], pa.int64()))
+
+
+def grouped_heavy_hitters(ds, key: str, *, col: str = "text",
+                          k: int = 10, capacity: int = 4096):
+    """Top-k terms PER KEY (e.g. top words per language) with bounded
+    per-block state — the grouped analogue of :func:`heavy_hitters`.
+
+    Plan: per-block keyed count partial (Arrow C++ group-count) →
+    per-key MG compression (<= capacity rows leave a block PER KEY it
+    contains, no matter how wide the local vocabulary) → ONE bucketed
+    shuffle by key where each bucket sums per (key, word) and takes
+    the per-key top-k in the same vectorized callback. Python calls:
+    O(num_buckets). The data column never shuffles — only (key, word,
+    cnt) triples.
+
+    Guarantees: per-key MG bounds — counts undercount by at most
+    n_key/(capacity+1), every term with true per-key frequency above
+    that is present; with ``capacity >=`` each key's distinct-term
+    count the result is the EXACT per-key top-k (ties broken by word
+    ascending), equal to a GROUP BY / row_number() SQL oracle.
+    """
+    from vector_ray.stages.bucketed import bucketed_map_groups
+    from vector_ray.stages.topk import _local_topk
+
+    partial = ds.map_batches(
+        lambda t: _mg_compress_per_key(
+            _keyed_count_partial(t, key, col), key, capacity),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(g, [key, "word"]).aggregate(
+            [("cnt", "sum")]).rename_columns([key, "word", "cnt"])
+        return _local_topk(summed, [key], "cnt", k, True, "word")
+
+    return bucketed_map_groups(partial, [key], finish)
