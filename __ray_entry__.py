@@ -1105,6 +1105,20 @@ def q_fuzzy_join(sf_dir):
                               max_dist=1))
 
 
+def q_resolve_entities(sf_dir):
+    """Entity resolution (stages/fuzzy.resolve_entities): exact
+    blocked fuzzy self-join -> hash-min connected components ->
+    bucketed left join to a canonical (min) id per cluster. Oracle:
+    independent brute-force Levenshtein + union-find mirror
+    (tools/golden.py resolve_entities_sql)."""
+    from vector_ray.stages.fuzzy import resolve_entities
+
+    ds = _rp(sf_dir, "supplier",
+             columns=["s_suppkey", "s_name"]).repartition(4)
+    return _finish(resolve_entities(ds, on="s_name",
+                                    id_col="s_suppkey", max_dist=1))
+
+
 def q_grouped_heavy_hitters(sf_dir):
     """Per-key heavy hitters (ml/corpus.grouped_heavy_hitters): keyed
     count partials, per-key Misra-Gries compression, one bucketed
@@ -3501,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": q_zorder_events,
         "vrl_remap_events": q_vrl_remap_events,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
+        "resolve_entities": q_resolve_entities,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -4683,5 +4698,6 @@ def _golden_oracles() -> dict[str, str]:
         "approx_quantiles": golden.grouped_approx_quantiles_sql(),
         "diverse_select": golden.diverse_select_sql(),
         "zorder_events": golden.zorder_events_sql(),
+        "resolve_entities": golden.resolve_entities_sql(),
     })
     return _GOLDEN_CACHE

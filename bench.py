@@ -411,6 +411,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "zorder_events",
         "vrl_remap_events",
         "grouped_heavy_hitters",
+        "resolve_entities",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -109,6 +109,41 @@ class TestFuzzyJoin:
                                num_buckets=1, max_pairs_per_bucket=7))
         assert got == _brute_self(names, 1)
 
+    def test_resolve_entities(self):
+        from vector_ray.stages.fuzzy import resolve_entities
+
+        names = ["acme corp", "acme c0rp", "acme corp.", "zzz inc",
+                 "zzz inc", None, "solo ltd"]
+        out = sorted((r["id"], r["canonical"]) for r in resolve_entities(
+            rd.from_arrow(_tbl(names)).repartition(3), on="name",
+            id_col="id", max_dist=1).take_all())
+        # 0-1-2 chain via transitivity; 3=4 exact; null + solo single
+        assert out == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5),
+                       (6, 6)]
+
+    def test_resolve_entities_matches_unionfind(self):
+        from vector_ray.stages.fuzzy import resolve_entities
+
+        rng = np.random.default_rng(23)
+        names = _rand_words(150, rng)
+        got = sorted((r["id"], r["canonical"]) for r in resolve_entities(
+            rd.from_arrow(_tbl(names)).repartition(5), on="name",
+            id_col="id", max_dist=1).take_all())
+        parent = list(range(len(names)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j, _ in sorted(_brute_self(names, 1)):
+            ra, rb = find(i), find(j)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = sorted((i, find(i)) for i in range(len(names)))
+        assert got == want
+
     def test_edit_band_kernel(self):
         rng = np.random.default_rng(5)
         pairs = [(a, b) for a in _rand_words(30, rng)

@@ -2029,3 +2029,52 @@ def zorder_events_sql(bits: int = 16) -> str:
             z |= ((qb >> b) & 1) << (2 * b + 1)
         rows.append((int(ids[i]), z))
     return _values_sql(rows, ["event_id", "zkey"], ["BIGINT", "BIGINT"])
+
+
+# ---------------------------------------------------------------------------
+# resolve_entities (stages/fuzzy.py) — single-threaded mirror:
+# brute-force Levenshtein pairs + union-find, canonical = min id.
+
+
+def _lev_py(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def resolve_entities_sql(table: str = "supplier", on: str = "s_name",
+                         id_col: str = "s_suppkey",
+                         max_dist: int = 1) -> str:
+    t = pq.read_table(os.path.join(sf_dir(), f"{table}.parquet"),
+                      columns=[id_col, on])
+    ids = t[id_col].to_pylist()
+    names = t[on].to_pylist()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        if names[i] is None:
+            continue
+        for j in range(i + 1, len(ids)):
+            if names[j] is None:
+                continue
+            if abs(len(names[i]) - len(names[j])) > max_dist:
+                continue
+            if _lev_py(names[i], names[j]) <= max_dist:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((int(i), int(find(i))) for i in ids)
+    return _values_sql(rows, [id_col, "canonical"],
+                       ["BIGINT", "BIGINT"])

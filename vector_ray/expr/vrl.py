@@ -279,6 +279,8 @@ _FN_ALIASES = {
     "bool": "to_bool",
     "hmac": "hmac_",
     "strlen": "length",
+    "parse_regex": "extract_regex",
+    "parse_timestamp": "to_timestamp",
 }
 
 

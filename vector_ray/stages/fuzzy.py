@@ -321,3 +321,50 @@ def fuzzy_join(
     # DIFFERENT buckets — one exact keep-first pass on the narrow
     # (l_id, r_id) triples removes cross-bucket duplicates
     return bucketed_first(pairs, ["l_id", "r_id"])
+
+
+def resolve_entities(
+    ds,
+    *,
+    on: str,
+    id_col: str,
+    max_dist: int = 1,
+    num_buckets: Optional[int] = None,
+    max_pairs_per_bucket: int = 1_000_000,
+):
+    """Entity resolution: rows whose keys are transitively within
+    ``max_dist`` edits collapse to one canonical id (the component
+    MINIMUM). Returns a Dataset of (id_col, canonical) — singletons
+    map to themselves; null keys are singletons.
+
+    Composition of two scale-safe stages: the exact blocked
+    :func:`fuzzy_join` (self mode) produces the duplicate-pair edge
+    list, hash-min label propagation (ml/components, pointer-jumping,
+    O(log diameter) rounds over (node, label) pairs) finds the
+    clusters, and one bucketed left join maps every input id to its
+    component label, defaulting to itself. Only ids and labels move
+    after the fuzzy join — never the key strings.
+    """
+    pairs = fuzzy_join(ds, on=on, id_col=id_col, max_dist=max_dist,
+                       num_buckets=num_buckets,
+                       max_pairs_per_bucket=max_pairs_per_bucket)
+    from vector_ray.ml.components import connected_components
+    from vector_ray.stages.join import bucketed_join
+
+    comp = connected_components(pairs, a_col="l_id", b_col="r_id")
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    ids = ds.map_batches(ids_only, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    joined = bucketed_join(ids, comp, [id_col], join_type="left outer",
+                           right_on=["node"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        canon = pc.coalesce(pc.cast(t["label"], pa.int64()),
+                            t[id_col])
+        return pa.table({id_col: t[id_col], "canonical": canon})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
