@@ -293,6 +293,9 @@ def fuzzy_join(
         li, ri = li[first], ri[first]
         arr, flat, offs = _flat_utf8(gs[_S])
         st, ln = offs[:-1], np.diff(offs)
+        # length filter before the DP: |len diff| > d can never match
+        lenok = np.abs(ln[li] - ln[ri]) <= d
+        li, ri = li[lenok], ri[lenok]
         # verify in memory-bounded chunks: the DP's (pairs x len) byte
         # matrices are the only super-linear allocation — a hot key
         # (shared-prefix data) serializes its verification here but
