@@ -126,6 +126,14 @@ class TestCompile:
             compile_vrl(
                 'if .opt == "x" { . = merge(., parse_json(.msg)) }')(t)
 
+    def test_parse_grok_in_vrl(self):
+        t = pa.table({"msg": pa.array(["alice 42", "bob 7", "zzz"])})
+        out = compile_vrl(
+            '. = merge(., parse_grok!(.msg, "%{WORD:user} %{INT:n}"))'
+        )(t)
+        assert out["user"].to_pylist() == ["alice", "bob", None]
+        assert out["n"].to_pylist() == ["42", "7", None]
+
     def test_parse_json_kernel(self):
         from vector_ray.expr import F
 

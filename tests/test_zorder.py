@@ -91,6 +91,41 @@ class TestZorderSort:
         assert np.mean(spans_x) < 0.45 * np.ptp(xs)
         assert np.mean(spans_y) < 0.45 * np.ptp(ys)
 
+    def test_zorder_write_prunes_both_columns(self, tmp_path):
+        """The point of the layout: after zorder_write, a narrow
+        filter on EITHER column intersects only a small fraction of
+        row groups' [min, max] ranges; a plain unsorted write leaves
+        nearly every row group un-prunable."""
+        import pyarrow.dataset as pads
+
+        from vector_ray.stages.zorder import zorder_write
+
+        t = self._data(16000, seed=4)
+
+        def frac_hit(root, col, lo, hi):
+            frs = list(pads.dataset(str(root),
+                                    format="parquet").get_fragments())
+            tot = hit = 0
+            for fr in frs:
+                for rg in fr.row_groups:
+                    st = rg.statistics[col]
+                    tot += 1
+                    if st["min"] <= hi and st["max"] >= lo:
+                        hit += 1
+            assert tot >= 8, f"need row groups to prune, got {tot}"
+            return hit / tot
+
+        zdir = tmp_path / "z"
+        zorder_write(rd.from_arrow(t).repartition(8), str(zdir),
+                     ["x", "y"], row_group_size=1000)
+        udir = tmp_path / "u"
+        rd.from_arrow(t).repartition(8).write_parquet(
+            str(udir), row_group_size=1000)
+        for col, lo, hi in (("x", 100.0, 150.0), ("y", 5000, 10000)):
+            z = frac_hit(zdir, col, lo, hi)
+            u = frac_hit(udir, col, lo, hi)
+            assert z <= 0.5 and z < u, (col, z, u)
+
     def test_sorted_by_key_and_validation(self):
         t = self._data(1000)
         out = zorder_sort(rd.from_arrow(t), ["x"], keep_key=True,

@@ -166,6 +166,15 @@ def decode_base64(a):
     )
 
 
+def parse_grok(a, pattern: str):
+    """VRL ``parse_grok``: expand %{NAME:field} references to named
+    groups (vector_ray.grok's pattern library) and extract — struct
+    column, null rows on non-match."""
+    from vector_ray.grok import expand
+
+    return pc.extract_regex(a, expand(pattern))
+
+
 def parse_json(a):
     """JSON-object string column → struct column (VRL ``parse_json``;
     invalid or non-object rows → null). Fast path feeds the WHOLE

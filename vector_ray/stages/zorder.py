@@ -137,3 +137,18 @@ def zorder_sort(
         return out.map_batches(ren, batch_format="pyarrow",
                                zero_copy_batch=True)
     return out.drop_columns([_Z])
+
+
+def zorder_write(ds, path: str, cols: Sequence[str], *,
+                 bits: Optional[int] = None,
+                 ranges: Optional[dict] = None, **write_kw):
+    """Cluster-then-write: ``zorder_sort`` the stream and write
+    Parquet. The sort range-partitions blocks along the curve, so each
+    output file covers one compact curve segment — its min/max
+    statistics are tight on EVERY keyed column, and predicate pushdown
+    prunes files/row-groups for filters on any of them (the lakehouse
+    "OPTIMIZE ZORDER BY" write path)."""
+    out = zorder_sort(ds, cols, bits=bits, ranges=ranges)
+    from vector_ray.sinks import write_parquet
+
+    return write_parquet(out, path, **write_kw)
