@@ -1105,6 +1105,20 @@ def q_fuzzy_join(sf_dir):
                               max_dist=1))
 
 
+def q_grouped_mad_outliers(sf_dir):
+    """Per-key robust trim (stages/quantile.
+    grouped_mad_outlier_filter): two grouped exact-quantile passes
+    (per-key median, per-key MAD) + one broadcast map-only probe.
+    Oracle: plain SQL with quantile_disc, op-for-op threshold
+    arithmetic."""
+    from vector_ray.stages.quantile import grouped_mad_outlier_filter
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "value"])
+    return _finish(grouped_mad_outlier_filter(ds, "event_type",
+                                              "value", k=1.5))
+
+
 def q_resolve_entities(sf_dir):
     """Entity resolution (stages/fuzzy.resolve_entities): exact
     blocked fuzzy self-join -> hash-min connected components ->
@@ -3516,6 +3530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vrl_remap_events": q_vrl_remap_events,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "resolve_entities": q_resolve_entities,
+        "grouped_mad_outliers": q_grouped_mad_outliers,
         "rollup_orders": q_rollup_orders,
         "full_outer_join": q_full_outer_join,
         "semi_anti_join": q_semi_anti_join,
@@ -3723,6 +3738,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, CAST(r.r_regionkey AS BIGINT) "
             "AS r_regionkey FROM orders o, region r "
             "WHERE o.o_totalprice > 50000 * (r.r_regionkey + 1)"
+        ),
+        "grouped_mad_outliers": (
+            "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) "
+            "AS med FROM events WHERE value IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, "
+            "abs(e.value - m.med) AS dev, m.med FROM events e "
+            "JOIN m USING(event_type) WHERE e.value IS NOT NULL), "
+            "md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad "
+            "FROM d GROUP BY 1) "
+            "SELECT d.event_id, d.event_type, d.value FROM d "
+            "JOIN md USING(event_type) "
+            "WHERE abs(d.value - d.med) <= 1.5 * md.mad"
         ),
         "grouped_heavy_hitters": (
             r"WITH w AS (SELECT lang, UNNEST(regexp_split_to_array("

@@ -412,6 +412,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "vrl_remap_events",
         "grouped_heavy_hitters",
         "resolve_entities",
+        "grouped_mad_outliers",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

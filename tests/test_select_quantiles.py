@@ -80,6 +80,52 @@ class TestGroupedApproxQuantiles:
         assert (r["p0"], r["p50"], r["p100"]) == (1.0, 5.0, 11.0)
 
 
+class TestGroupedMadOutliers:
+    def test_matches_python_mirror(self):
+        import math
+
+        from vector_ray.stages.quantile import grouped_mad_outlier_filter
+
+        t = _events(n=900, n_keys=3, seed=4)
+        kept = sorted(r["event_id"] for r in grouped_mad_outlier_filter(
+            rd.from_arrow(t).repartition(4), "event_type", "value",
+            k=1.5).take_all())
+
+        def q_disc(vs, p=0.5):
+            sv = sorted(vs)
+            return sv[min(max(math.ceil(p * len(sv)) - 1, 0),
+                          len(sv) - 1)]
+
+        per = {}
+        for i, k_, v in zip(t["event_id"].to_pylist(),
+                            t["event_type"].to_pylist(),
+                            t["value"].to_pylist()):
+            per.setdefault(k_, []).append((i, v))
+        want = []
+        for k_, rows in per.items():
+            med = q_disc([v for _, v in rows])
+            mad = q_disc([abs(v - med) for _, v in rows])
+            want += [i for i, v in rows if abs(v - med) <= 1.5 * mad]
+        assert kept == sorted(want)
+
+    def test_outlier_mode_and_nulls(self):
+        from vector_ray.stages.quantile import grouped_mad_outlier_filter
+
+        t = pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "event_type": pa.array(["a"] * 5 + ["b"]),
+            "value": pa.array([1.0, 1.0, 1.0, 100.0, None, None],
+                              pa.float64()),
+        })
+        inl = grouped_mad_outlier_filter(
+            rd.from_arrow(t), "event_type", "value", k=3.0).take_all()
+        out = grouped_mad_outlier_filter(
+            rd.from_arrow(t), "event_type", "value", k=3.0,
+            keep="outlier").take_all()
+        assert sorted(r["event_id"] for r in inl) == [0, 1, 2]
+        assert sorted(r["event_id"] for r in out) == [3]  # nulls never
+
+
 def _vecs(n=200, d=8, seed=5):
     rng = np.random.default_rng(seed)
     m = rng.normal(size=(n, d)).astype(np.float32)

@@ -596,3 +596,65 @@ def approx_quantiles(ds, col: str, ps: Sequence[float], *,
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
         _ALL, col, ps, id_col=id_col, k=k, seed=seed)
     return out.drop_columns([_ALL])
+
+
+def grouped_mad_outlier_filter(ds, key: str, col: str, *, k: float = 3.0,
+                               keep: str = "inlier",
+                               max_keys: int = 1_000_000):
+    """Per-KEY robust outlier trim: keep rows with
+    ``|x - median_key| <= k * MAD_key`` — the grouped analogue of
+    :func:`mad_outlier_filter` (per-service latency trims, per-source
+    perplexity bands).
+
+    Two grouped exact-quantile passes (per-key median, then per-key
+    median of ``|x - med|`` over a projected scan) produce a
+    ``max_keys``-bounded fit table that broadcasts once; apply is one
+    stateless map-only ``index_in`` probe (the grouped_standardize
+    Arrow-cast vocabulary convention, so boolean/float/null keys can
+    never mismatch). Thresholds are data-value medians and one float64
+    multiply, so the kept set is bit-reproducible on any partitioning
+    and mirrors a SQL ``quantile_disc`` oracle op-for-op. Rows with a
+    null score never pass; a key whose scores are ALL null has no fit
+    row and its rows never pass either mode.
+    """
+    if keep not in ("inlier", "outlier"):
+        raise ValueError(
+            "grouped_mad_outlier_filter: keep must be inlier|outlier")
+
+    med_t = grouped_exact_quantiles(ds, key, col, [0.5],
+                                    max_keys=max_keys)
+    if med_t is None or len(med_t) == 0:
+        return ds.filter(lambda r: False)
+    vocab = _probe_str(med_t[key])
+    meds = np.asarray(pc.cast(med_t["p50"], pa.float64())
+                      .to_numpy(zero_copy_only=False), np.float64)
+
+    def dev(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(_probe_str(t[key]), value_set=vocab)
+        m = pa.array(meds, pa.float64()).take(idx)
+        d = pc.abs(pc.subtract(pc.cast(t[col], pa.float64()), m))
+        return pa.table({key: t[key], "__vr_dev": d})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    mad_t = grouped_exact_quantiles(devs, key, "__vr_dev", [0.5],
+                                    max_keys=max_keys)
+    mvocab = _probe_str(mad_t[key])
+    mads = np.asarray(pc.cast(mad_t["p50"], pa.float64())
+                      .to_numpy(zero_copy_only=False), np.float64)
+    thrs = float(k) * mads
+
+    def flt(t: pa.Table) -> pa.Table:
+        c = pc.cast(t[col], pa.float64())
+        mi = pc.index_in(_probe_str(t[key]), value_set=vocab)
+        m = pa.array(meds, pa.float64()).take(mi)
+        ti = pc.index_in(_probe_str(t[key]), value_set=mvocab)
+        thr = pa.array(thrs, pa.float64()).take(ti)
+        inl = pc.less_equal(pc.abs(pc.subtract(c, m)), thr)
+        if keep == "outlier":
+            inl = pc.invert(inl)
+        mask = pc.and_kleene(pc.is_valid(c), inl)
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow",
+                          zero_copy_batch=True)
