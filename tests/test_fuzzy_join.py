@@ -121,6 +121,19 @@ class TestFuzzyJoin:
         assert out == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5),
                        (6, 6)]
 
+    def test_resolve_entities_paths_agree(self):
+        # driver union-find fast path vs distributed label propagation
+        from vector_ray.stages.fuzzy import resolve_entities
+
+        names = ["acme corp", "acme c0rp", "acme corp.", "zzz inc",
+                 "zzz inc", "solo ltd"]
+        run = lambda cap: sorted(
+            (r["id"], r["canonical"]) for r in resolve_entities(
+                rd.from_arrow(_tbl(names)).repartition(2), on="name",
+                id_col="id", max_dist=1,
+                driver_pairs_cap=cap).take_all())
+        assert run(10**6) == run(0)
+
     def test_resolve_entities_matches_unionfind(self):
         from vector_ray.stages.fuzzy import resolve_entities
 

@@ -1081,6 +1081,90 @@ def _build_approx_quantiles(cfg):
     return _ApproxQ()
 
 
+@register_transform("fuzzy_dedupe")
+def _build_fuzzy_dedupe(cfg):
+    """Self fuzzy join → (l_id, r_id, dist) pairs (type: fuzzy_dedupe,
+    field, id_field, max_dist)."""
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.fuzzy import fuzzy_join
+
+    class _Fuzzy(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return fuzzy_join(ds, on=cfg["field"],
+                              id_col=cfg["id_field"],
+                              max_dist=cfg.get("max_dist", 1))
+
+    return _Fuzzy()
+
+
+@register_transform("resolve_entities")
+def _build_resolve_entities(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.fuzzy import resolve_entities
+
+    class _Resolve(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return resolve_entities(ds, on=cfg["field"],
+                                    id_col=cfg["id_field"],
+                                    max_dist=cfg.get("max_dist", 1))
+
+    return _Resolve()
+
+
+@register_transform("zorder")
+def _build_zorder(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.zorder import zorder_sort
+
+    class _Z(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return zorder_sort(ds, cfg["fields"],
+                               bits=cfg.get("bits"),
+                               keep_key=cfg.get("keep_key", False))
+
+    return _Z()
+
+
+@register_transform("grouped_heavy_hitters")
+def _build_grouped_hh(cfg):
+    from vector_ray.ml.corpus import grouped_heavy_hitters
+    from vector_ray.stages.base import Step
+
+    class _GHH(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return grouped_heavy_hitters(
+                ds, cfg["group_by"], col=cfg.get("field", "text"),
+                k=cfg.get("k", 10),
+                capacity=cfg.get("capacity", 4096))
+
+    return _GHH()
+
+
+@register_transform("grouped_mad_outliers")
+def _build_grouped_mad(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.quantile import grouped_mad_outlier_filter
+
+    class _GMad(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return grouped_mad_outlier_filter(
+                ds, cfg["group_by"], cfg["field"],
+                k=cfg.get("k", 3.0),
+                keep=cfg.get("keep", "inlier"))
+
+    return _GMad()
+
+
 @register_transform("diverse_select")
 def _build_diverse_select(cfg):
     import ray.data as rd

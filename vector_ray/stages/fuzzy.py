@@ -334,27 +334,70 @@ def resolve_entities(
     max_dist: int = 1,
     num_buckets: Optional[int] = None,
     max_pairs_per_bucket: int = 1_000_000,
+    driver_pairs_cap: int = 1_000_000,
 ):
     """Entity resolution: rows whose keys are transitively within
     ``max_dist`` edits collapse to one canonical id (the component
     MINIMUM). Returns a Dataset of (id_col, canonical) — singletons
     map to themselves; null keys are singletons.
 
-    Composition of two scale-safe stages: the exact blocked
+    Composition of scale-safe stages: the exact blocked
     :func:`fuzzy_join` (self mode) produces the duplicate-pair edge
-    list, hash-min label propagation (ml/components, pointer-jumping,
-    O(log diameter) rounds over (node, label) pairs) finds the
-    clusters, and one bucketed left join maps every input id to its
-    component label, defaulting to itself. Only ids and labels move
-    after the fuzzy join — never the key strings.
+    list; clustering runs driver-side union-find when the edge list
+    fits ``driver_pairs_cap`` (the ml/dedup near-dup convention —
+    verified pairs are tiny relative to the corpus) and otherwise
+    hash-min label propagation (ml/components, pointer-jumping,
+    O(log diameter) rounds over (node, label) pairs); one bucketed
+    left join maps every input id to its component label, defaulting
+    to itself. Only ids and labels move after the fuzzy join — never
+    the key strings.
     """
     pairs = fuzzy_join(ds, on=on, id_col=id_col, max_dist=max_dist,
                        num_buckets=num_buckets,
                        max_pairs_per_bucket=max_pairs_per_bucket)
-    from vector_ray.ml.components import connected_components
     from vector_ray.stages.join import bucketed_join
 
-    comp = connected_components(pairs, a_col="l_id", b_col="r_id")
+    # bounded driver fast path (the ml/dedup near-dup convention: the
+    # VERIFIED pair set is usually tiny relative to the corpus) —
+    # union-find locally when the edge list fits, else the distributed
+    # O(log diameter) label-propagation rounds
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_pairs_cap:
+        import ray.data as rd
+
+        et = pairs.take_batch(driver_pairs_cap + 1,
+                              batch_format="pyarrow") \
+            if pairs.count() else None
+        if et is None:
+            comp = rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64())}))
+        else:
+            parent = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(et["l_id"].to_pylist(),
+                            et["r_id"].to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = sorted(set(et["l_id"].to_pylist())
+                           | set(et["r_id"].to_pylist()))
+            comp = rd.from_arrow(pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([find(n) for n in nodes],
+                                  pa.int64())}))
+    else:
+        from vector_ray.ml.components import connected_components
+
+        comp = connected_components(pairs, a_col="l_id", b_col="r_id")
 
     def ids_only(t: pa.Table) -> pa.Table:
         return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
