@@ -3486,6 +3486,19 @@ def q_row_number_docs(sf_dir):
     return _finish(out)
 
 
+def q_rank_orders(sf_dir):
+    """Exact GLOBAL percent_rank/cume_dist (stages/rownum.rank_values):
+    per-block (value, count) partials keyed by the float64 bit pattern,
+    one narrow distinct-value shuffle, block-offset prefix sum
+    (O(#blocks) driver state), bucketed join back to (id, value).
+    Oracle: ANSI percent_rank()/cume_dist() OVER (ORDER BY ...)."""
+    from vector_ray.stages.rownum import rank_values
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return _finish(rank_values(ds.repartition(5), "o_totalprice",
+                               id_col="o_orderkey"))
+
+
 def q_uniform_sample_docs(sf_dir):
     """Global exactly-k uniform sample (ml/sampling.py uniform_sample_k):
     bottom-k of sm64(fnv1a(doc_id|seed)) — per-block local bottom-k then
@@ -3690,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "topk_users": q_topk_users,
         "log_to_metric_agg": q_log_to_metric_agg,
+        "rank_orders": q_rank_orders,
     }
 
 
@@ -4272,6 +4286,12 @@ def oracle_sql() -> dict[str, str]:
             + "CASE user_id % 8 "
             + " ".join(f"WHEN {i} THEN '{d}'" for i, (_f, _v, _o, d) in enumerate(_UA_EXPECT))
             + " END AS device FROM events"
+        ),
+        "rank_orders": (
+            "SELECT o_orderkey, "
+            "percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank, "
+            "cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist "
+            "FROM orders WHERE o_totalprice IS NOT NULL"
         ),
         # golden-value oracles (tools/golden.py): independent
         # single-threaded re-implementations of the sketch / signature

@@ -145,3 +145,42 @@ def test_rate_counter_resets():
     # first row null; 15-10=5; 3<15 -> reset -> 3; 8-3=5; key 2 first
     assert o["r"].isna().tolist() == [True, False, False, False, True]
     assert o["r"].dropna().tolist() == [5.0, 3.0, 5.0]
+
+
+class TestRankValues:
+    def _check(self, vals, parts=5):
+        import duckdb
+
+        from vector_ray.stages.rownum import rank_values
+
+        t = pa.table({
+            "id": pa.array(range(len(vals)), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        })
+        out = (rank_values(rd.from_arrow(t).repartition(parts), "v",
+                           id_col="id")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        ref = duckdb.sql(
+            "SELECT id, percent_rank() OVER (ORDER BY v) AS pct_rank, "
+            "cume_dist() OVER (ORDER BY v) AS cume_dist "
+            "FROM t WHERE v IS NOT NULL ORDER BY id").df()
+        assert len(out) == len(ref)
+        assert np.array_equal(out["pct_rank"].values, ref["pct_rank"].values)
+        assert np.array_equal(out["cume_dist"].values,
+                              ref["cume_dist"].values)
+
+    def test_ties_nulls_negzero(self):
+        rng = np.random.default_rng(3)
+        vals = list(rng.normal(size=400)) + [2.5] * 30 + [0.0, -0.0]
+        vals[7] = None
+        vals[250] = None
+        self._check(vals)
+
+    def test_single_value_and_constant(self):
+        self._check([42.0])          # percent_rank of n=1 is 0
+        self._check([7.0] * 50)      # all tied: pct 0, cume 1
+
+    def test_layout_invariant(self):
+        vals = list(np.linspace(-5, 5, 101))
+        for parts in (1, 3, 11):
+            self._check(vals, parts=parts)

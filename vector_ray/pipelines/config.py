@@ -1046,6 +1046,23 @@ def _build_row_number(cfg):
     return _RowNumber()
 
 
+@register_transform("rank_values")
+def _build_rank_values(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.rownum import rank_values
+
+    class _RankValues(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return rank_values(ds, cfg["col"], id_col=cfg["id_col"],
+                               out_rank=cfg.get("out_rank", "pct_rank"),
+                               out_cume=cfg.get("out_cume", "cume_dist"),
+                               buckets=int(cfg.get("buckets", 16)))
+
+    return _RankValues()
+
+
 @register_transform("heavy_hitters")
 def _build_heavy_hitters(cfg):
     from vector_ray.ml.corpus import heavy_hitters

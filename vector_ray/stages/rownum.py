@@ -101,3 +101,148 @@ def global_row_number(
 
     return srt.map_batches(add_index, batch_size=None,
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rank_values(
+    ds,
+    col: str,
+    *,
+    id_col: str,
+    out_rank: str = "pct_rank",
+    out_cume: str = "cume_dist",
+    buckets: int = 16,
+):
+    """Exact GLOBAL ``percent_rank()`` / ``cume_dist()`` of ``col`` for
+    every row — the rank-transform step of feature prep (and the exact
+    complement of stages/quantile's cut-point estimators). Returns a
+    Dataset (id_col, out_rank, out_cume) with
+
+        out_rank = count(strictly below) / (n - 1)      [0 when n == 1]
+        out_cume = count(below or equal) / n
+
+    i.e. SQL ``percent_rank() OVER (ORDER BY col)`` / ``cume_dist()``
+    with ties handled identically (all peers share one rank). Null
+    values are EXCLUDED (no output row), matching a ``WHERE col IS NOT
+    NULL`` oracle; values are ranked as float64.
+
+    Scale plan — the payload never moves and nothing data-sized touches
+    the driver:
+
+      1. per-block value-count partials (one (value, count) row per
+         DISTINCT value per block, value keyed by its float64 bit
+         pattern so no string round-trip);
+      2. grouped_aggregate merges partials → the distinct-value table
+         (the first narrow shuffle — O(distinct) rows of 16 bytes);
+      3. the distinct table sorts by value and gets an exact prefix
+         sum by the global_row_number block-offset trick (driver sees
+         ONE row per block);
+      4. a bucketed join maps each (id, value) pair to its
+         (below, count) — the second narrow shuffle.
+
+    The per-key (grouped) variants of rank/cume_dist already live in
+    stages/shift.partitioned_shift; this is the global-order version
+    that a groupby cannot express. Capability absent in the reference
+    (SURVEY.md §2.7)."""
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.aggregate import grouped_aggregate
+    from vector_ray.stages.join import bucketed_join
+
+    _B, _C, _V, _BLW = "__vr_bits", "__vr_cnt", "__vr_val", "__vr_below"
+
+    def _bits(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        arr = pc.cast(arr, pa.float64())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = np.asarray(arr.to_numpy(zero_copy_only=False), np.float64)
+        # normalize -0.0 → 0.0 so the bit key agrees with == semantics
+        v = np.where(v == 0.0, 0.0, v)
+        return v.view(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return pa.table({_B: pa.array([], pa.int64()),
+                             _C: pa.array([], pa.int64())})
+        vals = np.asarray(pc.cast(arr, pa.float64())
+                          .to_numpy(zero_copy_only=False), np.float64)
+        vals = np.where(vals == 0.0, 0.0, vals)
+        u, c = np.unique(vals.view(np.int64), return_counts=True)
+        return pa.table({_B: pa.array(u, pa.int64()),
+                         _C: pa.array(c.astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    dist = grouped_aggregate(parts, [_B], {_C: ("sum", _C)})
+
+    def add_val(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[_B].combine_chunks()
+                       .to_numpy(zero_copy_only=False)
+                       if isinstance(t[_B], pa.ChunkedArray)
+                       else t[_B].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return t.append_column(_V, pa.array(b.view(np.float64)))
+
+    srt = dist.map_batches(add_val, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(_V).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        head = t.select([_V]).slice(0, min(1, t.num_rows))
+        tot = [int(pc.sum(t[_C]).as_py() or 0)] if t.num_rows else []
+        return head.append_column("__vr_n", pa.array(tot, pa.int64()))
+
+    stats = srt.map_batches(block_stat, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True)
+    rows = stats.take_all()
+    rows.sort(key=lambda r: r[_V])
+    offsets, acc = {}, 0
+    for r in rows:
+        offsets[repr(r[_V])] = acc
+        acc += r["__vr_n"]
+    n = acc
+
+    def add_below(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(_BLW, pa.array([], pa.int64()))
+        off = offsets[repr(t[_V][0].as_py())]
+        c = np.asarray(t[_C].combine_chunks()
+                       .to_numpy(zero_copy_only=False)
+                       if isinstance(t[_C], pa.ChunkedArray)
+                       else t[_C].to_numpy(zero_copy_only=False),
+                       np.int64)
+        below = off + np.concatenate(([0], np.cumsum(c[:-1])))
+        return t.append_column(_BLW, pa.array(below, pa.int64()))
+
+    rank_tbl = srt.map_batches(add_below, batch_size=None,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).drop_columns([_V])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[col]))
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids, _B: pa.array(_bits(t[col]))})
+
+    pairs = ds.map_batches(proj, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = bucketed_join(pairs, rank_tbl, [_B], buckets=buckets)
+
+    denom_rank = float(max(n - 1, 1))
+    denom_cume = float(max(n, 1))
+
+    def finish(t: pa.Table) -> pa.Table:
+        below = pc.cast(t[_BLW], pa.float64())
+        cnt = pc.cast(t[_C], pa.float64())
+        return pa.table({
+            id_col: t[id_col],
+            out_rank: pc.divide(below, pa.scalar(denom_rank)),
+            out_cume: pc.divide(pc.add(below, cnt),
+                                pa.scalar(denom_cume)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
