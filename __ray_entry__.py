@@ -3499,6 +3499,36 @@ def q_rank_orders(sf_dir):
                                id_col="o_orderkey"))
 
 
+def q_merge_intervals(sf_dir):
+    """Per-key interval union (stages/intervals.merge_intervals):
+    gaps-and-islands over [ts, ts + width] spans per user — one narrow
+    (key, start, end) shuffle, per-bucket sort + segmented cummax scan
+    (Hillis-Steele), no per-key Python. Width derives from event_id so
+    both sides stay in exact int64 arithmetic. Oracle: ANSI window
+    MAX-over-preceding break detection + SUM-over-rows island ids."""
+    from vector_ray.stages.intervals import merge_intervals
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = pc.cast(t["ts"], pa.int64())
+        eid = np.asarray(pc.cast(t["event_id"], pa.int64())
+                         .combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        width = pa.array((eid % 7 + 1) * 60_000_000, pa.int64())
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, width)})
+
+    iv = ds.map_batches(spans, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return _finish(merge_intervals(iv, "user_id", "s", "e",
+                                   out_start="span_start",
+                                   out_end="span_end",
+                                   count_col="n_spans"))
+
+
 def q_uniform_sample_docs(sf_dir):
     """Global exactly-k uniform sample (ml/sampling.py uniform_sample_k):
     bottom-k of sm64(fnv1a(doc_id|seed)) — per-block local bottom-k then
@@ -3704,6 +3734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users": q_topk_users,
         "log_to_metric_agg": q_log_to_metric_agg,
         "rank_orders": q_rank_orders,
+        "merge_intervals": q_merge_intervals,
     }
 
 
@@ -4292,6 +4323,21 @@ def oracle_sql() -> dict[str, str]:
             "percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank, "
             "cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist "
             "FROM orders WHERE o_totalprice IS NOT NULL"
+        ),
+        "merge_intervals": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "x AS (SELECT user_id, s, e, CASE WHEN s > COALESCE("
+            "MAX(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s - 1) "
+            "THEN 1 ELSE 0 END AS brk FROM iv), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS grp FROM x) "
+            "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_spans "
+            "FROM g GROUP BY user_id, grp"
         ),
         # golden-value oracles (tools/golden.py): independent
         # single-threaded re-implementations of the sketch / signature

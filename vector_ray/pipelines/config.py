@@ -1063,6 +1063,26 @@ def _build_rank_values(cfg):
     return _RankValues()
 
 
+@register_transform("merge_intervals")
+def _build_merge_intervals(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.intervals import merge_intervals
+
+    class _MergeIntervals(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return merge_intervals(
+                ds, cfg["keys"], cfg["start_col"], cfg["end_col"],
+                out_start=cfg.get("out_start"),
+                out_end=cfg.get("out_end"),
+                min_gap=int(cfg.get("min_gap", 0)),
+                count_col=cfg.get("count_col"),
+                num_buckets=cfg.get("num_buckets"))
+
+    return _MergeIntervals()
+
+
 @register_transform("heavy_hitters")
 def _build_heavy_hitters(cfg):
     from vector_ray.ml.corpus import heavy_hitters
