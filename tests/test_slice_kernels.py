@@ -58,6 +58,7 @@ CASES = {
     "push": (LISTS, ("NEW",)),
     "append": (LISTS, (["X", "Y"],)),
     "parse_regex_all": (GEN, (r"\w+",)),
+    "parse_grok": (GEN, ("%{WORD:head} %{GREEDYDATA:rest}",)),
     "array_unique": (pa.array([["a", "b", "a"], None, ["c"],
                                ["d", "e", "d"], None, []]), ()),
     "tally": (pa.array([["a", "b", "a"], None, ["c"],
