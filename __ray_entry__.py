@@ -3499,6 +3499,33 @@ def q_rank_orders(sf_dir):
                                id_col="o_orderkey"))
 
 
+def q_dedup_keep_best(sf_dir):
+    """Near-dup cluster canonicalization (ml/dedup.dedup_keep_best):
+    token_minhash_pairs edges → union-find → keep the max-n_tok member
+    per cluster (tie: smallest id), stream-filter the rest. Same
+    synth-with-planted-dups corpus as token_near_dup; oracle:
+    independent mirror (tools/golden.dedup_keep_best_sql)."""
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import dedup_keep_best, token_minhash_pairs
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table({
+        "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+        "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+        "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+        "source": t["source"].slice(0, 100).combine_chunks(),
+    })
+    full = rd.from_arrow(pa.concat_tables([t, dup])).repartition(4)
+    pairs = token_minhash_pairs(full)
+    kept = dedup_keep_best(full, pairs, id_col="doc_id",
+                           quality_col="n_tok")
+    return _finish(kept.map_batches(
+        lambda b: b.select(["doc_id", "n_tok"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_merge_intervals(sf_dir):
     """Per-key interval union (stages/intervals.merge_intervals):
     gaps-and-islands over [ts, ts + width] spans per user — one narrow
@@ -3735,6 +3762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_to_metric_agg": q_log_to_metric_agg,
         "rank_orders": q_rank_orders,
         "merge_intervals": q_merge_intervals,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -4792,5 +4820,6 @@ def _golden_oracles() -> dict[str, str]:
         "diverse_select": golden.diverse_select_sql(),
         "zorder_events": golden.zorder_events_sql(),
         "resolve_entities": golden.resolve_entities_sql(),
+        "dedup_keep_best": golden.dedup_keep_best_sql(),
     })
     return _GOLDEN_CACHE

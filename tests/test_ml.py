@@ -1953,3 +1953,51 @@ class TestMinhashFlatBuffer:
         finally:
             nv.get_lib = orig
         assert np.array_equal(fa, fb)
+
+
+class TestDedupKeepBest:
+    def _fixture(self):
+        import numpy as np
+        ids = [f"d{i:03d}" for i in range(60)]
+        q = list(np.linspace(0, 59, 60))
+        q[5] = None  # null quality inside a cluster never wins
+        t = pa.table({"doc_id": pa.array(ids),
+                      "q": pa.array(q, pa.float64())})
+        pr = pa.table({
+            "a": pa.array(["d000", "d001", "d005", "d010", "d011"]),
+            "b": pa.array(["d001", "d002", "d006", "d011", "d012"]),
+        })
+        # clusters {d000,d001,d002} keep d002 (max q);
+        # {d005,d006} keep d006 (d005 null); {d010,d011,d012} keep d012
+        drop = {"d000", "d001", "d005", "d010", "d011"}
+        return t, pr, sorted(set(ids) - drop)
+
+    @pytest.mark.parametrize("cap", [1_000_000, 1])
+    def test_both_paths(self, cap):
+        from vector_ray.ml.dedup import dedup_keep_best
+
+        t, pr, want = self._fixture()
+        out = dedup_keep_best(
+            rd.from_arrow(t).repartition(4), rd.from_arrow(pr),
+            id_col="doc_id", quality_col="q", driver_pairs_cap=cap)
+        got = sorted(r["doc_id"]
+                     for r in out.select_columns(["doc_id"]).take_all())
+        assert got == want
+
+    def test_prefer_min_and_empty_pairs(self):
+        from vector_ray.ml.dedup import dedup_keep_best
+
+        t, pr, _ = self._fixture()
+        out = dedup_keep_best(
+            rd.from_arrow(t), rd.from_arrow(pr), id_col="doc_id",
+            quality_col="q", prefer_max=False)
+        got = set(r["doc_id"]
+                  for r in out.select_columns(["doc_id"]).take_all())
+        # min-q winners: d000 (q=0), d006 (d005 null loses), d010
+        assert {"d000", "d006", "d010"} <= got
+        assert {"d001", "d002", "d005", "d011", "d012"}.isdisjoint(got)
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        same = dedup_keep_best(rd.from_arrow(t), rd.from_arrow(empty),
+                               id_col="doc_id", quality_col="q")
+        assert same.count() == len(t)

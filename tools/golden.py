@@ -2078,3 +2078,59 @@ def resolve_entities_sql(table: str = "supplier", on: str = "s_name",
     rows = sorted((int(i), int(find(i))) for i in ids)
     return _values_sql(rows, [id_col, "canonical"],
                        ["BIGINT", "BIGINT"])
+
+
+def dedup_keep_best_sql() -> str:
+    """Mirror of q_dedup_keep_best: the token_near_dup pair mirror →
+    union-find → per-cluster argmax n_tok (tie: smallest id) → the
+    kept (doc_id, n_tok) corpus as VALUES."""
+    import pyarrow as pa
+
+    from vector_ray.sources.synth import synth_table
+
+    t = synth_table(5_000)
+    dup = pa.table({
+        "doc_id": pa.array([f"dup-{i:04d}" for i in range(100)]),
+        "tokens": t["tokens"].slice(0, 100).combine_chunks(),
+        "n_tok": t["n_tok"].slice(0, 100).combine_chunks(),
+        "source": t["source"].slice(0, 100).combine_chunks(),
+    })
+    full = pa.concat_tables([t, dup])
+    seeds = [(17 + h * 2_654_435_761) & M64 for h in range(8)]
+    ids, sigs = [], []
+    for doc_id, toks in zip(full["doc_id"].to_pylist(),
+                            full["tokens"].to_pylist()):
+        v = np.asarray(toks, np.int64).astype(np.uint32).astype(np.uint64)
+        sig = _window_sig(v, 4, np.array(seeds, np.uint64))
+        if sig[0] == U64MAX:
+            continue
+        ids.append(str(doc_id))
+        sigs.append(sig)
+    pairs = _lsh_pairs(ids, sigs, bands=4, num_hashes=8, threshold=0.75)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _est in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ntok = dict(zip((str(d) for d in full["doc_id"].to_pylist()),
+                    full["n_tok"].to_pylist()))
+    members: dict = {}
+    for a, b, _est in pairs:
+        for m in (a, b):
+            members.setdefault(find(m), set()).add(m)
+    drop: set = set()
+    for lbl, ms in members.items():
+        best = min(ms, key=lambda i: (-ntok[i], i))
+        drop |= ms - {best}
+    rows = [(str(d), int(n)) for d, n in
+            zip(full["doc_id"].to_pylist(), full["n_tok"].to_pylist())
+            if str(d) not in drop]
+    return _values_sql(rows, ["doc_id", "n_tok"], ["VARCHAR", "BIGINT"])

@@ -1425,3 +1425,142 @@ def minhash_index_probe(
 
     return pairs.map_batches(rename, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def dedup_keep_best(
+    ds,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str,
+    prefer_max: bool = True,
+    driver_pairs_cap: int = 1_000_000,
+    buckets: int = 16,
+):
+    """Near-dup cluster CANONICALIZATION: given a verified
+    duplicate-pair edge list (``token_minhash_pairs`` /
+    ``simhash_dup_pairs`` / ``embedding_dup_pairs`` output — columns
+    ``(a, b)`` of stringified ids), keep exactly ONE row per duplicate
+    cluster — the member with the best ``quality_col`` (max by default,
+    min with ``prefer_max=False``; ties break to the smallest id
+    string) — and stream-filter the rest out. Rows in no pair pass
+    through untouched. This is the "keep the highest-quality member"
+    refinement of keep-first dedup (the FineWeb/RefinedWeb-style rule:
+    when a cluster mixes a clean page with its boilerplate-ridden
+    mirrors, drop the mirrors, not whichever id sorts first).
+
+    Scale plan: the verified pair set is tiny relative to the corpus
+    (the near-dup convention — producers cap it at
+    ``max_candidates``), so clustering is driver union-find when the
+    edge list fits ``driver_pairs_cap``; member qualities arrive via a
+    broadcast member-id set + map-only projection (only cluster
+    members' (id, quality) rows leave the data — never the payload);
+    the final filter is a broadcast drop-set map. Above the cap it
+    composes the distributed pieces: ml/components hash-min label
+    propagation, one bucketed join of the narrow (id, quality)
+    projection, grouped_argmax per label, and a bucketed anti-join —
+    every exchange ships ids and one float only. Null quality never
+    wins (treated as worst) unless the whole cluster is null, which
+    falls back to the smallest id."""
+    import ray
+    import ray.data as rd
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+
+    def _idq(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__vr_id": pc.cast(t[id_col], pa.string()),
+            "__vr_q": pc.cast(t[quality_col], pa.float64()),
+        })
+
+    if n_pairs <= driver_pairs_cap:
+        et = pairs.take_batch(n_pairs, batch_format="pyarrow")
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(et["a"].to_pylist(), et["b"].to_pylist()):
+            ra, rb = find(str(a)), find(str(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = sorted(set(map(str, et["a"].to_pylist()))
+                         | set(map(str, et["b"].to_pylist())))
+        mref = ray.put(pa.array(members, pa.string()))
+
+        def member_rows(t: pa.Table) -> pa.Table:
+            t = _idq(t)
+            return t.filter(pc.is_in(t["__vr_id"],
+                                     value_set=ray.get(mref)))
+
+        mq = ds.map_batches(member_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+        worst = float("-inf") if prefer_max else float("inf")
+        best: dict = {}
+        for r in mq:
+            lbl = find(r["__vr_id"])
+            q = worst if r["__vr_q"] is None else r["__vr_q"]
+            cur = best.get(lbl)
+            better = (cur is None
+                      or (q > cur[0] if prefer_max else q < cur[0])
+                      or (q == cur[0] and r["__vr_id"] < cur[1]))
+            if better:
+                best[lbl] = (q, r["__vr_id"])
+        winners = {v[1] for v in best.values()}
+        drop = sorted(m for m in members if m not in winners)
+        dref = ray.put(pa.array(drop, pa.string()))
+
+        def flt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(
+                pc.cast(t[id_col], pa.string()),
+                value_set=ray.get(dref))))
+
+        return ds.map_batches(flt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # distributed path: label propagation + argmax per label
+    from vector_ray.stages.aggregate import grouped_argmax, grouped_argmin
+    from vector_ray.stages.join import bucketed_join
+
+    from .components import connected_components
+
+    comp = connected_components(pairs, a_col="a", b_col="b",
+                                buckets=buckets)
+    idq = ds.map_batches(_idq, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    j = bucketed_join(idq, comp, on=["__vr_id"], right_on=["node"],
+                      buckets=buckets)
+    # null quality sorts last either way: substitute the worst finite
+    # sentinel so argmax/argmin never pick a null over a real value
+    worst = float("-inf") if prefer_max else float("inf")
+
+    def fillq(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("__vr_q"),
+                            "__vr_q",
+                            pc.fill_null(t["__vr_q"], worst))
+
+    j = j.map_batches(fillq, batch_format="pyarrow",
+                      zero_copy_batch=True)
+    pick = grouped_argmax if prefer_max else grouped_argmin
+    winners = pick(j, ["label"], "__vr_q", tie_col="__vr_id",
+                   num_buckets=buckets)
+    drops = bucketed_join(
+        comp, winners.map_batches(
+            lambda t: t.select(["__vr_id"]), batch_format="pyarrow",
+            zero_copy_batch=True),
+        on=["node"], right_on=["__vr_id"], join_type="anti",
+        buckets=buckets)
+    keyed = ds.map_batches(
+        lambda t: t.append_column("__vr_id",
+                                  pc.cast(t[id_col], pa.string())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    kept = bucketed_join(keyed, drops, on=["__vr_id"],
+                         right_on=["node"], join_type="anti",
+                         buckets=buckets)
+    return kept.drop_columns(["__vr_id"])

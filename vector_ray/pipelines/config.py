@@ -1083,6 +1083,36 @@ def _build_merge_intervals(cfg):
     return _MergeIntervals()
 
 
+@register_transform("dedup_keep_best")
+def _build_dedup_keep_best(cfg):
+    """Pairs come from a sibling near-dup transform in the same config
+    (the edge-list dataset is produced by the named pairs op over the
+    SAME input); here the config form recomputes token-minhash pairs
+    inline — the programmatic API accepts any verified pair list."""
+    from vector_ray.stages.base import Step
+
+    class _KeepBest(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.dedup import (dedup_keep_best,
+                                             token_minhash_pairs)
+
+            pairs = token_minhash_pairs(
+                ds, id_col=cfg.get("id_col", "doc_id"),
+                tokens_col=cfg.get("tokens_col", "tokens"),
+                num_hashes=int(cfg.get("num_hashes", 8)),
+                bands=int(cfg.get("bands", 4)),
+                ngram=int(cfg.get("ngram", 4)),
+                sig_threshold=float(cfg.get("sig_threshold", 0.75)))
+            return dedup_keep_best(
+                ds, pairs, id_col=cfg.get("id_col", "doc_id"),
+                quality_col=cfg["quality_col"],
+                prefer_max=bool(cfg.get("prefer_max", True)))
+
+    return _KeepBest()
+
+
 @register_transform("heavy_hitters")
 def _build_heavy_hitters(cfg):
     from vector_ray.ml.corpus import heavy_hitters
