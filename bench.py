@@ -413,6 +413,9 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "grouped_heavy_hitters",
         "resolve_entities",
         "grouped_mad_outliers",
+        "rank_orders",
+        "merge_intervals",
+        "dedup_keep_best",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
