@@ -3499,6 +3499,21 @@ def q_rank_orders(sf_dir):
                                id_col="o_orderkey"))
 
 
+def q_weighted_key_cap(sf_dir):
+    """Per-key WEIGHTED k-without-replacement
+    (ml/sampling.weighted_per_key_cap): Gumbel top-k within each
+    source, weight = n_chars, deterministic by (doc_id, seed). Oracle:
+    independent scalar mirror (tools/golden.weighted_per_key_cap_sql)."""
+    from vector_ray.ml.sampling import weighted_per_key_cap
+
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "source", "n_chars"]).repartition(4)
+    out = weighted_per_key_cap(ds, "source", 5, "n_chars", seed=3)
+    return _finish(out.map_batches(
+        lambda t: t.select(["doc_id", "source"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_dedup_keep_best(sf_dir):
     """Near-dup cluster canonicalization (ml/dedup.dedup_keep_best):
     token_minhash_pairs edges → union-find → keep the max-n_tok member
@@ -3763,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": q_rank_orders,
         "merge_intervals": q_merge_intervals,
         "dedup_keep_best": q_dedup_keep_best,
+        "weighted_key_cap": q_weighted_key_cap,
     }
 
 
@@ -4821,5 +4837,6 @@ def _golden_oracles() -> dict[str, str]:
         "zorder_events": golden.zorder_events_sql(),
         "resolve_entities": golden.resolve_entities_sql(),
         "dedup_keep_best": golden.dedup_keep_best_sql(),
+        "weighted_key_cap": golden.weighted_per_key_cap_sql(5, 3),
     })
     return _GOLDEN_CACHE

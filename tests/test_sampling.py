@@ -252,3 +252,54 @@ class TestWeightedSampleK:
                       "w": pa.array([1.0, 0.0], pa.float64())})
         with _pt.raises(Exception):
             weighted_sample_k(rd.from_arrow(t), 1, "w").take_all()
+
+
+class TestWeightedPerKeyCap:
+    def _t(self, n=300):
+        rng = np.random.default_rng(2)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "key": pa.array([f"k{i % 4}" for i in range(n)]),
+            "w": pa.array(rng.integers(1, 1000, n).astype(np.float64)),
+        })
+
+    def test_cap_determinism_layout(self):
+        from vector_ray.ml.sampling import weighted_per_key_cap
+
+        t = self._t()
+        picks = []
+        for parts in (1, 6):
+            out = weighted_per_key_cap(
+                rd.from_arrow(t).repartition(parts), "key", 7, "w",
+                id_col="doc_id", seed=9)
+            rows = sorted((r["key"], r["doc_id"])
+                          for r in out.take_all())
+            picks.append(rows)
+            # exactly 7 per key
+            from collections import Counter
+            assert set(Counter(k for k, _ in rows).values()) == {7}
+        assert picks[0] == picks[1]
+
+    def test_weight_bias(self):
+        # a huge-weight row should essentially always survive
+        from vector_ray.ml.sampling import weighted_per_key_cap
+
+        t = self._t(100)
+        w = t["w"].to_pylist()
+        w[0] = 1e12
+        t = t.set_column(2, "w", pa.array(w, pa.float64()))
+        out = weighted_per_key_cap(rd.from_arrow(t), "key", 3, "w",
+                                   id_col="doc_id", seed=1)
+        assert 0 in {r["doc_id"] for r in out.take_all()}
+
+    def test_bad_weights_raise(self):
+        from vector_ray.ml.sampling import weighted_per_key_cap
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "key": pa.array(["a", "a"]),
+                      "w": pa.array([1.0, -3.0])})
+        import pytest
+
+        with pytest.raises(Exception, match="finite and > 0"):
+            weighted_per_key_cap(rd.from_arrow(t), "key", 1, "w",
+                                 id_col="doc_id").take_all()

@@ -2134,3 +2134,24 @@ def dedup_keep_best_sql() -> str:
             zip(full["doc_id"].to_pylist(), full["n_tok"].to_pylist())
             if str(d) not in drop]
     return _values_sql(rows, ["doc_id", "n_tok"], ["VARCHAR", "BIGINT"])
+
+
+def weighted_per_key_cap_sql(k: int, seed: int) -> str:
+    """Mirror of ml/sampling.weighted_per_key_cap over documents with
+    weight = n_chars: per source, top-k by log(w) + Gumbel(salted id
+    hash), ties by id ascending."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "source", "n_chars"])
+    per: dict = {}
+    for i, s, w in zip(t["doc_id"].to_pylist(), t["source"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        h = np.uint64(salted_int(i, seed))
+        u = (h.astype(np.float64) + np.float64(0.5)) / np.float64(2.0) ** 64
+        g = -np.log(-np.log(u))
+        key = np.log(np.float64(w)) + g
+        per.setdefault(s, []).append((-key, i))
+    rows = []
+    for s in sorted(per):
+        for _negkey, i in sorted(per[s])[:k]:
+            rows.append((i, s))
+    return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])

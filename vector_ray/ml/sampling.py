@@ -347,3 +347,47 @@ def deterministic_shuffle(
     if keep_key is None:
         out = out.drop_columns([_HKEY])
     return out
+
+
+def weighted_per_key_cap(
+    ds,
+    key_col: str,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    log_weights: bool = False,
+):
+    """At most ``k`` rows per key sampled WITHOUT replacement with
+    probability ∝ the row's weight (Gumbel top-k within each key —
+    the weighted refinement of :func:`per_key_cap`, e.g. "cap every
+    domain at k docs but prefer the longer/higher-quality ones
+    proportionally"). Deterministic by (id, seed); same two-phase
+    grouped_topk plan as per_key_cap, so ≤ k rows per (key, block)
+    enter the shuffle. ``log_weights=True`` treats ``weight_col`` as
+    already-log weights; otherwise weights must be finite and > 0."""
+    from vector_ray.stages.topk import grouped_topk
+
+    _G = "__vr_gumbel"
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = _salted_hash(t, id_col, seed)
+        u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
+        g = -np.log(-np.log(u))
+        w = np.asarray(pc.cast(t[weight_col], pa.float64())
+                       .combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        if not log_weights:
+            if len(w) and (not np.all(np.isfinite(w)) or (w <= 0).any()):
+                raise ValueError(
+                    f"weighted_per_key_cap: {weight_col} must be finite "
+                    "and > 0 (pass log_weights=True for log weights)")
+            w = np.log(w)
+        return t.append_column(_G, pa.array(w + g, pa.float64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_topk(keyed, [key_col], _G, k, descending=True,
+                       tiebreak=id_col)
+    return out.drop_columns([_G])

@@ -1113,6 +1113,25 @@ def _build_dedup_keep_best(cfg):
     return _KeepBest()
 
 
+@register_transform("weighted_per_key_cap")
+def _build_weighted_per_key_cap(cfg):
+    from vector_ray.stages.base import Step
+
+    class _WeightedCap(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.ml.sampling import weighted_per_key_cap
+
+            return weighted_per_key_cap(
+                ds, cfg["key_col"], int(cfg["k"]), cfg["weight_col"],
+                id_col=cfg.get("id_col", "doc_id"),
+                seed=int(cfg.get("seed", 0)),
+                log_weights=bool(cfg.get("log_weights", False)))
+
+    return _WeightedCap()
+
+
 @register_transform("heavy_hitters")
 def _build_heavy_hitters(cfg):
     from vector_ray.ml.corpus import heavy_hitters
