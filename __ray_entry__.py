@@ -3499,6 +3499,20 @@ def q_rank_orders(sf_dir):
                                id_col="o_orderkey"))
 
 
+def q_pmi_pairs(sf_dir):
+    """Word-pair collocations by PMI (ml/corpus.pmi_pairs): exact
+    vocab pass + broadcast vocab + map-only windowed pair partials +
+    one narrow (pair, count) shuffle; bounded driver fan-in for the
+    final PMI ranking. Oracle: independent single-threaded mirror
+    (tools/golden.pmi_pairs_sql) with the same float64 op order."""
+    import ray.data as rd
+
+    from vector_ray.ml.corpus import pmi_pairs
+
+    ds = _rp(sf_dir, "documents", columns=["text"]).repartition(4)
+    return pmi_pairs(ds, window=2, vocab_size=500, min_count=5, k=40)
+
+
 def q_weighted_key_cap(sf_dir):
     """Per-key WEIGHTED k-without-replacement
     (ml/sampling.weighted_per_key_cap): Gumbel top-k within each
@@ -3779,6 +3793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": q_merge_intervals,
         "dedup_keep_best": q_dedup_keep_best,
         "weighted_key_cap": q_weighted_key_cap,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -4838,5 +4853,6 @@ def _golden_oracles() -> dict[str, str]:
         "resolve_entities": golden.resolve_entities_sql(),
         "dedup_keep_best": golden.dedup_keep_best_sql(),
         "weighted_key_cap": golden.weighted_per_key_cap_sql(5, 3),
+        "pmi_pairs": golden.pmi_pairs_sql(2, 500, 5, 40),
     })
     return _GOLDEN_CACHE

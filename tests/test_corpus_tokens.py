@@ -368,3 +368,65 @@ class TestHeavyHitters:
         t2 = t.take(pa.array([3, 1, 0, 2]))
         out2 = _mg_compress(t2, "word", 2)
         assert sorted(out2.to_pylist(), key=lambda r: r["word"]) == out.to_pylist()
+
+
+class TestPmiPairs:
+    def test_matches_brute_force(self):
+        import numpy as np
+
+        from vector_ray.ml.corpus import _pmi_scores, pmi_pairs
+
+        rng = np.random.default_rng(4)
+        words = [f"w{i}" for i in range(30)]
+        docs = [" ".join(rng.choice(words,
+                                    size=rng.integers(3, 40)).tolist())
+                for _ in range(300)]
+        docs[5] = None
+        docs[9] = ""
+        t = pa.table({"text": pa.array(docs)})
+        got = pmi_pairs(rd.from_arrow(t).repartition(6), window=2,
+                        vocab_size=25, min_count=3, k=15).to_pandas()
+
+        from collections import Counter
+        wc = Counter()
+        for d in docs:
+            if d:
+                wc.update(d.split())
+        n_tok = sum(wc.values())
+        vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        vwords = [w for w, _ in vocab]
+        vcnt = np.array([c for _, c in vocab], np.int64)
+        vid = {w: i for i, w in enumerate(vwords)}
+        V = len(vwords)
+        pcnt = Counter()
+        for d in docs:
+            if not d:
+                continue
+            cs = [vid.get(w, -1) for w in d.split()]
+            for dd in (1, 2):
+                for i in range(len(cs) - dd):
+                    a, b = cs[i], cs[i + dd]
+                    if a >= 0 and b >= 0:
+                        pcnt[min(a, b) * V + max(a, b)] += 1
+        n_pairs = sum(pcnt.values())
+        cand = sorted((kk, c) for kk, c in pcnt.items() if c >= 3)
+        key = np.array([kk for kk, _ in cand], np.int64)
+        cnt = np.array([c for _, c in cand], np.int64)
+        lo, hi = key // V, key % V
+        pmi = _pmi_scores(cnt, vcnt[lo], vcnt[hi], n_tok, n_pairs)
+        top = np.lexsort((key, -pmi))[:15]
+        want = [(vwords[lo[i]], vwords[hi[i]], int(cnt[i]), float(pmi[i]))
+                for i in top]
+        assert list(map(tuple, got.values)) == want
+
+    def test_empty_and_cap(self):
+        import pytest
+
+        from vector_ray.ml.corpus import pmi_pairs
+
+        t = pa.table({"text": pa.array([None, ""], pa.string())})
+        out = pmi_pairs(rd.from_arrow(t))
+        assert len(out) == 0
+        t2 = pa.table({"text": pa.array(["a b"] * 50)})
+        with pytest.raises(ValueError, match="max_pairs"):
+            pmi_pairs(rd.from_arrow(t2), min_count=1, max_pairs=0)

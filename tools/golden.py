@@ -2155,3 +2155,54 @@ def weighted_per_key_cap_sql(k: int, seed: int) -> str:
         for _negkey, i in sorted(per[s])[:k]:
             rows.append((i, s))
     return _values_sql(rows, ["doc_id", "source"], ["BIGINT", "VARCHAR"])
+
+
+def pmi_pairs_sql(window: int = 2, vocab_size: int = 500,
+                  min_count: int = 5, k: int = 40) -> str:
+    """Mirror of ml/corpus.pmi_pairs over documents.text: exact word
+    counts, (count desc, word asc) vocab, windowed unordered pair
+    counts, PMI over the key-sorted candidate array with the same
+    float64 expression order as the engine."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["text"])
+    texts = t["text"].to_pylist()
+    wc: Counter = Counter()
+    for d in texts:
+        if d:
+            wc.update(d.split())
+    n_tok = sum(wc.values())
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vwords = [w for w, _ in vocab]
+    vcnt = np.array([c for _, c in vocab], np.int64)
+    vid = {w: i for i, w in enumerate(vwords)}
+    V = len(vwords)
+    pcnt: Counter = Counter()
+    for d in texts:
+        if not d:
+            continue
+        cs = [vid.get(w, -1) for w in d.split()]
+        for dd in range(1, window + 1):
+            for i in range(len(cs) - dd):
+                a, b = cs[i], cs[i + dd]
+                if a >= 0 and b >= 0:
+                    pcnt[min(a, b) * V + max(a, b)] += 1
+    n_pairs = sum(pcnt.values())
+    cand = sorted((kk, c) for kk, c in pcnt.items() if c >= min_count)
+    if not cand:
+        return ("SELECT CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR)"
+                " AS w2, CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE)"
+                " AS pmi WHERE FALSE")
+    key = np.array([kk for kk, _ in cand], np.int64)
+    cnt = np.array([c for _, c in cand], np.int64)
+    lo, hi = key // V, key % V
+    num = cnt.astype(np.float64) * (float(n_tok) * float(n_tok))
+    den = (float(n_pairs) * vcnt[lo].astype(np.float64)) \
+        * vcnt[hi].astype(np.float64)
+    pmi = np.log(num / den)
+    top = np.lexsort((key, -pmi))[:k]
+    rows = [(vwords[lo[i]], vwords[hi[i]], int(cnt[i]), float(pmi[i]))
+            for i in top]
+    return _values_sql(rows, ["w1", "w2", "cnt", "pmi"],
+                       ["VARCHAR", "VARCHAR", "BIGINT", "DOUBLE"])

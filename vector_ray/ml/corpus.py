@@ -582,3 +582,137 @@ def grouped_heavy_hitters(ds, key: str, *, col: str = "text",
         return _local_topk(summed, [key], "cnt", k, True, "word")
 
     return bucketed_map_groups(partial, [key], finish)
+
+
+def _pmi_scores(cnt: np.ndarray, ca: np.ndarray, cb: np.ndarray,
+                n_tok: int, n_pairs: int) -> np.ndarray:
+    """PMI = log( (c_ab / N_pairs) / ((c_a / N_tok) * (c_b / N_tok)) ),
+    evaluated in one fixed float64 expression order so the golden
+    mirror (same-shaped array, same op order) is bit-identical."""
+    num = cnt.astype(np.float64) * (float(n_tok) * float(n_tok))
+    den = (float(n_pairs) * ca.astype(np.float64)) * cb.astype(np.float64)
+    return np.log(num / den)
+
+
+def pmi_pairs(ds, *, col: str = "text", window: int = 2,
+              vocab_size: int = 10_000, min_count: int = 5, k: int = 50,
+              max_pairs: int = 2_000_000):
+    """Top-``k`` word-pair collocations by pointwise mutual information
+    (PMI) — the corpus-analytics step behind phrase mining and
+    tokenizer-merge candidates. A pair is two word OCCURRENCES within
+    ``window`` positions in the same document (unordered; identical
+    words count as a self-pair); only the top ``vocab_size`` words by
+    (count desc, word asc) participate, and a pair needs
+    ``min_count`` co-occurrences. Output: (w1, w2, cnt, pmi) with
+    w1/w2 in vocab-code order, ranked by (pmi desc, code asc).
+
+    Scale plan: exact word counts via per-block value_counts partials +
+    one bucketed sum (the vocab_topk plan); the vocab ships ONCE via
+    ``ray.put`` and pair counting is a map-only pass — words map to
+    vocab codes with ``pc.index_in``, the ``window`` shifted-array
+    comparisons are flat numpy, and each block emits pre-aggregated
+    (packed-code-pair, count) partials, so the only pair shuffle is
+    O(distinct pairs) narrow rows. Pairs surviving ``min_count`` are
+    collected driver-side for the final PMI ranking — bounded by
+    ``max_pairs`` with an explicit error (raise ``min_count`` — the
+    same bounded-fan-in convention as ml/dedup's max_candidates)."""
+    import ray
+
+    from vector_ray.stages.aggregate import grouped_aggregate
+    from vector_ray.stages.bucketed import bucketed_map_groups
+
+    # pass 1: exact global word counts
+    partial = ds.map_batches(
+        lambda t: _word_count_partial(t, col), batch_format="pyarrow",
+        zero_copy_batch=True)
+    summed = bucketed_map_groups(
+        partial, ["word"], lambda g: _sum_per_term(g, "word")
+    ).materialize()
+    n_tok = int(summed.sum("cnt") or 0)
+    if n_tok == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    local = summed.map_batches(
+        lambda t: _local_global_topk(t, "word", vocab_size),
+        batch_format="pyarrow", zero_copy_batch=True)
+    parts = [pa.table(b) for b in local.iter_batches(
+        batch_size=None, batch_format="pyarrow")]
+    vt = _local_global_topk(
+        pa.concat_tables(parts).combine_chunks(), "word", vocab_size)
+    vocab_words = vt["word"].combine_chunks()
+    vocab_cnt = np.asarray(vt["cnt"].to_numpy(zero_copy_only=False),
+                           np.int64)
+    V = len(vocab_words)
+    vref = ray.put(vocab_words)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        lists = _split_words(t[col])
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return empty
+        lens = pc.fill_null(pc.list_value_length(lists), 0)
+        offs = np.asarray(pc.cast(lens, pa.int64())
+                          .to_numpy(zero_copy_only=False), np.int64)
+        doc = np.repeat(np.arange(len(offs), dtype=np.int64), offs)
+        codes_arr = pc.index_in(flat, value_set=ray.get(vref))
+        codes = np.asarray(codes_arr.to_numpy(zero_copy_only=False))
+        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else \
+            np.ones(n, bool)
+        codes = np.where(valid, codes, -1).astype(np.int64)
+        keys = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            a, b = codes[:-d], codes[d:]
+            ok = (a >= 0) & (b >= 0) & (doc[:-d] == doc[d:])
+            if not ok.any():
+                continue
+            lo = np.minimum(a[ok], b[ok])
+            hi = np.maximum(a[ok], b[ok])
+            keys.append(lo * V + hi)
+        if not keys:
+            return empty
+        u, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    pp = ds.map_batches(pair_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pairs = grouped_aggregate(pp, ["key"],
+                              {"cnt": ("sum", "cnt")}).materialize()
+    n_pairs = int(pairs.sum("cnt") or 0)
+    flt = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"],
+                                            pa.scalar(min_count))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_cand = flt.count()
+    if n_cand > max_pairs:
+        raise ValueError(
+            f"pmi_pairs: {n_cand} candidate pairs exceed max_pairs="
+            f"{max_pairs}; raise min_count or max_pairs")
+    if n_cand == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    ct = flt.take_batch(n_cand, batch_format="pyarrow")
+    key = np.asarray(ct["key"].to_numpy(zero_copy_only=False), np.int64)
+    cnt = np.asarray(ct["cnt"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(key)
+    key, cnt = key[order], cnt[order]
+    lo, hi = key // V, key % V
+    pmi = _pmi_scores(cnt, vocab_cnt[lo], vocab_cnt[hi], n_tok, n_pairs)
+    top = np.lexsort((key, -pmi))[:k]
+    return pa.table({
+        "w1": vocab_words.take(pa.array(lo[top], pa.int64())),
+        "w2": vocab_words.take(pa.array(hi[top], pa.int64())),
+        "cnt": pa.array(cnt[top], pa.int64()),
+        "pmi": pa.array(pmi[top], pa.float64()),
+    })

@@ -910,6 +910,29 @@ def _build_vocab_topk(cfg):
     return _VocabTopK()
 
 
+@register_transform("pmi_pairs")
+def _build_pmi_pairs(cfg):
+    from vector_ray.stages.base import Step
+
+    class _PmiPairs(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import ray.data as rd
+
+            from vector_ray.ml.corpus import pmi_pairs
+
+            return rd.from_arrow(pmi_pairs(
+                ds, col=cfg.get("field", "text"),
+                window=int(cfg.get("window", 2)),
+                vocab_size=int(cfg.get("vocab_size", 10_000)),
+                min_count=int(cfg.get("min_count", 5)),
+                k=int(cfg.get("k", 50)),
+                max_pairs=int(cfg.get("max_pairs", 2_000_000))))
+
+    return _PmiPairs()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
