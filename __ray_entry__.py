@@ -3499,6 +3499,31 @@ def q_rank_orders(sf_dir):
                                id_col="o_orderkey"))
 
 
+def q_auc_events(sf_dir):
+    """Exact distributed ROC-AUC (ml/metrics.auc_score): tie-aware
+    Mann-Whitney U over distinct-score count partials — all int64
+    until the final division, O(#blocks) driver state. Score = value,
+    positive = event_type ∈ {click, purchase}. Oracle: the same rank
+    statistic via ANSI window SQL."""
+    from vector_ray.ml.metrics import auc_score
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        # null event_type → null label (excluded), matching the
+        # oracle's WHERE event_type IS NOT NULL
+        y = pc.if_else(pc.is_valid(t["event_type"]),
+                       pc.is_in(t["event_type"],
+                                value_set=pa.array(["click",
+                                                    "purchase"])),
+                       pa.scalar(None, pa.bool_()))
+        return pa.table({"s": t["value"], "y": y})
+
+    labeled = ds.map_batches(lab, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return auc_score(labeled.repartition(5), "s", "y")
+
+
 def q_pmi_pairs(sf_dir):
     """Word-pair collocations by PMI (ml/corpus.pmi_pairs): exact
     vocab pass + broadcast vocab + map-only windowed pair partials +
@@ -3794,6 +3819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "weighted_key_cap": q_weighted_key_cap,
         "pmi_pairs": q_pmi_pairs,
+        "auc_events": q_auc_events,
     }
 
 
@@ -4382,6 +4408,21 @@ def oracle_sql() -> dict[str, str]:
             "percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank, "
             "cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist "
             "FROM orders WHERE o_totalprice IS NOT NULL"
+        ),
+        "auc_events": (
+            "WITH d AS (SELECT value AS s, CASE WHEN event_type IN "
+            "('click','purchase') THEN 1 ELSE 0 END AS yy FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+            "g AS (SELECT s, SUM(yy) AS pos, COUNT(*)-SUM(yy) AS neg "
+            "FROM d GROUP BY s), "
+            "o AS (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) "
+            "AS cumneg FROM g) "
+            "SELECT CAST(SUM(pos*(2*cumneg+neg)) AS DOUBLE) / "
+            "CAST(2*(SELECT SUM(pos) FROM g)*(SELECT SUM(neg) FROM g) "
+            "AS DOUBLE) AS auc, "
+            "CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos, "
+            "CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg FROM o"
         ),
         "merge_intervals": (
             "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "

@@ -1,0 +1,53 @@
+"""auc_score (ml/metrics.py): exact distributed ROC-AUC."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.ml.metrics import auc_score
+
+
+def _ref(t):
+    return duckdb.sql("""
+WITH d AS (SELECT s, CASE WHEN y THEN 1 ELSE 0 END AS yy FROM t
+           WHERE s IS NOT NULL AND y IS NOT NULL),
+g AS (SELECT s, SUM(yy) AS pos, COUNT(*)-SUM(yy) AS neg FROM d GROUP BY s),
+o AS (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN
+      UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS cumneg FROM g)
+SELECT CAST(SUM(pos*(2*cumneg+neg)) AS DOUBLE) /
+       CAST(2*(SELECT SUM(pos) FROM g)*(SELECT SUM(neg) FROM g) AS DOUBLE)
+       AS auc FROM o""").df()["auc"][0]
+
+
+class TestAucScore:
+    def test_exact_vs_sql_with_ties_nulls(self):
+        rng = np.random.default_rng(6)
+        n = 5000
+        y = rng.integers(0, 2, n)
+        s = rng.normal(size=n) + y * 0.8
+        s[::7] = np.round(s[::7], 1)
+        sl, yl = list(s), [bool(v) for v in y]
+        sl[3] = None
+        yl[11] = None
+        t = pa.table({"s": pa.array(sl, pa.float64()),
+                      "y": pa.array(yl, pa.bool_())})
+        for parts in (1, 9):
+            out = auc_score(rd.from_arrow(t).repartition(parts),
+                            "s", "y").to_pandas()
+            assert out["auc"][0] == _ref(t)
+            assert out["n_pos"][0] + out["n_neg"][0] == n - 2
+
+    def test_perfect_and_degenerate(self):
+        t = pa.table({"s": pa.array([1.0, 2.0, 3.0, 4.0]),
+                      "y": pa.array([False, False, True, True])})
+        assert auc_score(rd.from_arrow(t), "s", "y")["auc"][0].as_py() == 1.0
+        t1 = pa.table({"s": pa.array([1.0, 2.0]),
+                       "y": pa.array([True, True])})
+        out = auc_score(rd.from_arrow(t1), "s", "y")
+        assert out["auc"][0].as_py() is None
+        assert out["n_neg"][0].as_py() == 0
+        # all ties → 0.5
+        t2 = pa.table({"s": pa.array([5.0] * 10),
+                       "y": pa.array([i % 2 == 0 for i in range(10)])})
+        assert auc_score(rd.from_arrow(t2), "s", "y")["auc"][0].as_py() == 0.5

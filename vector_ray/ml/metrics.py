@@ -1,0 +1,109 @@
+"""Distributed evaluation metrics over scored datasets — the
+"calibrate the quality classifier before trusting it to filter 100 TB"
+step (pairs with ml/classify.py's NB scorer and ml/lm_score.py's
+perplexity: score distributed, then evaluate distributed).
+
+``auc_score`` computes the EXACT ROC-AUC via the rank statistic
+(Mann-Whitney U), never materializing rows:
+
+    AUC = [ Σ_s pos(s) · (2·neg_below(s) + neg(s)) ] / (2·P·N)
+
+summed over DISTINCT scores s — the tie-aware trapezoidal AUC. All
+arithmetic until the final division is int64, so the result is
+bit-reproducible on any cluster shape.
+
+Plan (the stages/rownum.rank_values shape): per-block (score-bits,
+pos, neg) count partials → one narrow distinct-score shuffle
+(grouped sum) → sort by score → ONE stats row per block gives the
+driver the running-neg offsets and per-block partial sums —
+O(#blocks) driver state, payloads never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def auc_score(ds, score_col: str, label_col: str):
+    """Exact ROC-AUC of ``score_col`` against the binary ``label_col``
+    (bool, or any numeric where nonzero = positive). Rows with a null
+    score or label are excluded. Returns a one-row pa.Table
+    (auc: double, n_pos: int64, n_neg: int64); ``auc`` is null when
+    either class is empty. Ties receive the standard half credit."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    _B, _P, _N, _V = "__vr_bits", "__vr_pos", "__vr_neg", "__vr_val"
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({_B: pa.array([], pa.int64()),
+                          _P: pa.array([], pa.int64()),
+                          _N: pa.array([], pa.int64())})
+        mask = pc.and_(pc.is_valid(t[score_col]),
+                       pc.is_valid(t[label_col]))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        v = np.asarray(pc.cast(t[score_col], pa.float64())
+                       .combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        v = np.where(v == 0.0, 0.0, v)
+        y = np.asarray(pc.cast(pc.cast(t[label_col], pa.bool_()),
+                               pa.int64()).combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64)
+        bits, inv = np.unique(v.view(np.int64), return_inverse=True)
+        pos = np.bincount(inv, weights=y).astype(np.int64)
+        neg = np.bincount(inv, weights=1 - y).astype(np.int64)
+        return pa.table({_B: pa.array(bits, pa.int64()),
+                         _P: pa.array(pos, pa.int64()),
+                         _N: pa.array(neg, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    dist = grouped_aggregate(parts, [_B], {_P: ("sum", _P),
+                                           _N: ("sum", _N)})
+
+    def add_val(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[_B].combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(_V, pa.array(b.view(np.float64)))
+
+    srt = dist.map_batches(add_val, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(_V)
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        empty = pa.table({_V: pa.array([], pa.float64()),
+                          "pos_sum": pa.array([], pa.int64()),
+                          "neg_sum": pa.array([], pa.int64()),
+                          "local_u2": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        pos = np.asarray(t[_P].combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        neg = np.asarray(t[_N].combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        cum_below = np.concatenate(([0], np.cumsum(neg[:-1])))
+        local = int(np.sum((2 * cum_below + neg) * pos))
+        return pa.table({
+            _V: t[_V].slice(0, 1).combine_chunks(),
+            "pos_sum": pa.array([int(pos.sum())], pa.int64()),
+            "neg_sum": pa.array([int(neg.sum())], pa.int64()),
+            "local_u2": pa.array([local], pa.int64()),
+        })
+
+    stats = srt.map_batches(block_stat, batch_size=None,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    stats.sort(key=lambda r: r[_V])
+    n_pos = sum(r["pos_sum"] for r in stats)
+    n_neg = sum(r["neg_sum"] for r in stats)
+    u2, base_neg = 0, 0
+    for r in stats:
+        u2 += 2 * base_neg * r["pos_sum"] + r["local_u2"]
+        base_neg += r["neg_sum"]
+    auc = (float(u2) / float(2 * n_pos * n_neg)
+           if n_pos and n_neg else None)
+    return pa.table({"auc": pa.array([auc], pa.float64()),
+                     "n_pos": pa.array([n_pos], pa.int64()),
+                     "n_neg": pa.array([n_neg], pa.int64())})

@@ -933,6 +933,24 @@ def _build_pmi_pairs(cfg):
     return _PmiPairs()
 
 
+@register_transform("auc_score")
+def _build_auc_score(cfg):
+    from vector_ray.stages.base import Step
+
+    class _Auc(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import ray.data as rd
+
+            from vector_ray.ml.metrics import auc_score
+
+            return rd.from_arrow(auc_score(
+                ds, cfg["score_col"], cfg["label_col"]))
+
+    return _Auc()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
