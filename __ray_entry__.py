@@ -3524,6 +3524,35 @@ def q_auc_events(sf_dir):
     return auc_score(labeled.repartition(5), "s", "y")
 
 
+def q_grouped_auc(sf_dir):
+    """Per-slice exact ROC-AUC (ml/metrics.grouped_auc): distinct-
+    (key, score) count partials, one bucketed exchange, run-segmented
+    vectorized rank sums. Slices = user_id % 4. Oracle: the same rank
+    statistic with PARTITION BY in ANSI SQL."""
+    from vector_ray.ml.metrics import grouped_auc
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_type", "user_id", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        y = pc.if_else(pc.is_valid(t["event_type"]),
+                       pc.is_in(t["event_type"],
+                                value_set=pa.array(["click",
+                                                    "purchase"])),
+                       pa.scalar(None, pa.bool_()))
+        uid = np.asarray(pc.cast(t["user_id"], pa.int64())
+                         .combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        seg = pa.array(np.char.add("seg", (uid % 4).astype("U1")))
+        return pa.table({"seg": seg, "s": t["value"], "y": y})
+
+    labeled = ds.map_batches(lab, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _finish(grouped_auc(labeled.repartition(5), "seg", "s", "y"))
+
+
 def q_pmi_pairs(sf_dir):
     """Word-pair collocations by PMI (ml/corpus.pmi_pairs): exact
     vocab pass + broadcast vocab + map-only windowed pair partials +
@@ -3820,6 +3849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_key_cap": q_weighted_key_cap,
         "pmi_pairs": q_pmi_pairs,
         "auc_events": q_auc_events,
+        "grouped_auc": q_grouped_auc,
     }
 
 
@@ -4423,6 +4453,23 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) AS auc, "
             "CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos, "
             "CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg FROM o"
+        ),
+        "grouped_auc": (
+            "WITH d AS (SELECT 'seg' || CAST(user_id % 4 AS VARCHAR) "
+            "AS seg, value AS s, CASE WHEN event_type IN "
+            "('click','purchase') THEN 1 ELSE 0 END AS yy FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+            "AND user_id IS NOT NULL), "
+            "g AS (SELECT seg, s, SUM(yy) AS pos, COUNT(*)-SUM(yy) AS "
+            "neg FROM d GROUP BY seg, s), "
+            "o AS (SELECT seg, pos, neg, COALESCE(SUM(neg) OVER "
+            "(PARTITION BY seg ORDER BY s ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING),0) AS cumneg FROM g) "
+            "SELECT seg, CASE WHEN SUM(pos)>0 AND SUM(neg)>0 THEN "
+            "CAST(SUM(pos*(2*cumneg+neg)) AS DOUBLE) / "
+            "CAST(2*SUM(pos)*SUM(neg) AS DOUBLE) END AS auc, "
+            "CAST(SUM(pos) AS BIGINT) AS n_pos, "
+            "CAST(SUM(neg) AS BIGINT) AS n_neg FROM o GROUP BY seg"
         ),
         "merge_intervals": (
             "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "

@@ -416,6 +416,10 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "rank_orders",
         "merge_intervals",
         "dedup_keep_best",
+        "weighted_key_cap",
+        "pmi_pairs",
+        "auc_events",
+        "grouped_auc",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

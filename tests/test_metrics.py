@@ -51,3 +51,43 @@ class TestAucScore:
         t2 = pa.table({"s": pa.array([5.0] * 10),
                        "y": pa.array([i % 2 == 0 for i in range(10)])})
         assert auc_score(rd.from_arrow(t2), "s", "y")["auc"][0].as_py() == 0.5
+
+
+class TestGroupedAuc:
+    def test_exact_vs_sql(self):
+        from vector_ray.ml.metrics import grouped_auc
+
+        rng = np.random.default_rng(8)
+        n = 8000
+        k = rng.integers(0, 6, n)
+        y = rng.integers(0, 2, n)
+        s = rng.normal(size=n) + y * 0.5 * (k % 3)
+        s[::5] = np.round(s[::5], 1)
+        kl = [f"g{v}" for v in k]
+        sl, yl = list(s), [bool(v) for v in y]
+        kl[2] = None
+        sl[3] = None
+        yl[4] = None
+        kl += ["solo"] * 3
+        sl += [1.0, 2.0, 3.0]
+        yl += [True] * 3
+        t = pa.table({"k": pa.array(kl), "s": pa.array(sl, pa.float64()),
+                      "y": pa.array(yl, pa.bool_())})
+        out = (grouped_auc(rd.from_arrow(t).repartition(7), "k", "s", "y")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        ref = duckdb.sql("""
+WITH d AS (SELECT k, s, CASE WHEN y THEN 1 ELSE 0 END AS yy FROM t
+           WHERE s IS NOT NULL AND y IS NOT NULL AND k IS NOT NULL),
+g AS (SELECT k, s, SUM(yy) AS pos, COUNT(*)-SUM(yy) AS neg
+      FROM d GROUP BY k, s),
+o AS (SELECT k, pos, neg, COALESCE(SUM(neg) OVER (PARTITION BY k
+      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+      AS cumneg FROM g)
+SELECT k, CASE WHEN SUM(pos)>0 AND SUM(neg)>0 THEN
+       CAST(SUM(pos*(2*cumneg+neg)) AS DOUBLE) /
+       CAST(2*SUM(pos)*SUM(neg) AS DOUBLE) END AS auc,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg
+FROM o GROUP BY k ORDER BY k""").df().reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(out, ref, check_exact=True)

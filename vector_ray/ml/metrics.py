@@ -107,3 +107,115 @@ def auc_score(ds, score_col: str, label_col: str):
     return pa.table({"auc": pa.array([auc], pa.float64()),
                      "n_pos": pa.array([n_pos], pa.int64()),
                      "n_neg": pa.array([n_neg], pa.int64())})
+
+
+def grouped_auc(ds, key: str, score_col: str, label_col: str, *,
+                num_buckets: int | None = None):
+    """Per-key (sliced) exact ROC-AUC — "is the quality classifier
+    calibrated on EVERY language/domain, not just in aggregate". Same
+    tie-aware integer rank statistic as :func:`auc_score`, one row per
+    key: (key, auc, n_pos, n_neg); ``auc`` null where a key lacks one
+    of the classes. Rows with a null key, score or label are excluded.
+
+    Plan: per-block distinct-(key, score) count partials (the only
+    shuffle — narrow, pre-aggregated), ONE hash-bucket exchange
+    (stages/bucketed), then per-bucket sort + run-segmented vectorized
+    prefix sums — O(buckets) Python calls, hot keys stay inside one
+    contiguous vectorized run."""
+    from vector_ray.stages.bucketed import _run_starts, bucketed_map_groups
+
+    _B, _P, _N, _V = "__vr_bits", "__vr_pos", "__vr_neg", "__vr_val"
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          _B: pa.array([], pa.int64()),
+                          _P: pa.array([], pa.int64()),
+                          _N: pa.array([], pa.int64())})
+        mask = pc.and_(pc.and_(pc.is_valid(t[score_col]),
+                               pc.is_valid(t[label_col])),
+                       pc.is_valid(t[key]))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        kd = pc.cast(t[key], pa.string()).combine_chunks() \
+            .dictionary_encode()
+        kcodes = np.asarray(kd.indices.to_numpy(zero_copy_only=False),
+                            np.int64)
+        v = np.asarray(pc.cast(t[score_col], pa.float64())
+                       .combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        v = np.where(v == 0.0, 0.0, v)
+        bits = v.view(np.int64)
+        y = np.asarray(pc.cast(pc.cast(t[label_col], pa.bool_()),
+                               pa.int64()).combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64)
+        pair = np.stack([kcodes, bits], 1)
+        u, inv = np.unique(pair, axis=0, return_inverse=True)
+        inv = inv.ravel()
+        pos = np.bincount(inv, weights=y).astype(np.int64)
+        neg = np.bincount(inv, weights=1 - y).astype(np.int64)
+        kw = kd.dictionary.take(pa.array(u[:, 0], pa.int64()))
+        return pa.table({key: kw, _B: pa.array(u[:, 1], pa.int64()),
+                         _P: pa.array(pos, pa.int64()),
+                         _N: pa.array(neg, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          "auc": pa.array([], pa.float64()),
+                          "n_pos": pa.array([], pa.int64()),
+                          "n_neg": pa.array([], pa.int64())})
+        if len(g) == 0:
+            return empty
+        b = np.asarray(g[_B].combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64)
+        g = g.append_column(_V, pa.array(b.view(np.float64)))
+        g = g.combine_chunks().sort_by([(key, "ascending"),
+                                        (_V, "ascending")])
+        pos = np.asarray(g[_P].combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        neg = np.asarray(g[_N].combine_chunks()
+                         .to_numpy(zero_copy_only=False), np.int64)
+        new_run = _run_starts(g, [key])
+        starts = np.flatnonzero(new_run)
+        # per-(key,score) totals can repeat across partial blocks:
+        # collapse equal (key, score) rows first
+        same = ~new_run.copy()
+        vals = np.asarray(g[_V].combine_chunks()
+                          .to_numpy(zero_copy_only=False), np.float64)
+        same[1:] &= vals[1:] == vals[:-1]
+        seg = np.flatnonzero(~same)
+        pos = np.add.reduceat(pos, seg)
+        neg = np.add.reduceat(neg, seg)
+        new_run = new_run[seg]
+        starts = np.flatnonzero(new_run)
+        # exclusive running neg within each key run (sum rebasing)
+        cneg = np.cumsum(neg)
+        excl = cneg - neg
+        base = excl[starts]
+        run_id = np.cumsum(new_run) - 1
+        excl = excl - base[run_id]
+        term = (2 * excl + neg) * pos
+        u2 = np.add.reduceat(term, starts)
+        p_run = np.add.reduceat(pos, starts)
+        n_run = np.add.reduceat(neg, starts)
+        # integer product FIRST, one float conversion — matches
+        # auc_score's float(u2) / float(2*P*N) rounding exactly
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = u2.astype(np.float64) / \
+                (2 * p_run * n_run).astype(np.float64)
+        ok = (p_run > 0) & (n_run > 0)
+        keys_out = g[key].combine_chunks().take(
+            pa.array(seg[starts], pa.int64()))
+        return pa.table({
+            key: keys_out,
+            "auc": pa.array(np.where(ok, auc, np.nan), pa.float64(),
+                            mask=~ok),
+            "n_pos": pa.array(p_run, pa.int64()),
+            "n_neg": pa.array(n_run, pa.int64()),
+        })
+
+    return bucketed_map_groups(parts, [key], bucket,
+                               num_buckets=num_buckets)

@@ -945,6 +945,11 @@ def _build_auc_score(cfg):
 
             from vector_ray.ml.metrics import auc_score
 
+            if "key_col" in cfg:
+                from vector_ray.ml.metrics import grouped_auc
+
+                return grouped_auc(ds, cfg["key_col"],
+                                   cfg["score_col"], cfg["label_col"])
             return rd.from_arrow(auc_score(
                 ds, cfg["score_col"], cfg["label_col"]))
 
