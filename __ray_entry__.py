@@ -3524,6 +3524,24 @@ def q_auc_events(sf_dir):
     return auc_score(labeled.repartition(5), "s", "y")
 
 
+def q_triangles(sf_dir):
+    """Exact triangle count (ml/graph.triangle_count): degree-ordered
+    compact-forward — canonical dedupe, two rank joins, per-source
+    wedge enumeration (vectorized triu per sorted run), wedge ⋈ edge
+    closure — every exchange (int64, int64) pairs. Same planted host
+    graph as pagerank_hosts; oracle: ANSI three-way self-join
+    (tools/golden.triangles_sql)."""
+    import ray.data as rd
+
+    from tools.golden import pr_graph
+    from vector_ray.ml.graph import triangle_count
+
+    src, dst = pr_graph(sf_dir)
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    return triangle_count(rd.from_arrow(tbl).repartition(4))
+
+
 def q_grouped_auc(sf_dir):
     """Per-slice exact ROC-AUC (ml/metrics.grouped_auc): distinct-
     (key, score) count partials, one bucketed exchange, run-segmented
@@ -3850,6 +3868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": q_pmi_pairs,
         "auc_events": q_auc_events,
         "grouped_auc": q_grouped_auc,
+        "triangles_hosts": q_triangles,
     }
 
 
@@ -4942,5 +4961,6 @@ def _golden_oracles() -> dict[str, str]:
         "dedup_keep_best": golden.dedup_keep_best_sql(),
         "weighted_key_cap": golden.weighted_per_key_cap_sql(5, 3),
         "pmi_pairs": golden.pmi_pairs_sql(2, 500, 5, 40),
+        "triangles_hosts": golden.triangles_sql(),
     })
     return _GOLDEN_CACHE

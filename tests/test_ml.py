@@ -2001,3 +2001,42 @@ class TestDedupKeepBest:
         same = dedup_keep_best(rd.from_arrow(t), rd.from_arrow(empty),
                                id_col="doc_id", quality_col="q")
         assert same.count() == len(t)
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self):
+        import itertools
+
+        from vector_ray.ml.graph import triangle_count
+
+        rng = np.random.default_rng(12)
+        edges = set()
+        for _ in range(400):
+            a, b = rng.integers(0, 80, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        for a, b in itertools.combinations(range(200, 205), 2):
+            edges.add((a, b))  # planted K5 → +10 triangles
+        ea = [a for a, _ in edges]
+        eb = [b for _, b in edges]
+        # duplicates, reversed direction, self loop — all normalized
+        t = pa.table({"src": pa.array(ea + eb[:30] + [7], pa.int64()),
+                      "dst": pa.array(eb + ea[:30] + [7], pa.int64())})
+        got = triangle_count(
+            rd.from_arrow(t).repartition(7))["n_triangles"][0].as_py()
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = sum(1 for (a, b) in edges
+                   for c in (adj[a] & adj[b]) if c > b)
+        assert got == want
+        assert got >= 10
+
+    def test_empty_and_no_triangles(self):
+        from vector_ray.ml.graph import triangle_count
+
+        star = pa.table({"src": pa.array([0, 0, 0], pa.int64()),
+                         "dst": pa.array([1, 2, 3], pa.int64())})
+        assert triangle_count(
+            rd.from_arrow(star))["n_triangles"][0].as_py() == 0

@@ -2206,3 +2206,20 @@ def pmi_pairs_sql(window: int = 2, vocab_size: int = 500,
             for i in top]
     return _values_sql(rows, ["w1", "w2", "cnt", "pmi"],
                        ["VARCHAR", "VARCHAR", "BIGINT", "DOUBLE"])
+
+
+def triangles_sql(parquet_dir_env: bool = True) -> str:
+    """Edge list of pr_graph rendered as VALUES + an independent ANSI
+    three-way self-join triangle count (each triangle counted once at
+    its id-ordered (u<v<w) corner pair)."""
+    src, dst = pr_graph(sf_dir())
+    rows = list(zip(src, dst))
+    values = ", ".join(f"({a}, {b})" for a, b in rows)
+    return (
+        f"WITH raw(a, b) AS (VALUES {values}), "
+        "e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "
+        "FROM raw WHERE a <> b) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
+    )

@@ -956,6 +956,26 @@ def _build_auc_score(cfg):
     return _Auc()
 
 
+@register_transform("triangle_count")
+def _build_triangle_count(cfg):
+    from vector_ray.stages.base import Step
+
+    class _Triangles(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import ray.data as rd
+
+            from vector_ray.ml.graph import triangle_count
+
+            return rd.from_arrow(triangle_count(
+                ds, a_col=cfg.get("a_col", "src"),
+                b_col=cfg.get("b_col", "dst"),
+                buckets=int(cfg.get("buckets", 16))))
+
+    return _Triangles()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
