@@ -3691,7 +3691,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per round. r4 rotation: apply_changeset (the r3 red row) first,
     # then the 59 queries that have never received a driver CORRECTNESS
     # row (r1+r2+r3 union = 100 green names), then the standing-green
-    # remainder. Next round: rotate the unsampled tail to the front.
+    # remainder. ROUND-5 ROTATION (do this first next round): move the
+    # remaining never-driver-verified 26 to the front — the 18 entries
+    # currently after position 50 (split_fields, pii_redact,
+    # lm_perplexity, semantic_dedup, dup_passages, mixture_sample,
+    # per_key_cap, shuffle_order, token_dedup_collapse, vocab_topk,
+    # repetition_docs, pack_sequences, chunk_sequences, decontaminate,
+    # enrich_find_ranges, stdlib_tail, config_syslog_metrics,
+    # simhash_pairs) plus the 8 round-4-session-2 additions
+    # (rank_orders, merge_intervals, dedup_keep_best, weighted_key_cap,
+    # pmi_pairs, auc_events, grouped_auc, triangles_hosts). That
+    # completes 100% driver coverage of the registry.
     return {
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
