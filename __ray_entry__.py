@@ -3524,6 +3524,30 @@ def q_auc_events(sf_dir):
     return auc_score(labeled.repartition(5), "s", "y")
 
 
+def q_classification_report(sf_dir):
+    """Per-threshold confusion counts + precision/recall/F1
+    (ml/metrics.classification_report): one map-only pass with
+    |thresholds|-row partials, one tiny grouped sum, single float64
+    divisions of exact int64 counts. Oracle: ANSI conditional
+    aggregation per threshold."""
+    from vector_ray.ml.metrics import classification_report
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        y = pc.if_else(pc.is_valid(t["event_type"]),
+                       pc.is_in(t["event_type"],
+                                value_set=pa.array(["click",
+                                                    "purchase"])),
+                       pa.scalar(None, pa.bool_()))
+        return pa.table({"s": t["value"], "y": y})
+
+    labeled = ds.map_batches(lab, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return classification_report(labeled.repartition(5), "s", "y",
+                                 [10.0, 25.0, 50.0, 75.0, 90.0])
+
+
 def q_triangles(sf_dir):
     """Exact triangle count (ml/graph.triangle_count): degree-ordered
     compact-forward — canonical dedupe, two rank joins, per-source
@@ -3879,6 +3903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_events": q_auc_events,
         "grouped_auc": q_grouped_auc,
         "triangles_hosts": q_triangles,
+        "classification_report": q_classification_report,
     }
 
 
@@ -4482,6 +4507,31 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) AS auc, "
             "CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos, "
             "CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg FROM o"
+        ),
+        "classification_report": (
+            "WITH d AS (SELECT value AS s, CASE WHEN event_type IN "
+            "('click','purchase') THEN 1 ELSE 0 END AS y FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+            "t(threshold) AS (VALUES (10.0),(25.0),(50.0),(75.0),"
+            "(90.0)), "
+            "c AS (SELECT threshold, "
+            "CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS tp, "
+            "CAST(SUM(CASE WHEN s >= threshold AND y = 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS fp, "
+            "CAST(SUM(CASE WHEN s < threshold AND y = 1 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS fn, "
+            "CAST(SUM(CASE WHEN s < threshold AND y = 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS tn FROM d CROSS JOIN t GROUP BY "
+            "threshold) "
+            "SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, "
+            "fn, tn, "
+            "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / "
+            "CAST(tp + fp AS DOUBLE) END AS precision, "
+            "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / "
+            "CAST(tp + fn AS DOUBLE) END AS recall, "
+            "CASE WHEN 2*tp + fp + fn > 0 THEN CAST(2*tp AS DOUBLE) / "
+            "CAST(2*tp + fp + fn AS DOUBLE) END AS f1 FROM c"
         ),
         "grouped_auc": (
             "WITH d AS (SELECT 'seg' || CAST(user_id % 4 AS VARCHAR) "

@@ -91,3 +91,53 @@ SELECT k, CASE WHEN SUM(pos)>0 AND SUM(neg)>0 THEN
 FROM o GROUP BY k ORDER BY k""").df().reset_index(drop=True)
         import pandas as pd
         pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+class TestClassificationReport:
+    def test_counts_and_rates(self):
+        from vector_ray.ml.metrics import classification_report
+
+        rng = np.random.default_rng(3)
+        s = rng.uniform(0, 100, 4000)
+        y = (s + rng.normal(0, 30, 4000)) > 50
+        sl, yl = list(s), [bool(v) for v in y]
+        sl[0] = None
+        yl[1] = None
+        t = pa.table({"s": pa.array(sl, pa.float64()),
+                      "y": pa.array(yl, pa.bool_())})
+        ths = [25.0, 50.0, 75.0]
+        out = classification_report(
+            rd.from_arrow(t).repartition(6), "s", "y", ths).to_pandas()
+        ref = duckdb.sql("""
+WITH d AS (SELECT s, CASE WHEN y THEN 1 ELSE 0 END AS yy FROM t
+           WHERE s IS NOT NULL AND y IS NOT NULL),
+t2(threshold) AS (VALUES (25.0),(50.0),(75.0)),
+c AS (SELECT threshold,
+ CAST(SUM(CASE WHEN s >= threshold AND yy=1 THEN 1 ELSE 0 END) AS BIGINT) tp,
+ CAST(SUM(CASE WHEN s >= threshold AND yy=0 THEN 1 ELSE 0 END) AS BIGINT) fp,
+ CAST(SUM(CASE WHEN s < threshold AND yy=1 THEN 1 ELSE 0 END) AS BIGINT) fn,
+ CAST(SUM(CASE WHEN s < threshold AND yy=0 THEN 1 ELSE 0 END) AS BIGINT) tn
+ FROM d CROSS JOIN t2 GROUP BY threshold)
+SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
+ CASE WHEN tp+fp>0 THEN CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) END AS precision,
+ CASE WHEN tp+fn>0 THEN CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) END AS recall,
+ CASE WHEN 2*tp+fp+fn>0 THEN CAST(2*tp AS DOUBLE)/CAST(2*tp+fp+fn AS DOUBLE) END AS f1
+FROM c ORDER BY threshold""").df()
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            out.sort_values("threshold").reset_index(drop=True),
+            ref.reset_index(drop=True), check_exact=True)
+
+    def test_degenerate(self):
+        import pytest
+
+        from vector_ray.ml.metrics import classification_report
+
+        t = pa.table({"s": pa.array([1.0, 2.0]),
+                      "y": pa.array([True, True])})
+        out = classification_report(rd.from_arrow(t), "s", "y",
+                                    [5.0]).to_pandas()
+        assert out["tp"][0] == 0 and out["fn"][0] == 2
+        assert out["precision"][0] is None or np.isnan(out["precision"][0])
+        with pytest.raises(ValueError, match="thresholds required"):
+            classification_report(rd.from_arrow(t), "s", "y", [])

@@ -219,3 +219,102 @@ def grouped_auc(ds, key: str, score_col: str, label_col: str, *,
 
     return bucketed_map_groups(parts, [key], bucket,
                                num_buckets=num_buckets)
+
+
+def classification_report(ds, score_col: str, label_col: str,
+                          thresholds):
+    """Per-threshold confusion counts + precision/recall/F1 for a
+    scored binary dataset (predict positive iff score >= threshold).
+    Returns a pa.Table with one row per threshold: (threshold, tp, fp,
+    fn, tn, precision, recall, f1) — the operating-point companion to
+    :func:`auc_score` when picking the filter cutoff for a quality
+    classifier. Rows with a null score or label are excluded.
+
+    Counts are exact int64 from one map-only pass (per-block partial
+    confusion counts per threshold, one tiny grouped sum — the partial
+    is |thresholds| rows per block regardless of data size);
+    precision/recall/F1 are single float64 divisions of those integers
+    (p = tp/(tp+fp), r = tp/(tp+fn), f1 = 2*tp/(2*tp+fp+fn)), so they
+    reproduce an ANSI SQL oracle bit-for-bit. Empty denominators yield
+    null."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    ths = [float(t) for t in thresholds]
+    if not ths:
+        raise ValueError("classification_report: thresholds required")
+    tharr = np.asarray(ths, np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "threshold": pa.array([], pa.float64()),
+            "tp": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+            "fn": pa.array([], pa.int64()),
+            "tn": pa.array([], pa.int64()),
+        })
+        mask = pc.and_(pc.is_valid(t[score_col]),
+                       pc.is_valid(t[label_col]))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        s = np.asarray(pc.cast(t[score_col], pa.float64())
+                       .combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.float64)
+        y = np.asarray(pc.cast(pc.cast(t[label_col], pa.bool_()),
+                               pa.int64()).combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64) \
+            .astype(bool)
+        tp = np.empty(len(tharr), np.int64)
+        fp = np.empty(len(tharr), np.int64)
+        fn = np.empty(len(tharr), np.int64)
+        tn = np.empty(len(tharr), np.int64)
+        for i, th in enumerate(tharr):
+            pred = s >= th
+            tp[i] = int(np.sum(pred & y))
+            fp[i] = int(np.sum(pred & ~y))
+            fn[i] = int(np.sum(~pred & y))
+            tn[i] = int(np.sum(~pred & ~y))
+        return pa.table({
+            "threshold": pa.array(tharr, pa.float64()),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(fn, pa.int64()),
+            "tn": pa.array(tn, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    summed = grouped_aggregate(parts, ["threshold"], {
+        "tp": ("sum", "tp"), "fp": ("sum", "fp"),
+        "fn": ("sum", "fn"), "tn": ("sum", "tn")})
+    rows = summed.take_all()
+    by = {r["threshold"]: r for r in rows}
+    out = {"threshold": [], "tp": [], "fp": [], "fn": [], "tn": [],
+           "precision": [], "recall": [], "f1": []}
+    for th in tharr:
+        r = by.get(float(th),
+                   {"tp": 0, "fp": 0, "fn": 0, "tn": 0})
+        tp, fp_, fn_, tn = (int(r["tp"]), int(r["fp"]),
+                            int(r["fn"]), int(r["tn"]))
+        out["threshold"].append(float(th))
+        out["tp"].append(tp)
+        out["fp"].append(fp_)
+        out["fn"].append(fn_)
+        out["tn"].append(tn)
+        out["precision"].append(
+            float(tp) / float(tp + fp_) if tp + fp_ else None)
+        out["recall"].append(
+            float(tp) / float(tp + fn_) if tp + fn_ else None)
+        out["f1"].append(
+            float(2 * tp) / float(2 * tp + fp_ + fn_)
+            if 2 * tp + fp_ + fn_ else None)
+    return pa.table({
+        "threshold": pa.array(out["threshold"], pa.float64()),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "fp": pa.array(out["fp"], pa.int64()),
+        "fn": pa.array(out["fn"], pa.int64()),
+        "tn": pa.array(out["tn"], pa.int64()),
+        "precision": pa.array(out["precision"], pa.float64()),
+        "recall": pa.array(out["recall"], pa.float64()),
+        "f1": pa.array(out["f1"], pa.float64()),
+    })

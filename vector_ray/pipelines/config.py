@@ -976,6 +976,25 @@ def _build_triangle_count(cfg):
     return _Triangles()
 
 
+@register_transform("classification_report")
+def _build_classification_report(cfg):
+    from vector_ray.stages.base import Step
+
+    class _Report(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import ray.data as rd
+
+            from vector_ray.ml.metrics import classification_report
+
+            return rd.from_arrow(classification_report(
+                ds, cfg["score_col"], cfg["label_col"],
+                cfg["thresholds"]))
+
+    return _Report()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
