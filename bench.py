@@ -420,6 +420,8 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "pmi_pairs",
         "auc_events",
         "grouped_auc",
+        "triangles_hosts",
+        "classification_report",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -397,3 +397,67 @@ class TestBpeMergeKernel:
                     i += 1
             want.append(out)
         assert got == want
+
+
+class TestSegmentedCummaxProperty:
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+           st.data())
+    @settings(max_examples=100, deadline=None)
+    def test_matches_loop(self, xs, data):
+        import numpy as np
+
+        from vector_ray.stages.intervals import _segmented_cummax
+
+        seg = [True] + [data.draw(st.booleans()) for _ in xs[1:]]
+        x = np.asarray(xs, np.int64)
+        s = np.asarray(seg, bool)
+        ref, cur = [], None
+        for v, st_ in zip(x, s):
+            cur = v if st_ else max(cur, v)
+            ref.append(cur)
+        assert _segmented_cummax(x, s).tolist() == ref
+
+
+class TestMergeIntervalsProperty:
+    @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 60),
+                              st.integers(0, 30)),
+                    min_size=1, max_size=80),
+           st.integers(0, 5))
+    @settings(max_examples=40, deadline=None)
+    def test_matches_brute(self, spans, gap):
+        import collections
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.stages.intervals import merge_intervals
+
+        key = [k for k, _, _ in spans]
+        s = [a for _, a, _ in spans]
+        e = [a + w for _, a, w in spans]
+        t = pa.table({"k": pa.array(key, pa.int64()),
+                      "s": pa.array(s, pa.int64()),
+                      "e": pa.array(e, pa.int64())})
+        out = merge_intervals(rd.from_arrow(t).repartition(3),
+                              "k", "s", "e", min_gap=gap,
+                              count_col="n").to_pandas()
+        got = sorted(map(tuple, out[["k", "s", "e", "n"]].values))
+        by = collections.defaultdict(list)
+        for kk, ss, ee in zip(key, s, e):
+            by[kk].append((ss, ee))
+        want = []
+        for kk in sorted(by):
+            cur = None
+            for ss, ee in sorted(by[kk]):
+                if cur is None:
+                    cur = [ss, ee, 1]
+                elif ss <= cur[1] + gap:
+                    cur[1] = max(cur[1], ee)
+                    cur[2] += 1
+                else:
+                    want.append((kk, *cur))
+                    cur = [ss, ee, 1]
+            if cur is not None:
+                want.append((kk, *cur))
+        assert got == sorted(want)
