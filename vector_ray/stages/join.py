@@ -47,7 +47,7 @@ def join(
     on: Sequence[str],
     *,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: Optional[int] = None,
     right_on: Optional[Sequence[str]] = None,
 ):
     """Native hash join when the installed Ray has Dataset.join.
@@ -59,6 +59,10 @@ def join(
         return bucketed_join(left, right, on, join_type=join_type,
                              buckets=num_partitions, right_on=right_on)
     if hasattr(left, "join"):
+        if num_partitions is None:
+            from vector_ray.stages.bucketed import default_num_buckets
+
+            num_partitions = default_num_buckets()
         return left.join(
             right,
             join_type=join_type,
@@ -141,7 +145,7 @@ def bucketed_join(
     on: Sequence[str],
     *,
     join_type: str = "inner",
-    buckets: int = 16,
+    buckets: Optional[int] = None,
     right_on: Optional[Sequence[str]] = None,
     bloom_prefilter: bool = False,
     bloom_bits: int = 1 << 24,
@@ -149,6 +153,14 @@ def bucketed_join(
 ):
     """Explicit partitioned hash join: union both (tagged) sides, group
     by bucket, Arrow-join the two sides inside each group.
+
+    ``buckets`` defaults to stages/bucketed.default_num_buckets()
+    (~4 tasks per cluster core, min 32): per-bucket memory is
+    total/buckets and a FIXED small count would both cap parallelism
+    on a big node and make each bucket task hold data/16 at cluster
+    scale. Measured sandbox cost of the adaptive default vs the old
+    16: +0.2-0.6 s fixed per-group overhead at sf0.1 (BASELINE.md
+    round-4 session 2) — amortized to noise at any real data size.
 
     ``bloom_prefilter=True`` is the semi-join pushdown for SELECTIVE
     joins: a Bloom filter is built over the right side's keys (sparse
@@ -163,6 +175,13 @@ def bucketed_join(
     read when the right side is big)."""
     on = list(on)
     r_on = list(right_on) if right_on else on
+    if buckets is None:
+        # scale with the cluster (stages/bucketed convention): a fixed
+        # small count caps join parallelism on a big node and makes the
+        # all-to-all a 16-task bottleneck at cluster scale
+        from vector_ray.stages.bucketed import default_num_buckets
+
+        buckets = default_num_buckets()
     if bloom_prefilter:
         import ray
 
@@ -344,11 +363,15 @@ def asof_join(
     on: str,
     direction: str = "backward",
     tolerance=None,
-    buckets: int = 16,
+    buckets: Optional[int] = None,
 ):
     """As-of join: for each left row, the latest right row with
     right.on <= left.on (direction=backward) within the same `by` key.
     Sort + pandas.merge_asof per bucket (keys are hash-co-located)."""
+    if buckets is None:
+        from vector_ray.stages.bucketed import default_num_buckets
+
+        buckets = default_num_buckets()
     by = list(by)
     l_names = left.schema().names
     r_names = right.schema().names
@@ -386,7 +409,7 @@ def range_join(
     lo: str,
     hi: str,
     how: str = "inner",
-    buckets: int = 16,
+    buckets: Optional[int] = None,
 ):
     """Interval-containment join (``left.point BETWEEN right.lo AND
     right.hi`` within the same ``by`` key) for per-key NON-OVERLAPPING
@@ -454,7 +477,7 @@ def skew_join(
     *,
     join_type: str = "inner",
     right_on: Optional[Sequence[str]] = None,
-    buckets: int = 16,
+    buckets: Optional[int] = None,
     hot_frac: float = 0.01,
     max_hot: int = 64,
     per_block_cap: int = 8,
