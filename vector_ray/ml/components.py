@@ -45,7 +45,7 @@ def _label_checksum(labels) -> int:
 
 
 def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
-                         max_iters: int = 25, buckets: int = 16):
+                         max_iters: int = 25, buckets: int | None = None):
     """``edges``: Dataset of undirected edges. Returns a Dataset with
     columns (node, label): label = component representative = the
     minimum node value in the component (so "keep the lowest id per

@@ -1435,7 +1435,7 @@ def dedup_keep_best(
     quality_col: str,
     prefer_max: bool = True,
     driver_pairs_cap: int = 1_000_000,
-    buckets: int = 16,
+    buckets: int | None = None,
 ):
     """Near-dup cluster CANONICALIZATION: given a verified
     duplicate-pair edge list (``token_minhash_pairs`` /

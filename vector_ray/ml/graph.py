@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
              iters: int = 10, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10**12,
-             buckets: int = 16, broadcast_limit: int = 5_000_000):
+             buckets: int | None = None, broadcast_limit: int = 5_000_000):
     """``edges``: Dataset of directed edges. Returns a Dataset with
     columns ``(node, rank)`` — rank in integer micro-units of
     ``scale`` total initial mass (divide by ``scale`` for the ~[0,1]
@@ -246,7 +246,7 @@ def _pagerank_broadcast(edges_m, deg, *, n_nodes: int, r0: int,
 
 
 def triangle_count(edges, *, a_col: str = "src", b_col: str = "dst",
-                   buckets: int = 16):
+                   buckets: int | None = None):
     """Exact triangle count of the UNDIRECTED graph induced by the
     edge Dataset (direction, duplicate edges and self-loops are
     normalized away first). Returns a one-row pa.Table

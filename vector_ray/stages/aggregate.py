@@ -628,7 +628,7 @@ class Aggregate(Step):
 
 
 def grouped_mode(ds, keys: Sequence[str], col: str, *, out: str = "mode",
-                 buckets: int = 16):
+                 buckets: int | None = None):
     """Most frequent ``col`` value per key (ties → smallest value —
     deterministic, unlike SQL ``mode()``): the grouped count table
     (one row per distinct (key, value) — already aggregate-sized, the

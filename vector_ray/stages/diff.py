@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 def snapshot_diff(old, new, *, id_col: str = "doc_id",
                   field: str = "text", fp_col: str | None = None,
-                  buckets: int = 16):
+                  buckets: int | None = None):
     """Returns a Dataset (id_col, status) with status ∈
     {'added', 'removed', 'changed'}; unchanged ids are omitted.
     ``fp_col`` names an existing fingerprint column; otherwise the
@@ -75,7 +75,7 @@ def snapshot_diff(old, new, *, id_col: str = "doc_id",
 
 def apply_changeset(base, changes, *, id_col: str = "doc_id",
                     op_col: str = "op", mode: str = "broadcast",
-                    buckets: int = 16,
+                    buckets: int | None = None,
                     max_broadcast_rows: int = 5_000_000):
     """MERGE INTO: apply an insert/update/delete changeset to a base
     snapshot and return the new snapshot (base schema, ``op_col``

@@ -110,7 +110,7 @@ def rank_values(
     id_col: str,
     out_rank: str = "pct_rank",
     out_cume: str = "cume_dist",
-    buckets: int = 16,
+    buckets: Optional[int] = None,
 ):
     """Exact GLOBAL ``percent_rank()`` / ``cume_dist()`` of ``col`` for
     every row — the rank-transform step of feature prep (and the exact
@@ -147,6 +147,11 @@ def rank_values(
 
     from vector_ray.stages.aggregate import grouped_aggregate
     from vector_ray.stages.join import bucketed_join
+
+    if buckets is None:
+        from vector_ray.stages.bucketed import default_num_buckets
+
+        buckets = default_num_buckets()
 
     _B, _C, _V, _BLW = "__vr_bits", "__vr_cnt", "__vr_val", "__vr_below"
 

@@ -286,7 +286,7 @@ class SessionWindow(Step):
 def resample(ds, ts_col: str, size_s: float,
              specs: Dict[str, Tuple[str, str]], *,
              keys: Sequence[str] = (), fill: str = "null",
-             window_col: str = "window_start", buckets: int = 16,
+             window_col: str = "window_start", buckets: int | None = None,
              max_grid: int = 50_000_000):
     """Dense-grid tumbling aggregate — the batch analogue of SQL
     ``generate_series + LEFT JOIN`` / pandas ``.resample()``: after the
