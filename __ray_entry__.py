@@ -3524,6 +3524,23 @@ def q_auc_events(sf_dir):
     return auc_score(labeled.repartition(5), "s", "y")
 
 
+def q_quantiles_cont(sf_dir):
+    """Interpolated global quantiles (stages/quantile.
+    exact_quantiles_cont): SQL quantile_cont semantics via the
+    sort-free iterative histogram-refinement rank machinery — both
+    neighbouring order statistics fetch in one shared-scan call,
+    interpolation mirrors DuckDB's float64 expression order. Oracle:
+    quantile_cont()."""
+    from vector_ray.stages.quantile import exact_quantiles_cont
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_extendedprice"])
+    ps = [0.01, 0.25, 0.5, 0.9, 0.99]
+    vals = exact_quantiles_cont(ds.repartition(5), "l_extendedprice",
+                                ps)
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "v": pa.array(vals, pa.float64())})
+
+
 def q_classification_report(sf_dir):
     """Per-threshold confusion counts + precision/recall/F1
     (ml/metrics.classification_report): one map-only pass with
@@ -3904,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_auc": q_grouped_auc,
         "triangles_hosts": q_triangles,
         "classification_report": q_classification_report,
+        "quantiles_cont": q_quantiles_cont,
     }
 
 
@@ -4508,6 +4526,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos, "
             "CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg FROM o"
         ),
+        "quantiles_cont": (" UNION ALL ".join(
+            f"SELECT CAST({p} AS DOUBLE) AS p, "
+            f"(SELECT quantile_cont(l_extendedprice, {p}) "
+            f"FROM lineitem) AS v"
+            for p in (0.01, 0.25, 0.5, 0.9, 0.99))),
         "classification_report": (
             "WITH d AS (SELECT value AS s, CASE WHEN event_type IN "
             "('click','purchase') THEN 1 ELSE 0 END AS y FROM events "

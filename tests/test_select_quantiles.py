@@ -172,3 +172,33 @@ class TestDiverseSelect:
         empty = t.slice(0, 0)
         out0 = diverse_select(rd.from_arrow(empty), 3)
         assert out0.num_rows == 0
+
+
+class TestExactQuantilesCont:
+    def test_matches_duckdb_quantile_cont(self):
+        import duckdb
+
+        from vector_ray.stages.quantile import exact_quantiles_cont
+
+        rng = np.random.default_rng(5)
+        v = list(rng.normal(size=3333))
+        v[3] = None
+        t = pa.table({"v": pa.array(v, pa.float64())})
+        ps = [0.0, 0.01, 0.25, 0.5, 0.777, 0.99, 1.0]
+        for parts in (1, 5):
+            got = exact_quantiles_cont(
+                rd.from_arrow(t).repartition(parts), "v", ps)
+            for p, g in zip(ps, got):
+                ref = duckdb.sql(
+                    f"SELECT quantile_cont(v, {p}) FROM t").fetchone()[0]
+                assert g == ref, (p, g, ref)
+
+    def test_empty_and_single(self):
+        from vector_ray.stages.quantile import exact_quantiles_cont
+
+        empty = pa.table({"v": pa.array([], pa.float64())})
+        assert exact_quantiles_cont(rd.from_arrow(empty), "v",
+                                    [0.5]) == [None]
+        one = pa.table({"v": pa.array([7.5])})
+        assert exact_quantiles_cont(rd.from_arrow(one), "v",
+                                    [0.0, 0.5, 1.0]) == [7.5, 7.5, 7.5]

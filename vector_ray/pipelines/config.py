@@ -995,6 +995,28 @@ def _build_classification_report(cfg):
     return _Report()
 
 
+@register_transform("quantiles_cont")
+def _build_quantiles_cont(cfg):
+    from vector_ray.stages.base import Step
+
+    class _QuantCont(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import pyarrow as pa
+            import ray.data as rd
+
+            from vector_ray.stages.quantile import exact_quantiles_cont
+
+            ps = [float(p) for p in cfg["ps"]]
+            vals = exact_quantiles_cont(ds, cfg["field"], ps)
+            return rd.from_arrow(pa.table({
+                "p": pa.array(ps, pa.float64()),
+                "v": pa.array(vals, pa.float64())}))
+
+    return _QuantCont()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step

@@ -191,6 +191,44 @@ def exact_quantiles(
     return exact_rank_values(ds, col, ranks, _stats=stats, **kw)
 
 
+def exact_quantiles_cont(
+    ds,
+    col: str,
+    ps: Sequence[float],
+    **kw,
+) -> List[float]:
+    """Interpolated p-quantiles — SQL ``quantile_cont`` /
+    ``percentile_cont`` semantics: h = p·(n−1) (0-indexed), result =
+    v[⌊h⌋]·(1−frac) + v[⌈h⌉]·frac in float64 — DuckDB's SYMMETRIC
+    interpolation form (not lo + frac·(hi−lo), which differs in the
+    last ulp), so the oracle hash-matches. Uses
+    the same iterative histogram-refinement rank machinery as
+    :func:`exact_quantiles` (no global sort): both neighbouring order
+    statistics fetch in ONE exact_rank_values call (shared count
+    scans). Returns None per entry on an empty/all-null column."""
+    import math as _math
+
+    stats = _stats_scan(ds, col)
+    n = stats[0]
+    if n == 0:
+        return [None for _ in ps]
+    lo_r, hi_r, fracs = [], [], []
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"quantile {p} outside [0, 1]")
+        h = p * (n - 1)
+        fl = int(_math.floor(h))
+        lo_r.append(fl + 1)                    # 1-indexed ranks
+        hi_r.append(min(fl + 2, n))
+        fracs.append(h - fl)
+    vals = exact_rank_values(ds, col, lo_r + hi_r, _stats=stats, **kw)
+    out = []
+    for i, frac in enumerate(fracs):
+        vlo, vhi = vals[i], vals[len(fracs) + i]
+        out.append(vlo * (1 - frac) + vhi * frac)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # grouped exact quantiles — per-key AggregatedSummary quantiles
 # (metric.rs:165-169) as a distributed three-scan plan, no sort:
