@@ -3541,6 +3541,22 @@ def q_quantiles_cont(sf_dir):
                      "v": pa.array(vals, pa.float64())})
 
 
+def q_grouped_quantiles_cont(sf_dir):
+    """Per-key interpolated quantiles (grouped_exact_quantiles with
+    interpolation="cont"): each p contributes two rank requests to the
+    same three-scan distributed plan; interpolation mirrors DuckDB's
+    symmetric float64 form. Oracle: GROUP BY quantile_cont()."""
+    import ray.data as rd
+
+    from vector_ray.stages.quantile import grouped_exact_quantiles
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_exact_quantiles(ds.repartition(5), "event_type",
+                                  "value", [0.25, 0.5, 0.9],
+                                  interpolation="cont")
+    return rd.from_arrow(out)
+
+
 def q_classification_report(sf_dir):
     """Per-threshold confusion counts + precision/recall/F1
     (ml/metrics.classification_report): one map-only pass with
@@ -3922,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_hosts": q_triangles,
         "classification_report": q_classification_report,
         "quantiles_cont": q_quantiles_cont,
+        "grouped_quantiles_cont": q_grouped_quantiles_cont,
     }
 
 
@@ -4531,6 +4548,12 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT quantile_cont(l_extendedprice, {p}) "
             f"FROM lineitem) AS v"
             for p in (0.01, 0.25, 0.5, 0.9, 0.99))),
+        "grouped_quantiles_cont": (
+            "SELECT event_type, quantile_cont(value, 0.25) AS p25, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90 FROM events "
+            "WHERE value IS NOT NULL GROUP BY event_type"
+        ),
         "classification_report": (
             "WITH d AS (SELECT value AS s, CASE WHEN event_type IN "
             "('click','purchase') THEN 1 ELSE 0 END AS y FROM events "

@@ -202,3 +202,38 @@ class TestExactQuantilesCont:
         one = pa.table({"v": pa.array([7.5])})
         assert exact_quantiles_cont(rd.from_arrow(one), "v",
                                     [0.0, 0.5, 1.0]) == [7.5, 7.5, 7.5]
+
+
+class TestGroupedQuantilesCont:
+    def test_matches_duckdb(self):
+        import duckdb
+        import pandas as pd
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        rng = np.random.default_rng(9)
+        n = 4000
+        k = [f"g{v}" for v in rng.integers(0, 7, n)]
+        v = list(rng.normal(size=n) * 100)
+        v[5] = None
+        t = pa.table({"k": pa.array(k), "v": pa.array(v, pa.float64())})
+        out = grouped_exact_quantiles(
+            rd.from_arrow(t).repartition(6), "k", "v", [0.25, 0.5, 0.9],
+            interpolation="cont")
+        ref = duckdb.sql("""
+SELECT k, quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.5) AS p50,
+       quantile_cont(v, 0.9) AS p90
+FROM t WHERE v IS NOT NULL GROUP BY k ORDER BY k""").df()
+        pd.testing.assert_frame_equal(
+            out.to_pandas().sort_values("k").reset_index(drop=True),
+            ref, check_exact=True)
+
+    def test_bad_mode_raises(self):
+        import pytest
+
+        from vector_ray.stages.quantile import grouped_exact_quantiles
+
+        t = pa.table({"k": pa.array(["a"]), "v": pa.array([1.0])})
+        with pytest.raises(ValueError, match="disc|cont"):
+            grouped_exact_quantiles(rd.from_arrow(t), "k", "v", [0.5],
+                                    interpolation="nearest")

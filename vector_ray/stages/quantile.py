@@ -269,12 +269,23 @@ def grouped_exact_quantiles(
     bins: int = 1024,
     cap: int = 2_000_000,
     max_keys: int = 1_000_000,
+    interpolation: str = "disc",
 ):
     """One row per key with a column per requested quantile
-    (``p50``-style names), DuckDB ``quantile_disc`` rank rule.
+    (``p50``-style names). ``interpolation="disc"`` (default) is the
+    DuckDB ``quantile_disc`` rank rule (an actual data value);
+    ``"cont"`` is SQL ``quantile_cont``/``percentile_cont`` — the two
+    neighbouring order statistics locate through the SAME distributed
+    plan (each p just contributes two rank requests instead of one)
+    and interpolate per key as v_lo·(1−frac) + v_hi·frac, DuckDB's
+    symmetric float64 form.
 
     Driver memory is O(keys × len(ps)); ``max_keys`` (default 10^6)
     enforces that bound with an explicit error."""
+    if interpolation not in ("disc", "cont"):
+        raise ValueError(
+            f"grouped_exact_quantiles: interpolation must be disc|cont,"
+            f" got {interpolation!r}")
     import ray
 
     from vector_ray.stages.aggregate import grouped_aggregate
@@ -335,8 +346,21 @@ def grouped_exact_quantiles(
         ["ki", "bin"], {"n": ("sum", "n")},
     )
 
-    # locate the candidate bin per (key, p) — DISTRIBUTED segment scan
+    # locate the candidate bin per (key, request) — DISTRIBUTED
+    # segment scan. disc: one rank request per p (ceil(p·n));
+    # cont: two per p (floor(p·(n−1))+1 and +2, clipped to n).
     ps_l = list(ps)
+    reqs = ([(pi, 0) for pi in range(len(ps_l))] if interpolation == "disc"
+            else [(pi, side) for pi in range(len(ps_l))
+                  for side in (0, 1)])
+
+    def _req_ranks(pi: int, side: int, nkey: np.ndarray) -> np.ndarray:
+        p = ps_l[pi]
+        if interpolation == "disc":
+            return np.maximum(1, np.ceil(p * nkey)).astype(np.int64)
+        fl = np.floor(p * (nkey - 1)).astype(np.int64)
+        r = fl + 1 + side
+        return np.minimum(np.maximum(r, 1), nkey).astype(np.int64)
 
     def cand_fn(g: pa.Table) -> pa.Table:
         rtab = ray.get(rref)
@@ -359,13 +383,13 @@ def grouped_exact_quantiles(
         cum_within = c - base[run_id]
         below = cum_within - cnt
         outs = []
-        for pi, p in enumerate(ps_l):
-            ktarget = np.maximum(1, np.ceil(p * nkey)).astype(np.int64)
+        for ri, (pi, side) in enumerate(reqs):
+            ktarget = _req_ranks(pi, side, nkey)
             hit = (cum_within >= ktarget) & (below < ktarget)
             outs.append(pa.table({
                 "ki": pa.array(ki[hit], pa.int64()),
                 "bin": pa.array(bn[hit], pa.int64()),
-                "pi": pa.array(np.full(int(hit.sum()), pi), pa.int64()),
+                "pi": pa.array(np.full(int(hit.sum()), ri), pa.int64()),
                 "rw": pa.array((ktarget - below)[hit], pa.int64()),
                 "over": pa.array(cnt[hit] > cap),
             }))
@@ -434,20 +458,37 @@ def grouped_exact_quantiles(
     picked = bucketed_map_groups(fetched, ["ki"], pick_fn).take_all()
 
     key_vals = rt[key].to_pylist()
-    results: dict = {kv: {} for kv in key_vals}
+    req_res: dict = {kv: {} for kv in key_vals}
     for r in picked:
-        results[key_vals[r["ki"]]][ps_l[r["pi"]]] = float(r["v"])
+        req_res[key_vals[r["ki"]]][int(r["pi"])] = float(r["v"])
     # over-cap (pathological) bins: per-key global refinement fallback
     n_np = rt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     for i in np.nonzero(nd_over)[0]:
         kv = key_vals[int(nd_ki[i])]
-        p = ps_l[int(nd_pi[i])]
-        k = max(1, math.ceil(p * int(n_np[int(nd_ki[i])])))
+        ri = int(nd_pi[i])
+        pi, side = reqs[ri]
+        nk = np.array([int(n_np[int(nd_ki[i])])], np.int64)
+        k = int(_req_ranks(pi, side, nk)[0])
         sub = ds.map_batches(
             lambda t, kv=kv: t.filter(pc.equal(t[key], kv)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        results[kv][p] = exact_rank_values(sub, col, [k], bins=bins, cap=cap)[0]
+        req_res[kv][ri] = exact_rank_values(sub, col, [k], bins=bins,
+                                            cap=cap)[0]
+
+    n_by_kv = {kv: int(n) for kv, n in zip(key_vals, n_np)}
+    results: dict = {kv: {} for kv in key_vals}
+    for kv in key_vals:
+        for ri, (pi, side) in enumerate(reqs):
+            if interpolation == "disc":
+                results[kv][ps_l[pi]] = req_res[kv][ri]
+            elif side == 0:
+                p = ps_l[pi]
+                h = p * (n_by_kv[kv] - 1)
+                frac = h - math.floor(h)
+                vlo = req_res[kv][ri]
+                vhi = req_res[kv][ri + 1]
+                results[kv][p] = vlo * (1 - frac) + vhi * frac
 
     cols = {key: pa.array(sorted(results))}
     for p in ps:
