@@ -3541,6 +3541,37 @@ def q_quantiles_cont(sf_dir):
                      "v": pa.array(vals, pa.float64())})
 
 
+def q_ks_drift(sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (ml/metrics.ks_test): per-side distinct-value partials, one narrow
+    union shuffle, two O(#blocks) passes over the sorted distinct
+    table. Sides = events split by user_id parity. Oracle: ANSI window
+    cumulative CDFs + MAX ABS difference."""
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.ml.metrics import ks_test
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "value"])
+
+    def side(par: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uid = np.asarray(pc.cast(t["user_id"], pa.int64())
+                             .combine_chunks()
+                             .to_numpy(zero_copy_only=False), np.int64)
+            keep = pc.and_(pc.is_valid(t["user_id"]),
+                           pa.array(uid % 2 == par))
+            return pa.table({"v": t["value"]}).filter(keep)
+
+        return fn
+
+    a = ds.map_batches(side(0), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(4)
+    b = ds.map_batches(side(1), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(3)
+    return rd.from_arrow(ks_test(a, b, "v"))
+
+
 def q_grouped_quantiles_cont(sf_dir):
     """Per-key interpolated quantiles (grouped_exact_quantiles with
     interpolation="cont"): each p contributes two rank requests to the
@@ -3939,6 +3970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classification_report": q_classification_report,
         "quantiles_cont": q_quantiles_cont,
         "grouped_quantiles_cont": q_grouped_quantiles_cont,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -4548,6 +4580,23 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT quantile_cont(l_extendedprice, {p}) "
             f"FROM lineitem) AS v"
             for p in (0.01, 0.25, 0.5, 0.9, 0.99))),
+        "ks_drift": (
+            "WITH a AS (SELECT value AS v FROM events WHERE value IS "
+            "NOT NULL AND user_id % 2 = 0), "
+            "b AS (SELECT value AS v FROM events WHERE value IS NOT "
+            "NULL AND user_id % 2 = 1), "
+            "u AS (SELECT v, 1 AS ia, 0 AS ib FROM a UNION ALL "
+            "SELECT v, 0, 1 FROM b), "
+            "g AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM u "
+            "GROUP BY v), "
+            "o AS (SELECT SUM(ca) OVER (ORDER BY v) AS cuma, "
+            "SUM(cb) OVER (ORDER BY v) AS cumb FROM g) "
+            "SELECT MAX(ABS(CAST(cuma AS DOUBLE) / "
+            "(SELECT COUNT(*) FROM a) - CAST(cumb AS DOUBLE) / "
+            "(SELECT COUNT(*) FROM b))) AS ks, "
+            "CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a, "
+            "CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b FROM o"
+        ),
         "grouped_quantiles_cont": (
             "SELECT event_type, quantile_cont(value, 0.25) AS p25, "
             "quantile_cont(value, 0.5) AS p50, "

@@ -422,6 +422,9 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "grouped_auc",
         "triangles_hosts",
         "classification_report",
+        "quantiles_cont",
+        "grouped_quantiles_cont",
+        "ks_drift",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -141,3 +141,39 @@ FROM c ORDER BY threshold""").df()
         assert out["precision"][0] is None or np.isnan(out["precision"][0])
         with pytest.raises(ValueError, match="thresholds required"):
             classification_report(rd.from_arrow(t), "s", "y", [])
+
+
+class TestKsTest:
+    def test_exact_vs_numpy(self):
+        from vector_ray.ml.metrics import ks_test
+
+        rng = np.random.default_rng(14)
+        a = rng.normal(0, 1, 3000)
+        b = rng.normal(0.3, 1.2, 2000)
+        a[::9] = np.round(a[::9], 1)
+        b[::9] = np.round(b[::9], 1)
+        al = list(a)
+        al[3] = None
+        ta = pa.table({"v": pa.array(al, pa.float64())})
+        tb = pa.table({"v": pa.array(b, pa.float64())})
+        out = ks_test(rd.from_arrow(ta).repartition(7),
+                      rd.from_arrow(tb).repartition(5), "v").to_pandas()
+        av = np.sort(np.array([x for x in al if x is not None]))
+        bv = np.sort(b)
+        allv = np.unique(np.concatenate([av, bv]))
+        fa = np.searchsorted(av, allv, side="right") / len(av)
+        fb = np.searchsorted(bv, allv, side="right") / len(bv)
+        want = float(np.abs(fa - fb).max())
+        assert abs(out["ks"][0] - want) < 1e-15
+        assert out["n_a"][0] == len(av) and out["n_b"][0] == len(bv)
+
+    def test_identical_and_empty(self):
+        from vector_ray.ml.metrics import ks_test
+
+        t = pa.table({"v": pa.array([1.0, 2.0, 3.0] * 10)})
+        out = ks_test(rd.from_arrow(t), rd.from_arrow(t), "v")
+        assert out["ks"][0].as_py() == 0.0
+        empty = pa.table({"v": pa.array([], pa.float64())})
+        out2 = ks_test(rd.from_arrow(t), rd.from_arrow(empty), "v")
+        assert out2["ks"][0].as_py() is None
+        assert out2["n_b"][0].as_py() == 0

@@ -318,3 +318,116 @@ def classification_report(ds, score_col: str, label_col: str,
         "recall": pa.array(out["recall"], pa.float64()),
         "f1": pa.array(out["f1"], pa.float64()),
     })
+
+
+def ks_test(ds_a, ds_b, col: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``col`` distributions of two datasets — the distribution-drift
+    check between corpus snapshots ("did the new crawl's length /
+    perplexity / score distribution shift?"). Returns a one-row
+    pa.Table (ks: double, n_a: int64, n_b: int64); ``ks`` is null when
+    either side is empty. Nulls are excluded.
+
+    KS = max over distinct observed values v of |F_a(v) − F_b(v)| —
+    the exact statistic, not a binned approximation. Plan: per-side
+    distinct-value count partials (float64-bit keyed), ONE narrow
+    grouped-sum shuffle over the union, sort by value and checkpoint,
+    then two O(#blocks)-driver-state passes over the sorted distinct
+    table: pass 1 reduces each block to (first value, per-side count
+    sums) so the driver knows n_a, n_b and each block's running
+    offsets; pass 2 broadcasts those scalars and each block emits its
+    LOCAL max of |off_a/n_a + cum_a/n_a − off_b/n_b − cum_b/n_b| —
+    one float per block, max'd driver-side. Payloads never move and
+    nothing data-sized touches the driver."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    _B, _CA, _CB, _V = "__vr_bits", "__vr_ca", "__vr_cb", "__vr_val"
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            empty = pa.table({_B: pa.array([], pa.int64()),
+                              _CA: pa.array([], pa.int64()),
+                              _CB: pa.array([], pa.int64())})
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.drop_null()
+            if len(arr) == 0:
+                return empty
+            v = np.asarray(pc.cast(arr, pa.float64())
+                           .to_numpy(zero_copy_only=False), np.float64)
+            v = np.where(v == 0.0, 0.0, v)
+            bits, cnt = np.unique(v.view(np.int64), return_counts=True)
+            z = np.zeros(len(bits), np.int64)
+            c = cnt.astype(np.int64)
+            return pa.table({_B: pa.array(bits, pa.int64()),
+                             _CA: pa.array(c if side == 0 else z),
+                             _CB: pa.array(z if side == 0 else c)})
+
+        return fn
+
+    pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    dist = grouped_aggregate(pa_.union(pb_), [_B],
+                             {_CA: ("sum", _CA), _CB: ("sum", _CB)})
+
+    def add_val(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[_B].combine_chunks()
+                       .to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(_V, pa.array(b.view(np.float64)))
+
+    srt = dist.map_batches(add_val, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(_V).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({_V: pa.array([], pa.float64()),
+                             "a_sum": pa.array([], pa.int64()),
+                             "b_sum": pa.array([], pa.int64())})
+        return pa.table({
+            _V: t[_V].slice(0, 1).combine_chunks(),
+            "a_sum": pa.array([int(pc.sum(t[_CA]).as_py() or 0)],
+                              pa.int64()),
+            "b_sum": pa.array([int(pc.sum(t[_CB]).as_py() or 0)],
+                              pa.int64()),
+        })
+
+    stats = srt.map_batches(block_stat, batch_size=None,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    stats.sort(key=lambda r: r[_V])
+    n_a = sum(r["a_sum"] for r in stats)
+    n_b = sum(r["b_sum"] for r in stats)
+    if n_a == 0 or n_b == 0:
+        return pa.table({"ks": pa.array([None], pa.float64()),
+                         "n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64())})
+    offs, oa, ob = {}, 0, 0
+    for r in stats:
+        offs[repr(r[_V])] = (oa, ob)
+        oa += r["a_sum"]
+        ob += r["b_sum"]
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.float64())})
+        base_a, base_b = offs[repr(t[_V][0].as_py())]
+        ca = np.asarray(t[_CA].combine_chunks()
+                        .to_numpy(zero_copy_only=False), np.int64)
+        cb = np.asarray(t[_CB].combine_chunks()
+                        .to_numpy(zero_copy_only=False), np.int64)
+        cuma = base_a + np.cumsum(ca)
+        cumb = base_b + np.cumsum(cb)
+        d = np.abs(cuma.astype(np.float64) / float(n_a)
+                   - cumb.astype(np.float64) / float(n_b))
+        return pa.table({"m": pa.array([float(d.max())], pa.float64())})
+
+    maxes = srt.map_batches(block_max, batch_size=None,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    ks = max((r["m"] for r in maxes), default=0.0)
+    return pa.table({"ks": pa.array([ks], pa.float64()),
+                     "n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64())})
