@@ -3572,6 +3572,36 @@ def q_ks_drift(sf_dir):
     return rd.from_arrow(ks_test(a, b, "v"))
 
 
+def q_chi2_drift(sf_dir):
+    """Two-sample chi-square drift over event_type (sides = user_id
+    parity; ml/metrics.chi2_drift): exact per-side counts, one narrow
+    union shuffle, fixed sorted-category float64 summation. Oracle:
+    independent mirror (tools/golden.chi2_drift_sql)."""
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.ml.metrics import chi2_drift
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(par: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uid = np.asarray(pc.cast(t["user_id"], pa.int64())
+                             .combine_chunks()
+                             .to_numpy(zero_copy_only=False), np.int64)
+            keep = pc.and_(pc.is_valid(t["user_id"]),
+                           pa.array(uid % 2 == par))
+            return pa.table({"event_type": t["event_type"]}).filter(keep)
+
+        return fn
+
+    a = ds.map_batches(side(0), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(4)
+    b = ds.map_batches(side(1), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(3)
+    return rd.from_arrow(chi2_drift(a, b, "event_type"))
+
+
 def q_grouped_quantiles_cont(sf_dir):
     """Per-key interpolated quantiles (grouped_exact_quantiles with
     interpolation="cont"): each p contributes two rank requests to the
@@ -3971,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont": q_quantiles_cont,
         "grouped_quantiles_cont": q_grouped_quantiles_cont,
         "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
     }
 
 
@@ -5117,5 +5148,6 @@ def _golden_oracles() -> dict[str, str]:
         "weighted_key_cap": golden.weighted_per_key_cap_sql(5, 3),
         "pmi_pairs": golden.pmi_pairs_sql(2, 500, 5, 40),
         "triangles_hosts": golden.triangles_sql(),
+        "chi2_drift": golden.chi2_drift_sql(),
     })
     return _GOLDEN_CACHE

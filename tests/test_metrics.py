@@ -177,3 +177,44 @@ class TestKsTest:
         out2 = ks_test(rd.from_arrow(t), rd.from_arrow(empty), "v")
         assert out2["ks"][0].as_py() is None
         assert out2["n_b"][0].as_py() == 0
+
+
+class TestChi2Drift:
+    def test_matches_formula(self):
+        from collections import Counter
+
+        from vector_ray.ml.metrics import chi2_drift
+
+        rng = np.random.default_rng(2)
+        cats = ["a", "b", "c", "d"]
+        a = [cats[i] for i in rng.integers(0, 4, 2000)]
+        b = [cats[i] for i in rng.integers(0, 4, 1500)]
+        a[0] = None
+        ta = pa.table({"c": pa.array(a, pa.string())})
+        tb = pa.table({"c": pa.array(b, pa.string())})
+        out = chi2_drift(rd.from_arrow(ta).repartition(5),
+                         rd.from_arrow(tb).repartition(3),
+                         "c").to_pandas()
+        ca, cb = Counter(x for x in a if x), Counter(b)
+        order = sorted(set(ca) | set(cb))
+        av = np.array([ca.get(c, 0) for c in order], np.int64)
+        bv = np.array([cb.get(c, 0) for c in order], np.int64)
+        n_a, n_b = int(av.sum()), int(bv.sum())
+        n = float(n_a + n_b)
+        tot = (av + bv).astype(np.float64)
+        ea, eb = tot * float(n_a) / n, tot * float(n_b) / n
+        da, db = av - ea, bv - eb
+        want = float(np.sum(da * da / ea) + np.sum(db * db / eb))
+        assert out["chi2"][0] == want
+        assert out["dof"][0] == 3
+        assert out["n_a"][0] == n_a and out["n_b"][0] == n_b
+
+    def test_degenerate(self):
+        from vector_ray.ml.metrics import chi2_drift
+
+        one = pa.table({"c": pa.array(["x"] * 5)})
+        out = chi2_drift(rd.from_arrow(one), rd.from_arrow(one), "c")
+        assert out["chi2"][0].as_py() is None  # < 2 categories
+        empty = pa.table({"c": pa.array([], pa.string())})
+        out2 = chi2_drift(rd.from_arrow(one), rd.from_arrow(empty), "c")
+        assert out2["chi2"][0].as_py() is None

@@ -2223,3 +2223,38 @@ def triangles_sql(parquet_dir_env: bool = True) -> str:
         "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
         "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
     )
+
+
+def chi2_drift_sql() -> str:
+    """Mirror of q_chi2_drift: per-side event_type counts (sides =
+    user_id parity), two-sample chi-square with the same sorted
+    category order and float64 op order as ml/metrics.chi2_drift."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["user_id", "event_type"])
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for u, e in zip(t["user_id"].to_pylist(),
+                    t["event_type"].to_pylist()):
+        if u is None or e is None:
+            continue
+        (ca if u % 2 == 0 else cb)[str(e)] += 1
+    cats = sorted(set(ca) | set(cb))
+    a = np.array([ca.get(c, 0) for c in cats], np.int64)
+    b = np.array([cb.get(c, 0) for c in cats], np.int64)
+    n_a, n_b = int(a.sum()), int(b.sum())
+    k = len(cats)
+    if n_a == 0 or n_b == 0 or k < 2:
+        chi2 = None
+    else:
+        n = float(n_a + n_b)
+        tot = (a + b).astype(np.float64)
+        ea = tot * float(n_a) / n
+        eb = tot * float(n_b) / n
+        da = a.astype(np.float64) - ea
+        db = b.astype(np.float64) - eb
+        chi2 = float(np.sum(da * da / ea) + np.sum(db * db / eb))
+    return _values_sql([(chi2, max(k - 1, 0), n_a, n_b)],
+                       ["chi2", "dof", "n_a", "n_b"],
+                       ["DOUBLE", "BIGINT", "BIGINT", "BIGINT"])

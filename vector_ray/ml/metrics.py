@@ -431,3 +431,74 @@ def ks_test(ds_a, ds_b, col: str):
     return pa.table({"ks": pa.array([ks], pa.float64()),
                      "n_a": pa.array([n_a], pa.int64()),
                      "n_b": pa.array([n_b], pa.int64())})
+
+
+def chi2_drift(ds_a, ds_b, col: str):
+    """Two-sample chi-square homogeneity statistic over a CATEGORICAL
+    column — the drift check for discrete distributions (language mix,
+    source mix, label balance) next to :func:`ks_test`'s continuous
+    one. Returns a one-row pa.Table (chi2: double, dof: int64,
+    n_a: int64, n_b: int64); chi2 is null when either side is empty or
+    there are fewer than 2 categories. Null categories are excluded.
+
+        E_side(i) = tot(i) · n_side / N
+        chi2      = Σ_i Σ_side (c_side(i) − E_side(i))² / E_side(i)
+        dof       = #categories − 1
+
+    All counts are exact int64 (per-side value_counts partials, one
+    narrow grouped-sum shuffle); the statistic evaluates driver-side
+    over the O(#categories) count table in one fixed float64
+    expression order with categories SORTED BY NAME, so an independent
+    mirror reproducing the same order is bit-identical."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    _CA, _CB = "__vr_ca", "__vr_cb"
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            empty = pa.table({col: pa.array([], pa.string()),
+                              _CA: pa.array([], pa.int64()),
+                              _CB: pa.array([], pa.int64())})
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc.cast(arr, pa.string()).drop_null()
+            if len(arr) == 0:
+                return empty
+            vc = arr.value_counts()
+            c = pc.cast(vc.field("counts"), pa.int64())
+            z = pa.array(np.zeros(len(vc), np.int64))
+            return pa.table({col: vc.field("values"),
+                             _CA: c if side == 0 else z,
+                             _CB: z if side == 0 else c})
+
+        return fn
+
+    pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = grouped_aggregate(pa_.union(pb_), [col],
+                               {_CA: ("sum", _CA), _CB: ("sum", _CB)})
+    rows = counts.take_all()
+    # fixed category order (sorted by name) pins the float summation
+    # order so the independent mirror is bit-identical
+    rows.sort(key=lambda r: r[col])
+    ca = np.array([r[_CA] for r in rows], np.int64)
+    cb = np.array([r[_CB] for r in rows], np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    k = len(rows)
+    if n_a == 0 or n_b == 0 or k < 2:
+        chi2 = None
+    else:
+        n = float(n_a + n_b)
+        tot = (ca + cb).astype(np.float64)
+        ea = tot * float(n_a) / n
+        eb = tot * float(n_b) / n
+        da = ca.astype(np.float64) - ea
+        db = cb.astype(np.float64) - eb
+        chi2 = float(np.sum(da * da / ea) + np.sum(db * db / eb))
+    return pa.table({"chi2": pa.array([chi2], pa.float64()),
+                     "dof": pa.array([max(k - 1, 0)], pa.int64()),
+                     "n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64())})
