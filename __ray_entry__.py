@@ -3602,6 +3602,36 @@ def q_chi2_drift(sf_dir):
     return rd.from_arrow(chi2_drift(a, b, "event_type"))
 
 
+def q_psi_drift(sf_dir):
+    """Population Stability Index over event_type (sides = user_id
+    parity; ml/metrics.psi_drift): chi2_drift's exact-count plan, PSI
+    evaluated in fixed sorted-category numpy order. Oracle:
+    independent mirror (tools/golden.psi_drift_sql)."""
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.ml.metrics import psi_drift
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(par: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uid = np.asarray(pc.cast(t["user_id"], pa.int64())
+                             .combine_chunks()
+                             .to_numpy(zero_copy_only=False), np.int64)
+            keep = pc.and_(pc.is_valid(t["user_id"]),
+                           pa.array(uid % 2 == par))
+            return pa.table({"event_type": t["event_type"]}).filter(keep)
+
+        return fn
+
+    a = ds.map_batches(side(0), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(4)
+    b = ds.map_batches(side(1), batch_format="pyarrow",
+                       zero_copy_batch=True).repartition(3)
+    return rd.from_arrow(psi_drift(a, b, "event_type"))
+
+
 def q_grouped_quantiles_cont(sf_dir):
     """Per-key interpolated quantiles (grouped_exact_quantiles with
     interpolation="cont"): each p contributes two rank requests to the
@@ -4002,6 +4032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_cont": q_grouped_quantiles_cont,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -5149,5 +5180,6 @@ def _golden_oracles() -> dict[str, str]:
         "pmi_pairs": golden.pmi_pairs_sql(2, 500, 5, 40),
         "triangles_hosts": golden.triangles_sql(),
         "chi2_drift": golden.chi2_drift_sql(),
+        "psi_drift": golden.psi_drift_sql(),
     })
     return _GOLDEN_CACHE

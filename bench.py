@@ -426,6 +426,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "grouped_quantiles_cont",
         "ks_drift",
         "chi2_drift",
+        "psi_drift",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

@@ -218,3 +218,36 @@ class TestChi2Drift:
         empty = pa.table({"c": pa.array([], pa.string())})
         out2 = chi2_drift(rd.from_arrow(one), rd.from_arrow(empty), "c")
         assert out2["chi2"][0].as_py() is None
+
+
+class TestPsiDrift:
+    def test_matches_formula_and_eps_floor(self):
+        from collections import Counter
+
+        from vector_ray.ml.metrics import psi_drift
+
+        rng = np.random.default_rng(7)
+        cats = ["a", "b", "c"]
+        a = [cats[i] for i in rng.integers(0, 3, 1000)]
+        b = [cats[i] for i in rng.integers(0, 2, 800)]  # 'c' absent → eps
+        ta = pa.table({"c": pa.array(a)})
+        tb = pa.table({"c": pa.array(b)})
+        out = psi_drift(rd.from_arrow(ta).repartition(4),
+                        rd.from_arrow(tb).repartition(3),
+                        "c").to_pandas()
+        ca, cb = Counter(a), Counter(b)
+        order = sorted(set(ca) | set(cb))
+        av = np.array([ca.get(c, 0) for c in order], np.int64)
+        bv = np.array([cb.get(c, 0) for c in order], np.int64)
+        pa_p = np.maximum(av / float(av.sum()), 1e-4)
+        pb_p = np.maximum(bv / float(bv.sum()), 1e-4)
+        want = float(np.sum((pa_p - pb_p) * np.log(pa_p / pb_p)))
+        assert out["psi"][0] == want
+        assert out["psi"][0] > 0.25  # a whole missing category = shifted
+
+    def test_identical_is_zero(self):
+        from vector_ray.ml.metrics import psi_drift
+
+        t = pa.table({"c": pa.array(["x", "y"] * 50)})
+        out = psi_drift(rd.from_arrow(t), rd.from_arrow(t), "c")
+        assert out["psi"][0].as_py() == 0.0

@@ -2258,3 +2258,32 @@ def chi2_drift_sql() -> str:
     return _values_sql([(chi2, max(k - 1, 0), n_a, n_b)],
                        ["chi2", "dof", "n_a", "n_b"],
                        ["DOUBLE", "BIGINT", "BIGINT", "BIGINT"])
+
+
+def psi_drift_sql(eps: float = 1e-4) -> str:
+    """Mirror of q_psi_drift: per-side event_type counts (sides =
+    user_id parity), PSI with the same sorted order, eps floor and
+    array-numpy op order as ml/metrics.psi_drift."""
+    from collections import Counter
+
+    t = pq.read_table(os.path.join(sf_dir(), "events.parquet"),
+                      columns=["user_id", "event_type"])
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for u, e in zip(t["user_id"].to_pylist(),
+                    t["event_type"].to_pylist()):
+        if u is None or e is None:
+            continue
+        (ca if u % 2 == 0 else cb)[str(e)] += 1
+    cats = sorted(set(ca) | set(cb))
+    a = np.array([ca.get(c, 0) for c in cats], np.int64)
+    b = np.array([cb.get(c, 0) for c in cats], np.int64)
+    n_a, n_b = int(a.sum()), int(b.sum())
+    if n_a == 0 or n_b == 0:
+        psi = None
+    else:
+        pa_p = np.maximum(a.astype(np.float64) / float(n_a), eps)
+        pb_p = np.maximum(b.astype(np.float64) / float(n_b), eps)
+        psi = float(np.sum((pa_p - pb_p) * np.log(pa_p / pb_p)))
+    return _values_sql([(psi, n_a, n_b)], ["psi", "n_a", "n_b"],
+                       ["DOUBLE", "BIGINT", "BIGINT"])

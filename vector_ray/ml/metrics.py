@@ -502,3 +502,66 @@ def chi2_drift(ds_a, ds_b, col: str):
                      "dof": pa.array([max(k - 1, 0)], pa.int64()),
                      "n_a": pa.array([n_a], pa.int64()),
                      "n_b": pa.array([n_b], pa.int64())})
+
+
+def psi_drift(ds_a, ds_b, col: str, *, eps: float = 1e-4):
+    """Population Stability Index between the categorical ``col``
+    distributions of two datasets — the ML-ops drift score that
+    completes the family (:func:`ks_test` continuous, :func:`chi2_drift`
+    significance, PSI effect size; rule of thumb: <0.1 stable, >0.25
+    shifted). Returns a one-row pa.Table (psi: double, n_a: int64,
+    n_b: int64); null when either side is empty.
+
+        PSI = Σ_i (p_a(i) − p_b(i)) · ln(p_a(i) / p_b(i))
+
+    over the union of observed categories, with zero proportions
+    floored at ``eps`` (the standard guard — PSI is undefined at 0).
+    Exact int64 counts via the chi2_drift plan (per-side value_counts
+    partials, one narrow union shuffle); the float evaluation runs
+    driver-side over the name-sorted category table in one fixed
+    numpy expression order, so an independent mirror reproducing that
+    order is bit-identical (array np.log, same shape)."""
+    from vector_ray.stages.aggregate import grouped_aggregate
+
+    _CA, _CB = "__vr_ca", "__vr_cb"
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            empty = pa.table({col: pa.array([], pa.string()),
+                              _CA: pa.array([], pa.int64()),
+                              _CB: pa.array([], pa.int64())})
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc.cast(arr, pa.string()).drop_null()
+            if len(arr) == 0:
+                return empty
+            vc = arr.value_counts()
+            c = pc.cast(vc.field("counts"), pa.int64())
+            z = pa.array(np.zeros(len(vc), np.int64))
+            return pa.table({col: vc.field("values"),
+                             _CA: c if side == 0 else z,
+                             _CB: z if side == 0 else c})
+
+        return fn
+
+    pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = grouped_aggregate(pa_.union(pb_), [col],
+                               {_CA: ("sum", _CA), _CB: ("sum", _CB)})
+    rows = counts.take_all()
+    rows.sort(key=lambda r: r[col])
+    ca = np.array([r[_CA] for r in rows], np.int64)
+    cb = np.array([r[_CB] for r in rows], np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        psi = None
+    else:
+        pa_p = np.maximum(ca.astype(np.float64) / float(n_a), eps)
+        pb_p = np.maximum(cb.astype(np.float64) / float(n_b), eps)
+        psi = float(np.sum((pa_p - pb_p) * np.log(pa_p / pb_p)))
+    return pa.table({"psi": pa.array([psi], pa.float64()),
+                     "n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64())})

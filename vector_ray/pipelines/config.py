@@ -1017,6 +1017,52 @@ def _build_quantiles_cont(cfg):
     return _QuantCont()
 
 
+@register_transform("drift_report")
+def _build_drift_report(cfg):
+    """Drift check between two populations inside ONE input (the
+    runner's multi-input fan-in is a union, so two upstream branches
+    tag themselves with a constant ``side_field`` via add_fields and
+    union here): rows with side_field == reference_value are the
+    reference side. kind ∈ {ks, chi2, psi} selects the statistic
+    (continuous / categorical significance / effect size)."""
+    from vector_ray.stages.base import Step
+
+    class _Drift(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import ray.data as rd
+
+            from vector_ray.ml.metrics import (chi2_drift, ks_test,
+                                               psi_drift)
+
+            side, refv = cfg["side_field"], cfg["reference_value"]
+
+            def pick(want_ref: bool):
+                def fn(t: pa.Table) -> pa.Table:
+                    m = pc.equal(pc.cast(t[side], pa.string()),
+                                 pa.scalar(str(refv)))
+                    m = pc.fill_null(m, False)
+                    if not want_ref:
+                        m = pc.invert(m)
+                    return t.filter(m)
+
+                return fn
+
+            cur = ds.map_batches(pick(False), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            ref = ds.map_batches(pick(True), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            kind = cfg.get("kind", "ks")
+            fn = {"ks": ks_test, "chi2": chi2_drift,
+                  "psi": psi_drift}[kind]
+            return rd.from_arrow(fn(cur, ref, cfg["field"]))
+
+    return _Drift()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
