@@ -112,3 +112,34 @@ class TestFileSourceConfig:
         df = res["out"]
         assert len(df) == 2
         assert sorted(df["host"]) == ["a", "b"]
+
+
+class TestGzipLines:
+    def test_auto_gzip_newline_and_octet(self, tmp_path):
+        import gzip
+
+        from vector_ray.sources.lines import read_lines
+
+        lines = [f"line-{i}" for i in range(50)]
+        gz = tmp_path / "a.log.gz"
+        gz.write_bytes(gzip.compress(("\n".join(lines) + "\n").encode()))
+        got = sorted(r["line"]
+                     for r in read_lines(str(gz)).take_all())
+        assert got == sorted(lines)
+        oc = tmp_path / "c.dat.gz"
+        oc.write_bytes(gzip.compress(b"5 hello5 world"))
+        got2 = [r["line"] for r in read_lines(str(oc),
+                                              framing="octet").take_all()]
+        assert got2 == ["hello", "world"]
+
+    def test_plain_unaffected_and_bad_mode(self, tmp_path):
+        import pytest
+
+        from vector_ray.sources.lines import read_lines
+
+        p = tmp_path / "b.log"
+        p.write_text("x\ny\n")
+        assert sorted(r["line"] for r in read_lines(str(p)).take_all()) \
+            == ["x", "y"]
+        with pytest.raises(ValueError, match="compression"):
+            read_lines(str(p), compression="zstd")

@@ -1929,6 +1929,7 @@ class Topology:
                 cfg["path"],
                 framing=cfg.get("framing", "newline"),
                 delimiter=delim.encode() if isinstance(delim, str) else delim,
+                compression=cfg.get("compression", "auto"),
             )
             return ds.map_batches(
                 lambda t: t.rename_columns(["message"]), batch_format="pyarrow"

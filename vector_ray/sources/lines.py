@@ -70,28 +70,55 @@ def read_lines(
     framing: str = "newline",
     delimiter: bytes = b"\n",
     encoding: str = "utf-8",
+    compression: str = "auto",
     **read_kwargs,
 ):
     """Dataset with a single ``line: string`` column, framed per the
-    reference's framer configs."""
+    reference's framer configs. ``compression``: "auto" (default)
+    gunzips files ending in .gz, "gzip" forces it, "none" disables —
+    the decode half of the FileSink gzip roundtrip (the reference's
+    file source `compression` option)."""
+    if compression not in ("auto", "gzip", "none"):
+        raise ValueError("compression must be auto|gzip|none")
     if framing == "newline":
-        ds = rd.read_text(paths, **read_kwargs)
-        return ds.map_batches(
-            lambda t: pa.table({"line": t["text"]}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-    if framing not in ("character", "length", "octet"):
+        # read_text can't sniff gzip: route gzip inputs through the
+        # binary path and split on the delimiter after decompression
+        force_gz = compression == "gzip" or (
+            compression == "auto"
+            and any(str(p).endswith(".gz")
+                    for p in ([paths] if isinstance(paths, str)
+                              else list(paths))))
+        if not force_gz:
+            ds = rd.read_text(paths, **read_kwargs)
+            return ds.map_batches(
+                lambda t: pa.table({"line": t["text"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        framing_eff = "character"
+    else:
+        framing_eff = framing
+    if framing_eff not in ("character", "length", "octet"):
         raise ValueError(f"unknown framing {framing!r}")
     files = rd.read_binary_files(paths, **read_kwargs)
 
     def frame_file(row: dict) -> list[dict]:
         payload = row["bytes"]
-        if framing == "character":
+        if compression == "gzip" or (
+                compression == "auto"
+                and str(row.get("path", "")).endswith(".gz")) or (
+                compression == "auto" and payload[:2] == b"\x1f\x8b"):
+            import gzip
+
+            payload = gzip.decompress(payload)
+        if framing_eff == "character":
             frames = _frames_character(payload, delimiter)
-        elif framing == "length":
+        elif framing_eff == "length":
             frames = _frames_length(payload)
         else:
             frames = _frames_octet(payload)
-        return [{"line": f.decode(encoding, "replace")} for f in frames]
+        out = [{"line": f.decode(encoding, "replace")} for f in frames]
+        if framing == "newline" and out and out[-1]["line"] == "":
+            out.pop()  # trailing newline produces an empty last frame
+        return out
 
     return files.flat_map(frame_file)
