@@ -461,3 +461,51 @@ class TestMergeIntervalsProperty:
             if cur is not None:
                 want.append((kk, *cur))
         assert got == sorted(want)
+
+
+class TestAucProperty:
+    @given(st.lists(st.tuples(st.integers(0, 20), st.booleans()),
+                    min_size=2, max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_matches_pair_counting(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.ml.metrics import auc_score
+
+        s = [float(a) for a, _ in rows]
+        y = [b for _, b in rows]
+        t = pa.table({"s": pa.array(s), "y": pa.array(y)})
+        out = auc_score(rd.from_arrow(t).repartition(3), "s", "y")
+        auc = out["auc"][0].as_py()
+        pos = [v for v, lab in zip(s, y) if lab]
+        neg = [v for v, lab in zip(s, y) if not lab]
+        if not pos or not neg:
+            assert auc is None
+            return
+        wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+        assert auc == wins / (len(pos) * len(neg))
+
+
+class TestRankValuesProperty:
+    @given(st.lists(st.integers(-50, 50), min_size=1, max_size=150))
+    @settings(max_examples=30, deadline=None)
+    def test_matches_counting_definition(self, vals):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vector_ray.stages.rownum import rank_values
+
+        t = pa.table({"id": pa.array(range(len(vals)), pa.int64()),
+                      "v": pa.array([float(v) for v in vals])})
+        out = (rank_values(rd.from_arrow(t).repartition(3), "v",
+                           id_col="id")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        arr = np.asarray(vals, np.float64)
+        n = len(arr)
+        for i in range(n):
+            below = int((arr < arr[i]).sum())
+            le = int((arr <= arr[i]).sum())
+            assert out["pct_rank"][i] == below / max(n - 1, 1)
+            assert out["cume_dist"][i] == le / n
