@@ -3602,6 +3602,78 @@ def q_chi2_drift(sf_dir):
     return rd.from_arrow(chi2_drift(a, b, "event_type"))
 
 
+def q_throttle_events(sf_dir):
+    """Per-key rate limit (stages/throttle.throttle): keep the first 2
+    events per (user, UTC day) in (ts, event_id) order — the newer
+    reference's throttle transform as a deterministic batch plan
+    (grouped_topk two-phase: per-block local cap, one bucketed merge;
+    ≤ threshold×blocks rows per (key, window) cross the exchange).
+    Oracle: ANSI ROW_NUMBER over (user, day) partitions."""
+    from vector_ray.stages.throttle import throttle
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "event_type"])
+    out = throttle(ds, "user_id", "ts", threshold=2,
+                   window=86_400_000_000, tiebreak="event_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    return _finish(out.map_batches(proj, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+def q_ttl_dedupe_events(sf_dir):
+    """TTL-cache dedupe (stages/throttle.ttl_dedupe): per user, keep
+    the first event then every next event ≥ 12 h after the LAST KEPT
+    one — the reference dedupe transform's cache-with-TTL semantics
+    (src/transforms/dedupe.rs:15-60) replayed deterministically. One
+    key-hash exchange; the greedy chain resolves per bucket with a
+    frontier loop vectorized ACROSS keys (searchsorted successor map;
+    Python rounds = max chain length, not rows). Oracle: recursive
+    CTE MIN-aggregate chain — exactly the greedy recurrence."""
+    from vector_ray.stages.throttle import ttl_dedupe
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"])
+    out = ttl_dedupe(ds, "user_id", "ts", ttl=43_200_000_000,
+                     tiebreak="event_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "value": t["value"],
+        })
+
+    return _finish(out.map_batches(proj, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+def q_session_paths(sf_dir):
+    """Top-k session journeys (stages/paths.session_paths): gap-8h
+    sessionization per user, first-3-event-type path strings, global
+    top-25 by session count (ties by path asc). One narrow (user, ts,
+    type) exchange; paths render per bucket via ListArray +
+    binary_join (no per-session Python); only (path, cnt) partials
+    leave; two-phase global top-k merge. Oracle: ANSI LAG-break +
+    SUM-over-rows session ids + STRING_AGG + ranked LIMIT."""
+    from vector_ray.stages.paths import session_paths
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return _finish(session_paths(
+        ds, key="user_id", ts_col="ts", type_col="event_type",
+        gap=28_800_000_000, max_steps=3, k=25, sep=">",
+        tiebreak="event_id"))
+
+
 def q_psi_drift(sf_dir):
     """Population Stability Index over event_type (sides = user_id
     parity; ml/metrics.psi_drift): chi2_drift's exact-count plan, PSI
@@ -3848,8 +3920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # enrich_find_ranges, stdlib_tail, config_syslog_metrics,
     # simhash_pairs) plus the 8 round-4-session-2 additions
     # (rank_orders, merge_intervals, dedup_keep_best, weighted_key_cap,
-    # pmi_pairs, auc_events, grouped_auc, triangles_hosts). That
-    # completes 100% driver coverage of the registry.
+    # pmi_pairs, auc_events, grouped_auc, triangles_hosts) plus the
+    # round-4-session-3 additions (throttle_events, ttl_dedupe_events,
+    # session_paths). That completes 100% driver coverage of the
+    # registry.
     return {
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
@@ -4033,6 +4107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
         "psi_drift": q_psi_drift,
+        "throttle_events": q_throttle_events,
+        "ttl_dedupe_events": q_ttl_dedupe_events,
+        "session_paths": q_session_paths,
     }
 
 
@@ -4721,6 +4798,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_spans "
             "FROM g GROUP BY user_id, grp"
+        ),
+        "throttle_events": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, "
+            "epoch_us(ts) // 86400000000 ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE ts IS NOT NULL) WHERE rn <= 2"
+        ),
+        "ttl_dedupe_events": (
+            # greedy TTL chain per user: the recursive working table
+            # holds each user's LAST kept timestamp; every step emits
+            # the next event >= last + ttl. Kept rows then resolve to
+            # the min-event_id row at their (user, ts).
+            "WITH RECURSIVE e AS (SELECT event_id, user_id, "
+            "epoch_us(ts) AS ts_us, value FROM events "
+            "WHERE ts IS NOT NULL), "
+            "kept AS (SELECT user_id, MIN(ts_us) AS ts_us FROM e "
+            "GROUP BY user_id "
+            "UNION ALL "
+            "SELECT e.user_id, MIN(e.ts_us) FROM e JOIN kept "
+            "ON e.user_id = kept.user_id "
+            "AND e.ts_us >= kept.ts_us + 43200000000 "
+            "GROUP BY e.user_id) "
+            "SELECT MIN(e.event_id) AS event_id, e.user_id, e.ts_us, "
+            "arg_min(e.value, e.event_id) AS value "
+            "FROM e JOIN kept ON e.user_id = kept.user_id "
+            "AND e.ts_us = kept.ts_us GROUP BY e.user_id, e.ts_us"
+        ),
+        "session_paths": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "event_type FROM events WHERE user_id IS NOT NULL AND "
+            "ts IS NOT NULL AND event_type IS NOT NULL), "
+            "x AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id) "
+            "> 28800000000 THEN 1 ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS sess FROM x), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, "
+            "sess ORDER BY ts_us, event_id) AS rn FROM s), "
+            "p AS (SELECT user_id, sess, STRING_AGG(event_type, '>' "
+            "ORDER BY ts_us, event_id) AS path FROM r WHERE rn <= 3 "
+            "GROUP BY user_id, sess) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+            "FROM p GROUP BY path ORDER BY n_sessions DESC, path "
+            "LIMIT 25"
         ),
         # golden-value oracles (tools/golden.py): independent
         # single-threaded re-implementations of the sketch / signature

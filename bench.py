@@ -427,6 +427,9 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "ks_drift",
         "chi2_drift",
         "psi_drift",
+        "throttle_events",
+        "ttl_dedupe_events",
+        "session_paths",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

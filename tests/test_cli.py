@@ -359,3 +359,40 @@ class TestComponentTools:
         assert by_name["source1"][3] == "1000"   # rows_out
         assert by_name["transform1"][3] == "1000"
         assert by_name["sink1"][1] == "sink"
+
+
+class TestRateLimitingExample:
+    def test_throttle_ttl_paths_topology(self):
+        import glob
+        import shutil
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        shutil.rmtree("/tmp/vr_rate_limiting", ignore_errors=True)
+        r = run_cli("run", os.path.join(REPO, "examples",
+                                        "rate_limiting.yaml"),
+                    timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        dd = glob.glob("/tmp/vr_rate_limiting/deduped/**/*.parquet",
+                       recursive=True)
+        jj = glob.glob("/tmp/vr_rate_limiting/journeys/**/*.parquet",
+                       recursive=True)
+        assert dd and jj
+        kept = pq.read_table(dd)
+        # TTL dedupe: per user, consecutive kept events are >= 12 h apart
+        gaps = duckdb.sql(
+            "SELECT MIN(epoch_us(ts) - prev) FROM (SELECT user_id, ts, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS prev FROM kept) WHERE prev IS NOT NULL"
+        ).fetchone()[0]
+        assert gaps is not None and gaps >= 43_200_000_000
+        src = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet")
+        assert 0 < len(kept) < len(src)
+        paths = pq.read_table(jj)
+        assert set(paths.column_names) == {"path", "n_sessions"}
+        assert 0 < len(paths) <= 10
+        # paths are over the 5 event types, at most 3 steps
+        for p in paths["path"].to_pylist():
+            assert 1 <= len(p.split(">")) <= 3

@@ -1236,6 +1236,64 @@ def _build_merge_intervals(cfg):
     return _MergeIntervals()
 
 
+@register_transform("throttle")
+def _build_throttle(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.throttle import throttle
+
+    class _Throttle(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return throttle(ds, cfg["keys"], cfg["ts_col"],
+                            threshold=int(cfg["threshold"]),
+                            window=int(cfg["window"]),
+                            tiebreak=cfg.get("tiebreak"),
+                            num_buckets=cfg.get("num_buckets"))
+
+    return _Throttle()
+
+
+@register_transform("ttl_dedupe")
+def _build_ttl_dedupe(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.throttle import ttl_dedupe
+
+    class _TtlDedupe(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return ttl_dedupe(ds, cfg["keys"], cfg["ts_col"],
+                              ttl=int(cfg["ttl"]),
+                              tiebreak=cfg.get("tiebreak"),
+                              num_buckets=cfg.get("num_buckets"))
+
+    return _TtlDedupe()
+
+
+@register_transform("session_paths")
+def _build_session_paths(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.paths import session_paths
+
+    class _SessionPaths(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return session_paths(
+                ds, key=cfg.get("key", "user_id"),
+                ts_col=cfg.get("ts_col", "ts"),
+                type_col=cfg.get("type_col", "event_type"),
+                gap=int(cfg["gap"]),
+                max_steps=int(cfg.get("max_steps", 8)),
+                k=int(cfg.get("k", 20)),
+                sep=cfg.get("sep", ">"),
+                tiebreak=cfg.get("tiebreak"),
+                num_buckets=cfg.get("num_buckets"))
+
+    return _SessionPaths()
+
+
 @register_transform("dedup_keep_best")
 def _build_dedup_keep_best(cfg):
     """Pairs come from a sibling near-dup transform in the same config

@@ -46,6 +46,7 @@ def grouped_topk(
     *,
     descending: bool = True,
     tiebreak: Optional[str] = None,
+    num_buckets: Optional[int] = None,
 ):
     """Top-k rows per key ordered by ``order_col`` (ties broken by
     ``tiebreak`` ascending for determinism)."""
@@ -63,4 +64,4 @@ def grouped_topk(
     # (it already segments per key), not one Python call per key
     from vector_ray.stages.bucketed import bucketed_map_groups
 
-    return bucketed_map_groups(pre, keys, merge)
+    return bucketed_map_groups(pre, keys, merge, num_buckets=num_buckets)
