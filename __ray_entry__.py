@@ -3674,6 +3674,46 @@ def q_session_paths(sf_dir):
         tiebreak="event_id"))
 
 
+def q_interval_join(sf_dir):
+    """Interval-OVERLAP join (stages/intervals.interval_join): even
+    events' [ts, ts+1-7h] spans vs odd events' [ts, ts+1.5-7.5h]
+    spans per user. Chunk-replicated (4h slabs), one (key, slab)
+    exchange, per-group two-sided contiguous-range enumeration over
+    start-sorted sides (work O(output), no post-filter), pairs
+    deduped by the max(start)-slab rule. Oracle: plain SQL inner
+    join on overlap."""
+    from vector_ray.stages.intervals import interval_join
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def spans(parity: int, ident: str, width_mod: int, width_us: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            eid = np.asarray(pc.cast(t["event_id"], pa.int64())
+                             .combine_chunks()
+                             .to_numpy(zero_copy_only=False), np.int64)
+            t = t.filter(pa.array(eid % 2 == parity))
+            eid = eid[eid % 2 == parity]
+            s = pc.cast(t["ts"], pa.int64())
+            width = pa.array((eid % width_mod + 1) * width_us, pa.int64())
+            return pa.table({"user_id": t["user_id"],
+                             ident + "_id": t["event_id"],
+                             ident + "_s": s,
+                             ident + "_e": pc.add(s, width)})
+
+        return fn
+
+    a = ds.map_batches(spans(0, "a", 7, 3_600_000_000),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(spans(1, "b", 5, 5_400_000_000),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    out = interval_join(a, b, keys="user_id", l_start="a_s",
+                        l_end="a_e", r_start="b_s", r_end="b_e",
+                        chunk=14_400_000_000)
+    return _finish(out)
+
+
 def q_psi_drift(sf_dir):
     """Population Stability Index over event_type (sides = user_id
     parity; ml/metrics.psi_drift): chi2_drift's exact-count plan, PSI
@@ -3922,7 +3962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (rank_orders, merge_intervals, dedup_keep_best, weighted_key_cap,
     # pmi_pairs, auc_events, grouped_auc, triangles_hosts) plus the
     # round-4-session-3 additions (throttle_events, ttl_dedupe_events,
-    # session_paths). That completes 100% driver coverage of the
+    # session_paths, interval_join_events, …; every session-3 name is
+    # after position 50). That completes 100% driver coverage of the
     # registry.
     return {
         "apply_changeset": q_apply_changeset,
@@ -4110,6 +4151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": q_throttle_events,
         "ttl_dedupe_events": q_ttl_dedupe_events,
         "session_paths": q_session_paths,
+        "interval_join_events": q_interval_join,
     }
 
 
@@ -4798,6 +4840,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_spans "
             "FROM g GROUP BY user_id, grp"
+        ),
+        "interval_join_events": (
+            "WITH a AS (SELECT user_id, event_id AS a_id, "
+            "epoch_us(ts) AS a_s, epoch_us(ts) + "
+            "(event_id % 7 + 1) * 3600000000 AS a_e FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_id % 2 = 0), "
+            "b AS (SELECT user_id, event_id AS b_id, "
+            "epoch_us(ts) AS b_s, epoch_us(ts) + "
+            "(event_id % 5 + 1) * 5400000000 AS b_e FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_id % 2 = 1) "
+            "SELECT a.user_id, a_id, a_s, a_e, b_id, b_s, b_e "
+            "FROM a JOIN b ON a.user_id = b.user_id "
+            "AND a_s <= b_e AND b_s <= a_e"
         ),
         "throttle_events": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type "

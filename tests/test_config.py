@@ -472,3 +472,56 @@ def test_registered_grouped_mode_transform(ray_session):
         {"type": "grouped_mode", "keys": ["k"], "field": "v"}).apply(
         rd.from_arrow(t).repartition(2))
     assert {r["k"]: r["mode"] for r in out.take_all()} == {"a": "x", "b": "y"}
+
+
+class TestIntervalJoinTransform:
+    def test_tag_union_split_overlap(self):
+        # two tagged span branches from one source union into the
+        # transform; overlap pairs come back with suffixed right cols
+        cfg = {
+            "sources": {
+                "ev": {"type": "parquet",
+                       "path": "/root/testdata/sf0.001/events.parquet",
+                       "columns": ["event_id", "ts", "user_id"]},
+            },
+            "transforms": {
+                "a_side": {
+                    "type": "remap", "inputs": ["ev"],
+                    "ops": [{"fn": "set", "field": "side",
+                             "value": "left"}],
+                },
+                "b_side": {
+                    "type": "remap", "inputs": ["ev"],
+                    "ops": [{"fn": "set", "field": "side",
+                             "value": "right"}],
+                },
+            },
+            "sinks": {},
+        }
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        topo = Topology(cfg)
+
+        def widen(t):
+            s = pc.cast(t["ts"], pa.int64())
+            return pa.table({
+                "user_id": t["user_id"], "side": t["side"],
+                "s": s, "e": pc.add(s, 7_200_000_000)})
+
+        left = topo.node_dataset("a_side").map_batches(
+            widen, batch_format="pyarrow")
+        right = topo.node_dataset("b_side").map_batches(
+            widen, batch_format="pyarrow")
+        from vector_ray.pipelines.config import TRANSFORMS
+
+        step = TRANSFORMS["interval_join"]({
+            "keys": "user_id", "start_col": "s", "end_col": "e",
+            "chunk": 14_400_000_000, "side_field": "side",
+            "right_value": "right",
+        })
+        out = step.apply(left.union(right)).take_all()
+        assert out, "expected at least one overlapping span pair"
+        row = out[0]
+        assert {"user_id", "s", "e", "s_r", "e_r"} <= set(row.keys())
+        assert row["s"] <= row["e_r"] and row["s_r"] <= row["e"]

@@ -1236,6 +1236,52 @@ def _build_merge_intervals(cfg):
     return _MergeIntervals()
 
 
+@register_transform("interval_join")
+def _build_interval_join(cfg):
+    """Tag-union-split shape (like drift_report: the runner's
+    multi-input fan-in is a union, so the two span branches arrive as
+    one tagged stream): rows with side_field == right_value are the
+    right spans, everything else the left. Both sides share
+    start_col/end_col names; right payload gets ``suffix``."""
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.intervals import interval_join
+
+    side = cfg.get("side_field", "side")
+    rval = cfg.get("right_value", "right")
+
+    class _IntervalJoin(Step):
+        fusable = False
+
+        def apply(self, ds):
+            import pyarrow.compute as pc_
+
+            def pick(is_right: bool):
+                def fn(t):
+                    m = pc_.equal(pc_.cast(t[side], pa.string()), str(rval))
+                    m = pc_.fill_null(m, False)
+                    if not is_right:
+                        m = pc_.invert(m)
+                    return t.filter(m).drop_columns([side])
+
+                return fn
+
+            left = ds.map_batches(pick(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            right = ds.map_batches(pick(True), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            sc = cfg["start_col"]
+            ec = cfg["end_col"]
+            return interval_join(
+                left, right, keys=cfg["keys"],
+                l_start=sc, l_end=ec, r_start=sc, r_end=ec,
+                chunk=int(cfg["chunk"]),
+                suffix=cfg.get("suffix", "_r"),
+                max_group=int(cfg.get("max_group", 2_000_000)),
+                num_buckets=cfg.get("num_buckets"))
+
+    return _IntervalJoin()
+
+
 @register_transform("throttle")
 def _build_throttle(cfg):
     from vector_ray.stages.base import Step
