@@ -3674,6 +3674,31 @@ def q_session_paths(sf_dir):
         tiebreak="event_id"))
 
 
+def q_assign_sessions(sf_dir):
+    """Session labeling (stages/sessions.assign_sessions): every event
+    tagged with its 0-based per-user session ordinal (8 h gap) and
+    position-in-session — one narrow (user, ts, id) exchange, flat
+    cumsum labeling per bucket. Oracle: ANSI LAG-break + SUM-over-rows
+    + ROW_NUMBER."""
+    from vector_ray.stages.sessions import assign_sessions
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = assign_sessions(ds, "user_id", "ts", gap=28_800_000_000,
+                          tiebreak="event_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "session_seq": t["session_seq"],
+            "session_pos": t["session_pos"],
+        })
+
+    return _finish(out.map_batches(proj, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 def q_interval_join(sf_dir):
     """Interval-OVERLAP join (stages/intervals.interval_join): even
     events' [ts, ts+1-7h] spans vs odd events' [ts, ts+1.5-7.5h]
@@ -4152,6 +4177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_dedupe_events": q_ttl_dedupe_events,
         "session_paths": q_session_paths,
         "interval_join_events": q_interval_join,
+        "assign_sessions": q_assign_sessions,
     }
 
 
@@ -4840,6 +4866,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_spans "
             "FROM g GROUP BY user_id, grp"
+        ),
+        "assign_sessions": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "x AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id) "
+            "> 28800000000 THEN 1 ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS sess FROM x) "
+            "SELECT event_id, user_id, ts_us, "
+            "CAST(sess AS BIGINT) AS session_seq, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sess "
+            "ORDER BY ts_us, event_id) - 1 AS BIGINT) AS session_pos "
+            "FROM s"
         ),
         "interval_join_events": (
             "WITH a AS (SELECT user_id, event_id AS a_id, "

@@ -431,6 +431,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "ttl_dedupe_events",
         "session_paths",
         "interval_join_events",
+        "assign_sessions",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise

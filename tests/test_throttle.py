@@ -200,3 +200,48 @@ class TestSessionPaths:
                             tiebreak="event_id").take_all()
         got = {(r["path"], r["n_sessions"]) for r in out}
         assert got == {("a>b", 1), ("d", 1)}
+
+
+class TestAssignSessions:
+    def test_random_vs_brute(self, ray_session):
+        from vector_ray.stages.sessions import assign_sessions
+
+        rng = np.random.default_rng(13)
+        n = 2500
+        ids = np.arange(n)
+        users = rng.integers(0, 30, n)
+        ts = rng.integers(0, 3000, n) * 64 + (ids % 64)  # unique per user
+        t = pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "u": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+        })
+        out = assign_sessions(rd.from_arrow(t).repartition(5), "u", "ts",
+                              gap=500, tiebreak="id").take_all()
+        got = {r["id"]: (r["session_seq"], r["session_pos"]) for r in out}
+        by = collections.defaultdict(list)
+        for i, u, tt in zip(ids.tolist(), users.tolist(), ts.tolist()):
+            by[u].append((tt, i))
+        exp = {}
+        for u in by:
+            sess, pos, last = 0, 0, None
+            for tt, i in sorted(by[u]):
+                if last is not None and tt - last > 500:
+                    sess += 1
+                    pos = 0
+                exp[i] = (sess, pos)
+                pos += 1
+                last = tt
+        assert got == exp
+
+    def test_null_key_or_ts_dropped(self, ray_session):
+        from vector_ray.stages.sessions import assign_sessions
+
+        t = pa.table({
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "u": pa.array([1, None, 1], pa.int64()),
+            "ts": pa.array([5, 5, None], pa.int64()),
+        })
+        out = assign_sessions(rd.from_arrow(t), "u", "ts",
+                              gap=10).take_all()
+        assert [r["id"] for r in out] == [0]

@@ -1317,6 +1317,26 @@ def _build_ttl_dedupe(cfg):
     return _TtlDedupe()
 
 
+@register_transform("assign_sessions")
+def _build_assign_sessions(cfg):
+    from vector_ray.stages.base import Step
+    from vector_ray.stages.sessions import assign_sessions
+
+    class _AssignSessions(Step):
+        fusable = False
+
+        def apply(self, ds):
+            return assign_sessions(
+                ds, cfg["keys"], cfg["ts_col"], gap=int(cfg["gap"]),
+                id_cols=cfg.get("id_cols"),
+                out_session=cfg.get("out_session", "session_seq"),
+                out_pos=cfg.get("out_pos", "session_pos"),
+                tiebreak=cfg.get("tiebreak"),
+                num_buckets=cfg.get("num_buckets"))
+
+    return _AssignSessions()
+
+
 @register_transform("session_paths")
 def _build_session_paths(cfg):
     from vector_ray.stages.base import Step
