@@ -1,0 +1,130 @@
+"""stats_index_build / prune_paths / pruned_read (state/datastats.py):
+footer-stats manifest correctness, actual file pruning on a clustered
+layout, conservative keep without stats, residual exactness, and the
+zorder_write composition (pruning works on BOTH keyed columns)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from vector_ray.state.datastats import (
+    prune_paths,
+    pruned_read,
+    stats_index_build,
+)
+
+
+def _write_sorted_files(tmp_path, n_files=8, rows_per=500):
+    """Files covering disjoint value ranges — the ideal pruning case."""
+    root = str(tmp_path / "lake")
+    os.makedirs(root)
+    rng = np.random.default_rng(7)
+    for i in range(n_files):
+        lo = i * 100
+        vals = rng.uniform(lo, lo + 100, rows_per)
+        t = pa.table({
+            "id": pa.array(np.arange(rows_per) + i * rows_per, pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+            "tag": pa.array([f"t{i:02d}"] * rows_per, pa.string()),
+        })
+        pq.write_table(t, os.path.join(root, f"part-{i:02d}.parquet"))
+    return root
+
+
+class TestManifest:
+    def test_build_and_prune_numeric(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        mpath = stats_index_build(root)
+        assert os.path.exists(mpath)
+        m = pq.read_table(mpath)
+        # 8 files x 3 columns
+        assert m.num_rows == 24
+        kept, total = prune_paths(root, "v", 250.0, 349.0)
+        assert len(total) == 8
+        # ranges [200,300) and [300,400) overlap [250,349]
+        assert len(kept) == 2
+        assert all("part-02" in p or "part-03" in p for p in kept)
+
+    def test_one_sided_bounds(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        stats_index_build(root)
+        kept_lo, _ = prune_paths(root, "v", lo=650.0)
+        assert len(kept_lo) == 2  # [600,700) and [700,800)
+        kept_hi, _ = prune_paths(root, "v", hi=150.0)
+        assert len(kept_hi) == 2  # [0,100) and [100,200)
+
+    def test_string_channel(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        stats_index_build(root)
+        kept, total = prune_paths(root, "tag", "t03", "t05")
+        assert len(kept) == 3 and len(total) == 8
+
+    def test_pruned_read_matches_full_filter(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        stats_index_build(root)
+        lo, hi = 123.0, 456.0
+        got = pruned_read(root, "v", lo, hi).take_all()
+        full = rd.read_parquet(root, columns=["id", "v", "tag"]).take_all()
+        want = sorted(r["id"] for r in full if lo <= r["v"] <= hi)
+        assert sorted(r["id"] for r in got) == want
+        # the read really opened fewer files
+        kept, total = prune_paths(root, "v", lo, hi)
+        assert len(kept) < len(total)
+
+    def test_column_projection_keeps_filter_col_internal(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        stats_index_build(root)
+        out = pruned_read(root, "v", 250.0, 349.0, columns=["id", "tag"])
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+        assert t.schema.names == ["id", "tag"]
+        assert t.num_rows > 0
+
+    def test_empty_prune_returns_empty_with_schema(self, tmp_path):
+        root = _write_sorted_files(tmp_path)
+        stats_index_build(root)
+        out = pruned_read(root, "v", 10_000.0, 20_000.0)
+        assert out.count() == 0
+
+    def test_timestamp_column(self, tmp_path):
+        import datetime as dt
+
+        root = str(tmp_path / "ts_lake")
+        os.makedirs(root)
+        base = dt.datetime(2024, 1, 1)
+        for i in range(4):
+            ts = [base + dt.timedelta(hours=i * 10 + j) for j in range(10)]
+            t = pa.table({
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "x": pa.array(range(10), pa.int64()),
+            })
+            pq.write_table(t, os.path.join(root, f"f{i}.parquet"))
+        stats_index_build(root)
+        kept, total = prune_paths(
+            root, "ts", base + dt.timedelta(hours=12),
+            base + dt.timedelta(hours=18))
+        assert len(total) == 4 and len(kept) == 1
+
+    def test_zorder_write_prunes_both_columns(self, tmp_path):
+        from vector_ray.stages.zorder import zorder_write
+
+        rng = np.random.default_rng(3)
+        n = 6000
+        t = pa.table({
+            "a": pa.array(rng.uniform(0, 1000, n), pa.float64()),
+            "b": pa.array(rng.uniform(0, 1000, n), pa.float64()),
+            "id": pa.array(np.arange(n), pa.int64()),
+        })
+        root = str(tmp_path / "zlake")
+        ds = rd.from_arrow(t).repartition(12)
+        zorder_write(ds, root, ["a", "b"], bits=16)
+        stats_index_build(root)
+        for col in ("a", "b"):
+            kept, total = prune_paths(root, col, 100.0, 180.0)
+            assert len(total) >= 4
+            assert len(kept) < len(total), (
+                f"no pruning on {col}: {len(kept)}/{len(total)}")
