@@ -1,0 +1,118 @@
+"""Persistent seen-key index (state/seen.py): cross-run exact dedup —
+build/filter/append round trips, multi-column keys, bucket-pruned
+probes, compaction, and the incremental_dedupe convergence property
+(re-ingesting any mix of old rows yields zero new rows)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from vector_ray.state.seen import (
+    incremental_dedupe,
+    seen_index_append,
+    seen_index_build,
+    seen_index_compact,
+    seen_index_filter,
+)
+
+
+def _tbl(ids, extra=0):
+    return pa.table({
+        "k": pa.array(ids, pa.int64()),
+        "payload": pa.array([i * 10 + extra for i in ids], pa.int64()),
+    })
+
+
+class TestSeenIndex:
+    def test_build_then_filter(self, tmp_path):
+        root = str(tmp_path / "idx")
+        seen_index_build(rd.from_arrow(_tbl(range(100))), ["k"], root)
+        newb = rd.from_arrow(_tbl(range(80, 140)))
+        out = seen_index_filter(newb, ["k"], root).take_all()
+        assert sorted(r["k"] for r in out) == list(range(100, 140))
+        # payload columns ride through untouched
+        assert all(r["payload"] == r["k"] * 10 for r in out)
+
+    def test_append_then_filter(self, tmp_path):
+        root = str(tmp_path / "idx")
+        seen_index_build(rd.from_arrow(_tbl(range(50))), ["k"], root)
+        seen_index_append(rd.from_arrow(_tbl(range(50, 90))), ["k"], root)
+        out = seen_index_filter(rd.from_arrow(_tbl(range(120))), ["k"], root)
+        assert sorted(r["k"] for r in out.take_all()) == list(range(90, 120))
+
+    def test_multi_column_key(self, tmp_path):
+        root = str(tmp_path / "idx")
+        t = pa.table({
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "y", "x", "y"], pa.string()),
+        })
+        seen_index_build(rd.from_arrow(t), ["a", "b"], root)
+        probe = pa.table({
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array(["y", "z", "x"], pa.string()),
+        })
+        out = seen_index_filter(rd.from_arrow(probe), ["a", "b"], root).take_all()
+        got = sorted((r["a"], r["b"]) for r in out)
+        assert got == [(2, "z"), (3, "x")]
+
+    def test_compact_shrinks_duplicate_keys(self, tmp_path):
+        root = str(tmp_path / "idx")
+        seen_index_build(rd.from_arrow(_tbl(range(30))), ["k"], root)
+        # append the SAME keys twice -> index stores them again
+        seen_index_append(rd.from_arrow(_tbl(range(30))), ["k"], root)
+        seen_index_append(rd.from_arrow(_tbl(range(30))), ["k"], root)
+        kd = os.path.join(root, "keys")
+        before = pq.read_table(kd).num_rows
+        assert before > 30
+        seen_index_compact(root)
+        after = pq.read_table(kd).num_rows
+        assert after == 30
+        # filter semantics unchanged by compaction
+        out = seen_index_filter(rd.from_arrow(_tbl(range(40))), ["k"], root)
+        assert sorted(r["k"] for r in out.take_all()) == list(range(30, 40))
+
+    def test_bucket_pruned_probe(self, tmp_path):
+        from vector_ray.stages.bucketed import add_bucket
+
+        root = str(tmp_path / "idx")
+        seen_index_build(rd.from_arrow(_tbl(range(200))), ["k"], root,
+                         num_buckets=8)
+        probe = _tbl([5, 500])
+        bkts = add_bucket(probe, ["k"], 8)["__bkt"].to_pylist()
+        out = seen_index_filter(rd.from_arrow(probe), ["k"], root,
+                                buckets=sorted(set(bkts)))
+        assert [r["k"] for r in out.take_all()] == [500]
+
+    def test_incremental_dedupe_rounds(self, tmp_path):
+        root = str(tmp_path / "idx")
+        # round 1: duplicates WITHIN the batch collapse too
+        b1 = rd.from_arrow(_tbl([1, 2, 2, 3, 3, 3]))
+        out1 = incremental_dedupe(b1, ["k"], root)
+        assert sorted(r["k"] for r in out1.take_all()) == [1, 2, 3]
+        # round 2: overlap drops, new keys pass
+        out2 = incremental_dedupe(rd.from_arrow(_tbl([2, 3, 4, 5])), ["k"], root)
+        assert sorted(r["k"] for r in out2.take_all()) == [4, 5]
+        # round 3: all-old batch -> empty
+        out3 = incremental_dedupe(rd.from_arrow(_tbl([1, 4, 5])), ["k"], root)
+        assert out3.count() == 0
+
+    def test_matches_single_shot_dedup(self, tmp_path):
+        """Union of per-run outputs == one-shot distinct over the union."""
+        rng = np.random.default_rng(11)
+        runs = [rng.integers(0, 300, 150) for _ in range(4)]
+        root = str(tmp_path / "idx")
+        got = []
+        seen_in_order = []
+        for ids in runs:
+            out = incremental_dedupe(
+                rd.from_arrow(_tbl(ids.tolist())), ["k"], root)
+            got.extend(r["k"] for r in out.take_all())
+            seen_in_order.extend(ids.tolist())
+        # exact first-occurrence set
+        want = list(dict.fromkeys(seen_in_order))
+        assert sorted(got) == sorted(want)
+        assert len(got) == len(set(got))

@@ -1,0 +1,188 @@
+"""Persistent seen-key index — exact dedup ACROSS runs.
+
+A daily-ingest pipeline must drop rows whose key was already emitted
+by ANY previous run, not just this one. The reference's dedupe
+transform holds its key cache in process memory
+(`src/transforms/dedupe.rs:155-163` — an LRU of recent keys); this is
+the durable, unbounded-history equivalent: distinct keys are stored
+as plain parquet hive-partitioned by ``bucket = hash(key) %
+num_buckets``, and each new batch anti-joins against the index before
+its own keys are appended.
+
+Exactness: the index stores the KEY VALUES (native columns), never
+just hashes — a hash collision can't drop a live row. The bucket is
+only a placement hint.
+
+100-TB plan:
+- build/append are MAP-ONLY (per-block local distinct, then a
+  partitioned write) — no shuffle. Cross-block duplicate keys may be
+  stored twice; an anti-join probe is idempotent in the right side,
+  so results are unaffected. ``seen_index_compact`` rewrites each
+  bucket to exact-distinct as a per-partition maintenance job (the
+  bucket IS the shuffle partition, so compaction never moves data
+  between buckets).
+- filter is one bucketed anti-join (stages/join.bucketed_join): the
+  only all-to-all, carrying key columns only. When the incoming batch
+  is known to touch few buckets (e.g. key-range-local appends), pass
+  ``buckets=[...]`` to read only those hive partitions of the index.
+- the index grows with distinct-key count; buckets are independent
+  directories, so it shards across nodes/storage trivially.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_DEFAULT_BUCKETS = 64
+
+
+def _keys_dir(root: str) -> str:
+    return os.path.join(root, "keys")
+
+
+def _index_num_buckets(root: str) -> int:
+    import json
+
+    with open(os.path.join(root, "seen.json")) as fh:
+        return int(json.load(fh)["num_buckets"])
+
+
+def _local_distinct_keys(t: pa.Table, key_cols: Sequence[str],
+                         num_buckets: int) -> pa.Table:
+    from vector_ray.stages.bucketed import add_bucket, keep_first_per_key
+
+    t = keep_first_per_key(t.select(list(key_cols)), list(key_cols))
+    t = add_bucket(t, list(key_cols), num_buckets)
+    return t.rename_columns(list(key_cols) + ["bucket"])
+
+
+def seen_index_build(ds, key_cols: Sequence[str], root: str, *,
+                     num_buckets: int = _DEFAULT_BUCKETS) -> dict:
+    """Create the index at ``root`` from ``ds``'s keys (map-only:
+    per-block distinct → hive-partitioned write). Overwrites any
+    existing index at ``root``."""
+    import json
+    import shutil
+
+    key_cols = list(key_cols)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    keys = ds.map_batches(
+        lambda t: _local_distinct_keys(t, key_cols, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys.write_parquet(_keys_dir(root), partition_cols=["bucket"])
+    meta = {"num_buckets": int(num_buckets), "key_cols": key_cols}
+    with open(os.path.join(root, "seen.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _read_index(root: str, key_cols: Sequence[str],
+                buckets: Optional[Sequence[int]] = None):
+    import ray.data as rd
+
+    kd = _keys_dir(root)
+    if not os.path.isdir(kd):
+        return None  # index created but never appended to
+    if buckets is None:
+        paths = [kd]
+    else:
+        # a list of paths must be FILES for read_parquet: expand each
+        # hive partition dir
+        dirs = [os.path.join(kd, f"bucket={int(b)}") for b in buckets]
+        paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not paths:
+            return None
+    ds = rd.read_parquet(paths, columns=list(key_cols))
+    return ds
+
+
+def seen_index_filter(ds, key_cols: Sequence[str], root: str, *,
+                      buckets: Optional[Sequence[int]] = None,
+                      join_buckets: Optional[int] = None):
+    """Rows of ``ds`` whose key is NOT in the index (bucketed
+    anti-join; key columns only cross the exchange). ``buckets``
+    restricts the index read to those hive partitions when the caller
+    knows the batch's key locality."""
+    from vector_ray.stages.join import bucketed_join
+
+    key_cols = list(key_cols)
+    idx = _read_index(root, key_cols, buckets)
+    if idx is None:
+        return ds
+    return bucketed_join(ds, idx, key_cols, join_type="anti",
+                         buckets=join_buckets)
+
+
+def seen_index_append(ds, key_cols: Sequence[str], root: str) -> None:
+    """Append ``ds``'s keys to the index (map-only local distinct +
+    partitioned write; parquet file names are unique so existing
+    bucket files are never touched). Keys already present are stored
+    again — harmless for anti-join semantics; run
+    ``seen_index_compact`` periodically to fold them."""
+    key_cols = list(key_cols)
+    nb = _index_num_buckets(root)
+    keys = ds.map_batches(
+        lambda t: _local_distinct_keys(t, key_cols, nb),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys.write_parquet(_keys_dir(root), partition_cols=["bucket"])
+
+
+def seen_index_compact(root: str) -> None:
+    """Rewrite every bucket to exact-distinct keys. Per-partition
+    maintenance: each bucket directory is read, deduped VECTORIZED
+    (sort + run segmentation), and atomically swapped — no data ever
+    moves between buckets, so this distributes as one task per
+    bucket."""
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(root, "seen.json")) as fh:
+        meta = json.load(fh)
+    key_cols = list(meta["key_cols"])
+    kd = _keys_dir(root)
+    from vector_ray.stages.bucketed import keep_first_per_key
+
+    for name in sorted(os.listdir(kd)):
+        bdir = os.path.join(kd, name)
+        if not (name.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        t = pq.read_table(bdir, columns=key_cols)
+        out = keep_first_per_key(t, key_cols)
+        tmp = bdir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        pq.write_table(out, os.path.join(tmp, "compacted.parquet"))
+        shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+
+
+def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
+                       num_buckets: int = _DEFAULT_BUCKETS):
+    """One ingest step: rows never seen before (within-batch keep-first
+    + anti-join vs the index), with their keys appended to the index.
+    Creates the index on first use. Returns the unseen-rows Dataset
+    (materialized — it is consumed twice: once for the append, once by
+    the caller)."""
+    key_cols = list(key_cols)
+    if not os.path.exists(os.path.join(root, "seen.json")):
+        import json
+
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "seen.json"), "w") as fh:
+            json.dump({"num_buckets": int(num_buckets),
+                       "key_cols": key_cols}, fh)
+    from vector_ray.stages.bucketed import bucketed_map_groups, keep_first_per_key
+
+    within = bucketed_map_groups(
+        ds, key_cols, lambda g: keep_first_per_key(g, key_cols))
+    unseen = seen_index_filter(within, key_cols, root).materialize()
+    seen_index_append(unseen, key_cols, root)
+    return unseen
