@@ -1,0 +1,134 @@
+"""Checkpointed incremental aggregation (state/incremental.py):
+fragment-skipping correctness (incremental == single-shot for every
+supported kind), pure-replay runs that scan nothing, crash-safe
+pointer semantics, and mean decomposition with nulls."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from vector_ray.state.incremental import IncrementalAggregate, incremental_aggregate
+
+AGGS = {
+    "n": ("count", "v"),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+    "avg": ("mean", "v"),
+}
+
+
+def _write_frags(tmp_path, n_frags=4, rows=300, seed=5):
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    frames = []
+    for i in range(n_frags):
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 7, rows), pa.int64()),
+            "v": pa.array(rng.normal(100, 20, rows), pa.float64()),
+        })
+        pq.write_table(t, os.path.join(root, f"frag-{i}.parquet"))
+        frames.append(t)
+    return root, pa.concat_tables(frames)
+
+
+def _single_shot(full: pa.Table):
+    import pyarrow.compute as pc
+
+    out = {}
+    g = np.asarray(full["g"])
+    v = np.asarray(full["v"])
+    for key in sorted(set(g.tolist())):
+        sub = v[g == key]
+        out[key] = (len(sub), sub.sum(), sub.min(), sub.max(), sub.mean())
+    return out
+
+
+def _collect(ds):
+    rows = {r["g"]: r for r in ds.take_all()}
+    return rows
+
+
+class TestIncrementalAggregate:
+    def test_incremental_equals_single_shot(self, tmp_path):
+        root, full = _write_frags(tmp_path)
+        state = str(tmp_path / "state")
+        inc = IncrementalAggregate(state, ["g"], AGGS)
+        files = sorted(os.path.join(root, f) for f in os.listdir(root))
+        # feed fragments 2-at-a-time
+        r1 = inc.update(files[:2])
+        assert r1["new_fragments"] == 2
+        r2 = inc.update(files)  # first two must be skipped
+        assert r2["new_fragments"] == 2 and r2["total_fragments"] == 4
+        got = _collect(inc.result())
+        want = _single_shot(full)
+        assert set(got) == set(want)
+        for k, (n, s, lo, hi, avg) in want.items():
+            r = got[k]
+            assert r["n"] == n
+            assert r["total"] == pytest.approx(s)
+            assert r["lo"] == pytest.approx(lo)
+            assert r["hi"] == pytest.approx(hi)
+            assert r["avg"] == pytest.approx(avg)
+
+    def test_pure_replay_scans_nothing(self, tmp_path):
+        root, full = _write_frags(tmp_path)
+        state = str(tmp_path / "state")
+        inc = IncrementalAggregate(state, ["g"], AGGS)
+        inc.update(root)
+        r = inc.update(root)
+        assert r["new_fragments"] == 0
+        got = _collect(inc.result())
+        want = _single_shot(full)
+        for k in want:
+            assert got[k]["n"] == want[k][0]
+
+    def test_one_call_form(self, tmp_path):
+        root, full = _write_frags(tmp_path, n_frags=2)
+        state = str(tmp_path / "state")
+        out = incremental_aggregate(root, ["g"], {"n": ("count", "v")}, state)
+        got = _collect(out)
+        want = _single_shot(full)
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: w[0] for k, w in want.items()}
+
+    def test_new_file_after_checkpoint(self, tmp_path):
+        root, _ = _write_frags(tmp_path, n_frags=2)
+        state = str(tmp_path / "state")
+        inc = IncrementalAggregate(state, ["g"], {"total": ("sum", "v")})
+        inc.update(root)
+        # append a fragment with a brand-new group
+        t = pa.table({"g": pa.array([99] * 10, pa.int64()),
+                      "v": pa.array([1.0] * 10, pa.float64())})
+        pq.write_table(t, os.path.join(root, "frag-z.parquet"))
+        r = inc.update(root)
+        assert r["new_fragments"] == 1
+        got = _collect(inc.result())
+        assert got[99]["total"] == pytest.approx(10.0)
+
+    def test_old_state_dirs_pruned(self, tmp_path):
+        root, _ = _write_frags(tmp_path, n_frags=3)
+        state = str(tmp_path / "state")
+        inc = IncrementalAggregate(state, ["g"], {"n": ("count", "v")})
+        files = sorted(os.path.join(root, f) for f in os.listdir(root))
+        for i in range(3):
+            inc.update(files[: i + 1])
+        dirs = [d for d in os.listdir(state) if d.startswith("state-")]
+        assert len(dirs) == 1
+
+    def test_mean_all_null_group(self, tmp_path):
+        root = str(tmp_path / "in")
+        os.makedirs(root)
+        t = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                      "v": pa.array([None, None, 5.0], pa.float64())})
+        pq.write_table(t, os.path.join(root, "f.parquet"))
+        state = str(tmp_path / "state")
+        out = incremental_aggregate(root, ["g"], {"avg": ("mean", "v")}, state)
+        got = _collect(out)
+        assert got[1]["avg"] is None
+        assert got[2]["avg"] == pytest.approx(5.0)
