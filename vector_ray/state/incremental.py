@@ -51,11 +51,15 @@ def _frag_id(path: str) -> str:
 
 def _expand(inputs) -> list:
     if isinstance(inputs, str):
-        if os.path.isdir(inputs):
-            return sorted(_glob.glob(os.path.join(inputs, "**", "*.parquet"),
-                                     recursive=True))
-        return sorted(_glob.glob(inputs)) or [inputs]
-    return sorted(inputs)
+        inputs = [inputs]
+    out = []
+    for p in inputs:
+        if os.path.isdir(p):
+            out.extend(_glob.glob(os.path.join(p, "**", "*.parquet"),
+                                  recursive=True))
+        else:
+            out.extend(sorted(_glob.glob(p)) or [p])
+    return sorted(out)
 
 
 def _state_specs(aggs: Dict[str, Tuple[str, str]]):
