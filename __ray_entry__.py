@@ -4099,6 +4099,37 @@ def q_incremental_agg(sf_dir):
     return _finish(out.map_batches(fixp, batch_format="pyarrow"))
 
 
+def q_lake_delete_compact(sf_dir):
+    """Lake maintenance (state/maintain.py): documents written as a
+    multi-file clustered lake, doc_ids ≡ 0 (mod 7) erased via
+    manifest-pruned targeted rewrites (delete_by_keys — only candidate
+    files are opened), then small files folded by compact_files
+    (per-directory merge, no shuffle); the surviving lake reads back
+    byte-identical to the SQL anti-filter. Oracle: plain NOT-divisible
+    filter over the source table."""
+    import tempfile
+
+    from vector_ray.stages.zorder import zorder_write
+    from vector_ray.state.datastats import stats_index_build
+    from vector_ray.state.maintain import compact_files, delete_by_keys
+
+    root = tempfile.mkdtemp(prefix="vr_lake_")
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "lang", "source", "n_chars"]).repartition(8)
+    zorder_write(ds, root, ["doc_id"], bits=16)
+    stats_index_build(root)
+    # the keys to erase: every doc_id divisible by 7 (ids are dense
+    # from 0; the range bound covers every driver scale)
+    stats = delete_by_keys(root, "doc_id", list(range(0, 200_000, 7)))
+    assert stats["files_scanned"] >= 1
+    compact_files(root, target_bytes=64 << 20)
+    import ray.data as rd
+
+    out = rd.read_parquet(root, columns=["doc_id", "lang", "source",
+                                         "n_chars"])
+    return _finish(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver sweep records only the FIRST 50 entries
     # per round. r4 rotation: apply_changeset (the r3 red row) first,
@@ -4310,6 +4341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_pruned_read": q_stats_pruned_read,
         "seen_filter_docs": q_seen_filter_docs,
         "incremental_agg": q_incremental_agg,
+        "lake_delete_compact": q_lake_delete_compact,
     }
 
 
@@ -5087,6 +5119,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id FROM documents WHERE n_chars % 2 = 1 "
             "AND lang = 'en')"
+        ),
+        "lake_delete_compact": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 7 <> 0"
         ),
         "incremental_agg": (
             "SELECT event_type, COUNT(event_id) AS n, "

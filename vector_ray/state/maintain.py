@@ -1,0 +1,186 @@
+"""Lake maintenance: targeted deletes and small-file compaction.
+
+``delete_by_keys`` is the right-to-erasure / retention-purge path: at
+100 TB you cannot rewrite the lake to drop a handful of keys. The
+stats manifest (state/datastats.py) narrows the rewrite set to files
+whose [min, max] range on the key column can contain a requested key;
+only those files are rewritten (read → anti-filter → atomic replace),
+each as an independent task over a broadcast key set — the rest of
+the lake is untouched. Without a manifest every file is a candidate
+(correct, just not pruned).
+
+``compact_files`` is the post-ingest janitor: streaming writers leave
+many small files; reads then pay per-file open/footer costs. Files
+smaller than the threshold are grouped per DIRECTORY (hive partition
+boundaries are never crossed) into target-size batches and each batch
+is rewritten as one file — a map-only pass over file groups, no
+shuffle, atomic per group (write new, then unlink olds).
+
+Both refresh the stats manifest if one exists (footer-only rescan).
+
+No reference counterpart (storage maintenance — SURVEY §2 "beyond the
+reference" family; pairs with zorder_write/stats_index/seen_index).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _manifest_exists(root: str) -> bool:
+    return os.path.exists(os.path.join(root, "_stats", "manifest.parquet"))
+
+
+def _refresh_manifest(root: str) -> None:
+    if _manifest_exists(root):
+        from vector_ray.state.datastats import stats_index_build
+
+        stats_index_build(root)
+
+
+def _candidate_files(root: str, key_col: str, keys) -> list:
+    """Files that could contain any of ``keys`` — manifest-pruned when
+    a manifest exists, else every file."""
+    from vector_ray.state.datastats import _list_parquet_files, prune_paths
+
+    if not _manifest_exists(root):
+        return _list_parquet_files(root)
+    cand: set = set()
+    lo, hi = min(keys), max(keys)
+    # one manifest pass with the hull [min(keys), max(keys)] bounds the
+    # candidate set cheaply; per-key refinement only matters for very
+    # sparse key sets over huge lakes — then prune per key and union.
+    if len(keys) <= 64:
+        for k in keys:
+            kept, _ = prune_paths(root, key_col, k, k)
+            cand.update(kept)
+    else:
+        kept, _ = prune_paths(root, key_col, lo, hi)
+        cand.update(kept)
+    return sorted(cand)
+
+
+def delete_by_keys(root: str, key_col: str, keys: Sequence, *,
+                   refresh_stats: bool = True) -> dict:
+    """Remove every row whose ``key_col`` value is in ``keys`` from the
+    parquet lake at ``root``, rewriting ONLY candidate files. Returns
+    {"files_scanned": n, "files_rewritten": n, "rows_deleted": n}.
+
+    Distribution: candidate paths fan out as a Ray Data map over file
+    names; the key set ships once to the object store (``ray.put``)
+    and each task reads it zero-copy. A rewrite is atomic
+    (tmp + os.replace); a file left with zero rows is unlinked."""
+    import ray
+    import ray.data as rd
+
+    keys = sorted(set(keys))
+    if not keys:
+        return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+    cand = _candidate_files(root, key_col, keys)
+    if not cand:
+        return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+    key_arr = pa.array(keys)
+    keys_ref = ray.put(key_arr)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        kset = ray.get(keys_ref)
+        out_path, out_rewritten, out_deleted = [], [], []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            hit = pc.is_in(t[key_col], value_set=kset)
+            n_hit = int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)
+            out_path.append(path)
+            out_deleted.append(n_hit)
+            if n_hit == 0:
+                out_rewritten.append(False)
+                continue
+            kept = t.filter(pc.invert(pc.fill_null(hit, False)))
+            if kept.num_rows == 0:
+                os.unlink(path)
+            else:
+                tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, path)
+            out_rewritten.append(True)
+        return pa.table({
+            "path": pa.array(out_path, pa.string()),
+            "rewritten": pa.array(out_rewritten, pa.bool_()),
+            "rows_deleted": pa.array(out_deleted, pa.int64()),
+        })
+
+    res = rd.from_items([{"path": p} for p in cand]).map_batches(
+        rewrite, batch_format="pyarrow").take_all()
+    rewritten = sum(1 for r in res if r["rewritten"])
+    deleted = sum(r["rows_deleted"] for r in res)
+    if rewritten and refresh_stats:
+        _refresh_manifest(root)
+    return {"files_scanned": len(cand), "files_rewritten": rewritten,
+            "rows_deleted": int(deleted)}
+
+
+def compact_files(root: str, *, target_bytes: int = 128 << 20,
+                  small_bytes: Optional[int] = None,
+                  refresh_stats: bool = True) -> dict:
+    """Merge small parquet files per directory into ~``target_bytes``
+    outputs. ``small_bytes`` (default target/2) decides which files
+    are compaction candidates; larger files are left alone. Hive
+    partition directories are never mixed. Returns
+    {"groups": n, "files_removed": n, "files_written": n}."""
+    import ray.data as rd
+
+    small = small_bytes if small_bytes is not None else target_bytes // 2
+    groups = []
+    for dirpath, _dirs, files in os.walk(root):
+        if os.sep + "_stats" in dirpath or dirpath.endswith("_stats"):
+            continue
+        cand = sorted(
+            (os.path.join(dirpath, f), os.path.getsize(os.path.join(dirpath, f)))
+            for f in files if f.endswith(".parquet") and not f.startswith("_"))
+        cand = [(p, s) for p, s in cand if s < small]
+        if len(cand) < 2:
+            continue
+        cur, cur_sz = [], 0
+        for p, s in cand:
+            cur.append(p)
+            cur_sz += s
+            if cur_sz >= target_bytes:
+                groups.append(cur)
+                cur, cur_sz = [], 0
+        if len(cur) >= 2:
+            groups.append(cur)
+
+    if not groups:
+        return {"groups": 0, "files_removed": 0, "files_written": 0}
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        done = []
+        for gi in batch["gi"].to_pylist():
+            paths = groups[gi]
+            t = pa.concat_tables([pq.read_table(p) for p in paths],
+                                 promote_options="default")
+            out = os.path.join(os.path.dirname(paths[0]),
+                               f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+            tmp = out + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, out)
+            for p in paths:
+                os.unlink(p)
+            done.append(len(paths))
+        return pa.table({"removed": pa.array(done, pa.int64())})
+
+    res = rd.from_items([{"gi": i} for i in range(len(groups))]).map_batches(
+        merge, batch_format="pyarrow").take_all()
+    removed = sum(r["removed"] for r in res)
+    if refresh_stats:
+        _refresh_manifest(root)
+    return {"groups": len(groups), "files_removed": int(removed),
+            "files_written": len(groups)}
