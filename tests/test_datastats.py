@@ -128,3 +128,66 @@ class TestManifest:
             assert len(total) >= 4
             assert len(kept) < len(total), (
                 f"no pruning on {col}: {len(kept)}/{len(total)}")
+
+
+class TestBloomSidecar:
+    def _unsorted_lake(self, tmp_path, n_files=6, rows=400):
+        """Every file spans the FULL key domain — min/max pruning is
+        useless here; only the bloom can prune point lookups."""
+        import numpy as np
+        root = str(tmp_path / "ulake")
+        os.makedirs(root)
+        rng = np.random.default_rng(13)
+        for i in range(n_files):
+            ids = rng.choice(100_000, rows, replace=False) * 10 + i
+            t = pa.table({"id": pa.array(ids, pa.int64()),
+                          "v": pa.array(ids * 0.5, pa.float64())})
+            pq.write_table(t, os.path.join(root, f"f{i}.parquet"))
+        return root
+
+    def test_no_false_negatives(self, tmp_path):
+        from vector_ray.state.datastats import bloom_index_build, bloom_prune_paths
+        root = self._unsorted_lake(tmp_path)
+        bloom_index_build(root, "id")
+        # every real key's file must be kept
+        t0 = pq.read_table(os.path.join(root, "f3.parquet"))
+        some = t0["id"].to_pylist()[:20]
+        kept, total = bloom_prune_paths(root, "id", some)
+        assert os.path.join(root, "f3.parquet") in kept
+
+    def test_point_lookup_prunes(self, tmp_path):
+        from vector_ray.state.datastats import bloom_index_build, bloom_prune_paths
+        root = self._unsorted_lake(tmp_path)
+        bloom_index_build(root, "id")
+        # a key ending in digit 2: only file 2 can contain it
+        t2 = pq.read_table(os.path.join(root, "f2.parquet"))
+        key = t2["id"].to_pylist()[0]
+        kept, total = bloom_prune_paths(root, "id", [key])
+        assert os.path.join(root, "f2.parquet") in kept
+        assert len(kept) < len(total)
+
+    def test_minmax_useless_bloom_prunes_delete(self, tmp_path):
+        from vector_ray.state.datastats import bloom_index_build
+        from vector_ray.state.maintain import delete_by_keys
+        root = self._unsorted_lake(tmp_path)
+        bloom_index_build(root, "id")
+        t1 = pq.read_table(os.path.join(root, "f1.parquet"))
+        key = t1["id"].to_pylist()[5]
+        res = delete_by_keys(root, "id", [key])
+        assert res["rows_deleted"] == 1
+        assert res["files_scanned"] < 6  # bloom narrowed the rewrite set
+        left = rd.read_parquet(root).take_all()
+        assert key not in {r["id"] for r in left}
+
+    def test_string_keys_bloom(self, tmp_path):
+        from vector_ray.state.datastats import bloom_index_build, bloom_prune_paths
+        root = str(tmp_path / "slake")
+        os.makedirs(root)
+        for i in range(3):
+            t = pa.table({"k": pa.array([f"key-{i}-{j}" for j in range(50)],
+                                        pa.string())})
+            pq.write_table(t, os.path.join(root, f"f{i}.parquet"))
+        bloom_index_build(root, "k")
+        kept, total = bloom_prune_paths(root, "k", ["key-1-7"])
+        assert os.path.join(root, "f1.parquet") in kept
+        assert len(kept) < 3

@@ -182,6 +182,86 @@ def prune_paths(root: str, col: str, lo=None, hi=None) -> tuple:
     return sorted(kept), sorted(set(all_paths))
 
 
+def bloom_index_build(root: str, col: str, *, bits_per_key: int = 16,
+                      k: int = 4) -> str:
+    """Per-FILE Bloom sidecar for point-key pruning on UNSORTED lakes
+    (min/max ranges are useless when every file spans the key domain).
+    One task per file reads ONLY the key column, builds a Bloom sized
+    to that file's row count (``bits_per_key`` bits/row, power-of-two,
+    ≥ 1024), and emits (path, m_bits, k, bitmap). Written to
+    ``<root>/_stats/bloom-<col>.parquet`` atomically. False negatives
+    are impossible, so pruning never drops a live file."""
+    import ray.data as rd
+
+    paths = _list_parquet_files(root)
+    if not paths:
+        raise ValueError(f"bloom_index_build: no parquet files under {root!r}")
+
+    def build(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from vector_ray.ml.bloom import Bloom, _key_hashes
+
+        out_p, out_m, out_k, out_w, out_n = [], [], [], [], []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=[col])
+            n = t.num_rows
+            m_bits = 1 << max(10, int(np.ceil(np.log2(max(1, n) * bits_per_key))))
+            b = Bloom(m_bits, k)
+            arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+            b.add_hashes(_key_hashes(arr.drop_null()))
+            out_p.append(path)
+            out_m.append(m_bits)
+            out_k.append(k)
+            out_w.append(b.words.tobytes())
+            out_n.append(n)
+        return pa.table({
+            "path": pa.array(out_p, pa.string()),
+            "m_bits": pa.array(out_m, pa.int64()),
+            "k": pa.array(out_k, pa.int64()),
+            "words": pa.array(out_w, pa.large_binary()),
+            "rows": pa.array(out_n, pa.int64()),
+        })
+
+    sidecar = pa.concat_tables(
+        rd.from_items([{"path": p} for p in paths])
+        .map_batches(build, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    out_dir = os.path.join(root, "_stats")
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    final = os.path.join(out_dir, f"bloom-{col}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(sidecar, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def bloom_prune_paths(root: str, col: str, keys) -> tuple:
+    """(kept_paths, total_paths): files whose Bloom says at least one
+    of ``keys`` may be present. Files missing from the sidecar (added
+    after the build) are kept conservatively."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.bloom import Bloom, _key_hashes
+
+    side = pq.read_table(os.path.join(root, "_stats", f"bloom-{col}.parquet"))
+    h = _key_hashes(pa.array(sorted(set(keys))))
+    kept = []
+    indexed = set()
+    for i in range(side.num_rows):
+        path = side["path"][i].as_py()
+        indexed.add(path)
+        b = Bloom(int(side["m_bits"][i].as_py()), int(side["k"][i].as_py()),
+                  np.frombuffer(side["words"][i].as_py(), np.uint64).copy())
+        if bool(b.contains_hashes(h).any()):
+            kept.append(path)
+    total = _list_parquet_files(root)
+    kept.extend(p for p in total if p not in indexed)
+    return sorted(kept), sorted(total)
+
+
 def pruned_read(root: str, col: str, lo=None, hi=None, *,
                 columns: Optional[Sequence[str]] = None,
                 residual: bool = True):

@@ -41,27 +41,48 @@ def _refresh_manifest(root: str) -> None:
         from vector_ray.state.datastats import stats_index_build
 
         stats_index_build(root)
+    _refresh_blooms(root)
+
+
+def _refresh_blooms(root: str) -> None:
+    """Rebuild every bloom-<col> sidecar present (full pass — a delete
+    can only REMOVE keys, so stale blooms stay correct for pruning;
+    rebuilding just restores tightness)."""
+    import glob as _g
+
+    from vector_ray.state.datastats import bloom_index_build
+
+    for side in _g.glob(os.path.join(root, "_stats", "bloom-*.parquet")):
+        col = os.path.basename(side)[len("bloom-"):-len(".parquet")]
+        try:
+            bloom_index_build(root, col)
+        except ValueError:
+            os.unlink(side)  # lake emptied
 
 
 def _candidate_files(root: str, key_col: str, keys) -> list:
-    """Files that could contain any of ``keys`` — manifest-pruned when
-    a manifest exists, else every file."""
-    from vector_ray.state.datastats import _list_parquet_files, prune_paths
+    """Files that could contain any of ``keys``: intersect min/max
+    manifest pruning (clustered lakes) with the per-file Bloom sidecar
+    when one exists for this column (unsorted lakes); with neither,
+    every file is a candidate."""
+    from vector_ray.state.datastats import (_list_parquet_files,
+                                            bloom_prune_paths, prune_paths)
 
-    if not _manifest_exists(root):
-        return _list_parquet_files(root)
-    cand: set = set()
-    lo, hi = min(keys), max(keys)
-    # one manifest pass with the hull [min(keys), max(keys)] bounds the
-    # candidate set cheaply; per-key refinement only matters for very
-    # sparse key sets over huge lakes — then prune per key and union.
-    if len(keys) <= 64:
-        for k in keys:
-            kept, _ = prune_paths(root, key_col, k, k)
-            cand.update(kept)
-    else:
-        kept, _ = prune_paths(root, key_col, lo, hi)
-        cand.update(kept)
+    cand = set(_list_parquet_files(root))
+    if _manifest_exists(root):
+        byrange: set = set()
+        # per-key refinement for sparse key sets; one hull pass otherwise
+        if len(keys) <= 64:
+            for k in keys:
+                kept, _ = prune_paths(root, key_col, k, k)
+                byrange.update(kept)
+        else:
+            kept, _ = prune_paths(root, key_col, min(keys), max(keys))
+            byrange.update(kept)
+        cand &= byrange
+    if os.path.exists(os.path.join(root, "_stats", f"bloom-{key_col}.parquet")):
+        kept, _ = bloom_prune_paths(root, key_col, keys)
+        cand &= set(kept)
     return sorted(cand)
 
 
