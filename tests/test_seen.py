@@ -116,3 +116,16 @@ class TestSeenIndex:
         want = list(dict.fromkeys(seen_in_order))
         assert sorted(got) == sorted(want)
         assert len(got) == len(set(got))
+
+    def test_bloom_prefiltered_filter_matches_plain(self, tmp_path):
+        """batch_bloom_bits prunes index rows before the shuffle but
+        must never change the anti-join result (no false negatives)."""
+        root = str(tmp_path / "idx")
+        seen_index_build(rd.from_arrow(_tbl(range(0, 5000, 2))), ["k"], root)
+        probe = rd.from_arrow(_tbl([1, 2, 3, 4000, 4001, 9999]))
+        plain = sorted(r["k"] for r in
+                       seen_index_filter(probe, ["k"], root).take_all())
+        fast = sorted(r["k"] for r in
+                      seen_index_filter(probe, ["k"], root,
+                                        batch_bloom_bits=1 << 16).take_all())
+        assert fast == plain == [1, 3, 4001, 9999]

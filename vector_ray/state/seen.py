@@ -104,17 +104,34 @@ def _read_index(root: str, key_cols: Sequence[str],
 
 def seen_index_filter(ds, key_cols: Sequence[str], root: str, *,
                       buckets: Optional[Sequence[int]] = None,
-                      join_buckets: Optional[int] = None):
+                      join_buckets: Optional[int] = None,
+                      batch_bloom_bits: int = 0):
     """Rows of ``ds`` whose key is NOT in the index (bucketed
     anti-join; key columns only cross the exchange). ``buckets``
     restricts the index read to those hive partitions when the caller
-    knows the batch's key locality."""
+    knows the batch's key locality.
+
+    ``batch_bloom_bits`` > 0 enables the small-batch fast path: a
+    Bloom filter is built over the BATCH's keys (one extra pass over
+    ``ds`` — lazy datasets re-execute their lineage, so prefer this
+    on a read or a cheap transform) and index rows that definitely
+    match no batch key are dropped BEFORE the shuffle. Valid for an
+    anti-join because an index row that matches nothing never affects
+    which left rows survive; Bloom false positives just ride the
+    exchange. At 100 TB this turns 'probe a 10^10-key index with a
+    10^6-row batch' from an index-sized shuffle into a batch-sized
+    one. Single-column keys only (the Bloom hashes one column)."""
     from vector_ray.stages.join import bucketed_join
 
     key_cols = list(key_cols)
     idx = _read_index(root, key_cols, buckets)
     if idx is None:
         return ds
+    if batch_bloom_bits and len(key_cols) == 1:
+        from vector_ray.ml.bloom import bloom_build, bloom_probe
+
+        bloom = bloom_build(ds, key_cols[0], m_bits=int(batch_bloom_bits))
+        idx = bloom_probe(idx, key_cols[0], bloom, mode="keep_seen")
     return bucketed_join(ds, idx, key_cols, join_type="anti",
                          buckets=join_buckets)
 
