@@ -129,3 +129,17 @@ class TestSeenIndex:
                       seen_index_filter(probe, ["k"], root,
                                         batch_bloom_bits=1 << 16).take_all())
         assert fast == plain == [1, 3, 4001, 9999]
+
+    def test_config_persistent_dedupe(self, tmp_path):
+        """YAML-level `dedupe: {persist: dir}` drops keys seen by any
+        previous run of the config (config.py _build_dedupe)."""
+        from vector_ray.pipelines.config import TRANSFORMS
+
+        step = TRANSFORMS["dedupe"]({
+            "type": "dedupe", "fields": {"match": ["k"]},
+            "persist": str(tmp_path / "dd"),
+        })
+        out1 = step.apply(rd.from_arrow(_tbl([1, 1, 2])))
+        assert sorted(r["k"] for r in out1.take_all()) == [1, 2]
+        out2 = step.apply(rd.from_arrow(_tbl([2, 3])))
+        assert sorted(r["k"] for r in out2.take_all()) == [3]

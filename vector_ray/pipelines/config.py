@@ -277,6 +277,23 @@ def _build_dedupe(cfg):
     if isinstance(fields, dict):  # reference shape: fields.match = [...]
         fields = fields.get("match")
     fields = fields or cfg.get("match")
+    persist = cfg.get("persist")
+    if persist:
+        # durable analogue of the reference's in-memory LRU cache
+        # (src/transforms/dedupe.rs:155-163): keys seen by ANY previous
+        # run of this config drop too (state/seen.py index at `persist`)
+        num_buckets = int(cfg.get("num_buckets", 64))
+
+        class _PersistentDedupe:
+            name = "dedupe(persist)"
+
+            def apply(self, ds):
+                from vector_ray.state.seen import incremental_dedupe
+
+                return incremental_dedupe(ds, fields, persist,
+                                          num_buckets=num_buckets)
+
+        return _PersistentDedupe()
     return Dedupe(fields, order_by=cfg.get("order_by"))
 
 
