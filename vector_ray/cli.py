@@ -250,16 +250,96 @@ def generate_main(args) -> int:
     return 0
 
 
+def lake_main(args):
+    """`vector_ray lake <action> <root>` — storage maintenance over a
+    parquet lake (state/datastats.py + state/maintain.py):
+
+      stats   --col?        rebuild the footer min/max manifest
+      bloom   --col C       build the per-file Bloom sidecar for C
+      compact --target-mb N merge small files per directory
+      delete  --col C --keys a,b,c  targeted key erasure
+      seen-compact          fold duplicate keys in a seen index
+    """
+    import ray
+
+    action, root = args.config, args.node
+    if not action or not root:
+        print("usage: vector_ray lake <stats|bloom|compact|delete|"
+              "seen-compact> <root> [--col C] [--keys ...]")
+        return 2
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False,
+                  logging_level="ERROR")
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if action == "stats":
+            from vector_ray.state.datastats import stats_index_build
+
+            path = stats_index_build(root, cols=[args.col] if args.col else None)
+            print(f"manifest: {path}")
+        elif action == "bloom":
+            if not args.col:
+                print("lake bloom requires --col")
+                return 2
+            from vector_ray.state.datastats import bloom_index_build
+
+            path = bloom_index_build(root, args.col)
+            print(f"bloom sidecar: {path}")
+        elif action == "compact":
+            from vector_ray.state.maintain import compact_files
+
+            res = compact_files(root, target_bytes=args.target_mb << 20)
+            print(json.dumps(res))
+        elif action == "delete":
+            if not args.col or not args.keys:
+                print("lake delete requires --col and --keys")
+                return 2
+            from vector_ray.state.maintain import delete_by_keys
+
+            raw = [k.strip() for k in args.keys.split(",") if k.strip()]
+            try:
+                keys = [int(k) for k in raw]
+            except ValueError:
+                keys = raw
+            res = delete_by_keys(root, args.col, keys)
+            print(json.dumps(res))
+        elif action == "seen-compact":
+            from vector_ray.state.seen import seen_index_compact
+
+            seen_index_compact(root)
+            print("compacted")
+        else:
+            print(f"unknown lake action: {action}")
+            return 2
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vector_ray")
     ap.add_argument("command",
                     choices=["run", "validate", "graph", "test", "vrl",
-                             "list", "generate", "tap", "top"])
+                             "list", "generate", "tap", "top", "lake"])
     ap.add_argument("config", nargs="?",
                     help="config file (run/validate/graph/test/tap/top), "
-                         "program file (vrl), or expression (generate)")
+                         "program file (vrl), expression (generate), or "
+                         "lake action (stats|bloom|compact|delete|seen-compact)")
     ap.add_argument("node", nargs="?",
-                    help="tap: component reference, e.g. parse or route1.errors")
+                    help="tap: component reference, e.g. parse or "
+                         "route1.errors; lake: the lake root directory")
+    ap.add_argument("--col", default=None,
+                    help="lake stats/bloom/delete: the key column")
+    ap.add_argument("--keys", default=None,
+                    help="lake delete: comma-separated key values "
+                         "(ints auto-detected)")
+    ap.add_argument("--target-mb", type=int, default=128,
+                    help="lake compact: output file size target")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--input", default=None,
                     help="vrl: JSON event file (object, array, or NDJSON)")
@@ -271,6 +351,8 @@ def main(argv=None):
                     help="tap: number of events to print")
     args = ap.parse_args(argv)
 
+    if args.command == "lake":
+        return lake_main(args)
     if args.command == "vrl":
         return vrl_main(args)
     if args.command == "list":
