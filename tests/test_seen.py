@@ -143,3 +143,45 @@ class TestSeenIndex:
         assert sorted(r["k"] for r in out1.take_all()) == [1, 2]
         out2 = step.apply(rd.from_arrow(_tbl([2, 3])))
         assert sorted(r["k"] for r in out2.take_all()) == [3]
+
+
+class TestMinhashIngest:
+    """Cross-run NEAR-dup ingest (ml/dedup.minhash_index_append/ingest):
+    the fuzzy mirror of the seen-key index."""
+
+    @staticmethod
+    def _docs(pairs):
+        import pyarrow as _pa
+
+        ids, texts = zip(*pairs)
+        return rd.from_arrow(_pa.table({
+            "doc_id": _pa.array(ids, _pa.int64()),
+            "text": _pa.array(texts, _pa.string()),
+        }))
+
+    def test_ingest_rounds(self, tmp_path):
+        from vector_ray.ml.dedup import minhash_index_build, minhash_index_ingest
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs for the long trip",
+            "sphinx of black quartz judge my vow said the old librarian",
+        ]
+        novel = [
+            "completely different content about distributed stream engines",
+            "another unrelated paragraph describing parquet row groups",
+        ]
+        idx = str(tmp_path / "mh")
+        minhash_index_build(self._docs(list(enumerate(base))), idx)
+        # batch B: copies of base docs (new ids) + two novel docs
+        b = [(10, base[0]), (11, base[2])] + [(12, novel[0]), (13, novel[1])]
+        s1 = minhash_index_ingest(self._docs(b), idx)
+        got1 = sorted(r["doc_id"] for r in s1.take_all())
+        assert got1 == [12, 13]
+        # batch C: copy of a batch-B SURVIVOR -> the appended index
+        # must catch it; plus one genuinely new doc
+        c = [(20, novel[0]),
+             (21, "a third fresh document mentioning actor pools and backpressure")]
+        s2 = minhash_index_ingest(self._docs(c), idx)
+        got2 = sorted(r["doc_id"] for r in s2.take_all())
+        assert got2 == [21]

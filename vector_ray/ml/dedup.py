@@ -1297,6 +1297,77 @@ def minhash_index_build(
     return params
 
 
+def minhash_index_append(
+    ds,
+    index_dir: str,
+    *,
+    field: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append new docs' band buckets + signatures to an existing index
+    (parameters come from the index's ``params.json``; parquet file
+    names are unique so existing files are never touched). Map-only —
+    the cross-run near-dup analogue of ``state/seen.seen_index_append``:
+    build once, then each ingest probes and appends. Ids must stay
+    disjoint from everything already indexed."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "params.json")) as fh:
+        params = json.load(fh)
+    num_hashes, bands, k = (params["num_hashes"], params["bands"],
+                            params["k"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()).combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        return _band_hash_rows(t[field], ids, num_hashes=num_hashes,
+                               bands=bands, k=k)
+
+    def sigrows(t: pa.Table) -> pa.Table:
+        sig = minhash_signature(t[field], num_hashes=num_hashes, k=k)
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), num_hashes),
+        })
+
+    ds.map_batches(explode, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "buckets"))
+    ds.map_batches(sigrows, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "sigs"))
+
+
+def minhash_index_ingest(
+    ds,
+    index_dir: str,
+    *,
+    field: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 512,
+    max_candidates: int = 5_000_000,
+):
+    """One near-dup ingest step: probe the batch against the index,
+    drop rows whose near-dup already lives there, append the SURVIVORS'
+    buckets+signatures, and return the surviving rows (materialized —
+    consumed by both the append and the caller). Cross-run MinHash
+    dedup with keep-first semantics, mirroring
+    ``state/seen.incremental_dedupe`` for exact keys."""
+    dup = minhash_index_probe(ds, index_dir, field=field, id_col=id_col,
+                              jaccard_threshold=jaccard_threshold,
+                              max_bucket=max_bucket,
+                              max_candidates=max_candidates)
+    dup_ids = dup.select_columns(["new_id"]).map_batches(
+        lambda t: t.rename_columns(["__dupid"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    survivors = _filter_out_ids(ds, id_col, dup_ids).materialize()
+    minhash_index_append(survivors, index_dir, field=field, id_col=id_col)
+    return survivors
+
+
 def minhash_index_probe(
     ds,
     index_dir: str,
