@@ -185,3 +185,32 @@ class TestMinhashIngest:
         s2 = minhash_index_ingest(self._docs(c), idx)
         got2 = sorted(r["doc_id"] for r in s2.take_all())
         assert got2 == [21]
+
+
+class TestInvertedAppend:
+    def test_append_equals_full_build(self, tmp_path):
+        """build(A) + append(B) must search identically to build(A∪B)."""
+        import pyarrow as _pa
+        from vector_ray.ml.search_index import (inverted_index_append,
+                                                inverted_index_build,
+                                                inverted_index_search)
+
+        texts = [
+            "stream engine block data", "parquet row group data",
+            "actor pool stream backpressure", "index data block stream",
+            "sort shuffle exchange", "tokenizer merge rules data",
+        ]
+        def mk(lo, hi):
+            return rd.from_arrow(_pa.table({
+                "doc_id": _pa.array(list(range(lo, hi)), _pa.int64()),
+                "text": _pa.array(texts[lo:hi], _pa.string()),
+            }))
+
+        inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+        inverted_index_build(mk(0, 3), inc_dir)
+        inverted_index_append(mk(3, 6), inc_dir)
+        inverted_index_build(mk(0, 6), full_dir)
+        q = "stream data block"
+        got, _ = inverted_index_search(inc_dir, q, k=10)
+        want, _ = inverted_index_search(full_dir, q, k=10)
+        assert got.to_pydict() == want.to_pydict()

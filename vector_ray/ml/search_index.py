@@ -137,6 +137,63 @@ def inverted_index_build(
     return stats
 
 
+def inverted_index_append(
+    ds,
+    index_dir: str,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append new docs to an existing inverted index: postings land as
+    NEW files in their term-bucket hive dirs (map-only — existing
+    files untouched), and the corpus stats (n_docs/n_words, the BM25
+    idf/avgdl inputs) are summed into ``stats.json``. Searches after
+    an append score over the grown corpus with no rebuild — the
+    search path derives df from the probed postings at query time, so
+    only the two corpus counters need updating. Ids must be disjoint
+    from everything already indexed."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        st = json.load(fh)
+    num_buckets = st["num_buckets"]
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _doc_postings(t, col, id_col, num_buckets)
+
+    ds.map_batches(explode, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket"])
+
+    def stat(t: pa.Table) -> pa.Table:
+        wcol = t[col]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        words = pc.utf8_split_whitespace(wcol)
+        flat = words.flatten()
+        n_words = 0
+        if len(flat):
+            n_words = int(pc.sum(pc.cast(
+                pc.not_equal(flat, "").fill_null(False), pa.int64()))
+                .as_py() or 0)
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "words": pa.array([n_words], pa.int64())})
+
+    add_docs = add_words = 0
+    for r in ds.map_batches(stat, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        add_docs += r["n"]
+        add_words += r["words"]
+    st["n_docs"] = int(st["n_docs"] + add_docs)
+    st["n_words"] = int(st["n_words"] + add_words)
+    tmp = os.path.join(index_dir, ".stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(st, fh)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+    return st
+
+
 def inverted_index_search(
     index_dir: str,
     query: str,
