@@ -396,3 +396,41 @@ class TestRateLimitingExample:
         # paths are over the 5 event types, at most 3 steps
         for p in paths["path"].to_pylist():
             assert 1 <= len(p.split(">")) <= 3
+
+
+class TestExplain:
+    def test_explain_all_examples(self, capsys):
+        """explain() renders every example config; every known-shuffle
+        transform gets a non-default exchange label."""
+        import glob
+
+        import yaml
+
+        from vector_ray.pipelines.config import _EXCHANGE, explain
+
+        for path in sorted(glob.glob("examples/*.yaml")):
+            with open(path) as fh:
+                cfg = yaml.safe_load(fh)
+            text = explain(cfg)
+            by_name = {}
+            for ln in text.splitlines():
+                if ln.startswith("transform"):
+                    parts = ln.split(None, 2)
+                    by_name[parts[1]] = ln
+            for node, ncfg in cfg.get("transforms", {}).items():
+                assert node in by_name, (path, node)
+                if ncfg.get("type") in _EXCHANGE:
+                    assert "map-only (stateless batch kernel)" not in by_name[node], (path, node)
+
+    def test_explain_persistent_dedupe_label(self):
+        from vector_ray.pipelines.config import explain
+
+        cfg = {
+            "sources": {"s": {"type": "parquet", "path": "/x"}},
+            "transforms": {"d": {"type": "dedupe", "inputs": ["s"],
+                                 "fields": ["k"], "persist": "/tmp/i"}},
+            "sinks": {"o": {"type": "blackhole", "inputs": ["d"]}},
+        }
+        text = explain(cfg)
+        assert "anti-join vs persisted seen-key index" in text
+        assert "driver-side consume" in text

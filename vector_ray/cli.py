@@ -324,8 +324,9 @@ def lake_main(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vector_ray")
     ap.add_argument("command",
-                    choices=["run", "validate", "graph", "test", "vrl",
-                             "list", "generate", "tap", "top", "lake"])
+                    choices=["run", "validate", "graph", "explain", "test",
+                             "vrl", "list", "generate", "tap", "top",
+                             "lake"])
     ap.add_argument("config", nargs="?",
                     help="config file (run/validate/graph/test/tap/top), "
                          "program file (vrl), expression (generate), or "
@@ -377,6 +378,12 @@ def main(argv=None):
 
     if args.command == "graph":
         print(graph(cfg), end="")
+        return 0
+
+    if args.command == "explain":
+        from vector_ray.pipelines.config import explain
+
+        print(explain(cfg), end="")
         return 0
 
     import ray

@@ -2282,6 +2282,75 @@ def validate(config: dict) -> List[str]:
     return warnings
 
 
+# transform type -> data-exchange shape, the plan property that decides
+# cluster cost (consulted by explain()). Anything not listed is a
+# stateless per-batch kernel: map-only, no exchange.
+_EXCHANGE: Dict[str, str] = {}
+_EXCHANGE.update(dict.fromkeys(
+    ["enrich", "geoip", "standardize", "bucketize", "one_hot",
+     "target_encode", "winsorize", "minmax_scale", "quantile_band_filter",
+     "mad_outlier_filter", "grouped_mad_outliers", "decontaminate",
+     "blocklist_filter", "dsir_score", "nb_classify", "lm_score", "pca",
+     "diverse_select", "tfidf_score", "dup_passages",
+     "strip_dup_passages"],
+    "fit/lookup broadcast (ray.put once) + map-only apply"))
+_EXCHANGE.update(dict.fromkeys(
+    ["aggregate", "reduce", "log_to_metric", "topk", "rollup", "cube",
+     "tumbling_window", "hopping_window", "resample", "vocab_topk",
+     "heavy_hitters", "grouped_heavy_hitters", "pmi_pairs", "auc_score",
+     "classification_report", "quantiles_cont", "approx_quantiles",
+     "profile", "tag_cardinality_limit", "log_templates", "bpe_train",
+     "drift_report"],
+    "per-block partials → one aggregate-sized keyed exchange"))
+_EXCHANGE.update(dict.fromkeys(
+    ["dedupe", "session_window", "window_shift", "rank_values", "pivot",
+     "scd2", "merge", "grouped_mode", "merge_intervals", "interval_join",
+     "throttle", "ttl_dedupe", "assign_sessions", "session_paths",
+     "dedup_keep_best", "weighted_per_key_cap", "per_key_cap",
+     "token_budget_cap", "mixture_sample", "pack_sequences", "bm25"],
+    "one keyed bucketed shuffle (narrow columns)"))
+_EXCHANGE.update(dict.fromkeys(
+    ["zorder", "deterministic_shuffle"],
+    "one distributed sort (range-partitioned all-to-all)"))
+_EXCHANGE.update(dict.fromkeys(
+    ["minhash_dedup", "semantic_dedup", "fuzzy_dedupe",
+     "resolve_entities", "knn_graph", "line_dedup", "pagerank",
+     "triangle_count"],
+    "multi-pass candidate/verify exchanges (keys/ids only, capped)"))
+_EXCHANGE.update(dict.fromkeys(
+    ["row_number", "uniform_sample_k", "split_holdout"],
+    "map-only + O(#blocks) driver state"))
+
+
+def explain(config: dict) -> str:
+    """`vector_ray graph` companion: one line per component with its
+    data-exchange shape — where the plan shuffles, broadcasts, sorts,
+    or stays map-only. The honest cost model for a topology review
+    before pointing it at 100 TB."""
+    lines: List[str] = []
+    for n, cfg in config.get("sources", {}).items():
+        typ = cfg.get("type", "?")
+        lines.append(f"source     {n:<24} {typ:<22} parallel read"
+                     " (per-fragment blocks, column-pruned)")
+    for n, cfg in config.get("transforms", {}).items():
+        typ = cfg.get("type", "?")
+        ex = _EXCHANGE.get(typ, "map-only (stateless batch kernel)")
+        if typ == "dedupe" and cfg.get("persist"):
+            ex = ("bucketed anti-join vs persisted seen-key index"
+                  " + map-only append")
+        ins = ",".join(_inputs(cfg))
+        lines.append(f"transform  {n:<24} {typ:<22} {ex}  <- {ins}")
+    for n, cfg in config.get("sinks", {}).items():
+        typ = cfg.get("type", "?")
+        ins = ",".join(_inputs(cfg))
+        if typ in ("console", "blackhole"):
+            shape = "driver-side consume (bounded sample / count only)"
+        else:
+            shape = "parallel write (one file per block)"
+        lines.append(f"sink       {n:<24} {typ:<22} {shape}  <- {ins}")
+    return "\n".join(lines) + "\n"
+
+
 def graph(config: dict) -> str:
     """DOT export (`vector graph`)."""
     out = io.StringIO()
