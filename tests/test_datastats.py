@@ -191,3 +191,13 @@ class TestBloomSidecar:
         kept, total = bloom_prune_paths(root, "k", ["key-1-7"])
         assert os.path.join(root, "f1.parquet") in kept
         assert len(kept) < 3
+
+    def test_distributed_probe_matches_driver_loop(self, tmp_path):
+        from vector_ray.state.datastats import bloom_index_build, bloom_prune_paths
+        root = self._unsorted_lake(tmp_path)
+        bloom_index_build(root, "id")
+        t2 = pq.read_table(os.path.join(root, "f2.parquet"))
+        probe = t2["id"].to_pylist()[:3] + [99999999]
+        a = bloom_prune_paths(root, "id", probe)
+        b = bloom_prune_paths(root, "id", probe, distribute_over=0)
+        assert a == b

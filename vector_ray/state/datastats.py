@@ -238,25 +238,58 @@ def bloom_index_build(root: str, col: str, *, bits_per_key: int = 16,
     return final
 
 
-def bloom_prune_paths(root: str, col: str, keys) -> tuple:
-    """(kept_paths, total_paths): files whose Bloom says at least one
-    of ``keys`` may be present. Files missing from the sidecar (added
-    after the build) are kept conservatively."""
-    import pyarrow.parquet as pq
+def _bloom_test_batch(side: pa.Table, h: np.ndarray) -> tuple:
+    """(paths, hit?) for one sidecar batch — shared by the driver loop
+    and the distributed path."""
+    from vector_ray.ml.bloom import Bloom
 
-    from vector_ray.ml.bloom import Bloom, _key_hashes
-
-    side = pq.read_table(os.path.join(root, "_stats", f"bloom-{col}.parquet"))
-    h = _key_hashes(pa.array(sorted(set(keys))))
-    kept = []
-    indexed = set()
+    paths, hits = [], []
     for i in range(side.num_rows):
-        path = side["path"][i].as_py()
-        indexed.add(path)
+        paths.append(side["path"][i].as_py())
         b = Bloom(int(side["m_bits"][i].as_py()), int(side["k"][i].as_py()),
                   np.frombuffer(side["words"][i].as_py(), np.uint64).copy())
-        if bool(b.contains_hashes(h).any()):
-            kept.append(path)
+        hits.append(bool(b.contains_hashes(h).any()))
+    return paths, hits
+
+
+def bloom_prune_paths(root: str, col: str, keys, *,
+                      distribute_over: int = 4096) -> tuple:
+    """(kept_paths, total_paths): files whose Bloom says at least one
+    of ``keys`` may be present. Files missing from the sidecar (added
+    after the build) are kept conservatively. Sidecars larger than
+    ``distribute_over`` rows probe as a Ray Data map over the sidecar
+    parquet (the key hashes broadcast once) instead of a driver loop —
+    a 10^6-file lake tests 10^6 Blooms in parallel tasks."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.bloom import _key_hashes
+
+    side_path = os.path.join(root, "_stats", f"bloom-{col}.parquet")
+    h = _key_hashes(pa.array(sorted(set(keys))))
+    n_side = pq.read_metadata(side_path).num_rows
+    kept = []
+    indexed = set()
+    if n_side > distribute_over:
+        import ray
+        import ray.data as rd
+
+        href = ray.put(h)
+
+        def probe(t: pa.Table) -> pa.Table:
+            paths, hits = _bloom_test_batch(t, ray.get(href))
+            return pa.table({"path": pa.array(paths, pa.string()),
+                             "hit": pa.array(hits, pa.bool_())})
+
+        for r in rd.read_parquet(side_path).map_batches(
+                probe, batch_format="pyarrow").take_all():
+            indexed.add(r["path"])
+            if r["hit"]:
+                kept.append(r["path"])
+    else:
+        side = pq.read_table(side_path)
+        paths, hits = _bloom_test_batch(side, h)
+        indexed.update(paths)
+        kept = [p for p, hit in zip(paths, hits) if hit]
     total = _list_parquet_files(root)
     kept.extend(p for p in total if p not in indexed)
     return sorted(kept), sorted(total)
