@@ -525,3 +525,76 @@ class TestIntervalJoinTransform:
         row = out[0]
         assert {"user_id", "s", "e", "s_r", "e_r"} <= set(row.keys())
         assert row["s"] <= row["e_r"] and row["s_r"] <= row["e"]
+
+
+class TestJoinNode:
+    """`join` — the one config node whose fan-in is NOT a union:
+    inputs[0] ⋈ inputs[1] (bucketed or broadcast)."""
+
+    @staticmethod
+    def _write(tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lp = str(tmp_path / "l.parquet")
+        rp = str(tmp_path / "r.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        }), lp)
+        pq.write_table(pa.table({
+            "k": pa.array([2, 3, 5], pa.int64()),
+            "tag": pa.array(["b", "c", "e"], pa.string()),
+        }), rp)
+        return lp, rp
+
+    def _cfg(self, lp, rp, **join_extra):
+        return {
+            "sources": {
+                "l": {"type": "parquet", "path": lp},
+                "r": {"type": "parquet", "path": rp},
+            },
+            "transforms": {
+                "j": {"type": "join", "inputs": ["l", "r"], "on": ["k"],
+                      **join_extra},
+            },
+            "sinks": {"out": {"type": "blackhole", "inputs": ["j"]}},
+        }
+
+    def test_bucketed_inner(self, tmp_path):
+        from vector_ray.pipelines.config import Topology
+
+        lp, rp = self._write(tmp_path)
+        topo = Topology(self._cfg(lp, rp))
+        rows = sorted((r["k"], r["v"], r["tag"]) for r in
+                      topo.node_dataset("j").take_all())
+        assert rows == [(2, 20.0, "b"), (3, 30.0, "c")]
+
+    def test_broadcast_left(self, tmp_path):
+        from vector_ray.pipelines.config import Topology
+
+        lp, rp = self._write(tmp_path)
+        topo = Topology(self._cfg(lp, rp, mode="broadcast", how="left"))
+        rows = {r["k"]: r["tag"] for r in topo.node_dataset("j").take_all()}
+        assert rows == {1: None, 2: "b", 3: "c", 4: None}
+
+    def test_validate_rejects_bad_join(self, tmp_path):
+        from vector_ray.pipelines.config import ConfigError, validate
+
+        lp, rp = self._write(tmp_path)
+        cfg = self._cfg(lp, rp)
+        del cfg["transforms"]["j"]["on"]
+        with pytest.raises(ConfigError):
+            validate(cfg)
+        cfg2 = self._cfg(lp, rp)
+        cfg2["transforms"]["j"]["inputs"] = ["l"]
+        with pytest.raises(ConfigError):
+            validate(cfg2)
+
+    def test_explain_labels_join(self, tmp_path):
+        from vector_ray.pipelines.config import explain
+
+        lp, rp = self._write(tmp_path)
+        assert "partitioned hash join" in explain(self._cfg(lp, rp))
+        assert "broadcast right side" in explain(
+            self._cfg(lp, rp, mode="broadcast"))

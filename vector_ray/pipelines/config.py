@@ -135,7 +135,8 @@ def component_inventory() -> Dict[str, List[str]]:
     component type the config registry can build, sorted."""
     return {
         "sources": sorted(SOURCE_TYPES),
-        "transforms": sorted(set(TRANSFORMS) | {"compound", "route", "swimlanes"}),
+        "transforms": sorted(set(TRANSFORMS)
+                             | {"compound", "route", "swimlanes", "join"}),
         "sinks": sorted(SINK_TYPES),
     }
 
@@ -2128,6 +2129,31 @@ class Topology:
         cfg = self.transforms[name]
         inputs = cfg["inputs"] if isinstance(cfg["inputs"], list) else [cfg["inputs"]]
         input_dss = [self.node_dataset(i, overrides=overrides, _cache=_cache) for i in inputs]
+        if cfg["type"] == "join":
+            # TRUE two-input node (the one fan-in that is NOT a union):
+            # inputs[0] joins inputs[1]. mode=bucketed (default) is the
+            # large×large partitioned hash join; mode=broadcast ships
+            # the (small) right side once and the left never shuffles.
+            from vector_ray.stages.join import broadcast_join, bucketed_join
+
+            if len(input_dss) != 2:
+                raise ConfigError(f"join {name} needs exactly 2 inputs")
+            left, right = input_dss
+            on = cfg["on"] if isinstance(cfg["on"], list) else [cfg["on"]]
+            r_on = cfg.get("right_on")
+            if r_on is not None and not isinstance(r_on, list):
+                r_on = [r_on]
+            how = cfg.get("how", "inner")
+            if cfg.get("mode", "bucketed") == "broadcast":
+                out = broadcast_join(left, right, on, join_type=how,
+                                     right_on=r_on)
+            else:
+                out = bucketed_join(
+                    left, right, on, join_type=how, right_on=r_on,
+                    buckets=cfg.get("buckets"),
+                    bloom_prefilter=bool(cfg.get("bloom_prefilter", False)))
+            _cache[ref] = out
+            return out
         ds = input_dss[0]
         if len(input_dss) > 1:  # fan-in = union (src/config/graph.rs edges)
             ds = ds.union(*input_dss[1:])
@@ -2247,6 +2273,11 @@ def validate(config: dict) -> List[str]:
             for c in cfg.get("steps", []):
                 if c.get("type") not in TRANSFORMS:
                     raise ConfigError(f"compound {name}: unknown step type {c.get('type')}")
+        elif t == "join":
+            if "on" not in cfg:
+                raise ConfigError(f"join {name} missing 'on'")
+            if len(_inputs(cfg)) != 2:
+                raise ConfigError(f"join {name} needs exactly 2 inputs")
         elif t not in TRANSFORMS:
             raise ConfigError(f"unknown transform type {t!r} in {name}")
         for i in _inputs(cfg):
@@ -2338,6 +2369,12 @@ def explain(config: dict) -> str:
         if typ == "dedupe" and cfg.get("persist"):
             ex = ("bucketed anti-join vs persisted seen-key index"
                   " + map-only append")
+        elif typ == "join":
+            ex = ("broadcast right side (ray.put once) + map-only probe"
+                  if cfg.get("mode") == "broadcast"
+                  else "partitioned hash join (both sides keyed-shuffle"
+                  + (", bloom-prefiltered left)" if cfg.get("bloom_prefilter")
+                     else ")"))
         ins = ",".join(_inputs(cfg))
         lines.append(f"transform  {n:<24} {typ:<22} {ex}  <- {ins}")
     for n, cfg in config.get("sinks", {}).items():
