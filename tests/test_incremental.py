@@ -132,3 +132,43 @@ class TestIncrementalAggregate:
         got = _collect(out)
         assert got[1]["avg"] is None
         assert got[2]["avg"] == pytest.approx(5.0)
+
+    def test_crash_between_state_and_pointer_is_safe(self, tmp_path, monkeypatch):
+        """A kill after the new state dir is written but BEFORE the
+        pointer flips must leave the previous checkpoint fully usable,
+        and the interrupted fragments re-scan on the next run."""
+        root, full = _write_frags(tmp_path, n_frags=3)
+        state = str(tmp_path / "state")
+        files = sorted(os.path.join(root, f) for f in os.listdir(root))
+        inc = IncrementalAggregate(state, ["g"], {"n": ("count", "v")})
+        inc.update(files[:1])
+        before = _collect(inc.result())
+
+        import vector_ray.state.incremental as mod
+
+        boom = RuntimeError("simulated crash before pointer flip")
+
+        def exploding_flip(self, *a, **k):
+            raise boom
+
+        monkeypatch.setattr(mod.IncrementalAggregate, "_flip_pointer",
+                            exploding_flip)
+        with pytest.raises(RuntimeError):
+            inc.update(files)
+        monkeypatch.undo()
+
+        # old checkpoint still the visible one
+        inc2 = IncrementalAggregate(state, ["g"], {"n": ("count", "v")})
+        assert _collect(inc2.result()) == before
+        # recovery: the interrupted fragments re-scan and the final
+        # answer matches the one-shot reference
+        r = inc2.update(files)
+        assert r["new_fragments"] == 2
+        got = _collect(inc2.result())
+        want = _single_shot(full)
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: w[0] for k, w in want.items()}
+        # the recovered state dir must hold exactly one row per group —
+        # an orphan dir from the crashed run must not leak stale rows
+        st = pq.read_table(r["state_path"])
+        assert st.num_rows == len(want)

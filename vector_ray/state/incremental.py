@@ -157,6 +157,10 @@ class IncrementalAggregate:
         n = int(ptr["state"].split("-")[1]) + 1 if ptr else 0
         state_name = f"state-{n:06d}"
         out_dir = os.path.join(self.state_dir, state_name)
+        # a crashed previous run may have left an ORPHAN dir under this
+        # name (written but never pointed to); parquet writes append
+        # files, so clear it or its stale rows would double-count
+        shutil.rmtree(out_dir, ignore_errors=True)
         merged.write_parquet(out_dir)
         for f, fid in new:
             seen[fid] = f
