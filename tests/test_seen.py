@@ -214,3 +214,18 @@ class TestInvertedAppend:
         got, _ = inverted_index_search(inc_dir, q, k=10)
         want, _ = inverted_index_search(full_dir, q, k=10)
         assert got.to_pydict() == want.to_pydict()
+
+    def test_append_false_defers_recording(self, tmp_path):
+        """append=False: the caller controls at-least-once ordering —
+        keys only become 'seen' via an explicit seen_index_append."""
+        root = str(tmp_path / "idx")
+        out1 = incremental_dedupe(rd.from_arrow(_tbl([1, 2])), ["k"], root,
+                                  append=False)
+        assert sorted(r["k"] for r in out1.take_all()) == [1, 2]
+        # nothing recorded yet: the same batch re-emits
+        out2 = incremental_dedupe(rd.from_arrow(_tbl([1, 2])), ["k"], root,
+                                  append=False)
+        assert sorted(r["k"] for r in out2.take_all()) == [1, 2]
+        seen_index_append(out2, ["k"], root)
+        out3 = incremental_dedupe(rd.from_arrow(_tbl([1, 2, 3])), ["k"], root)
+        assert sorted(r["k"] for r in out3.take_all()) == [3]

@@ -182,12 +182,20 @@ def seen_index_compact(root: str) -> None:
 
 
 def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
-                       num_buckets: int = _DEFAULT_BUCKETS):
+                       num_buckets: int = _DEFAULT_BUCKETS,
+                       append: bool = True):
     """One ingest step: rows never seen before (within-batch keep-first
     + anti-join vs the index), with their keys appended to the index.
     Creates the index on first use. Returns the unseen-rows Dataset
     (materialized — it is consumed twice: once for the append, once by
-    the caller)."""
+    the caller).
+
+    Crash semantics: with ``append=True`` keys are recorded BEFORE the
+    caller sinks the rows — a crash in between drops those rows
+    forever (at-most-once). For at-least-once, pass ``append=False``,
+    sink the returned rows, then call ``seen_index_append`` on them
+    yourself; a crash then re-emits the batch (duplicates in the sink,
+    never silent loss)."""
     key_cols = list(key_cols)
     if not os.path.exists(os.path.join(root, "seen.json")):
         import json
@@ -201,5 +209,6 @@ def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
     within = bucketed_map_groups(
         ds, key_cols, lambda g: keep_first_per_key(g, key_cols))
     unseen = seen_index_filter(within, key_cols, root).materialize()
-    seen_index_append(unseen, key_cols, root)
+    if append:
+        seen_index_append(unseen, key_cols, root)
     return unseen
