@@ -4099,6 +4099,32 @@ def q_incremental_agg(sf_dir):
     return _finish(out.map_batches(fixp, batch_format="pyarrow"))
 
 
+def q_minhash_ingest(sf_dir):
+    """Cross-run near-dup ingest (ml/dedup.minhash_index_ingest): the
+    old half is the persisted LSH index; the new half is ONE ingest
+    step — probe, drop batch rows whose near-dup is indexed, append
+    the survivors' buckets+signatures. Result = the surviving rows.
+    Oracle: batch ids minus the cross-split dup set of the golden LSH
+    pair list (tools/golden.py minhash_ingest_sql)."""
+    import tempfile
+
+    from vector_ray.ml.dedup import minhash_index_build, minhash_index_ingest
+
+    def half(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["doc_id"], 250)
+            return t.filter(m if lo else pc.invert(m))
+
+        return _rp(sf_dir, "documents",
+                   columns=["doc_id", "text", "n_chars"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    idx = tempfile.mkdtemp(prefix="vr_mhing_")
+    minhash_index_build(half(True), idx)
+    out = minhash_index_ingest(half(False), idx)
+    return _finish(out.select_columns(["doc_id", "n_chars"]))
+
+
 def q_lake_delete_compact(sf_dir):
     """Lake maintenance (state/maintain.py): documents written as a
     multi-file clustered lake, doc_ids ≡ 0 (mod 7) erased via
@@ -4342,6 +4368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seen_filter_docs": q_seen_filter_docs,
         "incremental_agg": q_incremental_agg,
         "lake_delete_compact": q_lake_delete_compact,
+        "minhash_ingest": q_minhash_ingest,
     }
 
 
@@ -5154,6 +5181,7 @@ def _golden_oracles() -> dict[str, str]:
     _GOLDEN_CACHE.update({
         "inverted_search": golden.inverted_search_sql(),
         "minhash_index": golden.minhash_index_sql(),
+        "minhash_ingest": golden.minhash_ingest_sql(),
         "entropy_docs": golden.byte_entropy_sql(),
         "quantile_band": (
             "SELECT event_id, user_id, value FROM events "

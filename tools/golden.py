@@ -1769,6 +1769,28 @@ def minhash_index_sql(split: int = 250) -> str:
                        ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def minhash_ingest_sql(split: int = 250) -> str:
+    """Survivors of one index-ingest step (ml/dedup.minhash_index_
+    ingest): docs >= split whose near-dup does NOT already live in the
+    < split index — the batch ids minus the cross-split dup set of the
+    SAME golden LSH pair list minhash_index_sql uses."""
+    t = pq.read_table(os.path.join(sf_dir(), "documents.parquet"),
+                      columns=["doc_id", "text", "n_chars"])
+    seeds = [(1 * 1_000_003 + h * 2_654_435_761) & M64 for h in range(64)]
+    ids, sigs = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        buf = np.frombuffer((text or "").lower().encode("utf-8", "ignore"),
+                            np.uint8)
+        ids.append(int(doc_id))
+        sigs.append(_window_sig(buf, 5, np.array(seeds, np.uint64)))
+    rows = _lsh_pairs(ids, sigs, bands=16, num_hashes=64, threshold=0.7)
+    dup_new = {b for a, b, _ in rows if a < split <= b}
+    nchars = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    out = [(i, int(nchars[i])) for i in sorted(ids)
+           if i >= split and i not in dup_new]
+    return _values_sql(out, ["doc_id", "n_chars"], ["BIGINT", "BIGINT"])
+
+
 # ---------------------------------------------------------------------------
 # inverted_search — persisted inverted-index BM25 (ml/search_index.py):
 # same integer tf/dl/df + fixed-term-order float64 accumulation as
