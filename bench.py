@@ -432,6 +432,11 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "session_paths",
         "interval_join_events",
         "assign_sessions",
+        "stats_pruned_read",
+        "seen_filter_docs",
+        "incremental_agg",
+        "lake_delete_compact",
+        "minhash_ingest",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
