@@ -4125,6 +4125,41 @@ def q_minhash_ingest(sf_dir):
     return _finish(out.select_columns(["doc_id", "n_chars"]))
 
 
+def q_template_novelty(sf_dir):
+    """Persisted-template novelty detection (stages/templates.py
+    template_index_build/template_novelty): the even-event_id half of
+    the rendered log lines is the index, the odd half the day's batch;
+    each (token_count, first_token) group classifies as new_group /
+    changed (a stored constant widens) / known. Oracle: the same
+    per-position DISTINCT-count CASE logic split by parity in plain
+    SQL."""
+    import tempfile
+
+    from vector_ray.stages.templates import template_index_build, template_novelty
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "event_type", "user_id", "value"])
+
+    def render(half):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["event_id"], 1), half)
+            t = t.filter(keep)
+            hl = pc.if_else(pc.greater_equal(t["value"], 0.5),
+                            pa.scalar("high"), pa.scalar("low"))
+            msg = pc.binary_join_element_wise(
+                pc.cast(t["event_type"], pa.string()), pa.scalar("user"),
+                pc.cast(t["user_id"], pa.string()), pa.scalar("value"),
+                hl, pa.scalar(" "))
+            return pa.table({"message": msg})
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    idx = tempfile.mkdtemp(prefix="vr_tplidx_")
+    template_index_build(render(0), idx)
+    return _finish(template_novelty(render(1), idx))
+
+
 def q_lake_delete_compact(sf_dir):
     """Lake maintenance (state/maintain.py): documents written as a
     multi-file clustered lake, doc_ids ≡ 0 (mod 7) erased via
@@ -4369,6 +4404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q_incremental_agg,
         "lake_delete_compact": q_lake_delete_compact,
         "minhash_ingest": q_minhash_ingest,
+        "template_novelty": q_template_novelty,
     }
 
 
@@ -5150,6 +5186,39 @@ def oracle_sql() -> dict[str, str]:
         "lake_delete_compact": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id % 7 <> 0"
+        ),
+        "template_novelty": (
+            "WITH e AS (SELECT event_type, user_id, "
+            "CASE WHEN value >= 0.5 THEN 'high' ELSE 'low' END AS band, "
+            "event_id % 2 = 0 AS is_idx FROM events), "
+            "g AS (SELECT event_type, "
+            "COUNT(*) FILTER (WHERE is_idx) AS n_idx, "
+            "COUNT(*) FILTER (WHERE NOT is_idx) AS n_bat, "
+            "(CASE WHEN COUNT(DISTINCT user_id) FILTER (WHERE is_idx) > 1 "
+            "THEN '<*>' ELSE CAST(MIN(user_id) FILTER (WHERE is_idx) "
+            "AS VARCHAR) END) AS iu, "
+            "(CASE WHEN COUNT(DISTINCT band) FILTER (WHERE is_idx) > 1 "
+            "THEN '<*>' ELSE MIN(band) FILTER (WHERE is_idx) END) AS ib, "
+            "(CASE WHEN COUNT(DISTINCT user_id) FILTER (WHERE NOT is_idx) "
+            "> 1 THEN '<*>' ELSE CAST(MIN(user_id) FILTER "
+            "(WHERE NOT is_idx) AS VARCHAR) END) AS bu, "
+            "(CASE WHEN COUNT(DISTINCT band) FILTER (WHERE NOT is_idx) > 1 "
+            "THEN '<*>' ELSE MIN(band) FILTER (WHERE NOT is_idx) END) "
+            "AS bb, "
+            "(CASE WHEN COUNT(DISTINCT user_id) > 1 THEN '<*>' "
+            "ELSE CAST(MIN(user_id) AS VARCHAR) END) AS mu, "
+            "(CASE WHEN COUNT(DISTINCT band) > 1 THEN '<*>' "
+            "ELSE MIN(band) END) AS mb "
+            "FROM e GROUP BY event_type) "
+            "SELECT CAST(5 AS BIGINT) AS n_tok, event_type AS t0, "
+            "CASE WHEN n_idx = 0 THEN 'new_group' "
+            "WHEN (mu <> iu OR mb <> ib) THEN 'changed' "
+            "ELSE 'known' END AS status, "
+            "event_type || ' user ' || bu || ' value ' || bb "
+            "AS template_batch, "
+            "CASE WHEN n_idx = 0 THEN NULL ELSE event_type || ' user ' "
+            "|| iu || ' value ' || ib END AS template_index, "
+            "n_bat AS n_lines FROM g WHERE n_bat > 0"
         ),
         "incremental_agg": (
             "SELECT event_type, COUNT(event_id) AS n, "
