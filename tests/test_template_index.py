@@ -83,3 +83,16 @@ class TestTemplateNovelty:
         template_index_update(_lines(["disk sdc full"]), idx)
         states = [d for d in os.listdir(idx) if d.startswith("state-")]
         assert states == ["state-000001"]
+
+
+class TestConfigTransform:
+    def test_config_template_novelty(self, tmp_path):
+        from vector_ray.pipelines.config import TRANSFORMS
+
+        idx = str(tmp_path / "tidx")
+        template_index_build(_lines(BASE), idx)
+        step = TRANSFORMS["template_novelty"]({
+            "type": "template_novelty", "index": idx})
+        out = {r["t0"]: r["status"] for r in step.apply(
+            _lines(["login user zoe ok", "reboot host now"])).take_all()}
+        assert out == {"login": "known", "reboot": "new_group"}

@@ -1081,6 +1081,25 @@ def _build_drift_report(cfg):
     return _Drift()
 
 
+@register_transform("template_novelty")
+def _build_template_novelty(cfg):
+    """Classify each batch's log shapes against a persisted template
+    index (type: template_novelty, index: <dir>, field?) — the
+    monitoring-config face of stages/templates.template_novelty."""
+    from vector_ray.stages.base import Step
+
+    class _Novelty(Step):
+        fusable = False
+
+        def apply(self, ds):
+            from vector_ray.stages.templates import template_novelty
+
+            return template_novelty(ds, cfg["index"],
+                                    field=cfg.get("field", "message"))
+
+    return _Novelty()
+
+
 @register_transform("quantile_band_filter")
 def _build_quantile_band(cfg):
     from vector_ray.stages.base import Step
@@ -2331,7 +2350,7 @@ _EXCHANGE.update(dict.fromkeys(
      "heavy_hitters", "grouped_heavy_hitters", "pmi_pairs", "auc_score",
      "classification_report", "quantiles_cont", "approx_quantiles",
      "profile", "tag_cardinality_limit", "log_templates", "bpe_train",
-     "drift_report"],
+     "drift_report", "template_novelty"],
     "per-block partials → one aggregate-sized keyed exchange"))
 _EXCHANGE.update(dict.fromkeys(
     ["dedupe", "session_window", "window_shift", "rank_values", "pivot",
