@@ -4207,10 +4207,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (rank_orders, merge_intervals, dedup_keep_best, weighted_key_cap,
     # pmi_pairs, auc_events, grouped_auc, triangles_hosts) plus the
     # round-4-session-3 additions (throttle_events, ttl_dedupe_events,
-    # session_paths, interval_join_events, …) plus the session-4
-    # additions (stats_pruned_read, seen_filter_docs, incremental_agg,
-    # …; every session-3/4 name is after position 50). That completes
-    # 100% driver coverage of the registry.
+    # session_paths, interval_join_events, assign_sessions) plus the
+    # session-4 additions (stats_pruned_read, seen_filter_docs,
+    # incremental_agg, lake_delete_compact, minhash_ingest,
+    # template_novelty; every session-3/4 name is after position 50).
+    # That covers every query that can still receive a first driver
+    # row in the final round.
     return {
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
