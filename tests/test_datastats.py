@@ -201,3 +201,26 @@ class TestBloomSidecar:
         a = bloom_prune_paths(root, "id", probe)
         b = bloom_prune_paths(root, "id", probe, distribute_over=0)
         assert a == b
+
+
+class TestLargeIntExactness:
+    def test_int64_beyond_float53_not_wrongly_pruned(self, tmp_path):
+        """Bounds above 2^53 must compare exactly: a float64 manifest
+        channel would round the file max down and wrongly prune the
+        file that holds the probe key."""
+        from vector_ray.state.datastats import prune_paths, stats_index_build
+
+        root = str(tmp_path / "big")
+        os.makedirs(root)
+        base = (1 << 53) + 0  # float64 integer-precision limit
+        key = base + 1        # rounds to base in float64
+        pq.write_table(pa.table({"id": pa.array([base - 10, key], pa.int64())}),
+                       os.path.join(root, "a.parquet"))
+        pq.write_table(pa.table({"id": pa.array([base - 100, base - 50],
+                                                pa.int64())}),
+                       os.path.join(root, "b.parquet"))
+        stats_index_build(root)
+        kept, total = prune_paths(root, "id", key, key)
+        assert os.path.join(root, "a.parquet") in kept
+        # and pruning still works on the disjoint file
+        assert os.path.join(root, "b.parquet") not in kept

@@ -76,6 +76,7 @@ def _footer_stats_batch(batch: pa.Table, cols: Optional[Sequence[str]]) -> pa.Ta
     import pyarrow.parquet as pq
 
     paths, col_names, has = [], [], []
+    vmin_int, vmax_int = [], []
     vmin_num, vmax_num, vmin_str, vmax_str, rows = [], [], [], [], []
     for path in batch["path"].to_pylist():
         md = pq.ParquetFile(path).metadata
@@ -99,20 +100,39 @@ def _footer_stats_batch(batch: pa.Table, cols: Optional[Sequence[str]]) -> pa.Ta
             col_names.append(name)
             rows.append(nrows)
             lo, hi = _to_epoch(lo), _to_epoch(hi)
-            if ok and isinstance(lo, (int, float, np.integer, np.floating)):
+            if ok and isinstance(lo, (bool, np.bool_)):
+                ok = False  # bool stats: not worth a channel
+            if ok and isinstance(lo, (int, np.integer)) \
+                    and not isinstance(lo, (bool, np.bool_)):
+                # exact int64 channel — float64 would lose precision
+                # above 2^53 and a lossy bound can WRONGLY prune
                 has.append(True)
+                vmin_int.append(int(lo))
+                vmax_int.append(int(hi))
+                vmin_num.append(float(lo))
+                vmax_num.append(float(hi))
+                vmin_str.append(None)
+                vmax_str.append(None)
+            elif ok and isinstance(lo, (int, float, np.integer, np.floating)):
+                has.append(True)
+                vmin_int.append(None)
+                vmax_int.append(None)
                 vmin_num.append(float(lo))
                 vmax_num.append(float(hi))
                 vmin_str.append(None)
                 vmax_str.append(None)
             elif ok and isinstance(lo, (str, bytes)):
                 has.append(True)
+                vmin_int.append(None)
+                vmax_int.append(None)
                 vmin_num.append(None)
                 vmax_num.append(None)
                 vmin_str.append(lo if isinstance(lo, str) else lo.decode("utf-8", "replace"))
                 vmax_str.append(hi if isinstance(hi, str) else hi.decode("utf-8", "replace"))
             else:
                 has.append(False)
+                vmin_int.append(None)
+                vmax_int.append(None)
                 vmin_num.append(None)
                 vmax_num.append(None)
                 vmin_str.append(None)
@@ -121,6 +141,8 @@ def _footer_stats_batch(batch: pa.Table, cols: Optional[Sequence[str]]) -> pa.Ta
         "path": pa.array(paths, pa.string()),
         "column": pa.array(col_names, pa.string()),
         "has_stats": pa.array(has, pa.bool_()),
+        "vmin_int": pa.array(vmin_int, pa.int64()),
+        "vmax_int": pa.array(vmax_int, pa.int64()),
         "vmin_num": pa.array(vmin_num, pa.float64()),
         "vmax_num": pa.array(vmax_num, pa.float64()),
         "vmin_str": pa.array(vmin_str, pa.string()),
@@ -169,8 +191,17 @@ def prune_paths(root: str, col: str, lo=None, hi=None) -> tuple:
     all_paths = m["path"].to_pylist()
     lo_m, hi_m = _to_epoch(lo), _to_epoch(hi)
     is_str = isinstance(lo_m, str) or isinstance(hi_m, str)
-    vmin = m["vmin_str" if is_str else "vmin_num"]
-    vmax = m["vmax_str" if is_str else "vmax_num"]
+    is_int = (not is_str
+              and all(isinstance(v, (int, np.integer)) and
+                      not isinstance(v, bool)
+                      for v in (lo_m, hi_m) if v is not None))
+    if is_str:
+        vmin, vmax = m["vmin_str"], m["vmax_str"]
+    elif is_int and "vmin_int" in m.column_names:
+        # exact int64 compare — the float channel rounds above 2^53
+        vmin, vmax = m["vmin_int"], m["vmax_int"]
+    else:
+        vmin, vmax = m["vmin_num"], m["vmax_num"]
     keep = pc.invert(m["has_stats"])  # no stats -> keep
     overlap = pa.array([True] * len(m), pa.bool_())
     if lo_m is not None:
