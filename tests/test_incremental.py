@@ -172,3 +172,32 @@ class TestIncrementalAggregate:
         # an orphan dir from the crashed run must not leak stale rows
         st = pq.read_table(r["state_path"])
         assert st.num_rows == len(want)
+
+    def test_var_std_incremental_equals_numpy(self, tmp_path):
+        root, full = _write_frags(tmp_path, n_frags=3)
+        state = str(tmp_path / "state")
+        inc = IncrementalAggregate(state, ["g"], {
+            "v_var": ("var", "v"), "v_std": ("std", "v"),
+        })
+        files = sorted(os.path.join(root, f) for f in os.listdir(root))
+        for p in files:  # one at a time: worst-case merging
+            inc.update([p])
+        got = _collect(inc.result())
+        g = np.asarray(full["g"])
+        v = np.asarray(full["v"])
+        for key in set(g.tolist()):
+            sub = v[g == key]
+            assert got[key]["v_var"] == pytest.approx(sub.var(ddof=1), rel=1e-9)
+            assert got[key]["v_std"] == pytest.approx(sub.std(ddof=1), rel=1e-9)
+
+    def test_var_single_row_group_is_null(self, tmp_path):
+        root = str(tmp_path / "in")
+        os.makedirs(root)
+        t = pa.table({"g": pa.array([1, 2, 2], pa.int64()),
+                      "v": pa.array([4.0, 1.0, 3.0], pa.float64())})
+        pq.write_table(t, os.path.join(root, "f.parquet"))
+        out = incremental_aggregate(root, ["g"], {"s2": ("var", "v")},
+                                    str(tmp_path / "state"))
+        got = _collect(out)
+        assert got[1]["s2"] is None            # n=1: sample var undefined
+        assert got[2]["s2"] == pytest.approx(2.0)

@@ -40,7 +40,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_KINDS = ("count", "sum", "min", "max", "mean")
+_KINDS = ("count", "sum", "min", "max", "mean", "var", "std")
 
 
 def _frag_id(path: str) -> str:
@@ -75,6 +75,16 @@ def _state_specs(aggs: Dict[str, Tuple[str, str]]):
             merge[f"__{out}_sum"] = ("sum", f"__{out}_sum")
             merge[f"__{out}_cnt"] = ("sum", f"__{out}_cnt")
             final.append((out, "mean"))
+        elif kind in ("var", "std"):
+            # mergeable moments: n, float64 sum(x), sum(x^2) over a
+            # derived squared column injected at scan time
+            scan[f"__{out}_cnt"] = ("count", col)
+            scan[f"__{out}_sum"] = ("sum", f"__f64_{col}")
+            scan[f"__{out}_sq"] = ("sum", f"__sq_{col}")
+            merge[f"__{out}_cnt"] = ("sum", f"__{out}_cnt")
+            merge[f"__{out}_sum"] = ("sum", f"__{out}_sum")
+            merge[f"__{out}_sq"] = ("sum", f"__{out}_sq")
+            final.append((out, kind))
         else:
             scan[out] = (kind, col)
             merge[out] = ("sum" if kind == "count" else kind, out)
@@ -142,6 +152,18 @@ class IncrementalAggregate:
                 need.add(c)
             cols = sorted(need)
         ds = rd.read_parquet([f for f, _ in new], columns=cols)
+        moment_cols = sorted({c for _o, (k, c) in self.aggs.items()
+                              if k in ("var", "std")})
+        if moment_cols:
+            def add_moments(t: pa.Table) -> pa.Table:
+                for c in moment_cols:
+                    v = pc.cast(t[c], pa.float64(), safe=False)
+                    t = t.append_column(f"__f64_{c}", v)
+                    t = t.append_column(f"__sq_{c}", pc.multiply(v, v))
+                return t
+
+            ds = ds.map_batches(add_moments, batch_format="pyarrow",
+                                zero_copy_batch=True)
         partials = grouped_aggregate(ds, self.group_by, self.scan_specs)
         # fixed column order on BOTH union sides (the union
         # schema-mismatch lesson from stages/diff.py)
@@ -189,6 +211,25 @@ class IncrementalAggregate:
                     c = pc.cast(t[f"__{out}_cnt"], pa.float64())
                     cols[out] = pc.if_else(pc.greater(c, 0.0),
                                            pc.divide(s, c), pa.scalar(None, pa.float64()))
+                elif kind in ("var", "std"):
+                    import numpy as np
+
+                    n = pc.cast(t[f"__{out}_cnt"], pa.float64()) \
+                        .combine_chunks().to_numpy(zero_copy_only=False)
+                    sm = pc.cast(pc.fill_null(t[f"__{out}_sum"], 0.0),
+                                 pa.float64()).combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    sq = pc.cast(pc.fill_null(t[f"__{out}_sq"], 0.0),
+                                 pa.float64()).combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        var = (sq - sm * sm / np.where(n > 0, n, 1.0)) \
+                            / np.where(n > 1, n - 1.0, 1.0)
+                        var = np.where(n > 1, np.maximum(var, 0.0), np.nan)
+                        out_v = np.sqrt(var) if kind == "std" else var
+                    cols[out] = pa.array(
+                        [None if not np.isfinite(x) else float(x)
+                         for x in out_v], pa.float64())
                 else:
                     cols[out] = t[out]
             return pa.table(cols)
