@@ -123,3 +123,28 @@ class TestCompact:
         total = sum(pq.read_table(os.path.join(root, f)).num_rows
                     for f in files)
         assert total == 9 * 50
+
+
+class TestPartitionDelete:
+    def test_partition_column_delete_removes_dirs(self, tmp_path):
+        root = str(tmp_path / "hive")
+        for part, n in (("p=alpha", 3), ("p=beta", 2), ("p=gamma", 4)):
+            d = os.path.join(root, part)
+            os.makedirs(d)
+            t = pa.table({"x": pa.array(range(n), pa.int64())})
+            pq.write_table(t, os.path.join(d, "f.parquet"))
+        res = delete_by_keys(root, "p", ["beta", "gamma"])
+        assert res["partitions_removed"] == 2
+        assert res["rows_deleted"] == 6
+        assert sorted(os.listdir(root)) == ["p=alpha"]
+
+    def test_partition_delete_int_values(self, tmp_path):
+        root = str(tmp_path / "hive")
+        for b in range(4):
+            d = os.path.join(root, f"bucket={b}")
+            os.makedirs(d)
+            pq.write_table(pa.table({"x": pa.array([b], pa.int64())}),
+                           os.path.join(d, "f.parquet"))
+        res = delete_by_keys(root, "bucket", [1, 3])
+        assert res["partitions_removed"] == 2
+        assert sorted(os.listdir(root)) == ["bucket=0", "bucket=2"]

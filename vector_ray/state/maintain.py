@@ -86,6 +86,21 @@ def _candidate_files(root: str, key_col: str, keys) -> list:
     return sorted(cand)
 
 
+def _hive_partition_dirs(root: str, key_col: str) -> list:
+    """Directories named ``<key_col>=<value>`` anywhere under root —
+    non-empty iff the lake is hive-partitioned ON key_col (the column
+    then lives in dir names, not data pages)."""
+    out = []
+    prefix = f"{key_col}="
+    for dirpath, dirnames, _files in os.walk(root):
+        if os.sep + "_stats" in dirpath or dirpath.endswith("_stats"):
+            continue
+        for d in dirnames:
+            if d.startswith(prefix):
+                out.append(os.path.join(dirpath, d))
+    return sorted(out)
+
+
 def delete_by_keys(root: str, key_col: str, keys: Sequence, *,
                    refresh_stats: bool = True) -> dict:
     """Remove every row whose ``key_col`` value is in ``keys`` from the
@@ -99,9 +114,31 @@ def delete_by_keys(root: str, key_col: str, keys: Sequence, *,
     import ray
     import ray.data as rd
 
+    import shutil
+
     keys = sorted(set(keys))
     if not keys:
         return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
+    part_dirs = _hive_partition_dirs(root, key_col)
+    if part_dirs:
+        # the key IS the hive partition: erase whole directories, no
+        # data page ever read (the column isn't even in the files)
+        want = {str(k) for k in keys}
+        removed = rows = 0
+        for d in part_dirs:
+            val = os.path.basename(d).split("=", 1)[1]
+            if val in want:
+                import pyarrow.parquet as pq
+
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        rows += pq.read_metadata(os.path.join(d, f)).num_rows
+                shutil.rmtree(d)
+                removed += 1
+        if removed and refresh_stats:
+            _refresh_manifest(root)
+        return {"files_scanned": 0, "files_rewritten": 0,
+                "partitions_removed": removed, "rows_deleted": int(rows)}
     cand = _candidate_files(root, key_col, keys)
     if not cand:
         return {"files_scanned": 0, "files_rewritten": 0, "rows_deleted": 0}
