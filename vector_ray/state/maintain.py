@@ -218,11 +218,13 @@ def compact_files(root: str, *, target_bytes: int = 128 << 20,
         return {"groups": 0, "files_removed": 0, "files_written": 0}
 
     def merge(batch: pa.Table) -> pa.Table:
+        import json as _json
+
         import pyarrow.parquet as pq
 
         done = []
-        for gi in batch["gi"].to_pylist():
-            paths = groups[gi]
+        for blob in batch["paths"].to_pylist():
+            paths = _json.loads(blob)
             t = pa.concat_tables([pq.read_table(p) for p in paths],
                                  promote_options="default")
             out = os.path.join(os.path.dirname(paths[0]),
@@ -235,7 +237,12 @@ def compact_files(root: str, *, target_bytes: int = 128 << 20,
             done.append(len(paths))
         return pa.table({"removed": pa.array(done, pa.int64())})
 
-    res = rd.from_items([{"gi": i} for i in range(len(groups))]).map_batches(
+    # each task receives ONLY its own group's paths (items payload) —
+    # a closure capture would ship the whole group list to every task
+    import json as _json
+
+    res = rd.from_items(
+        [{"paths": _json.dumps(g)} for g in groups]).map_batches(
         merge, batch_format="pyarrow").take_all()
     removed = sum(r["removed"] for r in res)
     if refresh_stats:
