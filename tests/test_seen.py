@@ -229,3 +229,53 @@ class TestInvertedAppend:
         seen_index_append(out2, ["k"], root)
         out3 = incremental_dedupe(rd.from_arrow(_tbl([1, 2, 3])), ["k"], root)
         assert sorted(r["k"] for r in out3.take_all()) == [3]
+
+
+class TestSeenTTL:
+    def _ts_tbl(self, pairs):
+        ks, ts = zip(*pairs)
+        return rd.from_arrow(pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+        }))
+
+    def test_expire_drops_old_keys(self, tmp_path):
+        from vector_ray.state.seen import seen_index_expire
+
+        root = str(tmp_path / "idx")
+        seen_index_build(self._ts_tbl([(1, 100), (2, 200), (3, 300)]),
+                         ["k"], root, ts_col="ts")
+        res = seen_index_expire(root, 250)
+        assert res == {"keys_dropped": 2, "keys_kept": 1}
+        out = seen_index_filter(self._ts_tbl([(1, 400), (2, 400), (3, 400)]),
+                                ["k"], root)
+        # expired keys 1,2 count as new again; 3 still seen
+        assert sorted(r["k"] for r in out.take_all()) == [1, 2]
+
+    def test_newest_sighting_wins(self, tmp_path):
+        """An append refreshes a key's timestamp: expiry keeps it."""
+        from vector_ray.state.seen import seen_index_expire
+
+        root = str(tmp_path / "idx")
+        seen_index_build(self._ts_tbl([(7, 100)]), ["k"], root, ts_col="ts")
+        seen_index_append(self._ts_tbl([(7, 500)]), ["k"], root, ts_col="ts")
+        res = seen_index_expire(root, 300)
+        assert res["keys_kept"] == 1 and res["keys_dropped"] == 0
+        out = seen_index_filter(self._ts_tbl([(7, 600)]), ["k"], root)
+        assert out.count() == 0  # still seen
+
+    def test_append_without_ts_raises_on_ts_index(self, tmp_path):
+        root = str(tmp_path / "idx")
+        seen_index_build(self._ts_tbl([(1, 100)]), ["k"], root, ts_col="ts")
+        with pytest.raises(ValueError):
+            seen_index_append(self._ts_tbl([(2, 200)]), ["k"], root)
+
+    def test_ts_compact_keeps_newest(self, tmp_path):
+        root = str(tmp_path / "idx")
+        seen_index_build(self._ts_tbl([(5, 100)]), ["k"], root, ts_col="ts")
+        seen_index_append(self._ts_tbl([(5, 900)]), ["k"], root, ts_col="ts")
+        seen_index_compact(root)
+        kd = os.path.join(root, "keys")
+        t = pq.read_table(kd)
+        assert t.num_rows == 1
+        assert t["__seen_ts"].to_pylist() == [900]

@@ -52,19 +52,35 @@ def _index_num_buckets(root: str) -> int:
 
 
 def _local_distinct_keys(t: pa.Table, key_cols: Sequence[str],
-                         num_buckets: int) -> pa.Table:
+                         num_buckets: int,
+                         ts_col: Optional[str] = None) -> pa.Table:
     from vector_ray.stages.bucketed import add_bucket, keep_first_per_key
 
-    t = keep_first_per_key(t.select(list(key_cols)), list(key_cols))
-    t = add_bucket(t, list(key_cols), num_buckets)
-    return t.rename_columns(list(key_cols) + ["bucket"])
+    key_cols = list(key_cols)
+    if ts_col is not None:
+        # keep the NEWEST sighting per key so TTL expiry is
+        # last-seen-based (duplicate stored keys across appends are
+        # still fine: the anti-join ignores them, expiry drops each
+        # row independently and the newest row keeps the key alive)
+        sub = t.select(key_cols + [ts_col])
+        sub = keep_first_per_key(sub, key_cols,
+                                 order_by=[(ts_col, "descending")])
+        sub = add_bucket(sub, key_cols, num_buckets)
+        return sub.rename_columns(key_cols + ["__seen_ts", "bucket"])
+    t = keep_first_per_key(t.select(key_cols), key_cols)
+    t = add_bucket(t, key_cols, num_buckets)
+    return t.rename_columns(key_cols + ["bucket"])
 
 
 def seen_index_build(ds, key_cols: Sequence[str], root: str, *,
-                     num_buckets: int = _DEFAULT_BUCKETS) -> dict:
+                     num_buckets: int = _DEFAULT_BUCKETS,
+                     ts_col: Optional[str] = None) -> dict:
     """Create the index at ``root`` from ``ds``'s keys (map-only:
     per-block distinct → hive-partitioned write). Overwrites any
-    existing index at ``root``."""
+    existing index at ``root``. With ``ts_col`` every stored key
+    carries its newest sighting time, enabling
+    ``seen_index_expire`` — the durable analogue of the reference
+    dedupe cache's eviction."""
     import json
     import shutil
 
@@ -72,10 +88,11 @@ def seen_index_build(ds, key_cols: Sequence[str], root: str, *,
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     keys = ds.map_batches(
-        lambda t: _local_distinct_keys(t, key_cols, num_buckets),
+        lambda t: _local_distinct_keys(t, key_cols, num_buckets, ts_col),
         batch_format="pyarrow", zero_copy_batch=True)
     keys.write_parquet(_keys_dir(root), partition_cols=["bucket"])
-    meta = {"num_buckets": int(num_buckets), "key_cols": key_cols}
+    meta = {"num_buckets": int(num_buckets), "key_cols": key_cols,
+            "ts": ts_col is not None}
     with open(os.path.join(root, "seen.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -136,16 +153,26 @@ def seen_index_filter(ds, key_cols: Sequence[str], root: str, *,
                          buckets=join_buckets)
 
 
-def seen_index_append(ds, key_cols: Sequence[str], root: str) -> None:
+def seen_index_append(ds, key_cols: Sequence[str], root: str, *,
+                      ts_col: Optional[str] = None) -> None:
     """Append ``ds``'s keys to the index (map-only local distinct +
     partitioned write; parquet file names are unique so existing
     bucket files are never touched). Keys already present are stored
     again — harmless for anti-join semantics; run
-    ``seen_index_compact`` periodically to fold them."""
+    ``seen_index_compact`` periodically to fold them. A ts-carrying
+    index (built with ``ts_col``) requires ``ts_col`` here too."""
+    import json
+
     key_cols = list(key_cols)
-    nb = _index_num_buckets(root)
+    with open(os.path.join(root, "seen.json")) as fh:
+        meta = json.load(fh)
+    nb = int(meta["num_buckets"])
+    if meta.get("ts") and ts_col is None:
+        raise ValueError("seen_index_append: this index stores sighting "
+                         "times — pass ts_col")
     keys = ds.map_batches(
-        lambda t: _local_distinct_keys(t, key_cols, nb),
+        lambda t: _local_distinct_keys(
+            t, key_cols, nb, ts_col if meta.get("ts") else None),
         batch_format="pyarrow", zero_copy_batch=True)
     keys.write_parquet(_keys_dir(root), partition_cols=["bucket"])
 
@@ -168,12 +195,16 @@ def seen_index_compact(root: str) -> None:
     kd = _keys_dir(root)
     from vector_ray.stages.bucketed import keep_first_per_key
 
+    has_ts = bool(meta.get("ts"))
     for name in sorted(os.listdir(kd)):
         bdir = os.path.join(kd, name)
         if not (name.startswith("bucket=") and os.path.isdir(bdir)):
             continue
-        t = pq.read_table(bdir, columns=key_cols)
-        out = keep_first_per_key(t, key_cols)
+        cols = key_cols + (["__seen_ts"] if has_ts else [])
+        t = pq.read_table(bdir, columns=cols)
+        out = keep_first_per_key(
+            t, key_cols,
+            order_by=[("__seen_ts", "descending")] if has_ts else None)
         tmp = bdir + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         pq.write_table(out, os.path.join(tmp, "compacted.parquet"))
@@ -212,3 +243,49 @@ def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
     if append:
         seen_index_append(unseen, key_cols, root)
     return unseen
+
+
+def seen_index_expire(root: str, older_than) -> dict:
+    """Drop keys whose NEWEST sighting is older than ``older_than``
+    (same type/unit as the stored ts_col values) — TTL retention, the
+    durable analogue of the reference dedupe cache's eviction
+    (src/transforms/dedupe.rs LRU). Per-bucket rewrite, atomic swap,
+    no cross-bucket movement; after expiry a re-ingested old key
+    counts as new again. Compacts each bucket as a side effect (the
+    newest row per key decides survival). Returns
+    {"keys_dropped": n, "keys_kept": n}."""
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(root, "seen.json")) as fh:
+        meta = json.load(fh)
+    if not meta.get("ts"):
+        raise ValueError("seen_index_expire: index was built without ts_col")
+    from vector_ray.stages.bucketed import keep_first_per_key
+
+    key_cols = list(meta["key_cols"])
+    kd = _keys_dir(root)
+    dropped = kept = 0
+    if not os.path.isdir(kd):
+        return {"keys_dropped": 0, "keys_kept": 0}
+    for name in sorted(os.listdir(kd)):
+        bdir = os.path.join(kd, name)
+        if not (name.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        t = pq.read_table(bdir, columns=key_cols + ["__seen_ts"])
+        newest = keep_first_per_key(t, key_cols,
+                                    order_by=[("__seen_ts", "descending")])
+        mask = pc.fill_null(
+            pc.greater_equal(newest["__seen_ts"], older_than), True)
+        out = newest.filter(mask)
+        dropped += newest.num_rows - out.num_rows
+        kept += out.num_rows
+        tmp = bdir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        pq.write_table(out, os.path.join(tmp, "expired.parquet"))
+        shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+    return {"keys_dropped": int(dropped), "keys_kept": int(kept)}
