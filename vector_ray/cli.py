@@ -313,6 +313,13 @@ def lake_main(args):
 
             seen_index_compact(root)
             print("compacted")
+        elif action == "seen-expire":
+            if args.older_than is None:
+                print("lake seen-expire requires --older-than")
+                return 2
+            from vector_ray.state.seen import seen_index_expire
+
+            print(json.dumps(seen_index_expire(root, args.older_than)))
         else:
             print(f"unknown lake action: {action}")
             return 2
@@ -330,7 +337,8 @@ def main(argv=None):
     ap.add_argument("config", nargs="?",
                     help="config file (run/validate/graph/test/tap/top), "
                          "program file (vrl), expression (generate), or "
-                         "lake action (stats|bloom|compact|delete|seen-compact)")
+                         "lake action (stats|bloom|compact|delete|seen-compact|"
+                         "seen-expire)")
     ap.add_argument("node", nargs="?",
                     help="tap: component reference, e.g. parse or "
                          "route1.errors; lake: the lake root directory")
@@ -341,6 +349,9 @@ def main(argv=None):
                          "(ints auto-detected)")
     ap.add_argument("--target-mb", type=int, default=128,
                     help="lake compact: output file size target")
+    ap.add_argument("--older-than", type=float, default=None,
+                    help="lake seen-expire: drop keys last seen before "
+                         "this value (stored ts_col units)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--input", default=None,
                     help="vrl: JSON event file (object, array, or NDJSON)")
