@@ -279,3 +279,15 @@ class TestSeenTTL:
         t = pq.read_table(kd)
         assert t.num_rows == 1
         assert t["__seen_ts"].to_pylist() == [900]
+
+    def test_incremental_dedupe_with_ts_then_expire(self, tmp_path):
+        from vector_ray.state.seen import seen_index_expire
+
+        root = str(tmp_path / "idx")
+        out1 = incremental_dedupe(self._ts_tbl([(1, 10), (2, 20)]),
+                                  ["k"], root, ts_col="ts")
+        assert out1.count() == 2
+        seen_index_expire(root, 15)  # key 1 expires
+        out2 = incremental_dedupe(self._ts_tbl([(1, 30), (2, 30)]),
+                                  ["k"], root, ts_col="ts")
+        assert sorted(r["k"] for r in out2.take_all()) == [1]

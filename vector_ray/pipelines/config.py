@@ -284,6 +284,7 @@ def _build_dedupe(cfg):
         # (src/transforms/dedupe.rs:155-163): keys seen by ANY previous
         # run of this config drop too (state/seen.py index at `persist`)
         num_buckets = int(cfg.get("num_buckets", 64))
+        ts_field = cfg.get("ts_field")  # enables `lake seen-expire` TTL
 
         class _PersistentDedupe:
             name = "dedupe(persist)"
@@ -292,7 +293,8 @@ def _build_dedupe(cfg):
                 from vector_ray.state.seen import incremental_dedupe
 
                 return incremental_dedupe(ds, fields, persist,
-                                          num_buckets=num_buckets)
+                                          num_buckets=num_buckets,
+                                          ts_col=ts_field)
 
         return _PersistentDedupe()
     return Dedupe(fields, order_by=cfg.get("order_by"))

@@ -214,7 +214,8 @@ def seen_index_compact(root: str) -> None:
 
 def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
                        num_buckets: int = _DEFAULT_BUCKETS,
-                       append: bool = True):
+                       append: bool = True,
+                       ts_col: Optional[str] = None):
     """One ingest step: rows never seen before (within-batch keep-first
     + anti-join vs the index), with their keys appended to the index.
     Creates the index on first use. Returns the unseen-rows Dataset
@@ -234,14 +235,15 @@ def incremental_dedupe(ds, key_cols: Sequence[str], root: str, *,
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, "seen.json"), "w") as fh:
             json.dump({"num_buckets": int(num_buckets),
-                       "key_cols": key_cols}, fh)
+                       "key_cols": key_cols,
+                       "ts": ts_col is not None}, fh)
     from vector_ray.stages.bucketed import bucketed_map_groups, keep_first_per_key
 
     within = bucketed_map_groups(
         ds, key_cols, lambda g: keep_first_per_key(g, key_cols))
     unseen = seen_index_filter(within, key_cols, root).materialize()
     if append:
-        seen_index_append(unseen, key_cols, root)
+        seen_index_append(unseen, key_cols, root, ts_col=ts_col)
     return unseen
 
 
