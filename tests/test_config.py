@@ -598,3 +598,15 @@ class TestJoinNode:
         assert "partitioned hash join" in explain(self._cfg(lp, rp))
         assert "broadcast right side" in explain(
             self._cfg(lp, rp, mode="broadcast"))
+
+    def test_yaml_bare_on_key_normalizes(self, tmp_path):
+        """YAML 1.1 parses a bare `on:` mapping key as boolean True —
+        the join validator folds it back to 'on'."""
+        from vector_ray.pipelines.config import Topology
+
+        lp, rp = self._write(tmp_path)
+        cfg = self._cfg(lp, rp)
+        cfg["transforms"]["j"][True] = cfg["transforms"]["j"].pop("on")
+        topo = Topology(cfg)
+        rows = sorted(r["k"] for r in topo.node_dataset("j").take_all())
+        assert rows == [2, 3]

@@ -2295,6 +2295,9 @@ def validate(config: dict) -> List[str]:
                 if c.get("type") not in TRANSFORMS:
                     raise ConfigError(f"compound {name}: unknown step type {c.get('type')}")
         elif t == "join":
+            if True in cfg and "on" not in cfg:
+                # YAML 1.1 parses a bare `on:` key as boolean True
+                cfg["on"] = cfg.pop(True)
             if "on" not in cfg:
                 raise ConfigError(f"join {name} missing 'on'")
             if len(_inputs(cfg)) != 2:
