@@ -4125,6 +4125,44 @@ def q_minhash_ingest(sf_dir):
     return _finish(out.select_columns(["doc_id", "n_chars"]))
 
 
+def q_seen_ttl_users(sf_dir):
+    """Seen-index TTL retention (state/seen.py seen_index_expire): the
+    even-event_id half registers each user's newest sighting; expiry
+    drops users last seen before the global median-ish cutoff; the odd
+    half then filters against the SURVIVING set — expired users flow
+    through as new again. Oracle: NOT IN over the HAVING-MAX surviving
+    users in plain SQL."""
+    import tempfile
+
+    from vector_ray.state.seen import (seen_index_build, seen_index_expire,
+                                       seen_index_filter)
+
+    ds = _rp(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+
+    def half(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), rem))
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.int64()), pa.int64()),
+                "value": t["value"],
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    root = tempfile.mkdtemp(prefix="vr_seenttl_")
+    seen_index_build(half(0), ["user_id"], root, ts_col="ts_us")
+    # fixed cutoff: 2024-01-29 in epoch-µs (near the end of the
+    # synthetic range so a meaningful user subset expires)
+    cutoff = 1_706_486_400_000_000
+    seen_index_expire(root, cutoff)
+    out = seen_index_filter(half(1), ["user_id"], root)
+    return _finish(out.select_columns(["event_id", "user_id", "value"]))
+
+
 def q_template_novelty(sf_dir):
     """Persisted-template novelty detection (stages/templates.py
     template_index_build/template_novelty): the even-event_id half of
@@ -4407,6 +4445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_delete_compact": q_lake_delete_compact,
         "minhash_ingest": q_minhash_ingest,
         "template_novelty": q_template_novelty,
+        "seen_ttl_users": q_seen_ttl_users,
     }
 
 
@@ -5188,6 +5227,13 @@ def oracle_sql() -> dict[str, str]:
         "lake_delete_compact": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id % 7 <> 0"
+        ),
+        "seen_ttl_users": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_id % 2 = 1 AND user_id NOT IN ("
+            "SELECT user_id FROM events WHERE event_id % 2 = 0 "
+            "GROUP BY user_id "
+            "HAVING MAX(epoch_us(ts)) >= 1706486400000000)"
         ),
         "template_novelty": (
             "WITH e AS (SELECT event_type, user_id, "
