@@ -4077,6 +4077,7 @@ def q_incremental_agg(sf_dir):
         "vmin": ("min", "value"),
         "vmax": ("max", "value"),
         "vavg": ("mean", "value"),
+        "vvar": ("var", "value"),
     })
     inc.update(a_dir)
     inc.update([a_dir, b_dir])
@@ -4094,6 +4095,8 @@ def q_incremental_agg(sf_dir):
             "vmax": t["vmax"],
             "value_avg_u": pc.cast(
                 pc.round(pc.multiply(t["vavg"], 1e6), ndigits=0), pa.int64()),
+            "value_var_u": pc.cast(
+                pc.round(pc.multiply(t["vvar"], 1e6), ndigits=0), pa.int64()),
         })
 
     return _finish(out.map_batches(fixp, batch_format="pyarrow"))
@@ -5272,8 +5275,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(event_id) AS n, "
             "CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_c, "
             "MIN(value) AS vmin, MAX(value) AS vmax, "
-            "CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS value_avg_u "
-            "FROM events GROUP BY event_type"
+            "CAST(ROUND(AVG(value) * 1000000) AS BIGINT) AS value_avg_u, "
+            "CAST(ROUND(VAR_SAMP(value) * 1000000) AS BIGINT) "
+            "AS value_var_u FROM events GROUP BY event_type"
         ),
         # golden-value oracles (tools/golden.py): independent
         # single-threaded re-implementations of the sketch / signature
