@@ -438,6 +438,7 @@ def run_bench(sf_dir: str, ncpu: int, bench_rows: int) -> dict:
         "lake_delete_compact",
         "minhash_ingest",
         "template_novelty",
+        "seen_ttl_users",
     ]
     qs = entrymod.queries()
     # best-of-N with ROUND-ROBIN reps (q1,q2,...,q1,q2,...): a host-noise
