@@ -96,3 +96,37 @@ class TestConfigTransform:
         out = {r["t0"]: r["status"] for r in step.apply(
             _lines(["login user zoe ok", "reboot host now"])).take_all()}
         assert out == {"login": "known", "reboot": "new_group"}
+
+
+class TestTemplateMergeProperty:
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "x1", "x2"])
+    line = st.lists(words, min_size=1, max_size=4).map(" ".join)
+
+    @given(st.lists(line, min_size=1, max_size=12),
+           st.lists(line, min_size=1, max_size=12))
+    @settings(max_examples=10, deadline=None)
+    def test_update_equals_one_shot(self, tmp_path_factory, a, b):
+        """index(A) updated with B must render exactly like a one-shot
+        mine over A+B, for arbitrary line mixes (the min/max partial
+        form is a lossless merge representation)."""
+        import ray.data as rdd
+
+        from vector_ray.stages.templates import render_templates
+
+        tmp = tmp_path_factory.mktemp("tplprop")
+        idx = str(tmp / "idx")
+        template_index_build(_lines(a), idx)
+        template_index_update(_lines(b), idx)
+        import json
+
+        with open(os.path.join(idx, "meta.json")) as fh:
+            state = json.load(fh)["state"]
+        merged = rdd.read_parquet(os.path.join(idx, state))
+        got = {(r["n_tok"], r["t0"]): (r["template"], r["n_lines"])
+               for r in render_templates(merged).take_all()}
+        want = {(r["n_tok"], r["t0"]): (r["template"], r["n_lines"])
+                for r in log_templates(_lines(a + b)).take_all()}
+        assert got == want
