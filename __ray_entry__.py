@@ -4251,7 +4251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # session_paths, interval_join_events, assign_sessions) plus the
     # session-4 additions (stats_pruned_read, seen_filter_docs,
     # incremental_agg, lake_delete_compact, minhash_ingest,
-    # template_novelty; every session-3/4 name is after position 50).
+    # template_novelty, seen_ttl_users; every session-3/4 name is
+    # after position 50).
     # That covers every query that can still receive a first driver
     # row in the final round.
     return {
