@@ -201,3 +201,30 @@ class TestIncrementalAggregate:
         got = _collect(out)
         assert got[1]["s2"] is None            # n=1: sample var undefined
         assert got[2]["s2"] == pytest.approx(2.0)
+
+
+class TestConfigSource:
+    def test_incremental_agg_source(self, tmp_path):
+        """Config source type incremental_agg: each run scans only new
+        fragments; the topology consumes the current aggregate."""
+        from vector_ray.pipelines.config import Topology
+
+        root, full = _write_frags(tmp_path, n_frags=2)
+        cfg = {
+            "sources": {"stats": {
+                "type": "incremental_agg", "input": root,
+                "state": str(tmp_path / "state"),
+                "group_by": ["g"],
+                "aggs": {"n": ["count", "v"], "vsum": ["sum", "v"]},
+            }},
+            "sinks": {"out": {"type": "blackhole", "inputs": ["stats"]}},
+        }
+        topo = Topology(cfg)
+        got = {r["g"]: r for r in topo.node_dataset("stats").take_all()}
+        want = _single_shot(full)
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: w[0] for k, w in want.items()}
+        # second topology over the same config: pure replay, same result
+        got2 = {r["g"]: r["n"] for r in
+                Topology(cfg).node_dataset("stats").take_all()}
+        assert got2 == {k: v["n"] for k, v in got.items()}

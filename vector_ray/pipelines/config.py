@@ -122,8 +122,8 @@ TRANSFORMS: Dict[str, Callable[[dict], Any]] = {}
 # config using each listed type validates). Backs `vector_ray list`,
 # the analogue of the reference's `vector list` (src/list.rs:44-76).
 SOURCE_TYPES = [
-    "csv", "file", "generator", "json", "link_graph", "parquet",
-    "text", "tokens_synth", "web_docs",
+    "csv", "file", "generator", "incremental_agg", "json", "link_graph",
+    "parquet", "text", "tokens_synth", "web_docs",
 ]
 SINK_TYPES = [
     "blackhole", "console", "csv", "file", "json", "memory", "parquet",
@@ -2129,6 +2129,18 @@ class Topology:
             path = synth_parquet(cfg.get("count", 10_000), seed=cfg.get("seed", 42),
                                  rows_per_file=cfg.get("rows_per_file", 2_500))
             return rd.read_parquet(path, columns=cfg.get("columns"))
+        if stype == "incremental_agg":
+            # checkpointed aggregate over a growing lake: each run of
+            # the config scans only input fragments its state has not
+            # seen (state/incremental.py), then the pipeline consumes
+            # the CURRENT aggregate. aggs: {out: [kind, col]}.
+            from vector_ray.state.incremental import IncrementalAggregate
+
+            inc = IncrementalAggregate(
+                cfg["state"], list(cfg["group_by"]),
+                {k: tuple(v) for k, v in cfg["aggs"].items()})
+            inc.update(cfg["input"])
+            return inc.result()
         raise ConfigError(f"unknown source type {stype}")
 
     def node_dataset(self, ref: str, *, overrides: Optional[dict] = None, _cache=None):
