@@ -1,0 +1,52 @@
+"""run_daily (pipelines/daily.py): the flagship composed with the
+state layer — cross-run dedupe, per-run routed appends, checkpointed
+aggregate. Invariant: after ANY sequence of ingests the cumulative
+aggregate equals the one-shot flagship aggregate over the distinct
+union of everything ever ingested."""
+
+import glob
+import os
+
+import pytest
+
+from vector_ray.pipelines.daily import oneshot_reference, run_daily
+
+
+def _synth(tmp_path, n, seed, name):
+    from vector_ray.sources.synth import synth_parquet
+
+    root = synth_parquet(n, seed=seed, rows_per_file=max(200, n // 4),
+                         root=str(tmp_path / name))
+    return sorted(glob.glob(os.path.join(root, "*.parquet")))
+
+
+def _agg_dict(ds):
+    return {(r["lane"], r["source"], r["region"]):
+            (r["n_rows"], r["tok_sum"], r["seq_min"], r["seq_max"])
+            for r in ds.take_all()}
+
+
+class TestRunDaily:
+    def test_three_days_equal_oneshot(self, tmp_path):
+        work = str(tmp_path / "work")
+        day1 = _synth(tmp_path, 1200, 3, "d1")
+        day2 = _synth(tmp_path, 1000, 4, "d2")  # doc_id spaces overlap
+        r1 = run_daily(day1, work)
+        assert r1["new_docs"] == 1200
+        r2 = run_daily(day2, work)
+        assert 0 < r2["new_docs"] <= 1000
+        # replay of day1: nothing admitted, aggregate unchanged
+        r3 = run_daily(day1, work)
+        assert r3["new_docs"] == 0
+        got = _agg_dict(r3["aggregate"])
+        want = _agg_dict(oneshot_reference(day1 + day2))
+        assert got == want
+
+    def test_replay_writes_no_routed_dir(self, tmp_path):
+        work = str(tmp_path / "work")
+        day = _synth(tmp_path, 600, 7, "d")
+        run_daily(day, work)
+        runs_before = sorted(os.listdir(os.path.join(work, "routed")))
+        r = run_daily(day, work)
+        assert r["new_docs"] == 0 and r["routed_dir"] is None
+        assert sorted(os.listdir(os.path.join(work, "routed"))) == runs_before

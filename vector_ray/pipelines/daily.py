@@ -1,0 +1,115 @@
+"""The daily production run: the north-rule pipeline composed with the
+durable state layer.
+
+Every day a new batch of tokenized-log fragments lands. One
+``run_daily`` call:
+
+1. drops every doc whose ``doc_id`` was emitted by ANY previous run
+   (persistent seen-key index at ``<workdir>/seen`` — state/seen.py;
+   within-batch duplicates collapse too, keep-first),
+2. runs the flagship parse → enrich → route stages over the survivors
+   (pipelines/flagship.parse_enrich_route — fused map_batches + actor
+   pool + route explode),
+3. appends the routed rows as parquet under ``<workdir>/routed/`` (one
+   sub-directory per run; history is never rewritten),
+4. merges the per-(lane, source, region) aggregate into a durable
+   checkpoint (state/incremental.IncrementalAggregate at
+   ``<workdir>/agg``): the checkpoint's fragment registry sees only
+   this run's new routed files, so history is never re-scanned.
+
+Re-running with yesterday's input is a no-op end to end: the dedupe
+admits zero rows, no routed files are written, and the aggregate
+replays from state. The result equals a one-shot flagship aggregate
+over the distinct union of every batch ever ingested (pytest).
+
+100-TB shape: (1) is a bucketed anti-join over key columns, (2) is
+map-only + broadcast enrich, (3) writes per-run directories (no
+rewrite of history), (4) exchanges aggregate-sized partials only.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Optional, Sequence
+
+import pyarrow as pa
+
+from vector_ray.pipelines.flagship import (
+    _AGG_KEYS,
+    flagship_aggregate,
+    parse_enrich_route,
+)
+
+_AGG_STATE_SPECS = {
+    "n_rows": ("count", "doc_id"),
+    "tok_sum": ("sum", "n_tok"),
+    "seq_min": ("min", "seq"),
+    "seq_max": ("max", "seq"),
+}
+
+
+def run_daily(
+    inputs,
+    workdir: str,
+    *,
+    lookup: Optional[pa.Table] = None,
+    enrich_concurrency: int = 2,
+    refresh_stats: bool = False,
+):
+    """One ingest step. Returns {"new_docs": n, "routed_dir": path|None,
+    "aggregate": Dataset (current cumulative per-sink aggregate)}."""
+    import ray.data as rd
+
+    from vector_ray.state.incremental import IncrementalAggregate
+    from vector_ray.state.seen import incremental_dedupe
+
+    os.makedirs(workdir, exist_ok=True)
+    routed_root = os.path.join(workdir, "routed")
+    os.makedirs(routed_root, exist_ok=True)
+
+    if isinstance(inputs, str):
+        import glob as _g
+
+        files = sorted(_g.glob(os.path.join(inputs, "*.parquet"))) \
+            if os.path.isdir(inputs) else sorted(_g.glob(inputs))
+    else:
+        files = sorted(inputs)
+    ds = rd.read_parquet(files)
+
+    # 1. cross-run + within-batch exact dedup on doc_id
+    fresh = incremental_dedupe(ds, ["doc_id"], os.path.join(workdir, "seen"))
+    new_docs = fresh.count()
+
+    agg_state = IncrementalAggregate(os.path.join(workdir, "agg"),
+                                     _AGG_KEYS, _AGG_STATE_SPECS)
+    routed_dir = None
+    if new_docs:
+        # 2./3. process survivors, append this run's routed output
+        routed = parse_enrich_route(fresh, lookup=lookup,
+                                    enrich_concurrency=enrich_concurrency)
+        routed_dir = os.path.join(routed_root, f"run-{uuid.uuid4().hex[:12]}")
+        # lane stays a DATA column (the aggregate checkpoint reads the
+        # files directly, where a hive partition column would vanish)
+        routed.write_parquet(routed_dir)
+        if refresh_stats:
+            from vector_ray.state.datastats import stats_index_build
+
+            stats_index_build(routed_root, cols=["n_tok", "seq"])
+    # 4. merge (only unseen routed fragments scan — i.e. this run's)
+    agg_state.update(os.path.join(workdir, "routed"))
+    return {"new_docs": int(new_docs), "routed_dir": routed_dir,
+            "aggregate": agg_state.result()}
+
+
+def oneshot_reference(files: Sequence[str], *, lookup: Optional[pa.Table] = None):
+    """The from-scratch equivalent (distinct docs → flagship aggregate)
+    — what run_daily's cumulative state must always equal."""
+    import ray.data as rd
+
+    from vector_ray.stages.bucketed import bucketed_map_groups, keep_first_per_key
+
+    ds = rd.read_parquet(sorted(files))
+    uniq = bucketed_map_groups(
+        ds, ["doc_id"], lambda g: keep_first_per_key(g, ["doc_id"]))
+    return flagship_aggregate(parse_enrich_route(uniq, lookup=lookup))

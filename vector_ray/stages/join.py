@@ -232,6 +232,15 @@ def bucketed_join(
         # Arrow join handles empty sides and keeps the full joined schema
         # — no early return, or empty buckets would emit schema-divergent
         # blocks
+        if jt in ("left semi", "left anti"):
+            # probe with (keys, row index) only and take the survivors:
+            # payloads never enter the Acero join, so nested types
+            # (list<...> token arrays) ride through untouched
+            probe = lt.select(list(on)).append_column(
+                "__ji", pa.array(np.arange(len(lt)), pa.int64()))
+            hit = probe.join(rt.select(list(r_on)), keys=on,
+                             right_keys=r_on, join_type=jt)
+            return lt.take(hit["__ji"].combine_chunks())
         out = lt.join(rt, keys=on, right_keys=r_on, join_type=jt)
         return out.select([c for c in out_cols if c in out.column_names])
 
