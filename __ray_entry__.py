@@ -4234,28 +4234,58 @@ def q_lake_delete_compact(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver sweep records only the FIRST 50 entries
-    # per round. r4 rotation: apply_changeset (the r3 red row) first,
-    # then the 59 queries that have never received a driver CORRECTNESS
-    # row (r1+r2+r3 union = 100 green names), then the standing-green
-    # remainder. ROUND-5 ROTATION (do this first next round): move the
-    # remaining never-driver-verified 26 to the front — the 18 entries
-    # currently after position 50 (split_fields, pii_redact,
-    # lm_perplexity, semantic_dedup, dup_passages, mixture_sample,
-    # per_key_cap, shuffle_order, token_dedup_collapse, vocab_topk,
-    # repetition_docs, pack_sequences, chunk_sequences, decontaminate,
-    # enrich_find_ranges, stdlib_tail, config_syslog_metrics,
-    # simhash_pairs) plus the 8 round-4-session-2 additions
-    # (rank_orders, merge_intervals, dedup_keep_best, weighted_key_cap,
-    # pmi_pairs, auc_events, grouped_auc, triangles_hosts) plus the
-    # round-4-session-3 additions (throttle_events, ttl_dedupe_events,
-    # session_paths, interval_join_events, assign_sessions) plus the
-    # session-4 additions (stats_pruned_read, seen_filter_docs,
-    # incremental_agg, lake_delete_compact, minhash_ingest,
-    # template_novelty, seen_ttl_users; every session-3/4 name is
-    # after position 50).
-    # That covers every query that can still receive a first driver
-    # row in the final round.
+    # per round. r5 rotation (final round): the 44 queries that never
+    # received a driver CORRECTNESS row in r1-r4 (union = 149 green
+    # names over 193) are moved to the front, so this round's 50-row
+    # window verifies every remaining query and completes 193/193
+    # driver coverage. The previously verified remainder keeps its
+    # r4 relative order below the marker comment.
     return {
+        "split_fields": q_split_fields,
+        "pii_redact": q_pii_redact,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
+        "dup_passages": q_dup_passages,
+        "mixture_sample": q_mixture_sample,
+        "per_key_cap": q_per_key_cap,
+        "shuffle_order": q_shuffle_order,
+        "token_dedup_collapse": q_token_dedup_collapse,
+        "vocab_topk": q_vocab_topk,
+        "repetition_docs": q_repetition_docs,
+        "pack_sequences": q_pack_sequences,
+        "chunk_sequences": q_chunk_sequences,
+        "decontaminate": q_decontaminate,
+        "enrich_find_ranges": q_enrich_find_ranges,
+        "stdlib_tail": q_stdlib_tail,
+        "config_syslog_metrics": q_config_syslog_metrics,
+        "simhash_pairs": q_simhash_pairs,
+        "rank_orders": q_rank_orders,
+        "merge_intervals": q_merge_intervals,
+        "dedup_keep_best": q_dedup_keep_best,
+        "weighted_key_cap": q_weighted_key_cap,
+        "pmi_pairs": q_pmi_pairs,
+        "auc_events": q_auc_events,
+        "grouped_auc": q_grouped_auc,
+        "triangles_hosts": q_triangles,
+        "classification_report": q_classification_report,
+        "quantiles_cont": q_quantiles_cont,
+        "grouped_quantiles_cont": q_grouped_quantiles_cont,
+        "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
+        "psi_drift": q_psi_drift,
+        "throttle_events": q_throttle_events,
+        "ttl_dedupe_events": q_ttl_dedupe_events,
+        "session_paths": q_session_paths,
+        "interval_join_events": q_interval_join,
+        "assign_sessions": q_assign_sessions,
+        "stats_pruned_read": q_stats_pruned_read,
+        "seen_filter_docs": q_seen_filter_docs,
+        "incremental_agg": q_incremental_agg,
+        "lake_delete_compact": q_lake_delete_compact,
+        "minhash_ingest": q_minhash_ingest,
+        "template_novelty": q_template_novelty,
+        "seen_ttl_users": q_seen_ttl_users,
+        # --- previously driver-verified (r1-r4 union) below this line ---
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
         "diverse_select": q_diverse_select,
@@ -4306,25 +4336,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ansi_logfmt_roundtrip": q_ansi_logfmt_roundtrip,
         "stdlib_hashes": q_stdlib_hashes,
         "compound_route": q_compound_route,
-        "split_fields": q_split_fields,
-        "pii_redact": q_pii_redact,
-        "lm_perplexity": q_lm_perplexity,
-        "semantic_dedup": q_semantic_dedup,
-        "dup_passages": q_dup_passages,
-        "mixture_sample": q_mixture_sample,
-        "per_key_cap": q_per_key_cap,
-        "shuffle_order": q_shuffle_order,
-        "token_dedup_collapse": q_token_dedup_collapse,
-        "vocab_topk": q_vocab_topk,
-        "repetition_docs": q_repetition_docs,
-        "pack_sequences": q_pack_sequences,
-        "chunk_sequences": q_chunk_sequences,
-        "decontaminate": q_decontaminate,
-        "enrich_find_ranges": q_enrich_find_ranges,
-        "stdlib_tail": q_stdlib_tail,
-        "config_syslog_metrics": q_config_syslog_metrics,
-        "simhash_pairs": q_simhash_pairs,
-        # --- standing driver-green rows from r1-r3 below this line ---
         "token_near_dup": q_token_near_dup,
         "flagship_tokenized": q_flagship_tokenized,
         "scd2_user_state": q_scd2_user_state,
@@ -4424,32 +4435,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "topk_users": q_topk_users,
         "log_to_metric_agg": q_log_to_metric_agg,
-        "rank_orders": q_rank_orders,
-        "merge_intervals": q_merge_intervals,
-        "dedup_keep_best": q_dedup_keep_best,
-        "weighted_key_cap": q_weighted_key_cap,
-        "pmi_pairs": q_pmi_pairs,
-        "auc_events": q_auc_events,
-        "grouped_auc": q_grouped_auc,
-        "triangles_hosts": q_triangles,
-        "classification_report": q_classification_report,
-        "quantiles_cont": q_quantiles_cont,
-        "grouped_quantiles_cont": q_grouped_quantiles_cont,
-        "ks_drift": q_ks_drift,
-        "chi2_drift": q_chi2_drift,
-        "psi_drift": q_psi_drift,
-        "throttle_events": q_throttle_events,
-        "ttl_dedupe_events": q_ttl_dedupe_events,
-        "session_paths": q_session_paths,
-        "interval_join_events": q_interval_join,
-        "assign_sessions": q_assign_sessions,
-        "stats_pruned_read": q_stats_pruned_read,
-        "seen_filter_docs": q_seen_filter_docs,
-        "incremental_agg": q_incremental_agg,
-        "lake_delete_compact": q_lake_delete_compact,
-        "minhash_ingest": q_minhash_ingest,
-        "template_novelty": q_template_novelty,
-        "seen_ttl_users": q_seen_ttl_users,
     }
 
 
