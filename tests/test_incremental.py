@@ -203,6 +203,50 @@ class TestIncrementalAggregate:
         assert got[2]["s2"] == pytest.approx(2.0)
 
 
+class TestFragmentRegistry:
+    def test_expand_skips_stats_sidecars(self, tmp_path):
+        """An underscore-prefixed sidecar (e.g. routed/_stats/
+        manifest.parquet from stats_index_build) must never register
+        as an input fragment — it lacks the aggregate's columns."""
+        root, full = _write_frags(tmp_path, n_frags=2)
+        # plant sidecars: a _stats subdir and an underscore file
+        sd = os.path.join(root, "_stats")
+        os.makedirs(sd)
+        pq.write_table(pa.table({"path": pa.array(["x"], pa.string())}),
+                       os.path.join(sd, "manifest.parquet"))
+        pq.write_table(pa.table({"meta": pa.array([1], pa.int64())}),
+                       os.path.join(root, "_meta.parquet"))
+        out = incremental_aggregate(root, ["g"], AGGS,
+                                    str(tmp_path / "state"))
+        got = _collect(out)
+        want = _single_shot(full)
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: w[0] for k, w in want.items()}
+
+    def test_overwritten_file_same_size_rescans(self, tmp_path):
+        """_frag_id includes mtime: overwriting a fragment with
+        different content of the SAME byte size re-scans it."""
+        root = str(tmp_path / "in")
+        os.makedirs(root)
+        p = os.path.join(root, "f.parquet")
+        t1 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                       "v": pa.array([10.0, 20.0], pa.float64())})
+        pq.write_table(t1, p)
+        size1 = os.path.getsize(p)
+        inc = IncrementalAggregate(str(tmp_path / "state"), ["g"],
+                                   {"total": ("sum", "v")})
+        inc.update(root)
+        # same schema/row-count, different values -> same byte size
+        t2 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                       "v": pa.array([30.0, 40.0], pa.float64())})
+        pq.write_table(t2, p)
+        os.utime(p, ns=(os.stat(p).st_atime_ns,
+                        os.stat(p).st_mtime_ns + 1_000_000))
+        assert os.path.getsize(p) == size1
+        res = inc.update(root)
+        assert res["new_fragments"] == 1  # re-scanned, not skipped
+
+
 class TestConfigSource:
     def test_incremental_agg_source(self, tmp_path):
         """Config source type incremental_agg: each run scans only new

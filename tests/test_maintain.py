@@ -113,6 +113,47 @@ class TestCompact:
         assert res["groups"] == 0
         assert sorted(os.listdir(root)) == sorted(sizes)
 
+    def test_recover_after_swap_removes_duplicate_sources(self, tmp_path):
+        # crash window: compacted file visible, sources not yet
+        # unlinked, manifest committed — next pass must drop sources
+        import json
+
+        from vector_ray.state.maintain import _recover_compactions
+
+        root = _lake(tmp_path, n_files=3, rows=10)
+        srcs = ["f0.parquet", "f1.parquet"]
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(root, s)) for s in srcs])
+        out = os.path.join(root, "compacted-deadbeef0001.parquet")
+        pq.write_table(merged, out)
+        with open(os.path.join(root, "_compact-deadbeef0001.json"), "w") as fh:
+            json.dump({"output": os.path.basename(out), "sources": srcs}, fh)
+        assert _recover_compactions(root) == 1
+        files = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
+        assert files == ["compacted-deadbeef0001.parquet", "f2.parquet"]
+        rows = rd.read_parquet(root).take_all()
+        assert sorted(r["id"] for r in rows) == list(range(30))
+
+    def test_recover_before_swap_keeps_sources(self, tmp_path):
+        # crash window: manifest committed but output never swapped in
+        # — sources intact, orphan tmp discarded, no data change
+        import json
+
+        from vector_ray.state.maintain import _recover_compactions
+
+        root = _lake(tmp_path, n_files=3, rows=10)
+        out = os.path.join(root, "compacted-deadbeef0002.parquet")
+        with open(out + ".tmp", "w") as fh:
+            fh.write("partial")
+        with open(os.path.join(root, "_compact-deadbeef0002.json"), "w") as fh:
+            json.dump({"output": os.path.basename(out),
+                       "sources": ["f0.parquet", "f1.parquet"]}, fh)
+        assert _recover_compactions(root) == 1
+        files = sorted(os.listdir(root))
+        assert files == ["f0.parquet", "f1.parquet", "f2.parquet"]
+        rows = rd.read_parquet(root).take_all()
+        assert sorted(r["id"] for r in rows) == list(range(30))
+
     def test_compact_groups_to_target(self, tmp_path):
         root = _lake(tmp_path, n_files=9, rows=50)
         one = os.path.getsize(os.path.join(root, "f0.parquet"))

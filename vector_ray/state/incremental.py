@@ -25,7 +25,7 @@ the channel-merge kinds — one more bucketed exchange over
 aggregate-sized rows. Checkpoints are whole directories swapped via a
 pointer file (write new, flip pointer, prune old), so a killed run
 leaves the previous state intact and simply re-scans its fragments.
-Fragment identity is path+size (an overwritten file re-scans).
+Fragment identity is path+size+mtime (an overwritten file re-scans).
 """
 
 from __future__ import annotations
@@ -44,9 +44,21 @@ _KINDS = ("count", "sum", "min", "max", "mean", "var", "std")
 
 
 def _frag_id(path: str) -> str:
+    # path+size+mtime: an overwritten file (even same byte size)
+    # re-scans instead of silently keeping stale aggregates
     st = os.stat(path)
-    h = hashlib.sha1(f"{path}\x1f{st.st_size}".encode()).hexdigest()[:16]
+    h = hashlib.sha1(
+        f"{path}\x1f{st.st_size}\x1f{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     return f"f-{h}"
+
+
+def _is_hidden(path: str) -> bool:
+    """Underscore/dot-prefixed path components are metadata sidecars
+    (e.g. a _stats manifest written next to the data — datastats.py),
+    never input fragments; mirroring datastats._list_parquet_files."""
+    return any(part.startswith(("_", "."))
+               for part in path.split(os.sep) if part)
 
 
 def _expand(inputs) -> list:
@@ -55,8 +67,10 @@ def _expand(inputs) -> list:
     out = []
     for p in inputs:
         if os.path.isdir(p):
-            out.extend(_glob.glob(os.path.join(p, "**", "*.parquet"),
-                                  recursive=True))
+            out.extend(
+                f for f in _glob.glob(os.path.join(p, "**", "*.parquet"),
+                                      recursive=True)
+                if not _is_hidden(os.path.relpath(f, p)))
         else:
             out.extend(sorted(_glob.glob(p)) or [p])
     return sorted(out)

@@ -183,6 +183,41 @@ def delete_by_keys(root: str, key_col: str, keys: Sequence, *,
             "rows_deleted": int(deleted)}
 
 
+def _recover_compactions(root: str) -> int:
+    """Finish (or roll back) compaction groups interrupted mid-swap.
+    For each committed ``_compact-<id>.json``: if the compacted output
+    is visible, the group crashed between swap and unlink — remove any
+    surviving source files (the duplicate-row window) and the
+    manifest; if the output never became visible, the sources are
+    intact — discard the orphan tmp and the manifest. Returns the
+    number of manifests resolved."""
+    import json as _json
+
+    fixed = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not (f.startswith("_compact-") and f.endswith(".json")):
+                continue
+            man = os.path.join(dirpath, f)
+            try:
+                with open(man) as fh:
+                    rec = _json.load(fh)
+            except (OSError, ValueError):
+                os.unlink(man)
+                continue
+            out = os.path.join(dirpath, rec["output"])
+            if os.path.exists(out):
+                for s in rec["sources"]:
+                    sp = os.path.join(dirpath, s)
+                    if os.path.exists(sp):
+                        os.unlink(sp)
+            elif os.path.exists(out + ".tmp"):
+                os.unlink(out + ".tmp")
+            os.unlink(man)
+            fixed += 1
+    return fixed
+
+
 def compact_files(root: str, *, target_bytes: int = 128 << 20,
                   small_bytes: Optional[int] = None,
                   refresh_stats: bool = True) -> dict:
@@ -190,9 +225,20 @@ def compact_files(root: str, *, target_bytes: int = 128 << 20,
     outputs. ``small_bytes`` (default target/2) decides which files
     are compaction candidates; larger files are left alone. Hive
     partition directories are never mixed. Returns
-    {"groups": n, "files_removed": n, "files_written": n}."""
+    {"groups": n, "files_removed": n, "files_written": n}.
+
+    Crash-safe: each group commits an underscore-prefixed manifest
+    (``_compact-<id>.json`` — invisible to every reader, which skips
+    underscore files) listing its source files BEFORE the compacted
+    file becomes visible; sources are unlinked after, manifest last.
+    A crash anywhere leaves either (a) manifest + no visible output →
+    sources intact, tmp discarded, or (b) manifest + output + some
+    sources → duplicates that the NEXT compact/maintenance pass
+    repairs by finishing the unlinks. ``_recover_compactions`` runs at
+    the top of every call."""
     import ray.data as rd
 
+    _recover_compactions(root)
     small = small_bytes if small_bytes is not None else target_bytes // 2
     groups = []
     for dirpath, _dirs, files in os.walk(root):
@@ -227,13 +273,24 @@ def compact_files(root: str, *, target_bytes: int = 128 << 20,
             paths = _json.loads(blob)
             t = pa.concat_tables([pq.read_table(p) for p in paths],
                                  promote_options="default")
-            out = os.path.join(os.path.dirname(paths[0]),
-                               f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+            gid = uuid.uuid4().hex[:12]
+            dirpath = os.path.dirname(paths[0])
+            out = os.path.join(dirpath, f"compacted-{gid}.parquet")
             tmp = out + ".tmp"
             pq.write_table(t, tmp)
+            # commit point: manifest names the sources this output
+            # replaces — recovery finishes the unlinks if we die below
+            man = os.path.join(dirpath, f"_compact-{gid}.json")
+            man_tmp = man + ".tmp"
+            with open(man_tmp, "w") as fh:
+                _json.dump({"output": os.path.basename(out),
+                            "sources": [os.path.basename(p) for p in paths]},
+                           fh)
+            os.replace(man_tmp, man)
             os.replace(tmp, out)
             for p in paths:
                 os.unlink(p)
+            os.unlink(man)
             done.append(len(paths))
         return pa.table({"removed": pa.array(done, pa.int64())})
 
