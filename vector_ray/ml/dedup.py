@@ -510,25 +510,39 @@ def _crc32_words(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> n
     return out
 
 
-def flat_word_hashes(texts: list, *, seed: int = 1):
+def flat_word_hashes(texts, *, seed: int = 1):
     """Per-word 64-bit hashes over every doc in ``texts``, fully
     vectorized (flat-buffer word runs + table-driven CRC32 → splitmix64
-    — the simhash_batch tokenizer, shared with ml/dsir.py). Returns
-    ``(hs: uint64[nwords], doc_of_word: int64[nwords])`` with words in
-    document order.
+    — the simhash_batch tokenizer, shared with ml/dsir.py). ``texts``
+    may be an Arrow string Array/ChunkedArray (the hot path — bytes
+    come straight off the values buffer, ZERO per-row Python) or a
+    Python list (legacy). Returns ``(hs: uint64[nwords],
+    doc_of_word: int64[nwords])`` with words in document order.
 
     Words are maximal runs of word bytes ([a-z0-9_] after lowercasing,
     plus any byte ≥ 0x80) in the utf-8 encoding — for non-ASCII text
     this glues characters Python's unicode ``\\w`` would split (e.g.
-    punctuation like €), a documented deviation."""
+    punctuation like €), a documented deviation. (Arrow vs list paths
+    also differ in lowercasing backend — utf8_lower vs str.lower —
+    identical on ASCII; see _flat_lower_utf8.)"""
     n = len(texts)
     empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
     if n == 0:
         return empty
-    bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
-    flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
-    doc_starts = np.zeros(n, dtype=np.int64)
-    np.cumsum([len(b) + 1 for b in bufs[:-1]], out=doc_starts[1:])
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        flat, offs = _flat_lower_utf8(texts)
+        doc_starts = offs[:-1]
+        # no separator bytes between docs: word runs must be cut at
+        # every interior doc boundary below
+        boundaries = offs[1:-1]
+    else:
+        bufs = [(t or "").lower().encode("utf-8", "ignore") for t in texts]
+        flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum([len(b) + 1 for b in bufs[:-1]], out=doc_starts[1:])
+        boundaries = None  # \x00 separators already break runs
+    if len(flat) == 0:
+        return empty
     # word-char mask → word runs via diff
     wc = (
         ((flat >= 97) & (flat <= 122))
@@ -544,6 +558,16 @@ def flat_word_hashes(texts: list, *, seed: int = 1):
         w_ends = np.append(w_ends, len(flat))
     if len(w_starts) == 0:
         return empty
+    if boundaries is not None and len(boundaries):
+        # split any run spanning a doc boundary b: w_starts[i] < b <
+        # w_ends[i] → two runs [s,b) and [b,e)
+        i = np.searchsorted(w_starts, boundaries, side="right") - 1
+        ok = i >= 0
+        bb, ii = boundaries[ok], i[ok]
+        cuts = bb[(w_starts[ii] < bb) & (bb < w_ends[ii])]
+        if len(cuts):
+            w_starts = np.sort(np.concatenate([w_starts, cuts]))
+            w_ends = np.sort(np.concatenate([w_ends, cuts]))
     w_lens = w_ends - w_starts
     doc_of_word = np.searchsorted(doc_starts, w_starts, side="right") - 1
     with np.errstate(over="ignore"):
@@ -551,8 +575,9 @@ def flat_word_hashes(texts: list, *, seed: int = 1):
     return hs, doc_of_word
 
 
-def simhash_batch(texts: list, *, seed: int = 1) -> np.ndarray:
-    """64-bit SimHash per doc over word tokens — fully vectorized
+def simhash_batch(texts, *, seed: int = 1) -> np.ndarray:
+    """64-bit SimHash per doc over word tokens (``texts``: Arrow string
+    Array/ChunkedArray zero-copy, or a Python list) — fully vectorized
     (flat-buffer + reduceat, the TokenMinHash pattern; no per-row or
     per-word Python). Bit-identical to the r1 per-row loop
     (crc32-per-word → splitmix64 → majority bit votes) on ASCII text.
@@ -588,7 +613,7 @@ class SimHash:
         self.out = out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        return F.set_(t, self.out, pa.array(simhash_batch(t[self.field].to_pylist()), pa.uint64()))
+        return F.set_(t, self.out, pa.array(simhash_batch(t[self.field]), pa.uint64()))
 
 
 # ---------------------------------------------------------------------------
@@ -1088,7 +1113,7 @@ def simhash_dup_pairs(
     mask = np.uint64((1 << chunk_bits) - 1)
 
     def explode(t: pa.Table) -> pa.Table:
-        sig = simhash_batch(t[field].to_pylist())
+        sig = simhash_batch(t[field])
         n = len(sig)
         chunks = np.empty((n, bands), np.uint64)
         for b in range(bands):
@@ -1150,7 +1175,7 @@ def simhash_dup_pairs(
                              "sig": pa.array([], pa.uint64())})
         return pa.table({
             "id": pc.cast(sub[id_col], pa.string()),
-            "sig": pa.array(simhash_batch(sub[field].to_pylist()), pa.uint64()),
+            "sig": pa.array(simhash_batch(sub[field]), pa.uint64()),
         })
 
     sig_tbl = _collect_arrow(

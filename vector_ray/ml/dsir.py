@@ -96,7 +96,7 @@ def count_features(ds, *, col: str = "text", buckets: int = 1 << 13,
     def partial(t: pa.Table) -> pa.Table:
         import zlib
 
-        c = count_features_table(t[col].to_pylist(), buckets=buckets,
+        c = count_features_table(t[col], buckets=buckets,
                                  seed=seed)
         # content-derived shard (crc of a prefix): spreads blocks over
         # the reduce tree even when block totals are near-identical
@@ -147,7 +147,7 @@ def dsir_score(ds, lr: np.ndarray, *, col: str = "text",
 
     def score(t: pa.Table) -> pa.Table:
         v = ray.get(ref)
-        ids, doc, n = _bucket_ids(t[col].to_pylist(), buckets, seed)
+        ids, doc, n = _bucket_ids(t[col], buckets, seed)
         s = np.bincount(doc, weights=v[ids], minlength=n)
         return t.append_column(out, pa.array(s, pa.float64()))
 
