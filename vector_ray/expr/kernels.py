@@ -670,11 +670,42 @@ def format_timestamp(a, fmt: str = "%Y-%m-%dT%H:%M:%S"):
 
 
 def format_number(a, ndigits: int = 2):
-    """Fixed-decimal string formatting."""
-    import pandas as pd
+    """Fixed-decimal string formatting, vectorized: float → decimal128
+    cast (correctly rounded half-to-even — same result as Python's
+    ``f"{v:.Nf}"``) → string, with negative-zero keeping its sign like
+    Python's formatter. NaN/null → null, ±inf → 'inf'/'-inf' (matching
+    the old per-row implementation). Magnitudes beyond decimal128 range
+    fall back to the per-row formatter."""
+    arr = _arr(a)
+    if not pa.types.is_floating(arr.type):
+        arr = pc.cast(arr, pa.float64())
+    import numpy as np
 
-    ser = pd.Series(_arr(a).to_pandas())
-    return pa.array(ser.map(lambda v: None if pd.isna(v) else f"{v:.{ndigits}f}"), pa.string())
+    finite = pc.and_kleene(pc.is_valid(arr), pc.is_finite(arr))
+    vals = pc.if_else(pc.fill_null(finite, False), arr, 0.0)
+    hi = pc.max(pc.abs(vals)).as_py()
+    if hi is not None and hi >= 1e30:  # decimal128(38, d) would overflow
+        import pandas as pd
+
+        ser = pd.Series(arr.to_pandas())
+        return pa.array(
+            ser.map(lambda v: None if pd.isna(v) else f"{v:.{ndigits}f}"),
+            pa.string())
+    s = pc.cast(pc.cast(vals, pa.decimal128(38, ndigits)), pa.string())
+    zero = "0." + "0" * ndigits if ndigits else "0"
+    negz = pc.and_(pc.less(vals, 0.0), pc.equal(s, zero))
+    s = pc.if_else(
+        negz,
+        pc.binary_join_element_wise(
+            pa.array(np.repeat("-", len(s)), pa.string()), s, ""),
+        s)
+    if pc.all(pc.fill_null(finite, False)).as_py():
+        return s
+    isinf = pc.fill_null(pc.is_inf(arr), False)
+    s = pc.if_else(finite, s, pa.scalar(None, pa.string()))
+    s = pc.if_else(isinf,
+                   pc.if_else(pc.greater(arr, 0.0), "inf", "-inf"), s)
+    return s
 
 
 # --------------------------------------------------------------------------
