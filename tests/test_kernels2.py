@@ -80,6 +80,33 @@ class TestFormat:
     def test_format_number(self):
         assert F.format_number(pa.array([3.14159, 2.0]), 2).to_pylist() == ["3.14", "2.00"]
 
+    def test_format_number_matches_python_formatter(self):
+        # vectorized decimal128 path must equal f"{v:.Nf}" exactly,
+        # including half-even ties, negative zero, nan/null/inf, and
+        # the >=1e30 per-row fallback
+        vals = [0.125, -0.125, 1.005, 2.675, 2.5, 0.285, -0.0041,
+                0.0, -0.0, None, float("nan"), float("inf"),
+                float("-inf"), 1e31, -1.5e30, 123456.789]
+        a = pa.array(vals, pa.float64())
+        for nd in (0, 1, 2, 5):
+            got = F.format_number(a, nd).to_pylist()
+            want = [None if v is None or (isinstance(v, float) and v != v)
+                    else f"{v:.{nd}f}" for v in vals]
+            assert got == want, (nd, got, want)
+
+    def test_format_number_random_matches(self):
+        rng = np.random.default_rng(7)
+        v = np.concatenate([rng.normal(0, 1e4, 20000),
+                            rng.uniform(-0.01, 0.01, 20000)])
+        got = F.format_number(pa.array(v), 3).to_pylist()
+        want = [f"{x:.3f}" for x in v]
+        assert got == want
+
+    def test_format_number_int_and_chunked_input(self):
+        assert F.format_number(pa.array([3, -4]), 1).to_pylist() == ["3.0", "-4.0"]
+        ch = pa.chunked_array([pa.array([1.0]), pa.array([2.25])])
+        assert F.format_number(ch, 1).to_pylist() == ["1.0", "2.2"]
+
 
 class TestSketches:
     def test_hll_accuracy(self):

@@ -295,6 +295,23 @@ class TestConnectedComponents:
         want = reference(texts)
         assert (got == want).all()
 
+    def test_simhash_arrow_path_identical_to_list_path(self):
+        # the zero-copy Arrow path (word runs split at doc boundaries,
+        # no separator bytes) must be bit-identical to the list path —
+        # including docs whose boundaries adjoin word chars, empties,
+        # nulls, and multi-chunk arrays
+        from vector_ray.ml.dedup import flat_word_hashes
+
+        col = pa.chunked_array([
+            pa.array(["abc", "def", "", " x", "y ", None, "tail"]),
+            pa.array(["MiXed CASE", "a_b-c d", "9to5", "word"]),
+        ])
+        as_list = [v for ch in col.chunks for v in ch.to_pylist()]
+        assert (simhash_batch(col) == simhash_batch(as_list)).all()
+        h_a, d_a = flat_word_hashes(col)
+        h_l, d_l = flat_word_hashes(as_list)
+        assert (h_a == h_l).all() and (d_a == d_l).all()
+
 
 class TestEmbeddingDup:
     def test_planted_pairs_found(self):
