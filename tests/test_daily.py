@@ -79,3 +79,108 @@ class TestRunDaily:
         r = run_daily(day, work)
         assert r["new_docs"] == 0 and r["routed_dir"] is None
         assert sorted(os.listdir(os.path.join(work, "routed"))) == runs_before
+
+
+def _routed_rows(work):
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows
+               for f in g.glob(os.path.join(work, "routed", "run-*", "*.parquet")))
+
+
+class TestCrashWindows:
+    """Effectively-once: neither crash window loses a batch or writes
+    it twice."""
+
+    def test_crash_between_commit_and_key_append(self, tmp_path, monkeypatch):
+        # crash AFTER the routed rename, BEFORE the seen-index append:
+        # the retry must finish the run from the artifact, admit
+        # nothing new, and the lake must hold the batch exactly once
+        work = str(tmp_path / "work")
+        day1 = _synth(tmp_path, 800, 11, "d1")
+        day2 = _synth(tmp_path, 700, 12, "d2")
+        run_daily(day1, work)
+        rows_after_d1 = _routed_rows(work)
+
+        import vector_ray.state.seen as seen_mod
+        real_append = seen_mod.seen_index_append
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before key append")
+
+        # daily imports it inside run_daily — patch the source module
+        monkeypatch.setattr(seen_mod, "seen_index_append", boom)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            run_daily(day2, work)
+        rows_after_crash = _routed_rows(work)
+        assert rows_after_crash > rows_after_d1  # routed commit landed
+        monkeypatch.setattr(seen_mod, "seen_index_append", real_append)
+
+        r = run_daily(day2, work)  # retry of the same batch
+        assert 0 < r["new_docs"] <= 700
+        # recovery must not have duplicated the routed rows
+        assert _routed_rows(work) == rows_after_crash
+        got = _agg_dict(r["aggregate"])
+        want = _agg_dict(oneshot_reference(day1 + day2))
+        assert got == want
+
+    def test_crash_mid_write_leaves_no_trace(self, tmp_path):
+        # a hidden temp orphan from a crash mid-write is discarded and
+        # never aggregated
+        import pyarrow.parquet as pq
+
+        work = str(tmp_path / "work")
+        day = _synth(tmp_path, 500, 13, "d")
+        routed_root = os.path.join(work, "routed")
+        os.makedirs(routed_root)
+        orphan = os.path.join(routed_root, ".tmp-run-deadbeef")
+        os.makedirs(orphan)
+        pq.write_table(pa.table({"doc_id": pa.array(["junk"]),
+                                 "lane": pa.array(["hot"]),
+                                 "source": pa.array(["x"]),
+                                 "region": pa.array(["r"]),
+                                 "n_tok": pa.array([1], pa.int32()),
+                                 "seq": pa.array([1], pa.int64())}),
+                       os.path.join(orphan, "part.parquet"))
+        r = run_daily(day, work)
+        assert not os.path.exists(orphan)
+        got = _agg_dict(r["aggregate"])
+        want = _agg_dict(oneshot_reference(day))
+        assert got == want  # junk row never aggregated
+
+    def test_interrupted_run_finished_by_different_batch(self, tmp_path,
+                                                         monkeypatch):
+        # the recovery pass finishes ANY marker-less run, not just a
+        # retry of the same input
+        import vector_ray.state.seen as seen_mod
+
+        work = str(tmp_path / "work")
+        day1 = _synth(tmp_path, 600, 14, "d1")
+        day2 = _synth(tmp_path, 400, 15, "d2")
+        real_append = seen_mod.seen_index_append
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(seen_mod, "seen_index_append", boom)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            run_daily(day1, work)
+        monkeypatch.setattr(seen_mod, "seen_index_append", real_append)
+        rows_crashed = _routed_rows(work)
+        # a DIFFERENT batch arrives next; day1's run must be finished
+        r2 = run_daily(day2, work)
+        assert 0 < r2["new_docs"]
+        # replaying day1 now admits nothing (its keys were recovered
+        # by day2's call, and its run dir carries the marker)
+        r3 = run_daily(day1, work)
+        assert r3["new_docs"] == 0
+        got = _agg_dict(r3["aggregate"])
+        want = _agg_dict(oneshot_reference(day1 + day2))
+        assert got == want
+        assert _routed_rows(work) >= rows_crashed

@@ -790,7 +790,11 @@ class Reduce(Step):
             return self._apply_fast(ds)
         if self.ends_when is not None or self.starts_when is not None:
             if not self.salted:
-                # explicit unsalted debug path: per-key pandas reference
+                # explicit unsalted path: per-key pandas REFERENCE
+                # implementation, kept deliberately — the differential
+                # tests (tests/test_stages.py) verify the salted
+                # vectorized plan against it for every strategy; never
+                # the default, documented O(distinct keys) driver cost
                 return ds.groupby(self.group_by).map_groups(
                     self._reduce_group, batch_format="pandas")
             from vector_ray.stages.bucketed import bucketed_map_groups

@@ -264,6 +264,9 @@ class SessionWindow(Step):
 
     def apply(self, ds):
         if self.mode == "group":
+            # non-default REFERENCE plan, kept deliberately: the
+            # differential test (tests/test_stages.py) checks the
+            # bucketed vectorized path against it; O(distinct keys)
             return ds.groupby(self.keys).map_groups(self._sessions, batch_format="pandas")
         bucket_us, ts_col = self.bucket_us, self.ts_col
 
