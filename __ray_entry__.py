@@ -3139,6 +3139,78 @@ def q_flagship_tokenized(sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_DAILY_Q_BATCHES = ((1000, 101), (800, 102))  # (rows, seed) per batch
+
+
+def _daily_q_paths() -> list:
+    from vector_ray.sources.synth import synth_parquet
+
+    return [synth_parquet(n, seed=s, rows_per_file=max(200, n // 4))
+            for n, s in _DAILY_Q_BATCHES]
+
+
+def q_daily_pipeline(sf_dir):
+    """The composed daily production run (pipelines/daily.run_daily):
+    batch 1 then batch 2 ingested through the persistent seen-index
+    dedupe → flagship parse/enrich/route → per-run routed commit →
+    checkpointed incremental aggregate, then a REPLAY of batch 1
+    (must admit zero rows end to end). Returns the cumulative
+    per-(lane, source, region) aggregate. The oracle recomputes it
+    one-shot in SQL over the distinct union of both batches
+    (batch-1-wins on doc_id collisions — exactly what ingest order
+    guarantees). The workdir is reset per call so every invocation
+    exercises the full ingest + replay path, not a cached state."""
+    import glob as _g
+    import shutil
+
+    from vector_ray.pipelines.daily import run_daily
+
+    p1, p2 = _daily_q_paths()
+    b1 = sorted(_g.glob(os.path.join(p1, "part-*.parquet")))
+    b2 = sorted(_g.glob(os.path.join(p2, "part-*.parquet")))
+    work = "/tmp/vector_ray_daily_q/work"
+    shutil.rmtree(work, ignore_errors=True)
+    run_daily(b1, work, enrich_concurrency=2)
+    run_daily(b2, work, enrich_concurrency=2)
+    res = run_daily(b1, work, enrich_concurrency=2)  # replay
+    if res["new_docs"] != 0:
+        raise AssertionError("daily replay admitted rows — seen index broken")
+    t = res["aggregate"]
+    return _cast64(t.sort_by([("lane", "ascending"),
+                              ("source", "ascending"),
+                              ("region", "ascending")]))
+
+
+def _daily_oracle_sql() -> str:
+    from vector_ray.sources.synth import source_lookup_table
+
+    p1, p2 = _daily_q_paths()  # ensure the parquet exists for DuckDB
+    lk = source_lookup_table().to_pylist()
+    values = ", ".join(f"('{r['source']}', '{r['region']}', '{r['tier']}')" for r in lk)
+    return (
+        f"WITH tok AS ("
+        f"SELECT *, 1 AS __b FROM read_parquet('{p1}/part-*.parquet') "
+        f"UNION ALL SELECT *, 2 AS __b FROM read_parquet('{p2}/part-*.parquet')), "
+        "uniq AS (SELECT * FROM tok "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY __b) = 1), "
+        f"lookup(source, region, tier) AS (VALUES {values}), "
+        r"parsed AS (SELECT doc_id, n_tok, t.source, "
+        r"regexp_extract(doc_id, '^(\w+)-', 1) AS app, "
+        r"CAST(regexp_extract(doc_id, '-(\d+)$', 1) AS BIGINT) AS seq, "
+        "l.region, l.tier FROM uniq t LEFT JOIN lookup l ON l.source = t.source), "
+        "routed AS ("
+        "SELECT 'hot' AS lane, * FROM parsed WHERE tier = 'hot' "
+        "UNION ALL SELECT 'web', * FROM parsed WHERE app = 'web' "
+        "UNION ALL SELECT 'long', * FROM parsed WHERE n_tok >= 1024 "
+        "UNION ALL SELECT 'rest', * FROM parsed "
+        "WHERE NOT coalesce(tier = 'hot', FALSE) AND NOT coalesce(app = 'web', FALSE) "
+        "AND NOT n_tok >= 1024) "
+        "SELECT lane, source, region, COUNT(doc_id) AS n_rows, "
+        "CAST(SUM(n_tok) AS BIGINT) AS tok_sum, MIN(seq) AS seq_min, MAX(seq) AS seq_max "
+        "FROM routed GROUP BY lane, source, region"
+    )
+
+
 _MIXTURE_RATES = {
     **{f"src{i}": 1.0 for i in range(5)},
     **{f"src{i}": 0.5 for i in range(5, 10)},
@@ -4236,10 +4308,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver sweep records only the FIRST 50 entries
     # per round. r5 rotation (final round): the 44 queries that never
     # received a driver CORRECTNESS row in r1-r4 (union = 149 green
-    # names over 193) are moved to the front, so this round's 50-row
-    # window verifies every remaining query and completes 193/193
-    # driver coverage. The previously verified remainder keeps its
-    # r4 relative order below the marker comment.
+    # names over 193) are moved to the front, plus the new-in-r5
+    # daily_pipeline at position 45 — so this round's 50-row window
+    # verifies every remaining query and completes full driver
+    # coverage (the 5 entries it displaces from positions 46-50 all
+    # have r4 driver rows). The previously verified remainder keeps
+    # its r4 relative order below the marker comment.
     return {
         "split_fields": q_split_fields,
         "pii_redact": q_pii_redact,
@@ -4285,6 +4359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_ingest": q_minhash_ingest,
         "template_novelty": q_template_novelty,
         "seen_ttl_users": q_seen_ttl_users,
+        # new in r5 (position ≤50 so the driver verifies it this round)
+        "daily_pipeline": q_daily_pipeline,
         # --- previously driver-verified (r1-r4 union) below this line ---
         "apply_changeset": q_apply_changeset,
         "approx_quantiles": q_approx_quantiles,
@@ -4846,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
             "AS jac_micro FROM p WHERE 2 * i >= u"
         ),
         "flagship_tokenized": _flagship_oracle_sql(),
+        "daily_pipeline": _daily_oracle_sql(),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3), "
             "s AS (SELECT q.qid AS query_idx, e.vec_id, "
