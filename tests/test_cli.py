@@ -434,3 +434,27 @@ class TestExplain:
         text = explain(cfg)
         assert "anti-join vs persisted seen-key index" in text
         assert "driver-side consume" in text
+
+
+class TestDailyCommand:
+    def test_daily_ingest_then_replay(self, tmp_path):
+        """`vector_ray daily <input> <workdir>` — one effectively-once
+        ingest step; replaying the same input admits 0 docs."""
+        from vector_ray.sources.synth import synth_parquet
+
+        src = synth_parquet(400, seed=31, rows_per_file=100,
+                            root=str(tmp_path / "in"))
+        work = str(tmp_path / "work")
+        r1 = run_cli("daily", src, work, "--num-cpus", "4", timeout=300)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        assert "new_docs: 400" in r1.stdout
+        assert "aggregate:" in r1.stdout
+        r2 = run_cli("daily", src, work, "--num-cpus", "4", timeout=300)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "new_docs: 0" in r2.stdout
+        assert "routed_dir: None" in r2.stdout
+
+    def test_daily_usage_error(self):
+        r = run_cli("daily", "/tmp/nonexistent-input-only")
+        assert r.returncode == 2
+        assert "usage" in r.stderr

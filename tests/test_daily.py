@@ -152,6 +152,26 @@ class TestCrashWindows:
         want = _agg_dict(oneshot_reference(day))
         assert got == want  # junk row never aggregated
 
+    def test_lost_marker_heals_without_duplicates(self, tmp_path):
+        # crash AFTER the key append but BEFORE the marker write: the
+        # run is fully ingested but looks unfinished. The next call
+        # must re-append from the artifact (harmless — keys stored
+        # twice still anti-join the same), restore the marker, and
+        # change nothing else.
+        work = str(tmp_path / "work")
+        day = _synth(tmp_path, 500, 21, "d")
+        r1 = run_daily(day, work)
+        marker = os.path.join(r1["routed_dir"], "_committed")
+        os.unlink(marker)  # simulate the crash window
+        rows_before = _routed_rows(work)
+        r2 = run_daily(day, work)  # heals, then replays
+        assert os.path.exists(marker)
+        assert _routed_rows(work) == rows_before
+        # run_daily reports the finished run's count (it cannot know
+        # the append already landed — documented retry semantics)
+        assert r2["new_docs"] == 500
+        assert _agg_dict(r2["aggregate"]) == _agg_dict(r1["aggregate"])
+
     def test_interrupted_run_finished_by_different_batch(self, tmp_path,
                                                          monkeypatch):
         # the recovery pass finishes ANY marker-less run, not just a

@@ -328,20 +328,60 @@ def lake_main(args):
         ray.shutdown()
 
 
+def daily_main(args) -> int:
+    """`vector_ray daily <input> <workdir>`: one effectively-once
+    ingest step of the composed daily pipeline (pipelines/daily.py) —
+    persistent dedupe, flagship parse/enrich/route, per-run routed
+    commit, checkpointed aggregate. Prints the step summary and the
+    cumulative aggregate head; replaying the same input admits 0."""
+    if not args.config or not args.node:
+        print("usage: vector_ray daily <input-dir-or-glob> <workdir>",
+              file=sys.stderr)
+        return 2
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False,
+                  logging_level="ERROR")
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from vector_ray.pipelines.daily import run_daily
+
+        res = run_daily(args.config, args.node)
+        print(f"new_docs: {res['new_docs']}")
+        print(f"routed_dir: {res['routed_dir']}")
+        agg = res["aggregate"]
+        print(f"aggregate: {agg.num_rows} rows "
+              f"({', '.join(agg.column_names)})")
+        for row in agg.sort_by([("lane", "ascending"),
+                                ("source", "ascending")]).to_pylist()[:5]:
+            print(f"  {row}")
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vector_ray")
     ap.add_argument("command",
                     choices=["run", "validate", "graph", "explain", "test",
                              "vrl", "list", "generate", "tap", "top",
-                             "lake"])
+                             "lake", "daily"])
     ap.add_argument("config", nargs="?",
                     help="config file (run/validate/graph/test/tap/top), "
-                         "program file (vrl), expression (generate), or "
+                         "program file (vrl), expression (generate), "
                          "lake action (stats|bloom|compact|delete|seen-compact|"
-                         "seen-expire)")
+                         "seen-expire), or daily: the input dir/glob of "
+                         "parquet fragments")
     ap.add_argument("node", nargs="?",
                     help="tap: component reference, e.g. parse or "
-                         "route1.errors; lake: the lake root directory")
+                         "route1.errors; lake: the lake root directory; "
+                         "daily: the durable workdir")
     ap.add_argument("--col", default=None,
                     help="lake stats/bloom/delete: the key column")
     ap.add_argument("--keys", default=None,
@@ -365,6 +405,8 @@ def main(argv=None):
 
     if args.command == "lake":
         return lake_main(args)
+    if args.command == "daily":
+        return daily_main(args)
     if args.command == "vrl":
         return vrl_main(args)
     if args.command == "list":
