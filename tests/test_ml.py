@@ -304,6 +304,10 @@ class TestConnectedComponents:
 
         col = pa.chunked_array([
             pa.array(["abc", "def", "", " x", "y ", None, "tail"]),
+            # empty/None docs SANDWICHED between word-adjacent docs:
+            # their boundary offsets repeat, which must not mint
+            # zero-length word runs on the no-separator Arrow path
+            pa.array(["ab", "", "cd", "x", None, "", "y"]),
             pa.array(["MiXed CASE", "a_b-c d", "9to5", "word"]),
         ])
         as_list = [v for ch in col.chunks for v in ch.to_pylist()]

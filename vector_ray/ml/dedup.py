@@ -564,7 +564,10 @@ def flat_word_hashes(texts, *, seed: int = 1):
         i = np.searchsorted(w_starts, boundaries, side="right") - 1
         ok = i >= 0
         bb, ii = boundaries[ok], i[ok]
-        cuts = bb[(w_starts[ii] < bb) & (bb < w_ends[ii])]
+        # unique: an EMPTY doc between two word-adjacent docs repeats
+        # its boundary offset — cutting twice would mint a zero-length
+        # "word" that the list path (separator bytes) never produces
+        cuts = np.unique(bb[(w_starts[ii] < bb) & (bb < w_ends[ii])])
         if len(cuts):
             w_starts = np.sort(np.concatenate([w_starts, cuts]))
             w_ends = np.sort(np.concatenate([w_ends, cuts]))
