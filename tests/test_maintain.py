@@ -134,6 +134,24 @@ class TestCompact:
         rows = rd.read_parquet(root).take_all()
         assert sorted(r["id"] for r in rows) == list(range(30))
 
+    def test_delete_repairs_crashed_compaction_first(self, tmp_path):
+        # delete_by_keys must heal the duplicate-row window before it
+        # scans, or the duplicates would survive the delete
+        import json
+
+        root = _lake(tmp_path, n_files=3, rows=10)
+        srcs = ["f0.parquet", "f1.parquet"]
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(root, s)) for s in srcs])
+        out = os.path.join(root, "compacted-deadbeef0003.parquet")
+        pq.write_table(merged, out)  # crash left sources AND output
+        with open(os.path.join(root, "_compact-deadbeef0003.json"), "w") as fh:
+            json.dump({"output": os.path.basename(out), "sources": srcs}, fh)
+        res = delete_by_keys(root, "id", [5])
+        assert res["rows_deleted"] == 1  # once, not twice
+        rows = rd.read_parquet(root).take_all()
+        assert sorted(r["id"] for r in rows) == [i for i in range(30) if i != 5]
+
     def test_recover_before_swap_keeps_sources(self, tmp_path):
         # crash window: manifest committed but output never swapped in
         # — sources intact, orphan tmp discarded, no data change

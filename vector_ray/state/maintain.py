@@ -110,11 +110,15 @@ def delete_by_keys(root: str, key_col: str, keys: Sequence, *,
     Distribution: candidate paths fan out as a Ray Data map over file
     names; the key set ships once to the object store (``ray.put``)
     and each task reads it zero-copy. A rewrite is atomic
-    (tmp + os.replace); a file left with zero rows is unlinked."""
+    (tmp + os.replace); a file left with zero rows is unlinked.
+    Runs ``_recover_compactions`` first so a crashed compaction's
+    duplicate-row window is repaired before the scan."""
     import ray
     import ray.data as rd
 
     import shutil
+
+    _recover_compactions(root)
 
     keys = sorted(set(keys))
     if not keys:
