@@ -509,3 +509,44 @@ class TestRankValuesProperty:
             le = int((arr <= arr[i]).sum())
             assert out["pct_rank"][i] == below / max(n - 1, 1)
             assert out["cume_dist"][i] == le / n
+
+
+class TestWordHashPaths:
+    # the Arrow zero-copy path of flat_word_hashes (no separator
+    # bytes; word runs split at doc boundaries) must be bit-identical
+    # to the legacy list path on ASCII — including empty/None docs
+    # sandwiched between word-adjacent docs (the r5 zero-length-run
+    # bug class). Alphabet is ASCII-only: non-ASCII lowercasing is a
+    # DOCUMENTED deviation (utf8_lower vs str.lower) out of scope.
+    _doc = st.one_of(
+        st.none(),
+        st.text(
+            alphabet="abcXYZ019_ .,-!\t\n",
+            min_size=0,
+            max_size=20,
+        ),
+    )
+
+    @given(st.lists(_doc, min_size=0, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_arrow_path_bit_identical_to_list_path(self, docs):
+        from vector_ray.ml.dedup import flat_word_hashes, simhash_batch
+
+        col = pa.array(docs, pa.string())
+        h_l, d_l = flat_word_hashes(docs)
+        h_a, d_a = flat_word_hashes(col)
+        assert np.array_equal(h_l, h_a) and np.array_equal(d_l, d_a)
+        assert np.array_equal(simhash_batch(docs), simhash_batch(col))
+
+    @given(st.lists(_doc, min_size=1, max_size=8), st.integers(1, 4))
+    @settings(max_examples=50, deadline=None)
+    def test_chunked_equals_combined(self, docs, nchunks):
+        from vector_ray.ml.dedup import flat_word_hashes
+
+        k = max(1, len(docs) // nchunks)
+        chunks = [pa.array(docs[i:i + k], pa.string())
+                  for i in range(0, len(docs), k)]
+        ch = pa.chunked_array(chunks)
+        h_c, d_c = flat_word_hashes(ch)
+        h_1, d_1 = flat_word_hashes(pa.array(docs, pa.string()))
+        assert np.array_equal(h_c, h_1) and np.array_equal(d_c, d_1)
